@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-corpus table loader (driver-generated parquet, see TESTDATA.md).
+  *
+  * Stand-in for the reference's JDBC extract layer (`src/utils.py:150-181`):
+  * the reference reads whole Oracle tables eagerly with full schema
+  * inference; here parquet already carries its schema and Catalyst prunes
+  * columns/pushes filters into the scan, so a `Tables.load` inside a larger
+  * plan reads only what the query needs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.engine.GraftSession]]): the `events` table carries
+    * nanosecond-precision timestamps, which Spark reads as nano longs; they
+    * are lowered here to microsecond timestamps by truncation — the same
+    * thing DuckDB's parquet reader does — with integer arithmetic (`DIV`),
+    * never double division (ns epoch values exceed 2^53).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (name == "events" && f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      else d
+    }
+  }
+
+  /** Register every test table as a temp view for spark.sql use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregations (SURVEY §2.6), window functions (§2.7 incl. the reference's
+  * stateful duplicate-name numbering re-expressed as row_number), sorts/
+  * limits (§2.8), and set operations (§2.9).
+  */
+object AggWindowQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1/A2: group-by + collect values into list (src/core.py:1334,1363).
+    // collect_set + sort_array pins a deterministic element order (the
+    // reference inherits input order; distributed execution must not).
+    QueryDef.sql(
+      "a1_group_collect_list",
+      """SELECT c_nationkey AS nation_id, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation_id"))
+        .agg(
+          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n"))
+    },
+
+    // A3: dedup on a key subset, FIRST row wins — the reference's unique()
+    // keeper is nondeterministic (src/core.py:744); pinned here with an
+    // explicit row_number order, the documented divergence fix.
+    QueryDef.sql(
+      "a3_dedup_first_wins",
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+    },
+
+    // TPC-H Q1 shape: multi-measure grouped aggregation with exact decimal
+    // arithmetic lowered to double only at the end (see Num).
+    QueryDef.sql(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      val discPrice = Num.dec2(col("l_extendedprice")) *
+        (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(Num.dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          Num.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // A4+: grouped stats — min/max/avg/count-distinct.
+    QueryDef.sql(
+      "a6_grouped_stats",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          Num.avgMoney(col("o_totalprice")).as("avg_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    },
+
+    // Grouping sets via ROLLUP (engine-provided per SURVEY §2.6; exercised
+    // so the surface is proven, not just claimed).
+    QueryDef.sql(
+      "a8_rollup",
+      """SELECT r_name, n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val region = Tables.load(spark, dir, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("c_acctbal")).as("total_bal"))
+    },
+
+    // §2.7: the reference's stateful duplicate-name disambiguation
+    // (src/core.py:1022-1043) — first occurrence keeps the name, later ones
+    // get " (n)" — as a window with a deterministic tiebreak.
+    QueryDef.sql(
+      "w1_duplicate_name_numbering",
+      """SELECT p_partkey,
+        |  CASE WHEN rn > 1 THEN p_brand || ' (' || CAST(rn - 1 AS VARCHAR) || ')' ELSE p_brand END AS disambiguated_name
+        |FROM (SELECT p_partkey, p_brand, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS INT) AS rn FROM part) t""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .withColumn("rn", row_number().over(w))
+        .select(
+          col("p_partkey"),
+          when(col("rn") > 1,
+            concat(col("p_brand"), lit(" ("), (col("rn") - 1).cast(StringType), lit(")")))
+            .otherwise(col("p_brand")).as("disambiguated_name"))
+    },
+
+    // Top-k per group (rank window).
+    QueryDef.sql(
+      "w2_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+
+    // Frame-spec running aggregates (count/max are exact — no float-order
+    // dependence in the verified values).
+    QueryDef.sql(
+      "w3_running_frame",
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS running_n,
+        |  MAX("value") OVER w AS running_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("running_n"),
+        max(col("value")).over(w).as("running_max"))
+    },
+
+    // lag/lead analytics.
+    QueryDef.sql(
+      "w4_lag_lead",
+      """SELECT event_id, user_id, ts,
+        |  lag(ts) OVER w AS prev_ts,
+        |  lead(event_id) OVER w AS next_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+    },
+
+    // §2.8: global sort + limit (deterministic via unique tiebreak).
+    QueryDef.sql(
+      "o1_orderby_limit",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // U1: vertical concat, identical schemas (src/core.py:743).
+    QueryDef.sql(
+      "u1_union_all",
+      """SELECT o_orderkey, o_totalprice, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'big' AS src FROM orders WHERE o_totalprice > 150000""".stripMargin) { (spark, dir) =>
+      val orders = Tables.load(spark, dir, "orders")
+      val a = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("open").as("src"))
+      val b = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("big").as("src"))
+      a.union(b)
+    },
+
+    // U3: diagonal-relaxed concat — union by name, missing columns → null
+    // (src/core.py:682-685,894).
+    QueryDef.sql(
+      "u3_union_by_name_missing",
+      """SELECT n_nationkey AS id, n_name AS name, CAST(NULL AS VARCHAR) AS kind FROM nation
+        |UNION ALL
+        |SELECT r_regionkey AS id, r_name AS name, 'region' AS kind FROM region""".stripMargin) { (spark, dir) =>
+      val a = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("name"))
+      val b = Tables.load(spark, dir, "region")
+        .select(col("r_regionkey").as("id"), col("r_name").as("name"), lit("region").as("kind"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // intersect / except (engine-provided per SURVEY §2.9; proven here).
+    QueryDef.sql(
+      "u4_intersect_except",
+      """SELECT nid, 'intersect' AS op FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t1
+        |UNION ALL
+        |SELECT nid, 'except' AS op FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t2""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val a = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("nid"))
+      val b = customer.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey").as("nid"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+    })
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.transforms.Text
+import org.apache.spark.sql.functions._
+
+/** Filters (SURVEY §2.4 F1-F5) and the join inventory (§2.5 J1-J15 — all
+  * left equi-joins on small dimensions, expressed with explicit
+  * `broadcast()` so the 100 TB plan never shuffles the fact side for a
+  * dimension lookup).
+  */
+object FilterJoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F1: equality on normalized string (src/core.py:633).
+    QueryDef.sql(
+      "f1_normalized_eq_filter",
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem WHERE lower(trim(l_returnflag)) = 'r'""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .filter(Text.handleId(col("l_returnflag")) === "r")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    },
+
+    // F2/F3: not-null and not-empty filters (src/core.py:895-896,1397).
+    QueryDef.sql(
+      "f2_not_null_not_empty",
+      """SELECT o_orderkey, s FROM (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderstatus = 'O' THEN '' WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderpriority END AS s
+        |  FROM orders) t
+        |WHERE s IS NOT NULL AND s <> ''""".stripMargin) { (spark, dir) =>
+      val s = when(col("o_orderstatus") === "O", lit(""))
+        .when(col("o_orderstatus") === "F", lit(null))
+        .otherwise(col("o_orderpriority"))
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), s.as("s"))
+        .filter(Text.notNullNotEmpty(col("s")))
+    },
+
+    // F4: FK-validity as a LEFT SEMI join — the reference collects the key
+    // list to the driver (src/core.py:1770-1786); at scale that's a
+    // broadcast-able semi join, never a driver collect.
+    QueryDef.sql(
+      "f4_semi_join_fk_filter",
+      """SELECT l_orderkey, COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY l_orderkey""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      val hi = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 200000).select(col("o_orderkey"))
+      li.join(hi, li("l_orderkey") === hi("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+    },
+
+    // F5: single-row cardinality guard (src/core.py:633-640) — run fails if
+    // the invariant breaks, matching the reference's hard raise.
+    QueryDef.sql(
+      "f5_cardinality_guard",
+      "SELECT r_regionkey, r_name FROM region WHERE trim(r_name) = 'EUROPE'") { (spark, dir) =>
+      val eu = Tables.load(spark, dir, "region")
+        .filter(trim(col("r_name")) === "EUROPE")
+        .select(col("r_regionkey"), col("r_name"))
+      require(eu.count() == 1, s"cardinality guard: expected exactly one EUROPE row")
+      eu
+    },
+
+    // J1-J3 shape: chained left joins onto cleaned, broadcast dimensions
+    // (src/core.py:303-320), keys dropped after the join (P27).
+    QueryDef.sql(
+      "j1_chained_dim_joins",
+      """SELECT c_custkey, trim(c_name) AS name, lower(n_name) AS nation_name, lower(r_name) AS region_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val region = Tables.load(spark, dir, "region")
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+        .select(
+          col("c_custkey"),
+          trim(col("c_name")).as("name"),
+          lower(col("n_name")).as("nation_name"),
+          lower(col("r_name")).as("region_name"))
+    },
+
+    // J4 shape: name-match join onto a literal seed dimension
+    // (src/core.py:818-832 joins resolution_types by cleaned name).
+    QueryDef.sql(
+      "j4_seed_name_match_join",
+      """SELECT r_regionkey, r_name, zone
+        |FROM region
+        |LEFT JOIN (VALUES ('europe','EMEA'),('africa','EMEA'),('middle east','EMEA'),('america','AMER'),('asia','APAC')) AS z(rname, zone)
+        |ON lower(trim(r_name)) = rname""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val zones = Seq(
+        ("europe", "EMEA"), ("africa", "EMEA"), ("middle east", "EMEA"),
+        ("america", "AMER"), ("asia", "APAC")).toDF("rname", "zone")
+      val region = Tables.load(spark, dir, "region")
+      region.join(broadcast(zones), Text.handleId(col("r_name")) === col("rname"), "left")
+        .select(col("r_regionkey"), col("r_name"), col("zone"))
+    },
+
+    // J9 shape: fact ⋈ fact ⋈ dims — revenue per nation. The fact-fact join
+    // shuffles on the key; dims broadcast. This is also the flagship entry().
+    QueryDef.sql(
+      "j9_revenue_per_nation",
+      """SELECT n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val discPrice = Num.dec2(col("l_extendedprice")) *
+        (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // J10: join back a derived mapping + completeness assert (src/core.py:1006-1012).
+    QueryDef.sql(
+      "j10_join_completeness_assert",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+        |LEFT JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val keys = Tables.load(spark, dir, "lineitem").select(col("l_orderkey")).distinct()
+      val orders = Tables.load(spark, dir, "orders")
+      val joined = keys.join(orders, keys("l_orderkey") === orders("o_orderkey"), "left")
+      val missing = joined.filter(col("o_orderkey").isNull).count()
+      require(missing == 0, s"join completeness: $missing lineitem orderkeys without an order")
+      joined.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
+    },
+
+    // J12: self-join alias hygiene (the reference leans on Polars' _right
+    // suffix, src/core.py:1857-1861; here explicit aliases).
+    QueryDef.sql(
+      "j12_self_join_aliases",
+      """SELECT n1.n_name AS a, n2.n_name AS b, n1.n_regionkey AS region_id
+        |FROM nation n1 JOIN nation n2
+        |ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""".stripMargin) { (spark, dir) =>
+      val nation = Tables.load(spark, dir, "nation")
+      val n1 = nation.alias("n1")
+      val n2 = nation.alias("n2")
+      n1.join(n2,
+          col("n1.n_regionkey") === col("n2.n_regionkey") &&
+            col("n1.n_nationkey") < col("n2.n_nationkey"))
+        .select(
+          col("n1.n_name").as("a"),
+          col("n2.n_name").as("b"),
+          col("n1.n_regionkey").as("region_id"))
+    })
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan/source operators (SURVEY §2.1: S1/S4/S5/S6; S2 column pruning is
+  * exercised implicitly by every query — Catalyst prunes the parquet scan).
+  * S1-S3 JDBC variants live in [[graft.io.Jdbc]] (no database in the test
+  * environment); their scan shape is covered here on parquet.
+  */
+object ScanQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1: full-table scan, row count + key range (the reference logs counts
+    // on every extract, src/utils.py:180).
+    QueryDef.sql(
+      "s1_full_scan",
+      """SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // S4: CSV scan with explicit schema overrides (src/utils.py:184-203) —
+    // round-trips nation through CSV; values must survive exactly.
+    QueryDef.sql(
+      "s4_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (spark, dir) =>
+      val nation = Tables.load(spark, dir, "nation")
+      val tmp = s"/tmp/graft_csv/nation"
+      nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      spark.read.option("header", "true").schema(schema).csv(tmp)
+    },
+
+    // S5: literal single-row frame (synthesized fallback row, src/auac.py:84-96).
+    QueryDef.sql(
+      "s5_literal_row",
+      "SELECT 1 AS id, 'fallback' AS name, DATE '2024-01-01' AS created") { (spark, _) =>
+      import spark.implicits._
+      Seq((1, "fallback", java.sql.Date.valueOf("2024-01-01")))
+        .toDF("id", "name", "created")
+    },
+
+    // S6: empty typed frame + U2 union (src/core.py:998-1004) — an empty
+    // DataFrame with a declared schema unions losslessly with real data.
+    QueryDef.sql(
+      "s6_empty_typed_union",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (spark, dir) =>
+      val nation = Tables.load(spark, dir, "nation")
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], nation.schema)
+      empty.unionByName(nation)
+    })
+}

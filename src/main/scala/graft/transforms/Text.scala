@@ -1,0 +1,46 @@
+package graft.transforms
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure `Column => Column` text builders.
+  *
+  * Spark-first re-expression of the reference's string helpers
+  * (`src/utils.py:444-576`, `src/core.py:1148-1156`): everything stays a
+  * Catalyst expression (whole-stage-codegen'd), no UDFs.
+  */
+object Text {
+
+  /** Trim + collapse whitespace runs + strip NUL control chars.
+    * Reference: `src/utils.py:568-576` (whitespace runs to one space, strip
+    * newlines/CRs), `src/core.py:1148-1156` (strip NUL bytes). */
+  def handleText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "\\x00", ""), "\\s+", " "))
+
+  /** Canonical id normalization: trim + lowercase.
+    * Reference: `src/utils.py:444-465`. */
+  def handleId(c: Column): Column = lower(trim(c))
+
+  /** Replace only the FIRST occurrence of a literal `target`.
+    * Polars `str.replace` is first-occurrence (`src/core.py:189`) while
+    * Spark's `regexp_replace` is replace-all, so this is built from
+    * `instr`/`substring` to pin the reference semantics exactly. */
+  def replaceFirst(c: Column, target: String, replacement: String): Column = {
+    val pos = instr(c, target)
+    when(pos > 0,
+      concat(
+        c.substr(lit(1), pos - 1),
+        lit(replacement),
+        c.substr(pos + lit(target.length), length(c))))
+      .otherwise(c)
+  }
+
+  /** Strip a literal suffix if present (`src/core.py:189` strips a trailing
+    * "-"). Regex-escapes the suffix. */
+  def stripSuffix(c: Column, suffix: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(suffix) + "$", "")
+
+  /** Null-safe "not null and not empty" predicate (reference filter
+    * `src/core.py:1397`). */
+  def notNullNotEmpty(c: Column): Column = c.isNotNull && c =!= lit("")
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (driver-side python only —
+not part of the shipped engine). Runs after `sbt "runMain graft.Verify <sf> <out>"`:
+for each query, loads the Spark parquet result and the DuckDB oracle result,
+sorts columns by name and rows by all columns, normalizes values, and diffs.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def frame_rows(con, sql):
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            want_cols, want = frame_rows(con, sql)
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO-SPARK-OUTPUT"
+            continue
+        try:
+            got_cols, got = frame_rows(
+                con, f"SELECT * FROM read_parquet({files!r})")
+        except Exception as e:
+            results[name] = f"SPARK-READ-ERROR {e}"
+            continue
+        if want_cols != got_cols:
+            results[name] = f"SCHEMA want={want_cols} got={got_cols}"
+        elif len(want) != len(got):
+            results[name] = f"ROWS want={len(want)} got={len(got)}"
+        elif want != got:
+            bad = next(i for i, (a, b) in enumerate(zip(want, got)) if a != b)
+            results[name] = f"VALUES first-diff row {bad}: want={want[bad][:6]} got={got[bad][:6]}"
+        else:
+            results[name] = "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f" :: {v}"))
+    print(f"\n{n_ok}/{len(results)} match")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
