@@ -17,7 +17,11 @@ object SparkEntry {
     ScanQueries.defs ++
       ProjectionQueries.defs ++
       FilterJoinQueries.defs ++
-      AggWindowQueries.defs
+      AggWindowQueries.defs ++
+      DedupQueries.defs ++
+      SimilarityQueries.defs ++
+      TextQueries.defs ++
+      EventQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.functions
+
+import graft.functions.expr.VectorExpressions.dotNative
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns.
+  *
+  * Two paths, mirroring what a 100 TB ANN pipeline needs:
+  *  - brute-force cosine top-k (the exact baseline): block-join + window —
+  *    O(n²) but fully distributed, correct, and oracle-checkable;
+  *  - random-hyperplane LSH buckets (the scale path): each vector hashes to
+  *    a small signature, candidates only form inside a bucket, turning the
+  *    cross join into an equi-join on the signature.
+  *
+  * Dot products run through [[graft.functions.expr.ArrayDotProduct]] — a
+  * codegen'd primitive loop (the `zip_with`+`aggregate` formulation costs a
+  * lambda frame per element). Accumulation is a sequential left fold in
+  * double, bit-identical to DuckDB's `list_dot_product`. Norms are computed
+  * ONCE per vector before any pair join (n·d work), never per pair (n²·d).
+  */
+object Similarity {
+
+  /** Elementwise dot product in double (codegen'd, sequential fold). */
+  def dot(a: Column, b: Column): Column = dotNative(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Pairwise cosine from raw vectors — prefer the precomputed-norm join
+    * paths below for anything quadratic. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** (id, vec_double, norm) projection — the per-side prep for pair joins. */
+  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    vecs.select(
+      col(idCol).as(idAs),
+      col(vecCol).cast("array<double>").as(vecAs),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as(normAs))
+
+  /** Exact cosine top-k neighbors for every vector: returns
+    * (vec_id, neighbor_id, cos, rk). `roundTo` decimals pin cross-engine
+    * determinism at rank boundaries (ties broken by neighbor id). */
+  def bruteForceTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val a = withNorm(vecs, idCol, vecCol, "vec_id", "va", "nrm_a")
+    val b = withNorm(vecs, idCol, vecCol, "neighbor_id", "vb", "nrm_b")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.crossJoin(b)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), roundTo))
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Exact near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
+  def nearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = withNorm(vecs, idCol, vecCol, "id_a", "va", "nrm_a")
+    val b = withNorm(vecs, idCol, vecCol, "id_b", "vb", "nrm_b")
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` from a seeded LCG. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-pattern LSH bucket id for a vector: bit p = sign(v · plane_p).
+    * Vectors with high cosine land in the same bucket with high probability;
+    * multiple independent tables raise recall. */
+  def hyperplaneSignature(vec: Column, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
+    val sig = hyperplanes(nPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
+      val d = dotNative(vec, typedLit(plane))
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    sig.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** ANN top-k via L tables of hyperplane buckets: candidates = pairs that
+    * share a bucket in ANY table; exact cosine + window rank on candidates
+    * only. Recall < 1 by construction (high for near-duplicate vectors, the
+    * target use case); at scale this replaces the O(n²) cross join with L
+    * equi-join shuffles on 8-byte keys. */
+  def lshTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      nPlanes: Int = 8, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    // persist: base feeds every signature table and both join-back sides;
+    // sigs feeds both sides of the bucket self-join.
+    val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm").persist()
+    val sigs = (0 until tables).map { t =>
+      base.select(col("vid"), lit(t).as("tbl"),
+        hyperplaneSignature(col("v"), dim, nPlanes, seed + t).as("sig"))
+    }.reduce(_ union _).persist()
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("vec_id"), col("b.vid").as("neighbor_id"))
+      .distinct()
+    val withVecs = cand
+      .join(base.select(col("vid").as("vid_a"), col("v").as("va"), col("nrm").as("nrm_a")),
+        col("vec_id") === col("vid_a"))
+      .join(base.select(col("vid").as("vid_b"), col("v").as("vb"), col("nrm").as("nrm_b")),
+        col("neighbor_id") === col("vid_b"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    withVecs
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (marker-word heuristic), quality scoring, token counting, and document
+  * fingerprinting. All closed-form Catalyst expressions.
+  */
+object TextAnalysis {
+
+  /** Marker words per language, checked against lowercased tokens. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Per-language marker counts as named columns (lang → count). */
+  def markerCounts(toks: Column): Seq[(String, Column)] =
+    markers.map { case (lang, ws) => lang -> TextTokens.countIn(toks, ws) }
+
+  /** Predicted language: argmax of marker counts with a fixed priority
+    * order (en > es > de > fr) on ties; no markers at all → "und". */
+  def languageId(text: Column): Column = {
+    val toks = TextTokens.tokens(text)
+    val counts = markerCounts(toks)
+    val total = counts.map(_._2).reduce(_ + _)
+    val best = counts.foldLeft((lit("und"), lit(-1))) { case ((bl, bc), (lang, c)) =>
+      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }._1
+    when(total === 0, lit("und")).otherwise(best)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(TextTokens.tokens(text))
+
+  /** BPE-ish regex token count: letter runs, digit runs, punctuation singles. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics: lengths, avg token length, punctuation ratio,
+    * stopword ratio, and a boolean keep/drop flag — the standard
+    * heuristics-pipeline shape. Ratios are rounded so they hash
+    * identically across engines. */
+  def qualityColumns(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val toks = TextTokens.tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = length(regexp_replace(lower(text), "[a-z0-9\\s]", ""))
+    val stop = TextTokens.countIn(toks, stopwords)
+    val avgTokLen = round(nonSpace.cast("double") / nTokens, 4)
+    val punctRatio = round(punct.cast("double") / nChars, 6)
+    val stopRatio = round(stop.cast("double") / nTokens, 6)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "avg_token_len" -> avgTokLen,
+      "punct_ratio" -> punctRatio,
+      "stopword_ratio" -> stopRatio,
+      "quality_ok" -> (nTokens >= 10 && nTokens <= 100000 && stopRatio >= lit(0.01)))
+  }
+
+  /** Canonical-text fingerprint: md5 of lower/trim/whitespace-collapsed text
+    * — the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set — merges bag-of-words-identical docs (reordered near-dups). */
+  def fingerprintTokenSet(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(TextTokens.tokens(text)))))
+
+  /** Rolling polynomial hash (mod 1e9+7) over the characters of the
+    * canonical text — overflow-free in 64-bit, so the same value is
+    * computable in any engine with a left fold. */
+  def rollingHash(text: Column): Column = {
+    val canon = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val codes = transform(sequence(lit(1), length(canon)), i => ascii(canon.substr(i, lit(1))))
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L)))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization / shingling building blocks for the dedup + text-analysis
+  * operators. All pure Catalyst expressions (higher-order functions over
+  * arrays) — no UDFs, so they stay in codegen and scale linearly per row
+  * with zero shuffle.
+  */
+object TextTokens {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles, preserving token order when forming
+    * each shingle ("a b c", "b c d", ...). Empty array when the document
+    * has fewer than n tokens (guarded: Spark's `sequence(1, stop)` DESCENDS
+    * when stop < 1, so the short-doc case must not reach it). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      when(count > 0,
+        transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** 64-bit hashes of each distinct shingle (xxhash64, fixed seed) — the
+    * base hash family for MinHash/SimHash. */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  /** Count of tokens in `toks` that appear in the (small, literal) set. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*)))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.functions.{MinHashLSH, SimHash, TextAnalysis, TextTokens}
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  * MinHash/SimHash depend on the xxhash64 family, which DuckDB doesn't
+  * have, so those two are rows-only checked (their semantics are pinned by
+  * DedupSpec against the exact-Jaccard oracle instead).
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: canonical-text fingerprint → groupBy → first-id keeper.
+    // At 100 TB this is one shuffle on a 16-byte key.
+    QueryDef.sql(
+      "d1_exact_dedup",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) AS keeper_id, COUNT(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    // explode distinct 3-gram shingles → equi-join on shingle → pair
+    // intersection counts → |A∪B| = |A|+|B|-|A∩B|. Fully distributed; the
+    // shuffle key is the shingle, so common shingles (stop-phrases) are the
+    // skew risk — at scale, drop top-frequency shingles first.
+    QueryDef.sql(
+      "d4_ngram_jaccard_pairs",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+        |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextTokens.wordShingles(col("text"), 3).as("sh"))
+      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val a = exploded.alias("a")
+      val b = exploded.alias("b")
+      val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val j = col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
+        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), col("id_b") === col("idb"))
+        .filter(j >= 0.8)
+        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+    },
+
+    // MinHash + banded LSH: the scale path for near-dup detection — the
+    // only shuffle is on (band, signature). Candidates are verified with
+    // exact Jaccard before reporting. rows-only (xxhash64 family).
+    QueryDef.rowsOnly("d2_minhash_lsh_dedup") { (spark, dir) =>
+      // persist: shingle arrays feed the LSH stage AND both sides of the
+      // verification join — without the barrier each reference re-tokenizes.
+      val docs = Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        TextTokens.wordShingles(col("text"), 3).as("sh"),
+        TextTokens.hashedShingles(col("text"), 3).as("hs"))
+        .persist()
+      val cand = MinHashLSH.candidatePairs(docs, "doc_id", "hs", k = 64, bands = 16)
+      val withSh = cand
+        .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha")), col("id_a") === col("ida"))
+        .join(docs.select(col("doc_id").as("idb"), col("sh").as("shb")), col("id_b") === col("idb"))
+      withSh
+        .withColumn("jaccard", round(MinHashLSH.jaccard(col("sha"), col("shb")), 6))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+
+    // SimHash near-dup pairs: 64-bit signatures, 4×16-bit band bucket join,
+    // exact Hamming verify ≤ 3 (pigeonhole guarantees recall at that
+    // radius). rows-only (xxhash64 family).
+    QueryDef.rowsOnly("d3_simhash_pairs") { (spark, dir) =>
+      // persist: barrier (keeps the simhash fold out of the 4 band lambdas)
+      // + reused by both sides of the self-join.
+      val sigs = Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        SimHash.simhash64(
+          transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("sim"))
+        .persist()
+      val banded = sigs.select(
+        col("doc_id"), col("sim"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"), SimHash.band16(col("sim"), i).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    })
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.functions.Similarity
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, 64-dim):
+  * brute-force cosine top-k as the exact baseline (oracle-checked), and
+  * hyperplane-LSH ANN as the scale path (rows-only — the bucket family has
+  * no DuckDB equivalent; recall vs the exact result is pinned in
+  * SimilaritySpec).
+  */
+object SimilarityQueries {
+
+  val DIM = 64
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact cosine top-3 neighbors per vector. Dot products fold in double,
+    // left-to-right, matching DuckDB's list_dot_product evaluation; results
+    // round to 6dp before ranking so rank boundaries are engine-stable.
+    QueryDef.sql(
+      "d5_embedding_topk",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk FROM p) t
+        |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    },
+
+    // ANN via 4 tables of 12 random hyperplanes: candidates share a bucket
+    // in ≥1 table; exact cosine re-rank on candidates only. At scale the
+    // cross join becomes 4 equi-join shuffles on 8-byte signatures.
+    QueryDef.rowsOnly("d6_lsh_ann_topk") { (spark, dir) =>
+      Similarity.lshTopK(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = DIM, k = 3)
+    },
+
+    // Embedding-cosine near-dup pairs (the dedup flavor): exact, symmetric
+    // output (id_a < id_b), high threshold.
+    QueryDef.sql(
+      "d7_embedding_near_dup",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin) { (spark, dir) =>
+      Similarity.nearDupPairs(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+    })
+}

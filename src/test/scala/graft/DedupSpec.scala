@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{MinHashLSH, SimHash, TextAnalysis, TextTokens}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior pins for the dedup operator family on a corpus with planted
+  * near-duplicates (the operators must find them) and unrelated docs (the
+  * operators must not pair them).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  /** Deterministic word-salad doc from a seed. */
+  private def doc(seed: Int, n: Int = 60): String = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" ")
+  }
+
+  // 0/1: identical; 2: one-word edit of 0; 3..9: unrelated.
+  private lazy val docs = {
+    val base = doc(1)
+    val edited = base.split(" ").updated(30, "omega").mkString(" ")
+    Seq((0L, base), (1L, base), (2L, edited)) ++
+      (3 to 9).map(i => (i.toLong, doc(i * 100)))
+  }.toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val withH = docs.select(col("doc_id"),
+      TextTokens.wordShingles(col("text"), 3).as("sh"),
+      TextTokens.hashedShingles(col("text"), 3).as("hs"))
+    val cand = MinHashLSH.candidatePairs(withH, "doc_id", "hs")
+    val verified = cand
+      .join(withH.select(col("doc_id").as("ida"), col("sh").as("sha")), col("id_a") === col("ida"))
+      .join(withH.select(col("doc_id").as("idb"), col("sh").as("shb")), col("id_b") === col("idb"))
+      .select(col("id_a"), col("id_b"),
+        MinHashLSH.jaccard(col("sha"), col("shb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect()
+    val pairs = verified.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical pair missed")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "one-edit pair missed")
+    assert(pairs.size == 3, s"unexpected extra pairs: $pairs")
+  }
+
+  test("minhash of identical shingle sets is identical; jaccard of equal sets is 1") {
+    val mh = docs.filter(col("doc_id") <= 1)
+      .select(MinHashLSH.minhashes(TextTokens.hashedShingles(col("text"), 3)).as("m"))
+      .collect().map(_.getSeq[Long](0))
+    assert(mh(0) == mh(1))
+  }
+
+  test("simhash: identical docs → distance 0; one-edit → small; unrelated → large") {
+    val sims = docs.select(col("doc_id"),
+      SimHash.simhash64(transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(1L)) == 0)
+    assert(ham(sims(0L), sims(2L)) <= 8, s"edit distance too large: ${ham(sims(0L), sims(2L))}")
+    assert(ham(sims(0L), sims(5L)) > 8, "unrelated docs too close")
+  }
+
+  test("rolling hash matches an independent fold implementation") {
+    val text = "Some  Text\nwith   Whitespace"
+    val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val expected = canon.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.rollingHash(col("t"))).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("fingerprints: canonical md5 equates whitespace variants; token-set md5 equates reorderings") {
+    val df = Seq(
+      ("a", "hello  world"), ("b", "hello world"), ("c", "world hello"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.fingerprintMd5(col("t")).as("canon"),
+        TextAnalysis.fingerprintTokenSet(col("t")).as("tokset"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(df("a")._1 == df("b")._1)
+    assert(df("a")._1 != df("c")._1)
+    assert(df("a")._2 == df("c")._2)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search pins: exact top-k on hand-checkable vectors, and LSH
+  * recall on planted near-duplicate vectors (its actual use case).
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine/dot: hand-checked values") {
+    val df = Seq((Array(1f, 0f), Array(0f, 2f), Array(3f, 4f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac"),
+      Similarity.norm(col("c")).as("nc")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top(1L) == 4L) // cos=1 ties with... only 4 has cos 1 with 1
+    assert(top(4L) == 1L)
+    assert(top(2L) == 1L || top(2L) == 4L)
+  }
+
+  /** Deterministic pseudo-random unit-ish vector. */
+  private def vec(seed: Int, dim: Int = 16): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  test("LSH ANN finds planted near-duplicate vectors") {
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    // plant: 100+i is a tiny perturbation of i, for i in 0..9
+    val planted = (0 until 10).map { i =>
+      val v = vec(i).clone()
+      v(0) = v(0) + 0.01f
+      (100L + i, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val ann = Similarity.lshTopK(df, "vec_id", "embedding", dim = 16, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (0 until 10).count(i => ann.get(100L + i).contains(i.toLong))
+    assert(found >= 8, s"LSH recall on planted near-dups too low: $found/10")
+  }
+}

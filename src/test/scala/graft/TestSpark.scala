@@ -1,0 +1,17 @@
+package graft
+
+import graft.engine.GraftSession
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run (Spark startup is ~5 s;
+  * per-suite sessions would dominate test time). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
