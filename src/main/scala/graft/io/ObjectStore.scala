@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Object-store sink for BLOB columns (SURVEY §2.2 K4).
+  *
+  * The reference uploads one MinIO object per resolution on a 10-thread
+  * pool with uuid4 object names (`src/core.py:899-995`) — names change on
+  * retry, so a failed run leaves orphans. Here:
+  *  - parallelism is partition-level: one client per partition via
+  *    `mapPartitions`, scaling with the cluster instead of a driver pool;
+  *  - object names are DETERMINISTIC (id + content hash), so task retries
+  *    and re-runs overwrite instead of orphaning — the exactly-once story
+  *    SURVEY §7.2 requires;
+  *  - the client is a trait; prod wires an S3/MinIO client, tests a local
+  *    filesystem.
+  */
+object ObjectStore {
+
+  trait Client extends Serializable {
+    def put(bucket: String, key: String, bytes: Array[Byte], contentType: String): Unit
+    def ensureBucket(bucket: String): Unit
+  }
+
+  /** Local-filesystem client (tests / dev). */
+  final class LocalFsClient(root: String) extends Client {
+    def put(bucket: String, key: String, bytes: Array[Byte], contentType: String): Unit = {
+      val p = java.nio.file.Paths.get(root, bucket, key)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    def ensureBucket(bucket: String): Unit =
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, bucket))
+  }
+
+  final case class Uploaded(id: String, objectKey: String, nBytes: Long)
+
+  /** Upload every (id, name, mime, payload) row; returns the id→object
+    * mapping as a Dataset for the join-back step (the reference's
+    * `src/core.py:1006-1009`). `clientFactory` runs once per partition. */
+  def upload(
+      rows: DataFrame, bucket: String,
+      clientFactory: () => Client,
+      idCol: String = "id", nameCol: String = "name",
+      mimeCol: String = "mime", payloadCol: String = "payload"): Dataset[Uploaded] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val projected = rows.select(
+      col(idCol).cast("string").as("id"),
+      col(nameCol).cast("string").as("name"),
+      col(mimeCol).cast("string").as("mime"),
+      col(payloadCol).as("payload"),
+      md5(col(payloadCol)).as("content_hash"))
+    projected.as[(String, String, String, Array[Byte], String)].mapPartitions { it =>
+      val client = clientFactory()
+      it.map { case (id, name, mime, payload, hash) =>
+        val key = s"$id/$hash/$name" // deterministic → retry-idempotent
+        client.put(bucket, key, payload, mime)
+        Uploaded(id, key, payload.length.toLong)
+      }
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed by partition-batched
+  * decode/feature stages.
+  *
+  * The Spark-side shape is real and tested: schema, partition-batched
+  * iteration (one decoder instance per partition, mirroring how a Pandas
+  * mapInPandas batch or a JNI decoder would be amortized), deterministic
+  * output schema. The actual codec call is STUBBED — image/audio libraries
+  * are not in this container — behind [[StubDecoder]], which parses the
+  * 16-byte synthetic header and derives features from raw bytes. Swapping
+  * in a real decoder changes ONE class, none of the plumbing.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, meta_width: Int,
+      meta_height: Int, payload: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, kind: String, width: Int,
+      height: Int, n_bytes: Int, brightness: Double, histogram: Array[Double])
+
+  /** STUB decode boundary: a real implementation would call an image/audio
+    * codec here. The stub reads the deterministic synthetic header
+    * (magic, width, height) and computes byte-level stand-in features. */
+  final class StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      require(payload.length >= 16 && payload(0) == 'G' && payload(1) == 'M',
+        "bad media header")
+      def i32(o: Int): Int =
+        ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+          ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+      val (w, h) = (i32(4), i32(8))
+      val hist = new Array[Double](16)
+      var i = 16
+      while (i < payload.length) { hist((payload(i) & 0xff) / 16) += 1; i += 1 }
+      val n = math.max(payload.length - 16, 1)
+      (w, h, hist.map(_ / n))
+    }
+  }
+
+  /** Deterministic synthetic media corpus (seeded), used by tests and the
+    * feature-extraction query: header = magic|width|height|kind, body =
+    * LCG bytes. */
+  def synthesizeCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      var s = seed + id * 1315423911L
+      def nextByte(): Byte = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40).toByte }
+      val w = 8 + (math.abs(s) % 64).toInt
+      val h = 8 + (math.abs(s / 7) % 64).toInt
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val body = Array.fill((w * h / 4).toInt)(nextByte())
+      val header = Array[Byte]('G', 'M', 0, 0) ++
+        Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte) ++
+        Array((h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte) ++
+        Array[Byte](0, 0, 0, 0)
+      MediaRow(id, kind, w, h, header ++ body)
+    }(newMediaRowEncoder(spark))
+  }
+
+  private def newMediaRowEncoder(spark: SparkSession) = {
+    import spark.implicits._
+    implicitly[org.apache.spark.sql.Encoder[MediaRow]]
+  }
+
+  /** Partition-batched decode + feature extraction: ONE decoder per
+    * partition (the amortization pattern that matters when decoder startup
+    * is expensive — model load, JNI init), rows streamed through it. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder // per-partition init, NOT per-row
+      rows.map { r =>
+        val (w, h, hist) = decoder.decode(r.payload)
+        MediaFeatures(r.media_id, r.kind, w, h, r.payload.length,
+          hist.zipWithIndex.map { case (v, i) => v * i / 15.0 }.sum, hist)
+      }
+    }
+  }
+
+  /** Metadata-level ops stay relational (no decode): filter by declared
+    * dims, route by kind, size accounting — pure Catalyst. */
+  def mediaStats(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        avg(col("meta_width") * col("meta_height")).as("avg_pixels"))
+}

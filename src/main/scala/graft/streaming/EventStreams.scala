@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream (SURVEY §2.10 —
+  * additive capability, not parity: the reference is batch-only).
+  *
+  * Every transform here has a batch twin in graft.queries.EventQueries; the
+  * StreamingSpec pins stream/batch result parity, which is the property that
+  * matters when the same pipeline runs backfill (batch) + live (stream).
+  */
+object EventStreams {
+
+  /** File-source stream over an events parquet directory (ns timestamps
+    * arrive as longs under nanosAsLong — lowered exactly like Tables.load). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(dir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling hourly counts with a watermark: late events beyond 10 minutes
+    * are dropped; state is bounded by (watermark horizon × groups). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("max_value"))
+
+  /** Session windows via the built-in session_window (gap-close 30 min). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
+
+  case class Ev(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, closed: Boolean)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Per-user gap sessionizer: emits a closed session whenever a new event
+    * arrives more than 30 min after the previous one (plus the open session
+    * on timeout). Demonstrates arbitrary stateful processing
+    * (KeyValueGroupedDataset.flatMapGroupsWithState) for semantics the
+    * built-in session_window can't express (e.g. per-session counters that
+    * must survive across triggers). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), s.n, closed = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > GapMs =>
+                  out += SessionOut(user, new Timestamp(s.start), s.n, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + GapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.io.{Jdbc, ObjectStore}
+import graft.pipeline.{Pipeline, PipelineContext, Runner}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineIoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def p(n: String, deps: Seq[String], log: scala.collection.mutable.Buffer[String],
+      fail: Boolean = false, mod: String = "core") =
+    new Pipeline {
+      def name = n
+      override def dependsOn = deps
+      override def module = mod
+      def run(ctx: PipelineContext): Unit = {
+        if (fail) sys.error(s"boom in $n"); log += n
+      }
+    }
+
+  test("runner executes in dependency order, deterministically") {
+    val log = scala.collection.mutable.Buffer.empty[String]
+    val ps = Seq(
+      p("companies", Seq("municipalities"), log),
+      p("municipalities", Nil, log),
+      p("udos", Seq("companies", "municipalities"), log),
+      p("toponyms", Nil, log))
+    val results = Runner.run(PipelineContext(spark), ps)
+    assert(log.toSeq == Seq("municipalities", "toponyms", "companies", "udos"))
+    assert(results.map(_.name) == log.toSeq)
+  }
+
+  test("runner rejects cycles and unknown deps") {
+    val log = scala.collection.mutable.Buffer.empty[String]
+    intercept[IllegalArgumentException] {
+      Runner.order(Seq(p("a", Seq("b"), log), p("b", Seq("a"), log)))
+    }
+    intercept[IllegalArgumentException] {
+      Runner.order(Seq(p("a", Seq("nope"), log)))
+    }
+  }
+
+  test("runner fails fast with pipeline name + elapsed") {
+    val log = scala.collection.mutable.Buffer.empty[String]
+    val e = intercept[RuntimeException] {
+      Runner.run(PipelineContext(spark),
+        Seq(p("ok", Nil, log), p("bad", Seq("ok"), log, fail = true), p("never", Seq("bad"), log)))
+    }
+    assert(e.getMessage.contains("bad"))
+    assert(log.toSeq == Seq("ok")) // 'never' did not run
+  }
+
+  test("module selection filters like the reference CLI --modules") {
+    val log = scala.collection.mutable.Buffer.empty[String]
+    Runner.run(PipelineContext(spark),
+      Seq(p("c1", Nil, log), p("x1", Nil, log, mod = "auac")), Set("auac"))
+    assert(log.toSeq == Seq("x1"))
+  }
+
+  test("object-store upload: deterministic keys, partition-level clients, mapping join-back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_os").toString
+    val rows = Seq(
+      ("r1", "a.pdf", "application/pdf", "payload-one".getBytes),
+      ("r2", "b.pdf", "application/pdf", "payload-two".getBytes))
+      .toDF("id", "name", "mime", "payload")
+    val mapping = ObjectStore.upload(rows, "bucket",
+      () => new ObjectStore.LocalFsClient(tmp)).collect().sortBy(_.id)
+    assert(mapping.length == 2)
+    // deterministic: re-upload produces identical keys (retry idempotency)
+    val mapping2 = ObjectStore.upload(rows, "bucket",
+      () => new ObjectStore.LocalFsClient(tmp)).collect().sortBy(_.id)
+    assert(mapping.map(_.objectKey).toSeq == mapping2.map(_.objectKey).toSeq)
+    // files exist with content
+    mapping.foreach { u =>
+      val f = java.nio.file.Paths.get(tmp, "bucket", u.objectKey)
+      assert(java.nio.file.Files.size(f) == u.nBytes)
+    }
+  }
+
+  test("jdbc option assembly: pg url decoration and cast columns") {
+    assert(Jdbc.pgUrlWithUnspecifiedStrings("jdbc:postgresql://h/db")
+      == "jdbc:postgresql://h/db?stringtype=unspecified")
+    assert(Jdbc.pgUrlWithUnspecifiedStrings("jdbc:postgresql://h/db?ssl=true")
+      == "jdbc:postgresql://h/db?ssl=true&stringtype=unspecified")
+    assert(Jdbc.pgUrlWithUnspecifiedStrings("jdbc:postgresql://h/db?stringtype=unspecified")
+      == "jdbc:postgresql://h/db?stringtype=unspecified")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming pins: (1) the watermark+tumbling-window stream over the real
+  * events table produces EXACTLY the batch e2 aggregation (stream/batch
+  * parity); (2) the custom flatMapGroupsWithState sessionizer splits on the
+  * 30-min gap.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tumbling-window stream over events == batch aggregation (up to the watermark)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStreams.tumblingCounts(EventStreams.readEventsStream(spark, dir))
+    val qname = "tumbling_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table(qname)
+      .select("window_start", "event_type", "n", "max_value")
+      .collect().map(_.toSeq).toSet
+    val events = graft.io.Tables.load(spark, dir, "events")
+    // Append mode emits a window only once the watermark (max ts − 10 min)
+    // passes its end — the final open windows stay in state by design.
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val horizon = new java.sql.Timestamp(maxTs - 10 * 60 * 1000L)
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(horizon))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("flatMapGroupsWithState sessionizer splits on 30-min gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    mem.addData(
+      EventStreams.Ev(1L, ts(0)), EventStreams.Ev(1L, ts(5)),
+      EventStreams.Ev(1L, ts(50)), // > 30 min after ts(5) → new session
+      EventStreams.Ev(2L, ts(0)))
+    val out = EventStreams.sessionize(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val closed = spark.table("sess_test")
+      .filter(col("closed")).as[EventStreams.SessionOut].collect()
+      .sortBy(_.user_id)
+    // user 1's first session closes on the gap (2 events, started ts(0));
+    // user 2's singleton closes via event-time TIMEOUT (watermark from
+    // user 1's ts(50) passes its last+30min); user 1's open session at
+    // ts(50) must NOT close (timeout ts(80) is beyond the watermark).
+    assert(closed.length == 2, s"got: ${closed.mkString(", ")}")
+    assert(closed(0).user_id == 1L && closed(0).n_events == 2L && closed(0).session_start == ts(0))
+    assert(closed(1).user_id == 2L && closed(1).n_events == 1L && closed(1).session_start == ts(0))
+    spark.streams.active.foreach(_.stop())
+  }
+}
