@@ -34,6 +34,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Object-buffer aggregates (TypedImperativeAggregate, e.g. the top-k
+      // ANN ranker) must stay hash-based: the default sort-fallback kicks in
+      // at 128 distinct keys and re-sorts the whole input.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
   }

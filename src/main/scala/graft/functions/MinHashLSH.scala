@@ -34,14 +34,19 @@ object MinHashLSH {
     }
   }
 
-  /** k minhash values for a column of hashed-shingle arrays, as one
-    * single-pass fold with a k-slot accumulator. (The naive formulation —
-    * k independent `array_min(transform(hashed, …))` expressions — lets
-    * CollapseProject inline the shingling pipeline into every one of the k
-    * copies, an accidental k× blowup of tokenize+shingle+hash work.)
+  /** k minhash values for a column of hashed-shingle arrays — the codegen'd
+    * [[graft.functions.expr.MinHashSignature]] (tight two-level loop).
     * Returns array<long> of length k; all-P sentinel values for
     * shingle-less docs. */
-  def minhashes(hashed: Column, k: Int = 64, seed: Long = 42L): Column = {
+  def minhashes(hashed: Column, k: Int = 64, seed: Long = 42L): Column =
+    graft.functions.expr.MinHashSignature(hashed, k, seed)
+
+  /** Reference formulation of [[minhashes]] as a single-pass higher-order
+    * fold — kept for the equivalence spec (the two must agree bit-for-bit)
+    * and as documentation of the algebra. (A naive k×`array_min(transform)`
+    * version must be avoided: CollapseProject inlines the shingling
+    * pipeline into every one of the k copies.) */
+  def minhashesFold(hashed: Column, k: Int = 64, seed: Long = 42L): Column = {
     val cs = coeffs(k, seed)
     aggregate(
       hashed,

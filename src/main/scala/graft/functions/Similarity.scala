@@ -1,8 +1,8 @@
 package graft.functions
 
 import graft.functions.expr.VectorExpressions.dotNative
+import graft.functions.expr.{TopKByScore => expr2}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity over `array<float>` embedding columns.
@@ -47,17 +47,26 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     val a = withNorm(vecs, idCol, vecCol, "vec_id", "va", "nrm_a")
     val b = withNorm(vecs, idCol, vecCol, "neighbor_id", "vb", "nrm_b")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     a.crossJoin(b)
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), roundTo))
       .select(col("vec_id"), col("neighbor_id"), col("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").as("rk"))
+      .transform(rankTopK(k))
   }
+
+  /** (vec_id, neighbor_id, cos) → best-k per vec_id via the bounded
+    * TopKByScore aggregate: map-side partial combine means the shuffle
+    * carries ≤ k rows per (group × partition), not the full pair set —
+    * the window/row_number formulation shuffles and sorts every pair.
+    * Tie-break (cos DESC, neighbor_id ASC) matches row_number exactly. */
+  private def rankTopK(k: Int)(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("vec_id"))
+      .agg(expr2.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("pos") + 1).cast("int").as("rk"))
 
   /** Exact near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def nearDupPairs(
@@ -120,12 +129,10 @@ object Similarity {
         col("vec_id") === col("vid_a"))
       .join(base.select(col("vid").as("vid_b"), col("v").as("vb"), col("nrm").as("nrm_b")),
         col("neighbor_id") === col("vid_b"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
     withVecs
       .withColumn("cos",
         round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rk").cast("int").as("rk"))
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .transform(rankTopK(k))
   }
 }

@@ -1,0 +1,66 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass hashed word-shingling: lowercase+trim the text, split on
+  * whitespace, hash every n-gram shingle ("tok_i … tok_{i+n-1}") with
+  * xxhash64 (seed 42, identical to `functions.xxhash64` on the shingle
+  * string). Returns array<long>, duplicates INCLUDED — MinHash minima are
+  * invariant to duplicates, so dedup is wasted work on this path.
+  *
+  * Exists because the HOF formulation (split → transform(sequence) →
+  * slice/concat_ws → xxhash64 per element) allocates several arrays per
+  * shingle and dominates the near-dup pipeline's runtime; this is a single
+  * tight loop per document. Eval-based (CodegenFallback): the per-row work
+  * is the loop itself, not expression dispatch.
+  */
+case class HashedWordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"HashedWordShingles needs string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase.split("\\s+")
+    val m = toks.length - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+}
+
+object HashedWordShingles {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(HashedWordShingles(GraftBridge.expression(text), n))
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.{MinHashLSH, SimHash, TextAnalysis, TextTokens}
+import graft.functions.expr.HashedWordShingles
 import graft.io.Tables
 import org.apache.spark.sql.functions._
 
@@ -63,17 +64,19 @@ object DedupQueries {
     // only shuffle is on (band, signature). Candidates are verified with
     // exact Jaccard before reporting. rows-only (xxhash64 family).
     QueryDef.rowsOnly("d2_minhash_lsh_dedup") { (spark, dir) =>
-      // persist: shingle arrays feed the LSH stage AND both sides of the
-      // verification join — without the barrier each reference re-tokenizes.
+      // ONE native shingling pass (HashedWordShingles); the distinct hash
+      // sets serve both the minhash stage and the exact-Jaccard verify
+      // (Jaccard over hash sets == Jaccard over shingle sets modulo 64-bit
+      // collisions). persist: the sets feed the LSH stage AND both sides
+      // of the verification join.
       val docs = Tables.load(spark, dir, "documents").select(
         col("doc_id"),
-        TextTokens.wordShingles(col("text"), 3).as("sh"),
-        TextTokens.hashedShingles(col("text"), 3).as("hs"))
+        array_distinct(HashedWordShingles(col("text"), 3)).as("hs"))
         .persist()
       val cand = MinHashLSH.candidatePairs(docs, "doc_id", "hs", k = 64, bands = 16)
       val withSh = cand
-        .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha")), col("id_a") === col("ida"))
-        .join(docs.select(col("doc_id").as("idb"), col("sh").as("shb")), col("id_b") === col("idb"))
+        .join(docs.select(col("doc_id").as("ida"), col("hs").as("sha")), col("id_a") === col("ida"))
+        .join(docs.select(col("doc_id").as("idb"), col("hs").as("shb")), col("id_b") === col("idb"))
       withSh
         .withColumn("jaccard", round(MinHashLSH.jaccard(col("sha"), col("shb")), 6))
         .filter(col("jaccard") >= 0.8)

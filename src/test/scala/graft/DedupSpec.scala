@@ -47,6 +47,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.size == 3, s"unexpected extra pairs: $pairs")
   }
 
+  test("native HashedWordShingles == HOF shingle hashes as sets") {
+    import graft.functions.expr.HashedWordShingles
+    val rows = docs.select(
+      HashedWordShingles(col("text"), 3).as("native"),
+      TextTokens.hashedShingles(col("text"), 3).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+    }
+  }
+
+  test("codegen'd MinHashSignature agrees bit-for-bit with the HOF fold") {
+    val rows = docs.select(
+      MinHashLSH.minhashes(TextTokens.hashedShingles(col("text"), 3)).as("native"),
+      MinHashLSH.minhashesFold(TextTokens.hashedShingles(col("text"), 3)).as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("minhash of identical shingle sets is identical; jaccard of equal sets is 1") {
     val mh = docs.filter(col("doc_id") <= 1)
       .select(MinHashLSH.minhashes(TextTokens.hashedShingles(col("text"), 3)).as("m"))
