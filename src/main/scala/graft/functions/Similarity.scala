@@ -68,6 +68,92 @@ object Similarity {
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         col("t.score").as("cos"), (col("pos") + 1).cast("int").as("rk"))
 
+  /** Exact cosine top-k with the index side broadcast — the plan a
+    * broadcast hash join would pick if Spark had a "broadcast top-k join":
+    * collect (id, vec, norm) once (n·d doubles — the same "fits in memory"
+    * contract as a broadcast join build side), ship it to every executor,
+    * and stream the query side through a bounded best-k insertion per row.
+    * No pair materialization, no shuffle: one narrow pass over the queries.
+    *
+    * Scale posture: query side scales out arbitrarily (it only streams);
+    * the index side must fit in executor memory. When it doesn't, fall
+    * back to [[bruteForceTopK]] (blocked pair join) or [[lshTopK]].
+    * Bit-identical to [[bruteForceTopK]]: same double fold, same
+    * HALF_UP rounding (java.math.BigDecimal.valueOf, exactly Spark's
+    * `round`), same (cos DESC, id ASC) tie-break.
+    */
+  def bruteForceTopKBroadcast(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val prepped = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val index = prepped.collect()
+    val n = index.length
+    val ids = new Array[Long](n)
+    val mat = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      ids(j) = index(j)._1
+      mat(j) = index(j)._2
+      norms(j) = math.sqrt(dotSeq(mat(j), mat(j)))
+      j += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, mat, norms))
+    val kk = k
+    val scale = roundTo
+    prepped.mapPartitions { it =>
+      val (ids, mat, norms) = bc.value
+      val m = ids.length
+      it.flatMap { case (qid, qv) =>
+        val qn = math.sqrt(dotSeq(qv, qv))
+        // bounded insertion: arrays of size k ordered best-first
+        val topS = new Array[Double](kk)
+        val topI = new Array[Long](kk)
+        var size = 0
+        var i = 0
+        while (i < m) {
+          if (ids(i) != qid) {
+            val c = roundHalfUp(dotSeq(qv, mat(i)) / (qn * norms(i)), scale)
+            if (size < kk || c > topS(size - 1) ||
+                (c == topS(size - 1) && ids(i) < topI(size - 1))) {
+              // find insertion point (cos DESC, id ASC)
+              var p = if (size < kk) size else size - 1
+              while (p > 0 && (c > topS(p - 1) ||
+                  (c == topS(p - 1) && ids(i) < topI(p - 1)))) {
+                topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+              }
+              topS(p) = c; topI(p) = ids(i)
+              if (size < kk) size += 1
+            }
+          }
+          i += 1
+        }
+        (0 until size).map(r => (qid, topI(r), topS(r), r + 1))
+      }
+    }.toDF("vec_id", "neighbor_id", "cos", "rk")
+  }
+
+  /** Sequential left fold in double — the same accumulation order as
+    * [[graft.functions.expr.ArrayDotProduct]] and DuckDB's
+    * list_dot_product, so all three paths agree bit-for-bit. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Exactly Spark's `round(double, s)`: decimal HALF_UP on the shortest
+    * string representation of the double. */
+  private def roundHalfUp(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
   /** Exact near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
   def nearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

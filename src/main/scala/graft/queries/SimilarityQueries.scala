@@ -29,7 +29,7 @@ object SimilarityQueries {
         |SELECT vec_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk FROM p) t
         |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
-      Similarity.bruteForceTopK(
+      Similarity.bruteForceTopKBroadcast(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3)
     },
 

@@ -36,6 +36,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(2L) == 1L || top(2L) == 4L)
   }
 
+  test("broadcast-index top-k == blocked-pair-join top-k, bit for bit") {
+    val vecs = (0 until 50).map(i => (i.toLong, vec(i, 8))).toDF("vec_id", "embedding")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3)) // (vec_id, rk)
+    val blocked = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bcast = Similarity.bruteForceTopKBroadcast(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => key(r) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bcast.keySet == blocked.keySet)
+    bcast.foreach { case (k0, v) => assert(v == blocked(k0), s"mismatch at $k0") }
+  }
+
   /** Deterministic pseudo-random unit-ish vector. */
   private def vec(seed: Int, dim: Int = 16): Array[Float] = {
     val r = new scala.util.Random(seed)
