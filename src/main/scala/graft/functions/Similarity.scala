@@ -167,6 +167,100 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the cluster-partitioned scale path.
+    *
+    * A coarse quantizer (k-means on cosine similarity, deterministic
+    * hash-order init + `iters` Lloyd rounds) splits the corpus into `nlist`
+    * cells; each query probes its `nprobe` nearest cells and ranks exact
+    * cosine only against those cells' members. At scale this replaces the
+    * O(n²) pair space with an equi-join on the cell id: the index side is
+    * shuffle-partitioned by cell exactly once and each query's work is
+    * `nprobe/nlist` of the corpus. Centroids (nlist·d doubles) broadcast;
+    * assignment and probing are narrow passes.
+    *
+    * Deterministic end to end (hash-order init, no RNG) so results are
+    * stable across runs and task retries. Recall < 1 by construction —
+    * pinned against the exact baseline in SimilaritySpec.
+    */
+  def ivfTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, math.sqrt(dotSeq(v, v))) }
+      .toDF("id", "v", "nrm")
+      .persist()
+
+    // init: nlist vectors in xxhash64(id) order — a deterministic spread
+    val init: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")))
+      .limit(nlist)
+      .select("v").as[Array[Double]].collect()
+
+    var centroids = init.map(normalize)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // mean of members per cell (posexplode + per-dimension avg), renormalized
+      val means = assign(base, bc)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), col("ps.m").as("mean"))
+        .as[(Int, Array[Double])].collect().toMap
+      centroids = centroids.indices.map(c => means.get(c).map(normalize).getOrElse(centroids(c))).toArray
+      it += 1
+    }
+
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    // index side: members per cell (the "inverted file"), partitioned by cell
+    val indexed = assign(base, bcFinal)
+      .select(col("cid"), col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    // query side: each query explodes to its nprobe nearest cells
+    val probes = {
+      val np = nprobe
+      base.as[(Long, Array[Double], Double)].flatMap { case (id, v, nrm) =>
+        nearestCells(v, bcFinal.value, np).map(cid => (cid, id, v, nrm))
+      }.toDF("cid", "qid", "qv", "qn")
+    }
+    probes.join(indexed, "cid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        round(dotNative(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      // a vector in >1 probed cell of the same query appears once per cell;
+      // max() collapses duplicates before ranking
+      .groupBy(col("qid").as("vec_id"), col("nid").as("neighbor_id"))
+      .agg(max("cos").as("cos"))
+      .transform(rankTopK(k))
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotSeq(v, v))
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Cell ids of the `nprobe` nearest centroids by dot product (centroids
+    * are unit vectors, so dot == cosine ranking), ties to the lower id. */
+  private def nearestCells(v: Array[Double], cs: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    cs.indices.map(c => (dotSeq(v, cs(c)), c))
+      .sortBy { case (d, c) => (-d, c) }
+      .take(nprobe).map(_._2)
+
+  /** (id, v, nrm) → (cid, id, v, nrm): nearest-centroid assignment against
+    * the broadcast codebook, as one narrow pass. */
+  private def assign(
+      base: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.as[(Long, Array[Double], Double)].map { case (id, v, nrm) =>
+      (nearestCells(v, bc.value, 1).head, id, v, nrm)
+    }.toDF("cid", "id", "v", "nrm")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a seeded LCG. */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var state = seed

@@ -42,6 +42,14 @@ object SimilarityQueries {
         dim = DIM, k = 3)
     },
 
+    // IVF ANN: k-means coarse quantizer, nprobe-cell probing, exact cosine
+    // re-rank inside probed cells only. The index is shuffle-partitioned by
+    // cell id once; each query touches nprobe/nlist of the corpus.
+    QueryDef.rowsOnly("d8_ivf_ann_topk") { (spark, dir) =>
+      Similarity.ivfTopK(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    },
+
     // Embedding-cosine near-dup pairs (the dedup flavor): exact, symmetric
     // output (id_a < id_b), high threshold.
     QueryDef.sql(

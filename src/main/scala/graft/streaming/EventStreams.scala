@@ -44,6 +44,18 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup with bounded state: keeps the first arrival per
+    * key and drops replays that land within the watermark horizon — the
+    * streaming twin of the batch exact-dedup operator, and the standard
+    * at-least-once → effectively-once ingestion repair. State is bounded by
+    * (keys seen within the horizon), not all keys ever — the property that
+    * keeps this runnable forever at 100 TB/day. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      horizon: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

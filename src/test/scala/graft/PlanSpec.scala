@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins — the scale properties that make these queries
+  * survive a 100 TB / 1000-executor deployment, asserted so a refactor
+  * can't silently regress them:
+  *
+  *  - column pruning reaches the parquet scan (a 5-column aggregate must
+  *    not read 16-column lineitem rows);
+  *  - join-key null filters are pushed into the scan (PushedFilters);
+  *  - dimension joins broadcast (no sort-merge shuffle of the fact table);
+  *  - aggregation is partial (map-side combine) before its one shuffle;
+  *  - the broadcast top-k similarity path is shuffle-free end to end.
+  *
+  * Plans are inspected pre-execution (AQE initial plan): these are static
+  * planning guarantees, not runtime accidents.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: map-side partial aggregation, exactly one shuffle, pruned scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "q1 must shuffle exactly once (group-by)")
+    assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"),
+      "lineitem scan must prune to the 5 aggregate input columns")
+  }
+
+  test("j9: all dimension joins broadcast; no sort-merge; key filters pushed") {
+    val p = planOf("j9_revenue_per_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      "orders/customer/nation must all join as broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "no fact-table shuffle for dimension joins")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      "join-key null filters must reach the parquet scan")
+  }
+
+  test("f1: filter is evaluated at the scan (DataFilters)") {
+    val p = planOf("f1_normalized_eq_filter")
+    assert(p.contains("DataFilters: [(lower(trim"),
+      "normalized-equality predicate must be applied at the scan")
+  }
+
+  test("d5 broadcast top-k: zero shuffles") {
+    val p = planOf("d5_embedding_topk")
+    assert(!p.contains("Exchange"),
+      "broadcast-index top-k must be a single narrow pass (no shuffle)")
+  }
+
+  test("f4 semi-join: stays a join, never a collected key list") {
+    val p = planOf("f4_semi_join_fk_filter")
+    assert(p.contains("LeftSemi"), "FK validity must be a semi join")
+  }
+
+  test("w2 top-k per group: single shuffle then window") {
+    val p = planOf("w2_topk_per_group")
+    assert(p.contains("Window"), "expected window physical operator")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one partition-by shuffle only")
+  }
+}

@@ -54,6 +54,21 @@ class SimilaritySpec extends AnyFunSuite {
     Array.fill(dim)(r.nextGaussian().toFloat)
   }
 
+  test("IVF ANN finds planted near-duplicate vectors") {
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val planted = (0 until 10).map { i =>
+      val v = vec(i).clone()
+      v(0) = v(0) + 0.01f
+      (100L + i, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val ann = Similarity.ivfTopK(df, "vec_id", "embedding", k = 1,
+      nlist = 8, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (0 until 10).count(i => ann.get(100L + i).contains(i.toLong))
+    assert(found >= 8, s"IVF recall on planted near-dups too low: $found/10")
+  }
+
   test("LSH ANN finds planted near-duplicate vectors") {
     val base = (0 until 40).map(i => (i.toLong, vec(i)))
     // plant: 100+i is a tiny perturbation of i, for i in 0..9

@@ -42,6 +42,24 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // event 1 arrives three times, event 2 twice, event 3 once
+    mem.addData(
+      (1L, ts(0), "click"), (1L, ts(0), "click"), (2L, ts(1), "view"),
+      (1L, ts(0), "click"), (2L, ts(1), "view"), (3L, ts(2), "click"))
+    val deduped = EventStreams.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts", "event_type"), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L), s"got: ${out.mkString(",")}")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("flatMapGroupsWithState sessionizer splits on 30-min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
