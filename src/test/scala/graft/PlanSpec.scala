@@ -48,10 +48,13 @@ class PlanSpec extends AnyFunSuite {
       "normalized-equality predicate must be applied at the scan")
   }
 
-  test("d5 broadcast top-k: zero shuffles") {
+  test("d5 broadcast top-k: no pair-space shuffle") {
     val p = planOf("d5_embedding_topk")
-    assert(!p.contains("Exchange"),
-      "broadcast-index top-k must be a single narrow pass (no shuffle)")
+    // The only Exchange allowed is the round-robin fan-out of the linear
+    // query stream (and only when the scan arrives under-partitioned);
+    // the O(n²) pair space must never hit a hash shuffle.
+    assert(!p.contains("Exchange hashpartitioning"),
+      "broadcast-index top-k must not shuffle the pair space")
   }
 
   test("f4 semi-join: stays a join, never a collected key list") {
