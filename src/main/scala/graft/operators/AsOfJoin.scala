@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of (point-in-time) join — an operator the reference never
+  * needed (its joins are all equi-joins, SURVEY §2.5) but a time-series /
+  * feature-store pipeline cannot live without: each left row picks up the
+  * most recent right row with `right.ts <= left.ts` for the same key.
+  *
+  * Spark-first plan, not a range join: both sides union into one stream
+  * tagged by side, one hash shuffle on the key, one sort by (ts, side), and
+  * a running `last(payload, ignoreNulls)` window carries the latest right
+  * payload forward into every left row. Cost is sort-shuffle linear in
+  * |L|+|R| — the naive `l.ts >= r.ts` theta-join explodes quadratically
+  * per key, and Spark would plan it as BroadcastNestedLoopJoin.
+  *
+  * Left-outer semantics: a left row with no prior right match keeps null
+  * payload columns (matches DuckDB `ASOF LEFT JOIN`, the oracle).
+  * Rows where `right.ts == left.ts` DO match (>= semantics, side tag
+  * orders right before left at equal timestamps).
+  */
+object AsOfJoin {
+
+  /** @param payload right-column → output-name map (ordered);
+    *                 all other right columns are dropped.
+    */
+  def backward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    val keyCols = keys.map(col)
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val pStruct = struct(payload.map { case (c, a) => col(c).as(a) }: _*)
+    val lType = left.select(leftStruct.as("__l")).schema("__l").dataType
+    val pType = right.select(pStruct.as("__p")).schema("__p").dataType
+
+    val r2 = right.select(
+      keyCols ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
+    val l2 = left.select(
+      keyCols ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(pType).as("__p"), leftStruct.as("__l")): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r2.unionByName(l2)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+          payload.map { case (_, a) => col(s"__m.$a").as(a) }: _*)
+  }
+}

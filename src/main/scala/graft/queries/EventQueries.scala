@@ -60,5 +60,48 @@ object EventQueries {
       Tables.load(spark, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+
+    // Backward as-of join: each purchase picks up the user's most recent
+    // click at-or-before it. graft.operators.AsOfJoin turns this into one
+    // key shuffle + sort (|L|+|R| linear), never a per-key range explosion;
+    // the oracle is DuckDB's native ASOF LEFT JOIN.
+    QueryDef.sql(
+      "e4_asof_join",
+      """SELECT l.event_id, l.user_id, l.ts,
+        |       r.ts AS click_ts, r.event_id AS click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      graft.operators.AsOfJoin.backward(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("ts" -> "click_ts", "event_id" -> "click_event_id"))
+    },
+
+    // Bucketed range join: events land in overlapping value bands via an
+    // equi-join on a bucket id (graft.operators.RangeJoin) instead of the
+    // nested-loop theta join Spark would otherwise plan. Bands are a
+    // deterministic generated dimension; a point can match 0..2 bands.
+    QueryDef.sql(
+      "e5_range_join",
+      """SELECT e.event_id, CAST(i.band AS BIGINT) AS band
+        |FROM events e
+        |JOIN (SELECT i AS band, i * 4.0 AS lo, i * 4.0 + 6.0 AS hi
+        |      FROM range(50) t(i)) i
+        |  ON e."value" >= i.lo AND e."value" < i.hi""".stripMargin) { (spark, dir) =>
+      val bands = spark.range(50).select(
+        col("id").as("band"),
+        (col("id") * 4.0).as("lo"),
+        (col("id") * 4.0 + 6.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+        points = Tables.load(spark, dir, "events").select("event_id", "value"),
+        intervals = bands,
+        pointCol = "value", loCol = "lo", hiCol = "hi",
+        bucketWidth = 4.0)
+        .select("event_id", "band")
     })
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** As-of join semantic pins: >= matching (equal timestamps DO match),
+  * left-outer nulls for no-prior-match, per-key isolation, and most-recent
+  * (not first) selection. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("picks most recent right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts(10), "p1"), (1L, ts(30), "p2"),
+      (2L, ts(5), "p3"), // before any right row for key 2
+      (3L, ts(10), "p4") // key with no right rows at all
+    ).toDF("k", "lts", "lname")
+    val right = Seq(
+      (1L, ts(0), "c0"), (1L, ts(10), "c1"), (1L, ts(20), "c2"),
+      (2L, ts(7), "c3")
+    ).toDF("k", "rts", "rname")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+        payload = Seq("rname" -> "match", "rts" -> "match_ts"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+
+    assert(out("p1").contains("c1"), "equal timestamp must match (>= semantics)")
+    assert(out("p2").contains("c2"), "must take most recent, not first")
+    assert(out("p3").isEmpty, "left row before all right rows -> null")
+    assert(out("p4").isEmpty, "key absent on right -> null")
+  }
+
+  test("plan: one hash shuffle for the key, no nested-loop join") {
+    val left = Seq((1L, ts(1), "a")).toDF("k", "lts", "v")
+    val right = Seq((1L, ts(0), "b")).toDF("k", "rts", "w")
+    val p = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+      payload = Seq("w" -> "w")).queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), "as-of must never plan a theta join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+}
