@@ -103,6 +103,53 @@ object AggWindowQueries {
         .agg(count(lit(1)).as("n"), Num.sumMoney(col("c_acctbal")).as("total_bal"))
     },
 
+    // Exact interpolated percentiles (engine-provided extra): Spark
+    // `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    // definition; 6dp rounding pins the float boundary.
+    QueryDef.sql(
+      "a9_percentiles",
+      """SELECT event_type,
+        |  list_transform(quantile_cont("value", [0.25, 0.5, 0.75]), x -> round(x, 6)) AS q,
+        |  round(median("value"), 6) AS med
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          transform(
+            percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))),
+            x => round(x, 6)).as("q"),
+          round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    },
+
+    // Pivot (engine-provided extra): one output column per event type.
+    // The explicit value list keeps the schema static — at scale an
+    // unconstrained pivot means a full pre-pass to discover values.
+    QueryDef.sql(
+      "a10_pivot",
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN "value" END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN "value" END), 6) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 6) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN "value" END), 6) AS error
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 6))
+    },
+
+    // Mergeable HLL sketches (datasketches-backed): the distributed
+    // distinct-count story at 100 TB — per-partition sketches merge
+    // associatively, so no exact-distinct shuffle of the key space.
+    // rows-only (sketch estimates are engine-specific); the ±5% accuracy
+    // contract vs exact COUNT(DISTINCT) is pinned in AggSketchSpec.
+    QueryDef.rowsOnly("a11_hll_distinct") { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+    },
+
     // §2.7: the reference's stateful duplicate-name disambiguation
     // (src/core.py:1022-1043) — first occurrence keeps the name, later ones
     // get " (n)" — as a window with a deterministic tiebreak.

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch-aggregate contracts: HLL distinct estimates stay within the
+  * documented error band of exact counts, and sketches merge associatively
+  * (the property that makes them shuffle-light at scale). */
+class AggSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hll estimate within 5% of exact distinct on the events corpus") {
+    val events = graft.io.Tables.load(spark, TestSpark.sfDir, "events")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("sketches merge associatively: union of partial sketches == one-pass sketch") {
+    val ids = (1 to 1000).map(i => (i % 7, (i % 331).toLong)).toDF("g", "id")
+    val onePass = ids.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("id"))).as("n")).head().getLong(0)
+    val merged = ids
+      .groupBy("g").agg(hll_sketch_agg(col("id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .head().getLong(0)
+    assert(merged == onePass,
+      s"merged partial sketches ($merged) must equal the one-pass sketch ($onePass)")
+  }
+}

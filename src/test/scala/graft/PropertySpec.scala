@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.RangeJoin
+import graft.transforms.{EnumMap, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pins (SURVEY §5.2): algebraic laws that must hold for
+  * ALL inputs, checked on ScalaCheck-generated data. Generators are driven
+  * directly with fixed seeds (deterministic, offline-friendly) and each
+  * sample set batches into one Spark job so the suite stays fast. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Rounds = 5
+
+  private def samples[A](gen: Gen[A], round: Int): A =
+    gen.pureApply(Gen.Parameters.default, Seed(42L + round))
+
+  private val weirdString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.listOf(Gen.oneOf(' ', '\t', '\n', '\r', 'a', 'Z', '0', '.', '-', 'é', 'ß'))
+      .map(_.mkString),
+    Gen.const(""), Gen.const("   "))
+
+  test("handleText and handleId are idempotent on arbitrary strings") {
+    (1 to Rounds).foreach { round =>
+      val xs = samples(Gen.listOfN(40, weirdString), round)
+      val rows = xs.toDF("s").select(
+        Text.handleText(Text.handleText(col("s"))).as("tt"),
+        Text.handleText(col("s")).as("t"),
+        Text.handleId(Text.handleId(col("s"))).as("ii"),
+        Text.handleId(col("s")).as("i")).collect()
+      rows.foreach { r =>
+        assert(r.getString(0) == r.getString(1), "handleText not idempotent")
+        assert(r.getString(2) == r.getString(3), "handleId not idempotent")
+      }
+    }
+  }
+
+  test("enum mapping is total: output is always a mapped value or the default") {
+    val mapping = Map("a" -> "A", "b" -> "B", "weird key" -> "W")
+    val allowed = mapping.values.toSet + "DEF"
+    (1 to Rounds).foreach { round =>
+      val xs = samples(Gen.listOfN(40, weirdString), round) ++ mapping.keys
+      val out = xs.toDF("s")
+        .select(EnumMap.handleEnumMapping(col("s"), mapping, "DEF").as("m"))
+        .collect().map(_.getString(0))
+      out.foreach(v => assert(allowed.contains(v), s"unmapped output '$v'"))
+    }
+  }
+
+  test("TopKByScore == sort-take-k for arbitrary score/id multisets") {
+    import graft.functions.expr.TopKByScore
+    val pairGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 20L)))
+    (1 to Rounds).foreach { round =>
+      val pairs = samples(pairGen, round)
+      val expected = pairs.sortBy { case (s, i) => (-s, i) }.take(4)
+      val got = pairs.toDF("score", "id")
+        .agg(TopKByScore.topK(col("score"), col("id"), 4).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.score"), col("t.id"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+      assert(got == expected, s"round $round: $got != $expected")
+    }
+  }
+
+  test("bucketed range join == naive theta join for random intervals/points") {
+    val ptsGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 999L), Gen.chooseNum(-10.0, 50.0)))
+    val ivGen = Gen.listOfN(8,
+      Gen.zip(Gen.chooseNum(0L, 99L), Gen.chooseNum(-10.0, 40.0), Gen.chooseNum(0.0, 15.0)))
+    val widths = Seq(1.0, 3.0, 7.5)
+    (1 to Rounds).foreach { round =>
+      val points = samples(ptsGen, round).toDF("pid", "p")
+      val intervals = samples(ivGen, round)
+        .map { case (id, lo, len) => (id, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.crossJoin(intervals)
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val w = widths(round % widths.size)
+      val bucketed = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(bucketed == naive, s"round $round width $w")
+    }
+  }
+}
