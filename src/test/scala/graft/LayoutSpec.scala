@@ -1,0 +1,49 @@
+package graft
+
+import graft.io.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout-level scale proofs: bucketing deletes the join shuffle entirely,
+  * and directory partitioning prunes at planning time. These are the two
+  * write-once-shuffle-never levers for 100 TB fact tables. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed co-located join plans with zero Exchange") {
+    val facts = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val dims = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Layout.writeBucketed(facts, "graft_bucket_facts", "k", 4, sortCol = Some("k"))
+    Layout.writeBucketed(dims, "graft_bucket_dims", "k", 4, sortCol = Some("k"))
+    // force the shuffle-based join path so the assertion is about bucketing,
+    // not about the broadcast threshold
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val joined = spark.table("graft_bucket_facts")
+        .join(spark.table("graft_bucket_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 200)
+    }
+  }
+
+  test("partition pruning: equality filter reads only its directory") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_test"
+    val df = Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b"), ("2024-01-03", 3L, "c"))
+      .toDF("day", "id", "payload")
+    Layout.writePartitioned(df, dir, Seq("day"))
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"partition filter must prune at the scan:\n$plan")
+    assert(read.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+  }
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+}
