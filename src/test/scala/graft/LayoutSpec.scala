@@ -14,6 +14,13 @@ class LayoutSpec extends AnyFunSuite {
   test("bucketed co-located join plans with zero Exchange") {
     val facts = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
     val dims = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    // a previous JVM's warehouse dir survives the in-memory catalog; clear
+    // both the catalog entry and the location so Overwrite can recreate
+    Seq("graft_bucket_facts", "graft_bucket_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      deleteRecursively(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t"))
+    }
     Layout.writeBucketed(facts, "graft_bucket_facts", "k", 4, sortCol = Some("k"))
     Layout.writeBucketed(dims, "graft_bucket_dims", "k", 4, sortCol = Some("k"))
     // force the shuffle-based join path so the assertion is about bucketing,
@@ -39,6 +46,11 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(day"),
       s"partition filter must prune at the scan:\n$plan")
     assert(read.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private def withConf[A](key: String, value: String)(body: => A): A = {
