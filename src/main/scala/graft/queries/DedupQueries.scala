@@ -109,5 +109,48 @@ object DedupQueries {
           SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
+    },
+
+    // Composed corpus-cleaning pipeline — the operators above chained the
+    // way a training-data pipeline actually runs them: language gate →
+    // quality gate → exact dedup (first doc per canonical fingerprint
+    // survives). One declarative plan: the gates are scan-level filters
+    // and the only shuffle is the dedup window on the 16-byte fingerprint.
+    QueryDef.sql(
+      "d9_clean_corpus",
+      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |c AS (SELECT doc_id, text, ts,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
+        |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
+        |  FROM t),
+        |q AS (SELECT doc_id, text,
+        |  CAST(len(ts) AS INT) AS n_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM c
+        |  WHERE (CASE WHEN en + es + de + fr = 0 THEN 'und'
+        |              WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |              WHEN de > en AND de > es THEN 'de'
+        |              WHEN es > en THEN 'es'
+        |              ELSE 'en' END) = 'en'
+        |    AND (len(ts) BETWEEN 10 AND 100000)
+        |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
+        |f AS (SELECT doc_id, fp, n_tokens,
+        |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
+        |SELECT doc_id, fp, n_tokens FROM f WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val enStop = Seq("the", "a", "of", "and", "is")
+      val quality = TextAnalysis.qualityColumns(col("text"), enStop).toMap
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      Tables.load(spark, dir, "documents")
+        .filter(TextAnalysis.languageId(col("text")) === "en" && quality("quality_ok"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+          quality("n_tokens").as("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
     })
 }
