@@ -82,6 +82,48 @@ object Multimodal {
     }
   }
 
+  /** Resize: binary → binary with updated metadata, per-partition decoder
+    * amortization as in [[extractFeatures]]. The stub "resampler" rewrites
+    * the header to the target dims and subsamples body bytes by the area
+    * ratio — a real implementation swaps exactly that block for a codec
+    * call. Output stays a `MediaRow`, so resize stages compose/chain. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder
+      rows.map { r =>
+        val (w, h, _) = decoder.decode(r.payload)
+        val body = r.payload.drop(16)
+        val step = math.max(1, (w.toLong * h / math.max(1, targetW.toLong * targetH)).toInt)
+        val out = body.indices.collect { case i if i % step == 0 => body(i) }.toArray
+        val header = Array[Byte]('G', 'M', 0, 0) ++
+          Array((targetW >> 24).toByte, (targetW >> 16).toByte, (targetW >> 8).toByte, targetW.toByte) ++
+          Array((targetH >> 24).toByte, (targetH >> 16).toByte, (targetH >> 8).toByte, targetH.toByte) ++
+          Array[Byte](0, 0, 0, 0)
+        MediaRow(r.media_id, r.kind, targetW, targetH, header ++ out)
+      }
+    }
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: one video row explodes to every `everyN`-th frame —
+    * the 1→many generator shape video pipelines need. The stub treats the
+    * body as fixed-size frame slices; a real implementation demuxes. Frame
+    * payloads distribute row-wise, so a 2 GB video's frames spread across
+    * tasks downstream instead of pinning one task. */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameBytes: Int, everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyN > 0)
+    media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
+      val body = r.payload.drop(16)
+      body.grouped(frameBytes).zipWithIndex.collect {
+        case (slice, idx) if idx % everyN == 0 => Frame(r.media_id, idx, slice)
+      }
+    }
+  }
+
   /** Metadata-level ops stay relational (no decode): filter by declared
     * dims, route by kind, size accounting — pure Catalyst. */
   def mediaStats(media: Dataset[MediaRow]): DataFrame =

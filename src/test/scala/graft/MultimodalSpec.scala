@@ -22,6 +22,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize rewrites dims, shrinks payload, and composes with decode") {
+    val resized = Multimodal.resize(Multimodal.synthesizeCorpus(spark, 12), 8, 8)
+    val feats = Multimodal.extractFeatures(resized).collect()
+    assert(feats.length == 12)
+    feats.foreach { f =>
+      assert(f.width == 8 && f.height == 8, "decode of resized media sees new dims")
+    }
+    val origBytes = Multimodal.synthesizeCorpus(spark, 12).collect()
+      .map(r => r.media_id -> r.payload.length).toMap
+    resized.collect().foreach(r =>
+      assert(r.payload.length <= origBytes(r.media_id), "resize must not grow payload"))
+  }
+
+  test("frame sampling explodes videos to every Nth frame, deterministically") {
+    val corpus = Multimodal.synthesizeCorpus(spark, 30)
+    val frames = Multimodal.sampleFrames(corpus, frameBytes = 64, everyN = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0), "only every 2nd frame kept")
+    val videoIds = corpus.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds), "only videos explode")
+    val again = Multimodal.sampleFrames(corpus, 64, 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).toSeq ==
+      again.map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).toSeq)
+  }
+
   test("media stats stay relational over the binary column") {
     val stats = Multimodal.mediaStats(Multimodal.synthesizeCorpus(spark, 30))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
