@@ -20,8 +20,11 @@ object Bench {
     "d1_exact_dedup",
     "d2_minhash_lsh_dedup",
     "d5_embedding_topk",
+    "d6_lsh_ann_topk",
+    "d9_clean_corpus",
     "t2_quality_score",
-    "e1_sessionize")
+    "e1_sessionize",
+    "e4_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -56,6 +56,25 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream interval join: each purchase joins clicks by
+    * the same user within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can expire
+    * buffered state — the property that keeps a stream-stream join runnable
+    * forever. Inner join: purchases with no prior click emit nothing. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

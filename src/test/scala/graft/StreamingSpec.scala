@@ -42,6 +42,30 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("stream-stream interval join == batch join over the events table") {
+    val dir = "/root/testdata/sf0.001"
+    val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_test")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+
+    val ev = graft.io.Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
