@@ -139,6 +139,20 @@ object AggWindowQueries {
         .agg(round(sum(col("value")), 6))
     },
 
+    // Unpivot/melt (pivot's inverse): wide measure columns → long
+    // (metric, value) rows. Narrow transform, no shuffle.
+    QueryDef.sql(
+      "a12_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+    },
+
     // Mergeable HLL sketches (datasketches-backed): the distributed
     // distinct-count story at 100 TB — per-partition sketches merge
     // associatively, so no exact-distinct shuffle of the key space.
