@@ -69,6 +69,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join == naive per-row argmax for random event sets") {
+    import graft.operators.AsOfJoin
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 100L)))
+    (1 to Rounds).foreach { round =>
+      val ls = samples(evGen, round).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val rs = samples(evGen, round * 1000 + 7)
+      val left = ls.toDF("lid", "k", "lts")
+      // payload == rts so duplicate (k, ts) right rows are tie-neutral
+      val right = rs.toDF("k", "rts")
+      val naive: Map[Long, Option[Long]] = ls.map { case (lid, k, lts) =>
+        lid -> rs.filter(r => r._1 == k && r._2 <= lts).map(_._2).maxOption
+      }.toMap
+      val got = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+          payload = Seq("rts" -> "m"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      assert(got == naive, s"round $round")
+    }
+  }
+
   test("bucketed range join == naive theta join for random intervals/points") {
     val ptsGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 999L), Gen.chooseNum(-10.0, 50.0)))
     val ivGen = Gen.listOfN(8,
