@@ -103,5 +103,20 @@ object EventQueries {
         pointCol = "value", loCol = "lo", hiCol = "hi",
         bucketWidth = 4.0)
         .select("event_id", "band")
+    },
+
+    // CDC compaction (graft.operators.Upsert.latestSnapshot): newest event
+    // per user — the incremental-merge primitive that replaces the
+    // reference's truncate-and-reload at scale. One key shuffle.
+    QueryDef.sql(
+      "e6_latest_per_key",
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      graft.operators.Upsert.latestSnapshot(
+        Tables.load(spark, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type"),
+        keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
     })
 }
