@@ -298,13 +298,16 @@ object Similarity {
   def lshTopK(
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
       nPlanes: Int = 8, tables: Int = 6, seed: Long = 42L): DataFrame = {
-    // persist: base feeds every signature table and both join-back sides;
-    // sigs feeds both sides of the bucket self-join.
+    // persist: base feeds the signature pass and both join-back sides;
+    // sigs feeds both sides of the bucket self-join. All L signatures
+    // compute in ONE pass over base (posexplode), not L passes.
     val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm").persist()
-    val sigs = (0 until tables).map { t =>
-      base.select(col("vid"), lit(t).as("tbl"),
-        hyperplaneSignature(col("v"), dim, nPlanes, seed + t).as("sig"))
-    }.reduce(_ union _).persist()
+    val sigs = base.select(
+        col("vid"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSignature(col("v"), dim, nPlanes, seed + t)): _*)))
+      .toDF("vid", "tbl", "sig")
+      .persist()
     val a = sigs.alias("a")
     val b = sigs.alias("b")
     val cand = a.join(b,
