@@ -75,6 +75,27 @@ object EventStreams {
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Streaming CDC apply: every micro-batch merges into the running
+    * snapshot through [[graft.operators.Upsert.applyChanges]] (last-wins +
+    * tombstones), so the pipeline maintains a queryable latest-state table
+    * instead of truncate-and-reloading it. Snapshot IO is injected: tests
+    * swap an in-memory holder, production a parquet/table rewrite. Batches
+    * arrive in order within one query, and applyChanges is idempotent on
+    * re-application, which is exactly the foreachBatch re-delivery
+    * contract (a batch may be re-run after failure). */
+  def startChangeApply(
+      changes: DataFrame,
+      readSnapshot: () => DataFrame,
+      writeSnapshot: DataFrame => Unit,
+      keys: Seq[String], ts: String, deleteCol: String) =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        writeSnapshot(graft.operators.Upsert.applyChanges(
+          readSnapshot(), batch.toDF(), keys, ts, deleteCol))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

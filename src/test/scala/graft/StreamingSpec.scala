@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Streaming pins: (1) the watermark+tumbling-window stream over the real
   * events table produces EXACTLY the batch e2 aggregation (stream/batch
@@ -81,6 +82,28 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     val out = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(1L, 2L, 3L), s"got: ${out.mkString(",")}")
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("foreachBatch CDC apply maintains the latest-state snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Boolean)]
+    mem.addData((1L, 10L, "a-v1", false), (2L, 10L, "b-v1", false))
+    mem.addData((1L, 20L, "a-v2", false), (2L, 20L, "del", true), (3L, 20L, "c-v1", false))
+
+    // in-memory snapshot holder (production injects a table/parquet rewrite)
+    var snapshot = Seq.empty[(Long, Long, String)].toDF("k", "ts", "v")
+    val q = EventStreams.startChangeApply(
+      mem.toDF().toDF("k", "ts", "v", "is_delete"),
+      readSnapshot = () => snapshot,
+      writeSnapshot = next => snapshot =
+        spark.createDataFrame(next.collect().toList.asJava, next.schema),
+      keys = Seq("k"), ts = "ts", deleteCol = "is_delete")
+    q.awaitTermination(120000)
+
+    val state = snapshot.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(state == Map(1L -> "a-v2", 3L -> "c-v1"),
+      s"expected upsert+delete+insert applied, got $state")
     spark.streams.active.foreach(_.stop())
   }
 
