@@ -92,5 +92,18 @@ object TextQueries {
         TextAnalysis.fingerprintMd5(col("text")).as("fp_canon"),
         TextAnalysis.fingerprintTokenSet(col("text")).as("fp_token_set"),
         TextAnalysis.rollingHash(col("text")).as("fp_rolling"))
+    },
+
+    // Deterministic stratified sampling (graft.functions.Sampling): fixed
+    // per-source rates, keep-decision a pure function of (doc_id, seed) so
+    // retries and re-runs select the identical subset. rows-only (xxhash64
+    // family); rate/determinism pinned in SamplingChecksSpec.
+    QueryDef.rowsOnly("t6_stratified_sample") { (spark, dir) =>
+      graft.functions.Sampling.stratifiedSample(
+        Tables.load(spark, dir, "documents"),
+        col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        seed = 7, col("doc_id"))
+        .select("doc_id", "source")
     })
 }
