@@ -231,6 +231,27 @@ object AggWindowQueries {
         lead(col("event_id"), 1).over(w).as("next_event_id"))
     },
 
+    // Ranking-function family (engine-provided §2.7 extras): rank /
+    // dense_rank / ntile / percent_rank share one partition shuffle + sort.
+    QueryDef.sql(
+      "w5_rank_family",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+    },
+
     // §2.8: global sort + limit (deterministic via unique tiebreak).
     QueryDef.sql(
       "o1_orderby_limit",
