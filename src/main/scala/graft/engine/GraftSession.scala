@@ -38,6 +38,9 @@ object GraftSession {
       // ANN ranker) must stay hash-based: the default sort-fallback kicks in
       // at 128 distinct keys and re-sorts the whole input.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Kryo for broadcasts/closures (e.g. the ANN index matrix); DataFrame
+      // shuffles already use Tungsten encoders either way.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
   }
