@@ -231,6 +231,18 @@ object AggWindowQueries {
         lead(col("event_id"), 1).over(w).as("next_event_id"))
     },
 
+    // Approximate quantiles (GK sketch): mergeable per-partition summaries
+    // — the quantile twin of the HLL distinct sketch, for when an exact
+    // percentile's full sort-shuffle is too expensive at scale. rows-only
+    // (sketch output is engine-specific); accuracy vs the exact a9
+    // percentiles is pinned in AggSketchSpec.
+    QueryDef.rowsOnly("a13_approx_percentiles") { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(
+          col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+    },
+
     // Ranking-function family (engine-provided §2.7 extras): rank /
     // dense_rank / ntile / percent_rank share one partition shuffle + sort.
     QueryDef.sql(

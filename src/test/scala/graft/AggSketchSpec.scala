@@ -25,6 +25,23 @@ class AggSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track exact percentiles within 2% of the value range") {
+    val events = graft.io.Tables.load(spark, TestSpark.sfDir, "events")
+    val ps = array(lit(0.25), lit(0.5), lit(0.75))
+    val exact = events.groupBy("event_type")
+      .agg(percentile(col("value"), ps).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = events.groupBy("event_type")
+      .agg(percentile_approx(col("value"), ps, lit(10000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val range = events.agg(max("value") - min("value")).head().getDouble(0)
+    exact.foreach { case (k, qs) =>
+      qs.zip(approx(k)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= 0.02 * range, s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("sketches merge associatively: union of partial sketches == one-pass sketch") {
     val ids = (1 to 1000).map(i => (i % 7, (i % 331).toLong)).toDF("g", "id")
     val onePass = ids.agg(
