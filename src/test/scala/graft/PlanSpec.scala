@@ -57,6 +57,24 @@ class PlanSpec extends AnyFunSuite {
       "broadcast-index top-k must not shuffle the pair space")
   }
 
+  test("shuffle-hash hint replaces sort-merge when broadcast is off") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.io.Tables.load(spark, dir, "orders")
+    val lineitem = graft.io.Tables.load(spark, dir, "lineitem")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(smj.contains("SortMergeJoin"), "baseline without hint is SMJ")
+      val shj = lineitem.join(orders.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(shj.contains("ShuffledHashJoin"),
+        "hint must select the sort-free hash join (build side = orders)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("f4 semi-join: stays a join, never a collected key list") {
     val p = planOf("f4_semi_join_fk_filter")
     assert(p.contains("LeftSemi"), "FK validity must be a semi join")
