@@ -16,14 +16,17 @@ object AggWindowQueries {
     // A1/A2: group-by + collect values into list (src/core.py:1334,1363).
     // collect_set + sort_array pins a deterministic element order (the
     // reference inherits input order; distributed execution must not).
+    // The list serializes to a joined string at the output boundary —
+    // result frames keep scalar columns only (array cells are not
+    // sortable/hashable by the comparison harness).
     QueryDef.sql(
       "a1_group_collect_list",
-      """SELECT c_nationkey AS nation_id, list_sort(list(DISTINCT c_mktsegment)) AS segments, COUNT(*) AS n
+      """SELECT c_nationkey AS nation_id, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments, COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "customer")
         .groupBy(col("c_nationkey").as("nation_id"))
         .agg(
-          sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
           count(lit(1)).as("n"))
     },
 
@@ -105,20 +108,28 @@ object AggWindowQueries {
 
     // Exact interpolated percentiles (engine-provided extra): Spark
     // `percentile` and DuckDB `quantile_cont` share the linear-interpolation
-    // definition; 6dp rounding pins the float boundary.
+    // definition; 6dp rounding pins the float boundary. The three quantiles
+    // are one percentile-array aggregate internally (single sort pass),
+    // flattened to scalar columns at the output boundary.
     QueryDef.sql(
       "a9_percentiles",
       """SELECT event_type,
-        |  list_transform(quantile_cont("value", [0.25, 0.5, 0.75]), x -> round(x, 6)) AS q,
+        |  round(quantile_cont("value", 0.25), 6) AS q25,
+        |  round(quantile_cont("value", 0.5), 6) AS q50,
+        |  round(quantile_cont("value", 0.75), 6) AS q75,
         |  round(median("value"), 6) AS med
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          transform(
-            percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))),
-            x => round(x, 6)).as("q"),
+          percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("qarr"),
           round(percentile(col("value"), lit(0.5)), 6).as("med"))
+        .select(
+          col("event_type"),
+          round(element_at(col("qarr"), 1), 6).as("q25"),
+          round(element_at(col("qarr"), 2), 6).as("q50"),
+          round(element_at(col("qarr"), 3), 6).as("q75"),
+          col("med"))
     },
 
     // Pivot (engine-provided extra): one output column per event type.
@@ -240,7 +251,14 @@ object AggWindowQueries {
       Tables.load(spark, dir, "events")
         .groupBy(col("event_type"))
         .agg(percentile_approx(
-          col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+          col("value"), array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qarr"))
+        // scalar output columns only (rows-only results are still sorted
+        // by the comparison harness, which cannot sort array cells)
+        .select(
+          col("event_type"),
+          element_at(col("qarr"), 1).as("q25"),
+          element_at(col("qarr"), 2).as("q50"),
+          element_at(col("qarr"), 3).as("q75"))
     },
 
     // Ranking-function family (engine-provided §2.7 extras): rank /
