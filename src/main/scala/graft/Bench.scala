@@ -31,28 +31,30 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains)
-    def run(name: String): Unit =
-      try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch {
-        case _: Throwable =>
-          try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+    // A failed query must be VISIBLE, not a fast-looking small number:
+    // run() reports success, and the JSON carries per-query status so a
+    // regression can't hide behind a short failure path. (No clearCache():
+    // the query catalog no longer persists anything, and a global cache
+    // wipe would evict caller-owned caches in a shared session.)
+    def run(name: String): Boolean =
+      try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case _: Throwable => false }
     val results = names.map { name =>
       // Warm once (whole-stage-codegen class compilation is a per-plan,
-      // not per-run, cost), then time the steady-state run. Persisted
-      // intermediates from prior queries are dropped first so one query's
-      // leftover cache blocks can't turn into a GC pause inside another's
-      // timed window.
-      spark.sharedState.cacheManager.clearCache()
+      // not per-run, cost), then time the steady-state run.
       run(name)
       val t0 = System.nanoTime()
-      run(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = run(name)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sjson = results.map { case (k, _, ok) =>
+      "\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
+      .mkString("{", ",", "}")
+    val failed = results.count(!_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"status":$sjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,10 +58,18 @@ object MinHashLSH {
         }: _*))
   }
 
-  /** Band signatures: hash each group of `rowsPerBand` adjacent minhashes. */
+  /** Band signatures: hash each group of `rowsPerBand` adjacent minhashes.
+    *
+    * Deliberately an explicit `array(...)` of `bands` slice expressions, NOT
+    * `transform(sequence(...), b => slice(minhash, b*r+1, r))`: a
+    * higher-order function re-evaluates the captured `minhash` subtree per
+    * band element (bands× the whole minhash fold if it got inlined), while
+    * `bands` static references to one non-cheap alias make
+    * `CollapseProject.canCollapseExpressions` refuse to inline the producing
+    * projection — the fold is computed once per row, no cache needed. */
   def bandSignatures(minhash: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_", slice(minhash, b * rowsPerBand + 1, lit(rowsPerBand)))))
+    array((0 until bands).map(b =>
+      xxhash64(concat_ws("_", slice(minhash, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
   /** Candidate near-dup pairs (idA < idB) for docs sharing ≥1 LSH bucket.
     * `docs` must have columns (id, hashedShingles: array<long>). */
@@ -72,19 +80,23 @@ object MinHashLSH {
       k: Int = 64,
       bands: Int = 16): DataFrame = {
     val rowsPerBand = k / bands
-    // persist() between the stages is load-bearing twice over: (1) it is an
-    // optimizer barrier — without it CollapseProject inlines the minhash
-    // fold into the 16 band-lambda references (a 16× recompute of the whole
-    // shingling pipeline); (2) the signature frame feeds both sides of the
-    // self-join below. Both frames are (id, few-longs) — bytes per doc.
+    // No persist anywhere: (1) the single-evaluation guarantee for the
+    // minhash fold comes from bandSignatures' multi-reference shape (see
+    // its doc) rather than a cache barrier; (2) the self-join below hash-
+    // shuffles BOTH sides on the same (band_idx, sig) key over identical
+    // subplans, so ReuseExchange runs the map stage once — caching a
+    // full-corpus signature frame is exactly what does NOT survive 100 TB
+    // (and leaks executor memory in a shared session).
     val mh = docs
       .select(col(idCol).as("id"), minhashes(col(hashedCol), k).as("mh"))
-      .persist()
     val sigs = mh
       .select(col("id"),
         posexplode(bandSignatures(col("mh"), bands, rowsPerBand)).as(Seq("band_idx", "sig")))
-      .persist()
-    val a = sigs.alias("a")
+    // shuffle_hash, not broadcast: the signature frame is corpus-scale, so
+    // a broadcast build side is impossible at 100 TB — and shuffling both
+    // sides on the same (band_idx, sig) key turns them into identical map
+    // stages that ReuseExchange runs once.
+    val a = sigs.alias("a").hint("shuffle_hash")
     val b = sigs.alias("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&

@@ -186,13 +186,23 @@ object Similarity {
     * `nprobe/nlist` of the corpus. Centroids (nlist·d doubles) broadcast;
     * assignment and probing are narrow passes.
     *
-    * Deterministic end to end (hash-order init, no RNG) so results are
-    * stable across runs and task retries. Recall < 1 by construction —
-    * pinned against the exact baseline in SimilaritySpec.
+    * The quantizer trains on a BOUNDED deterministic sample (`trainCap`
+    * vectors in xxhash64 order, one TakeOrdered job), then runs Lloyd
+    * locally on the driver — at 100 TB you never posexplode the full
+    * corpus per training round (n·d rows shuffled × iters); only the
+    * one-pass ASSIGNMENT stays full-corpus. The corpus itself is never
+    * persisted: caching 100 TB is not a plan, and the re-read for the
+    * index/probe sides is a narrow scan+map.
+    *
+    * Deterministic end to end (hash-order sample, no RNG, sequential fold
+    * accumulation) so results are stable across runs and task retries.
+    * Recall < 1 by construction — pinned against the exact baseline in
+    * SimilaritySpec.
     */
   def ivfTopK(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainCap: Int = 100000): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val base = vecs
@@ -200,26 +210,33 @@ object Similarity {
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, math.sqrt(dotSeq(v, v))) }
       .toDF("id", "v", "nrm")
-      .persist()
 
-    // init: nlist vectors in xxhash64(id) order — a deterministic spread
-    val init: Array[Array[Double]] = base
-      .orderBy(xxhash64(col("id")))
-      .limit(nlist)
+    // Bounded training sample in xxhash64(id) order (id tiebreak pins the
+    // order when hashes collide) — planned as TakeOrdered, so the driver
+    // holds at most trainCap·d doubles regardless of corpus size.
+    val sample: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.max(nlist, trainCap))
       .select("v").as[Array[Double]].collect()
 
-    var centroids = init.map(normalize)
+    var centroids = sample.take(nlist).map(normalize)
     var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      // mean of members per cell (posexplode + per-dimension avg), renormalized
-      val means = assign(base, bc)
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cid"), col("ps.m").as("mean"))
-        .as[(Int, Array[Double])].collect().toMap
-      centroids = centroids.indices.map(c => means.get(c).map(normalize).getOrElse(centroids(c))).toArray
+    while (it < iters && sample.nonEmpty) {
+      // local Lloyd round over the sample: sequential adds in sample order
+      val dim = sample.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCells(v, centroids, 1).head
+        val s = sums(c)
+        var i = 0
+        while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)   // empty cell keeps its centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }.toArray
       it += 1
     }
 
@@ -298,23 +315,35 @@ object Similarity {
   def lshTopK(
       vecs: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
       nPlanes: Int = 8, tables: Int = 6, seed: Long = 42L): DataFrame = {
-    // persist: base feeds the signature pass and both join-back sides;
-    // sigs feeds both sides of the bucket self-join. All L signatures
-    // compute in ONE pass over base (posexplode), not L passes.
-    val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm").persist()
+    // No persist: base/sigs are narrow scan+map lineages — the bucket
+    // self-join and both join-backs re-derive them from the source, which
+    // is the only posture that survives a corpus too big to cache. (A
+    // persisted-and-never-released corpus also leaks executor memory in a
+    // shared session.) All L signatures still compute in ONE pass per
+    // consumer (posexplode), not L passes.
+    val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm")
     val sigs = base.select(
         col("vid"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneSignature(col("v"), dim, nPlanes, seed + t)): _*)))
       .toDF("vid", "tbl", "sig")
-      .persist()
-    val a = sigs.alias("a")
+    // shuffle_hash, not broadcast: sigs is corpus-scale (n·L rows), so at
+    // 100 TB it can never be a build side — and shuffling BOTH sides on the
+    // same (tbl, sig) key makes the two identical map stages collapse into
+    // ONE via ReuseExchange, so the signatures are computed once without
+    // any cache.
+    val a = sigs.alias("a").hint("shuffle_hash")
     val b = sigs.alias("b")
     val cand = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("vec_id"), col("b.vid").as("neighbor_id"))
       .distinct()
+    // Join-backs stay hint-free: the strategy is SIZE-chosen (broadcast
+    // only when base actually fits, as here at test SF; AQE falls back to
+    // shuffle strategies when it doesn't), and the recomputed base lineage
+    // is a narrow scan+norm pass. Forcing shuffle_hash here would shuffle
+    // the much larger candidate-pair set twice instead.
     val withVecs = cand
       .join(base.select(col("vid").as("vid_a"), col("v").as("va"), col("nrm").as("nrm_a")),
         col("vec_id") === col("vid_a"))

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Object-store sink for BLOB columns (SURVEY §2.2 K4).
@@ -35,6 +35,33 @@ object ObjectStore {
   }
 
   final case class Uploaded(id: String, objectKey: String, nBytes: Long)
+
+  /** The reference's content-type table (`src/core.py:709-712`, applied with
+    * an octet-stream default at `:938`) keyed by the stripped type code,
+    * extended with the common file-extension spellings so a lookup derived
+    * from a file NAME works too. Lookup is case-insensitive. */
+  val mimeTypesMapping: Map[String, String] = Map(
+    "pdf" -> "application/pdf",
+    "xml" -> "application/xml",
+    "txt" -> "text/plain",
+    "csv" -> "text/csv",
+    "json" -> "application/json",
+    "png" -> "image/png",
+    "jpg" -> "image/jpeg",
+    "jpeg" -> "image/jpeg",
+    "zip" -> "application/zip")
+
+  /** Content type for a type code / extension column: mapped value or the
+    * reference's `application/octet-stream` default (`src/core.py:938`). */
+  def contentTypeFor(typeCode: Column): Column =
+    coalesce(
+      element_at(typedLit(mimeTypesMapping), lower(trim(typeCode))),
+      lit("application/octet-stream"))
+
+  /** Content type from a file-name column: last-extension lookup with the
+    * octet-stream default (extension-less names hit the default). */
+  def contentTypeForName(name: Column): Column =
+    contentTypeFor(regexp_extract(name, "\\.([A-Za-z0-9]+)$", 1))
 
   /** Upload every (id, name, mime, payload) row; returns the id→object
     * mapping as a Dataset for the join-back step (the reference's

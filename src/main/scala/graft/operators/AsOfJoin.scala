@@ -25,28 +25,43 @@ object AsOfJoin {
 
   /** @param payload right-column → output-name map (ordered);
     *                 all other right columns are dropped.
+    * @param rightTiebreak right columns ordering right rows that share the
+    *                 same (key, ts): the row greatest under the tiebreak
+    *                 wins. Without it, multiple right rows at an identical
+    *                 (key, ts) make the matched payload retry-dependent —
+    *                 callers with possibly-duplicate right timestamps MUST
+    *                 pass one to keep the repo's determinism contract.
     */
   def backward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)],
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val pStruct = struct(payload.map { case (c, a) => col(c).as(a) }: _*)
     val lType = left.select(leftStruct.as("__l")).schema("__l").dataType
+    val tbNames = rightTiebreak.indices.map(i => s"__tb$i")
+    val tbTypes = rightTiebreak.map(c => right.schema(c).dataType)
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
 
     val r2 = right.select(
       keyCols ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
-        pStruct.as("__p"), lit(null).cast(lType).as("__l")): _*)
+        pStruct.as("__p"), lit(null).cast(lType).as("__l")) ++
+        rightTiebreak.zip(tbNames).map { case (c, n) => col(c).as(n) }: _*)
     val l2 = left.select(
       keyCols ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(pType).as("__p"), leftStruct.as("__l")): _*)
+        lit(null).cast(pType).as("__p"), leftStruct.as("__l")) ++
+        tbNames.zip(tbTypes).map { case (n, t) => lit(null).cast(t).as(n) }: _*)
 
+    // Order is (__ts, __side, tiebreak…): right rows at an equal (key, ts)
+    // all share __side=0 and are ordered by tiebreak asc, so the running
+    // last() picks the greatest one deterministically; left rows still sort
+    // after right rows via __side before tiebreak is consulted.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +: tbNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r2.unionByName(l2)

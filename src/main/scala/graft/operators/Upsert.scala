@@ -45,7 +45,10 @@ object Upsert {
     val b = base.withColumn("__del", lit(false))
       // base loses same-ts conflicts to changes: a re-applied batch wins
       .withColumn("__src", lit(0))
-    val c = changes.select(cols.map(col) :+ col(deleteCol).as("__del"): _*)
+    // NULL delete flag means "not a tombstone": without the coalesce the
+    // !__del predicate would be NULL and silently drop the key.
+    val c = changes.select(
+        cols.map(col) :+ coalesce(col(deleteCol), lit(false)).as("__del"): _*)
       .withColumn("__src", lit(1))
     latestSnapshot(b.unionByName(c), keys, ts, tiebreak :+ "__src")
       .filter(!col("__del"))

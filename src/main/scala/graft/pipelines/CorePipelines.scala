@@ -123,35 +123,60 @@ object CorePipelines {
 
   /** Resolutions step 2 (`src/core.py:895-1012`): split on attachment
     * presence, upload the with-attachment half through the object store
-    * (deterministic keys, partition-level parallelism), join the id→object
-    * mapping back, and ASSERT completeness — every uploaded row must have
-    * a mapping (`src/core.py:1012`). Returns the re-unioned frame
-    * (`src/core.py:1014-1020`). */
+    * (deterministic keys, partition-level parallelism, content type from
+    * the reference's MIME table — `src/core.py:709-712,938`), join the
+    * id→object mapping back, and ASSERT completeness — every uploaded row
+    * must have a mapping (`src/core.py:1012`). Returns the re-unioned frame
+    * (`src/core.py:1014-1020`).
+    *
+    * Long-lived sessions should prefer [[attachMappingWithRelease]] and
+    * call the release hook after the sink action — this form leaves the
+    * (bounded, metadata-only) mapping cache pinned for the session. */
   def attachMapping(
       resolutions: DataFrame, bucket: String,
-      clientFactory: () => ObjectStore.Client): DataFrame = {
+      clientFactory: () => ObjectStore.Client): DataFrame =
+    attachMappingWithRelease(resolutions, bucket, clientFactory)._1
+
+  /** [[attachMapping]] plus a cache-release hook.
+    *
+    * The upload `mapPartitions` executes exactly ONCE per run: the mapping
+    * is persisted and forced by the completeness assert, so the caller's
+    * sink action reads the cached (id, objectKey, nBytes) rows — never the
+    * BLOBs — instead of re-running the upload. (Deterministic keys make a
+    * re-run idempotent, but at 100 TB of attachments it would double the
+    * upload I/O.) The cached frame is metadata-only: ~100 bytes per
+    * attachment, not the payloads. Call the returned hook after the final
+    * action over the frame. */
+  def attachMappingWithRelease(
+      resolutions: DataFrame, bucket: String,
+      clientFactory: () => ObjectStore.Client): (DataFrame, () => Unit) = {
     val withA = resolutions.filter(col("attachment").isNotNull)
     val withoutA = resolutions.filter(col("attachment").isNull)
       .withColumn("object_key", lit(null).cast("string"))
     val mapping = ObjectStore.upload(
       withA.select(
         col("id"), col("name"),
-        lit("application/octet-stream").as("mime"),
+        ObjectStore.contentTypeForName(col("name")).as("mime"),
         col("attachment").as("payload")),
       bucket, clientFactory).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = withA.join(mapping.select(col("id").as("m_id"), col("objectKey")),
       col("id") === col("m_id"), "left")
+    // This count both asserts completeness AND materializes the persisted
+    // mapping (the join consumes every mapping partition).
     val missing = joined.filter(col("objectKey").isNull).count()
     require(missing == 0, s"$missing uploaded resolutions lost their object mapping")
-    joined.select(withA.columns.map(col) :+ col("objectKey").as("object_key"): _*)
+    val merged = joined
+      .select(withA.columns.map(col) :+ col("objectKey").as("object_key"): _*)
       .unionByName(withoutA)
+    (merged, () => { mapping.unpersist(); () })
   }
 
   /** Resolutions step 3 (`src/core.py:1022-1043`): duplicate-name
     * disambiguation — first occurrence keeps `name`, later ones get
     * ` (n)`. The reference depends on physical row order; here the keeper
-    * order is pinned deterministically (delibera block first via the
-    * attachment marker, then id — SURVEY §2.7's documented divergence). */
+    * order is pinned deterministically by `id` (normalized CLIENTIDs are
+    * unique across both branches — SURVEY §2.7's documented divergence). */
   def disambiguateNames(resolutions: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("name")).orderBy(col("id"))
     resolutions

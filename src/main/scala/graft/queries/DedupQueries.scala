@@ -67,13 +67,16 @@ object DedupQueries {
       // ONE native shingling pass (HashedWordShingles); the distinct hash
       // sets serve both the minhash stage and the exact-Jaccard verify
       // (Jaccard over hash sets == Jaccard over shingle sets modulo 64-bit
-      // collisions). persist: the sets feed the LSH stage AND both sides
-      // of the verification join.
+      // collisions). No persist: the verify join-backs re-derive the sets
+      // from the scan (narrow recompute) — a full-corpus shingle cache is
+      // bigger than the corpus and can't exist at 100 TB.
       val docs = Tables.load(spark, dir, "documents").select(
         col("doc_id"),
         array_distinct(HashedWordShingles(col("text"), 3)).as("hs"))
-        .persist()
       val cand = MinHashLSH.candidatePairs(docs, "doc_id", "hs", k = 64, bands = 16)
+      // Verify join-backs are hint-free: strategy is size-chosen (broadcast
+      // only while the shingle frame fits; shuffle otherwise), and the
+      // recomputed shingling is one narrow pass per end.
       val withSh = cand
         .join(docs.select(col("doc_id").as("ida"), col("hs").as("sha")), col("id_a") === col("ida"))
         .join(docs.select(col("doc_id").as("idb"), col("hs").as("shb")), col("id_b") === col("idb"))
@@ -87,19 +90,24 @@ object DedupQueries {
     // exact Hamming verify ≤ 3 (pigeonhole guarantees recall at that
     // radius). rows-only (xxhash64 family).
     QueryDef.rowsOnly("d3_simhash_pairs") { (spark, dir) =>
-      // persist: barrier (keeps the simhash fold out of the 4 band lambdas)
-      // + reused by both sides of the self-join.
+      // No persist: the 4 band expressions below reference the `sim` alias
+      // 4 times, so CollapseProject keeps the simhash fold in its own
+      // projection (computed once per row), and the self-join's two sides
+      // shuffle the identical subplan on the same (band, key) — the map
+      // stage is deduped by ReuseExchange.
       val sigs = Tables.load(spark, dir, "documents").select(
         col("doc_id"),
         SimHash.simhash64(
           transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("sim"))
-        .persist()
       val banded = sigs.select(
         col("doc_id"), col("sim"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"), SimHash.band16(col("sim"), i).as("key"))): _*)).as("bk"))
         .select(col("doc_id"), col("sim"), col("bk.band"), col("bk.key"))
-      val a = banded.alias("a")
+      // shuffle_hash: both sides shuffle on the same (band, key) over an
+      // identical subplan → ReuseExchange computes the simhash map stage
+      // once (a corpus-scale frame could not broadcast at 100 TB anyway).
+      val a = banded.alias("a").hint("shuffle_hash")
       val b = banded.alias("b")
       a.join(b,
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

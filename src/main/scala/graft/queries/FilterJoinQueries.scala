@@ -125,15 +125,16 @@ object FilterJoinQueries {
       val discPrice = Num.dec2(col("l_extendedprice")) *
         (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
       // Collapse the dimension chain first (orders ⋈ customer ⋈ nation →
-      // one orderkey→nation map), then probe lineitem ONCE: the fact rows
-      // pass through a single broadcast hash join instead of three
-      // sequential probe phases. Same plan family, 3× fewer probes of the
-      // 600k-row side.
+      // one orderkey→nation map), then probe lineitem once. Only the TRUE
+      // dimension (nation, 25 rows) gets a broadcast hint; orderNation is
+      // fact-scale (|orders|), so the lineitem⋈orderNation edge is left to
+      // AQE — at 100 TB a broadcast hint there would collect the whole
+      // orders side to the driver.
       val orderNation = orders
         .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .select(col("o_orderkey"), col("n_name"))
-      li.join(broadcast(orderNation), li("l_orderkey") === orderNation("o_orderkey"))
+      li.join(orderNation, li("l_orderkey") === orderNation("o_orderkey"))
         .groupBy(col("n_name").as("nation"))
         .agg(
           sum(discPrice).cast("double").as("revenue"),

@@ -210,18 +210,21 @@ object ProjectionQueries {
     },
 
     // P23: per-element enum rewrite inside an array (src/core.py:1336-1351).
+    // Output boundary flattens the array with a  delimiter (cannot occur
+    // in the enum values, which are also non-null) so the harness can sort the
+    // cell; the array transform itself is the operator under test.
     QueryDef.sql(
       "p23_array_transform",
       """SELECT l_orderkey, l_linenumber,
-        |  list_transform([l_returnflag, l_linestatus], x -> CASE x WHEN 'A' THEN 'ACCEPTED' WHEN 'R' THEN 'RETURNED' WHEN 'N' THEN 'NONE' WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED' END) AS mapped
+        |  array_to_string(list_transform([l_returnflag, l_linestatus], x -> CASE x WHEN 'A' THEN 'ACCEPTED' WHEN 'R' THEN 'RETURNED' WHEN 'N' THEN 'NONE' WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED' END), chr(1)) AS mapped
         |FROM lineitem""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        Arrays.transformElements(
+        concat_ws("", Arrays.transformElements(
           array(col("l_returnflag"), col("l_linestatus")),
           x => when(x === "A", "ACCEPTED").when(x === "R", "RETURNED")
             .when(x === "N", "NONE").when(x === "O", "OPEN")
-            .when(x === "F", "FINISHED")).as("mapped"))
+            .when(x === "F", "FINISHED"))).as("mapped"))
     },
 
     // P24/P25/P26: array char cleanup, null→empty, PG text[] literal
@@ -229,16 +232,20 @@ object ProjectionQueries {
     QueryDef.sql(
       "p24_array_clean_pg_literal",
       """SELECT p_partkey,
-        |  list_transform(string_split(p_type || ' v1.0', ' '), x -> regexp_replace(regexp_replace(x, ' ', '_', 'g'), '\.', '_', 'g')) AS cleaned,
-        |  coalesce(CASE WHEN p_size >= 10 THEN string_split(p_type, ' ') END, []) AS arr_filled,
+        |  array_to_string(list_transform(string_split(p_type || ' v1.0', ' '), x -> regexp_replace(regexp_replace(x, ' ', '_', 'g'), '\.', '_', 'g')), chr(1)) AS cleaned,
+        |  coalesce(array_to_string(coalesce(CASE WHEN p_size >= 10 THEN string_split(p_type, ' ') END, []), chr(1)), '') AS arr_filled,
         |  '{' || coalesce(array_to_string(list_transform(coalesce(CASE WHEN p_size >= 10 THEN string_split(p_type, ' ') END, []), x -> '"' || x || '"'), ','), '') || '}' AS pg_literal
         |FROM part""".stripMargin) { (spark, dir) =>
+      // Array outputs flattened with  at the boundary (elements are
+      // non-null p_type tokens, delimiter-free) — harness can't sort array
+      // cells; the Arrays.* operators remain the thing under test.
       val toks = split(col("p_type"), " ")
       val maybeArr = when(col("p_size") >= 10, toks)
       Tables.load(spark, dir, "part").select(
         col("p_partkey"),
-        Arrays.elementCleanup(split(concat(col("p_type"), lit(" v1.0")), " ")).as("cleaned"),
-        Arrays.nullToEmpty(maybeArr).as("arr_filled"),
+        concat_ws("",
+          Arrays.elementCleanup(split(concat(col("p_type"), lit(" v1.0")), " "))).as("cleaned"),
+        concat_ws("", Arrays.nullToEmpty(maybeArr)).as("arr_filled"),
         Arrays.toPgTextArrayLiteral(Arrays.nullToEmpty(maybeArr)).as("pg_literal"))
     },
 

@@ -34,6 +34,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p4").isEmpty, "key absent on right -> null")
   }
 
+  test("duplicate right (key, ts): caller tiebreak picks the greatest, deterministically") {
+    val left = Seq((1L, ts(10), "p1")).toDF("k", "lts", "lname")
+    // three right rows at the SAME (key, ts) — without a tiebreak the
+    // matched payload would be retry-dependent
+    val right = Seq(
+      (1L, ts(10), "x", 1L), (1L, ts(10), "z", 3L), (1L, ts(10), "y", 2L)
+    ).toDF("k", "rts", "rname", "seq")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+        payload = Seq("rname" -> "match"), rightTiebreak = Seq("seq"))
+      .collect()
+    assert(out.length == 1 && out.head.getAs[String]("match") == "z",
+      "greatest tiebreak value must win at an equal (key, ts)")
+  }
+
   test("plan: one hash shuffle for the key, no nested-loop join") {
     val left = Seq((1L, ts(1), "a")).toDF("k", "lts", "v")
     val right = Seq((1L, ts(0), "b")).toDF("k", "rts", "w")

@@ -79,6 +79,34 @@ class PipelineIoSpec extends AnyFunSuite {
     }
   }
 
+  test("content-type mapping: known extensions map, unknown falls to octet-stream") {
+    val out = Seq("report.PDF", "data.xml", "noext", "odd.xyz")
+      .toDF("name")
+      .select(col("name"), ObjectStore.contentTypeForName(col("name")).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("report.PDF") == "application/pdf", "case-insensitive extension lookup")
+    assert(out("data.xml") == "application/xml")
+    assert(out("noext") == "application/octet-stream")
+    assert(out("odd.xyz") == "application/octet-stream")
+  }
+
+  test("csv export (K3): export/<t>.csv per table, headered, both layouts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.io.CsvExport.exportTables(
+      spark, TestSpark.sfDir, Seq("region", "nation"), tmp)
+    // distributed layout: <t>.csv is a directory of part files
+    val regionBack = spark.read.option("header", "true").csv(s"$tmp/region.csv")
+    assert(regionBack.count() == 5 && regionBack.columns.contains("r_name"))
+    // single-file layout (reference parity): <t>.csv is one plain file
+    graft.io.CsvExport.exportTables(
+      spark, TestSpark.sfDir, Seq("nation"), tmp, singleFile = true)
+    val f = java.nio.file.Paths.get(tmp, "nation.csv")
+    assert(java.nio.file.Files.isRegularFile(f), "singleFile must be a plain file")
+    val firstLine = java.nio.file.Files.readAllLines(f).get(0)
+    assert(firstLine.contains("n_name"), "header row present")
+    assert(spark.read.option("header", "true").csv(f.toString).count() == 25)
+  }
+
   test("jdbc option assembly: pg url decoration and cast columns") {
     assert(Jdbc.pgUrlWithUnspecifiedStrings("jdbc:postgresql://h/db")
       == "jdbc:postgresql://h/db?stringtype=unspecified")

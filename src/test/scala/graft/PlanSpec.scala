@@ -32,14 +32,21 @@ class PlanSpec extends AnyFunSuite {
       "lineitem scan must prune to the 5 aggregate input columns")
   }
 
-  test("j9: all dimension joins broadcast; no sort-merge; key filters pushed") {
-    val p = planOf("j9_revenue_per_nation")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
-      "orders/customer/nation must all join as broadcasts")
-    assert(!p.contains("SortMergeJoin"),
-      "no fact-table shuffle for dimension joins")
-    assert(p.contains("PushedFilters: [IsNotNull"),
-      "join-key null filters must reach the parquet scan")
+  test("j9: only the true dimension is hint-broadcast; fact edges are not") {
+    // Simulate fact scale by disabling size-based auto-broadcast: whatever
+    // still broadcasts is hint-FORCED and would be collected to the driver
+    // at 100 TB. Exactly one broadcast may survive — the 25-row nation dim;
+    // the lineitem⋈orderNation and orders⋈customer edges must fall back to
+    // shuffle strategies.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("j9_revenue_per_nation")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+        "only the hinted nation dimension may broadcast at fact scale")
+      assert(p.contains("PushedFilters: [IsNotNull"),
+        "join-key null filters must reach the parquet scan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("f1: filter is evaluated at the scan (DataFilters)") {

@@ -41,6 +41,17 @@ class UpsertSpec extends AnyFunSuite {
     assert(next(1L) == "a-reapplied")
   }
 
+  test("NULL delete flag means not-a-tombstone, never a silent drop") {
+    val nullFlag = Seq(
+      (1L, 20L, "a-v2", None: Option[Boolean]),    // update with null flag
+      (2L, 20L, "b-del", Some(true))               // real tombstone
+    ).toDF("k", "ts", "v", "is_delete")
+    val next = Upsert.applyChanges(base, nullFlag, Seq("k"), "ts", "is_delete")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(next == Map(1L -> "a-v2", 3L -> "c-v1"),
+      "null flag row must survive as an update; true flag still deletes")
+  }
+
   test("applying the same changes twice == applying once (idempotent merge)") {
     val once = Upsert.applyChanges(base, changes, Seq("k"), "ts", "is_delete")
     val twice = Upsert.applyChanges(once, changes, Seq("k"), "ts", "is_delete")
