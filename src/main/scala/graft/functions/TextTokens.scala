@@ -14,18 +14,22 @@ object TextTokens {
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles, preserving token order when forming
-    * each shingle ("a b c", "b c d", ...). Empty array when the document
-    * has fewer than n tokens (guarded: Spark's `sequence(1, stop)` DESCENDS
-    * when stop < 1, so the short-doc case must not reach it). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** ALL word n-gram shingles in document order, duplicates kept ("a b c",
+    * "b c d", ...) — the raw stream [[wordShingles]] deduplicates. Empty
+    * array when the document has fewer than n tokens (guarded: Spark's
+    * `sequence(1, stop)` DESCENDS when stop < 1, so the short-doc case must
+    * not reach it). */
+  def wordShinglesAll(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val count = size(toks) - (n - 1)
-    array_distinct(
-      when(count > 0,
-        transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+    when(count > 0,
+      transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShinglesAll(text, n))
 
   /** 64-bit hashes of each distinct shingle (xxhash64, fixed seed) — the
     * base hash family for MinHash/SimHash. */

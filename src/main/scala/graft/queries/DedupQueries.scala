@@ -119,6 +119,27 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
     },
 
+    // Benchmark-contamination flagging: does a document contain any n-gram
+    // from a (small, literal) evaluation-set blocklist? The blocklist is a
+    // broadcast-sized literal and the check is a scan-level arrays_overlap —
+    // zero shuffle, linear in corpus size. At a real deployment the
+    // blocklist arrives as a broadcast dim (millions of benchmark shingles
+    // still fit executor memory); the plan shape is unchanged.
+    QueryDef.sql(
+      "d10_contamination",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t)
+        |SELECT doc_id,
+        |  list_has_any(sh, ['key agg row', 'scan slow fast', 'hash value table']) AS contaminated
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val bench = Seq("key agg row", "scan slow fast", "hash value table")
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        arrays_overlap(
+          TextTokens.wordShingles(col("text"), 3),
+          typedLit(bench)).as("contaminated"))
+    },
+
     // Composed corpus-cleaning pipeline — the operators above chained the
     // way a training-data pipeline actually runs them: language gate →
     // quality gate → exact dedup (first doc per canonical fingerprint

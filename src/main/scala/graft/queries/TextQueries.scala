@@ -105,5 +105,107 @@ object TextQueries {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
         seed = 7, col("doc_id"))
         .select("doc_id", "source")
+    },
+
+    // PII scrubbing: regex redaction of emails/phone numbers + redaction
+    // counts. The corpus is synthetic (no real PII), so the PII is embedded
+    // deterministically from doc_id first — the f2 pattern: construct the
+    // dirty value in-query, identically in both engines, then exercise the
+    // operator. Scan-only, no shuffle.
+    QueryDef.sql(
+      "t7_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\d{3}-\d{2,4}', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\d{3}-\d{2,4}')) AS INT) AS n_phones
+        |FROM aug""".stripMargin) { (spark, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\d{3}-\\d{2,4}"
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+      val deEmailed = regexp_replace(aug, emailRe, "<EMAIL>")
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        regexp_replace(deEmailed, phoneRe, "<PHONE>").as("scrubbed"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast("int").as("n_emails"),
+        size(regexp_extract_all(deEmailed, lit(phoneRe), lit(0))).cast("int").as("n_phones"))
+    },
+
+    // Within-document repetition score (Gopher/RefinedWeb-style quality
+    // signal): duplicate token and duplicate 3-gram fractions. Scan-only.
+    QueryDef.sql(
+      "t8_repetition_score",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, ts,
+        |  CASE WHEN len(ts) >= 3 THEN list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) ELSE [] END AS sh FROM t)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS INT) AS n_distinct_tokens,
+        |  round(CASE WHEN len(ts) > 0 THEN 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS dup_token_frac,
+        |  CAST(len(sh) AS INT) AS n_ngrams,
+        |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct_ngrams,
+        |  round(CASE WHEN len(sh) > 0 THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) ELSE 0.0 END, 6) AS dup_ngram_frac
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val toks = graft.functions.TextTokens.tokens(col("text"))
+      val sh = graft.functions.TextTokens.wordShinglesAll(col("text"), 3)
+      def dupFrac(all: org.apache.spark.sql.Column) = round(
+        when(size(all) > 0,
+          lit(1.0) - size(array_distinct(all)).cast("double") / size(all))
+          .otherwise(lit(0.0)), 6)
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("int").as("n_tokens"),
+        size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
+        dupFrac(toks).as("dup_token_frac"),
+        size(sh).cast("int").as("n_ngrams"),
+        size(array_distinct(sh)).cast("int").as("n_distinct_ngrams"),
+        dupFrac(sh).as("dup_ngram_frac"))
+    },
+
+    // Length bucketing for batch shaping: histogram of documents by
+    // token-count decade — one narrow scan + one aggregation shuffle on a
+    // low-cardinality key.
+    QueryDef.sql(
+      "t9_length_buckets",
+      """WITH t AS (SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n FROM documents)
+        |SELECT CAST(n - (n % 10) AS INT) AS bucket,
+        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val n = TextAnalysis.tokenCountWs(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select((n - pmod(n, lit(10))).cast("int").as("bucket"), n.as("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("total_tokens"))
+    },
+
+    // Sequence packing: assign documents to fixed token-budget training
+    // bins by a running pre-sum within each source shard. Distributed
+    // posture: ONE window shuffle partitioned by source — global packing
+    // would serialize on a single partition, per-shard packing scales with
+    // shard count (the layout a 100 TB tokenization job actually uses).
+    QueryDef.sql(
+      "t10_sequence_pack",
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(cum_before AS BIGINT) AS cum_before,
+        |       CAST(floor(cum_before / 512.0) AS INT) AS bin_id
+        |FROM w""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+        .withColumn("bin_id", floor(col("cum_before") / 512.0).cast("int"))
+        .select("doc_id", "source", "n_tokens", "cum_before", "bin_id")
     })
 }

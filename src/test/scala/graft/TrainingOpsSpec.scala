@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.TextTokens
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-3 training-pipeline operators (t7-t10, d10)
+  * beyond the DuckDB hash gate: redaction really removes the PII patterns,
+  * packing respects its budget invariant, contamination flags exactly the
+  * planted positives. */
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sfDir
+
+  test("t7: scrubbed text contains no email/phone pattern; counts are positive") {
+    val out = SparkEntry.queries("t7_pii_scrub")(spark, dir)
+    val leaked = out.filter(
+      col("scrubbed").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}") ||
+        col("scrubbed").rlike("\\d{3}-\\d{2,4}")).count()
+    assert(leaked == 0, "no PII pattern may survive scrubbing")
+    assert(out.filter(col("n_emails") >= 1 && col("n_phones") >= 1).count() == out.count(),
+      "every row had the planted email and phone counted")
+  }
+
+  test("t8: a fully-repeated doc scores ~1-1/n, an all-distinct doc scores 0") {
+    val docs = Seq((1L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = TextTokens.wordShinglesAll(col("text"), 3)
+    val out = docs.select(
+        col("doc_id"),
+        (lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) == 0.0, "distinct doc has zero repetition")
+    // 7 shingles, 3 distinct ("alpha beta gamma","beta gamma alpha","gamma alpha beta")
+    assert(math.abs(out(1L) - (1.0 - 3.0 / 7.0)) < 1e-9)
+  }
+
+  test("t10: packing fills bins in order; a bin never starts past the budget boundary") {
+    val out = SparkEntry.queries("t10_sequence_pack")(spark, dir)
+      .select("source", "doc_id", "n_tokens", "cum_before", "bin_id").collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // cum_before is the exclusive running sum in doc_id order
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == acc, "cum_before must be the exclusive prefix sum")
+        assert(r.getInt(4) == (acc / 512L).toInt, "bin = floor(prefix/budget)")
+        acc += r.getInt(2)
+      }
+    }
+  }
+
+  test("d10: planted n-gram flags positive, absent n-gram stays negative") {
+    val out = SparkEntry.queries("d10_contamination")(spark, dir)
+    val n = out.count()
+    val pos = out.filter(col("contaminated")).count()
+    assert(pos > 0 && pos < n,
+      s"blocklist must split the corpus (got $pos/$n contaminated)")
+    // cross-check one positive against a direct substring probe
+    val direct = graft.io.Tables.load(spark, dir, "documents")
+      .filter(lower(col("text")).rlike("(^| )key\\s+agg\\s+row( |$)")).count()
+    assert(pos >= direct, "every direct contains-match must be flagged")
+  }
+}
