@@ -106,6 +106,20 @@ object AggWindowQueries {
         .agg(count(lit(1)).as("n"), Num.sumMoney(col("c_acctbal")).as("total_bal"))
     },
 
+    // CUBE (engine-provided per SURVEY §2.6, sibling of a8's ROLLUP): all
+    // 2^k grouping combinations in one pass — same single-shuffle plan as a
+    // plain groupBy, with the grouping-set expansion map-side.
+    QueryDef.sql(
+      "a14_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total_price"))
+    },
+
     // Exact interpolated percentiles (engine-provided extra): Spark
     // `percentile` and DuckDB `quantile_cont` share the linear-interpolation
     // definition; 6dp rounding pins the float boundary. The three quantiles

@@ -105,6 +105,35 @@ object EventQueries {
         .select("event_id", "band")
     },
 
+    // Time-series gap filling: per event_type, every hour between that
+    // type's first and last event, with zero-filled counts for silent
+    // hours. Spark-first shape: the hour spine is sequence()+explode off a
+    // tiny per-type min/max aggregate (output-proportional, never a driver
+    // loop), left-joined back to the hourly counts. Two agg shuffles plus
+    // one broadcast-able join on (type, hour).
+    QueryDef.sql(
+      "e7_gap_fill",
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |spine AS (SELECT event_type, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |          FROM c GROUP BY event_type)
+        |SELECT s.event_type, s.hr, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr""".stripMargin) { (spark, dir) =>
+      val counts = Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val spine = counts
+        .groupBy(col("event_type").as("s_type"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("s_type"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("s_hr"))
+      spine.join(counts,
+          spine("s_type") === counts("event_type") && spine("s_hr") === counts("hr"), "left")
+        .select(
+          col("s_type").as("event_type"), col("s_hr").as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+
     // CDC compaction (graft.operators.Upsert.latestSnapshot): newest event
     // per user — the incremental-merge primitive that replaces the
     // reference's truncate-and-reload at scale. One key shuffle.

@@ -156,6 +156,19 @@ object FilterJoinQueries {
       joined.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_orders"))
     },
 
+    // J13: orphan detection as a LEFT ANTI join — the complement of F4's
+    // semi join (rows with NO match). Same scale posture: a broadcast-able
+    // anti join, never a collected key list or a null-filtered outer join.
+    QueryDef.sql(
+      "j13_anti_join_orphans",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val orders = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
     // J12: self-join alias hygiene (the reference leans on Polars' _right
     // suffix, src/core.py:1857-1861; here explicit aliases).
     QueryDef.sql(

@@ -183,6 +183,44 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("total_tokens"))
     },
 
+    // TF-IDF top terms per document — the classic distributed text-weighting
+    // pipeline: explode terms → per-doc term frequencies (shuffle 1) →
+    // document frequencies (shuffle 2) → score join (term-keyed; the DF side
+    // is vocabulary-sized, broadcast-able) → per-doc top-3 window (shuffle 3).
+    // The corpus count joins in as a 1-row broadcast aggregate, never a
+    // driver-side scalar pulled mid-plan.
+    QueryDef.sql(
+      "t11_tfidf_top_terms",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS term FROM t),
+        |tf AS (SELECT doc_id, term, n_tokens, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM t),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        round((CAST(cnt AS DOUBLE) / n_tokens) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN idf USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), graft.functions.TextTokens.tokens(col("text")).as("ts"))
+      val e = docs.select(
+        col("doc_id"), size(col("ts")).as("n_tokens"), explode(col("ts")).as("term"))
+      val tf = e.groupBy(col("doc_id"), col("term"), col("n_tokens"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = e.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round((col("cnt").cast("double") / col("n_tokens")) *
+            log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+    },
+
     // Sequence packing: assign documents to fixed token-budget training
     // bins by a running pre-sum within each source shard. Distributed
     // posture: ONE window shuffle partitioned by source — global packing
