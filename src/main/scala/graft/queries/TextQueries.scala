@@ -56,9 +56,16 @@ object TextQueries {
         |  (len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 10 AND 100000)
         |    AND round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\s+')), 6) >= 0.01 AS quality_ok
         |FROM documents""".stripMargin) { (spark, dir) =>
-      Tables.load(spark, dir, "documents").select(
-        col("doc_id") +:
-          TextAnalysis.qualityColumns(col("text"), enStop).map { case (n, c) => c.as(n) }: _*)
+      // Two-level select: __toks is referenced by every metric, so the
+      // regexp tokenization runs once per row (CollapseProject keeps the
+      // multi-referenced non-cheap alias as a real column).
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id") +:
+            TextAnalysis.qualityColumnsFromTokens(col("text"), col("__toks"), enStop)
+              .map { case (n, c) => c.as(n) }: _*)
     },
 
     // Token counting: whitespace + BPE-ish regex tokenizer.
