@@ -124,21 +124,24 @@ object FilterJoinQueries {
       val nation = Tables.load(spark, dir, "nation")
       val discPrice = Num.dec2(col("l_extendedprice")) *
         (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
-      // Collapse the dimension chain first (orders ⋈ customer ⋈ nation →
-      // one orderkey→nation map), then probe lineitem once. Only the TRUE
-      // dimension (nation, 25 rows) gets a broadcast hint; orderNation is
-      // fact-scale (|orders|), so the lineitem⋈orderNation edge is left to
-      // AQE — at 100 TB a broadcast hint there would collect the whole
-      // orders side to the driver.
+      // Collapse the fact chain on INTEGER keys and join the name dimension
+      // LAST: orders⋈customer yields the minimal (orderkey, nationkey) map
+      // that probes lineitem once, the aggregate groups 25 int keys, and
+      // only then do 25 rows meet broadcast(nation) for names. Narrower
+      // probe payload (no strings through the fact join), smaller agg keys,
+      // and the only broadcast HINT is the true dimension — the fact-scale
+      // edges stay strategy-free for AQE, because a forced broadcast there
+      // would collect the orders side to the driver at 100 TB.
       val orderNation = orders
         .join(customer, orders("o_custkey") === customer("c_custkey"))
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .select(col("o_orderkey"), col("n_name"))
+        .select(col("o_orderkey"), col("c_nationkey"))
       li.join(orderNation, li("l_orderkey") === orderNation("o_orderkey"))
-        .groupBy(col("n_name").as("nation"))
+        .groupBy(col("c_nationkey"))
         .agg(
           sum(discPrice).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+        .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("revenue"), col("n_items"))
     },
 
     // J10: join back a derived mapping + completeness assert (src/core.py:1006-1012).
