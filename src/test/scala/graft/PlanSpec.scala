@@ -93,4 +93,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "one partition-by shuffle only")
   }
+
+  test("j13: orphan detection is an anti JOIN, never a key-list collect") {
+    val p = planOf("j13_anti_join_orphans")
+    assert(p.contains("LeftAnti"), "must plan as a left anti join")
+    assert(!p.contains("NestedLoop"), "anti join must stay hash-based")
+  }
+
+  test("scan-only text operators: zero shuffles") {
+    for (q <- Seq("t7_pii_scrub", "t8_repetition_score", "d10_contamination")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must be a pure scan-level transform")
+    }
+  }
+
+  test("t10 sequence packing: exactly one shard-key shuffle") {
+    val p = planOf("t10_sequence_pack")
+    assert(p.contains("Window"), "packing is a running-window plan")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one partition-by-source shuffle only — never a global serial pack")
+  }
+
+  test("e7 gap fill: spine join stays equi, no nested loop") {
+    val p = planOf("e7_gap_fill")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "the hour spine must join back on (type, hour) keys")
+    assert(p.contains("Generate explode"), "spine comes from sequence()+explode")
+  }
+
+  test("t11 tf-idf: corpus count is a broadcast, not a collected scalar") {
+    val p = planOf("t11_tfidf_top_terms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row corpus count must arrive via broadcast")
+    assert(p.contains("Window"), "per-doc top-k is a window")
+  }
 }
