@@ -18,7 +18,11 @@ object AggWindowQueries {
     // reference inherits input order; distributed execution must not).
     // The list serializes to a joined string at the output boundary —
     // result frames keep scalar columns only (array cells are not
-    // sortable/hashable by the comparison harness).
+    // sortable/hashable by the comparison harness). PRECONDITION of the
+    // ','-join flatten: elements are non-null (concat_ws and DuckDB
+    // array_to_string both silently DROP nulls, masking divergence) and
+    // comma-free — true for c_mktsegment; use the p23/p24  pattern
+    // when flattening nullable or free-text elements.
     QueryDef.sql(
       "a1_group_collect_list",
       """SELECT c_nationkey AS nation_id, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments, COUNT(*) AS n
