@@ -322,10 +322,15 @@ object Similarity {
     // shared session.) All L signatures still compute in ONE pass per
     // consumer (posexplode), not L passes.
     val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm")
+    // All L signatures via ONE native expression (the planes live in the
+    // expression object, not as typedLit plan literals — 6×8×64 literal
+    // doubles cost more in per-run analysis/optimization than the query's
+    // actual execution; pinned equivalent to the literal formulation in
+    // SimilaritySpec).
     val sigs = base.select(
         col("vid"),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneSignature(col("v"), dim, nPlanes, seed + t)): _*)))
+        posexplode(graft.functions.expr.VectorExpressions
+          .hyperplaneSignatures(col("v"), dim, nPlanes, tables, seed)))
       .toDF("vid", "tbl", "sig")
     // shuffle_hash, not broadcast: sigs is corpus-scale (n·L rows), so at
     // 100 TB it can never be a build side — and shuffling BOTH sides on the

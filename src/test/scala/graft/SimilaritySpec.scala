@@ -69,6 +69,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found >= 8, s"IVF recall on planted near-dups too low: $found/10")
   }
 
+  test("native signature bank == literal-plane formulation, every table") {
+    val df = (0 until 25).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tables = 4
+    val bank = graft.functions.expr.VectorExpressions
+      .hyperplaneSignatures(col("v"), dim = 16, nPlanes = 8, tables = tables, seed = 42L)
+    val literal = array((0 until tables).map(t =>
+      Similarity.hyperplaneSignature(col("v"), dim = 16, nPlanes = 8, seed = 42L + t)): _*)
+    val diff = df.select(bank.as("a"), literal.as("b")).filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "bank and typedLit-plane signatures must agree bit-for-bit")
+  }
+
   test("LSH ANN finds planted near-duplicate vectors") {
     val base = (0 until 40).map(i => (i.toLong, vec(i)))
     // plant: 100+i is a tiny perturbation of i, for i in 0..9
