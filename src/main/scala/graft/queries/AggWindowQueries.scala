@@ -61,14 +61,27 @@ object AggWindowQueries {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
-      val discPrice = Num.dec2(col("l_extendedprice")) *
-        (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      // Unscaled-long fast path (graft.functions.expr.Int128Sum): the
+      // codegen'd projection below the aggregate produces exact scaled
+      // longs (cents; the disc product in 10^-4 units = the same unscaled
+      // value the decimal(18,2)×decimal(4,2) multiply carries), and the
+      // aggregate sums them in int128 exactly like DuckDB — bit-identical
+      // to the sum(decimal) formulation without its per-row BigDecimal
+      // allocation (the +10-digit result precision leaves Spark's
+      // compact-long representation).
+      import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
       Tables.load(spark, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          unscaled2(col("l_quantity")).as("uq"),
+          unscaled2(col("l_extendedprice")).as("up"),
+          (unscaled2(col("l_extendedprice")) *
+            (lit(100L) - unscaled2(col("l_discount")))).as("ud"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(Num.dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          Num.sumMoney(col("l_extendedprice")).as("sum_base_price"),
-          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+          sumScaled(col("uq"), 2).cast(DoubleType).as("sum_qty"),
+          sumScaled(col("up"), 2).cast(DoubleType).as("sum_base_price"),
+          sumScaled(col("ud"), 4).cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 

@@ -118,12 +118,15 @@ object FilterJoinQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
       val li = Tables.load(spark, dir, "lineitem")
       val orders = Tables.load(spark, dir, "orders")
       val customer = Tables.load(spark, dir, "customer")
       val nation = Tables.load(spark, dir, "nation")
-      val discPrice = Num.dec2(col("l_extendedprice")) *
-        (lit("1.00").cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      // Exact scaled-long revenue (see q1's comment): cents × (100 - disc
+      // cents) = the decimal product's unscaled 10^-4 units, summed int128.
+      val discScaled = unscaled2(col("l_extendedprice")) *
+        (lit(100L) - unscaled2(col("l_discount")))
       // Collapse the fact chain on INTEGER keys and join the name dimension
       // LAST: orders⋈customer yields the minimal (orderkey, nationkey) map
       // that probes lineitem once, the aggregate groups 25 int keys, and
@@ -135,10 +138,11 @@ object FilterJoinQueries {
       val orderNation = orders
         .join(customer, orders("o_custkey") === customer("c_custkey"))
         .select(col("o_orderkey"), col("c_nationkey"))
-      li.join(orderNation, li("l_orderkey") === orderNation("o_orderkey"))
+      li.select(col("l_orderkey"), discScaled.as("ud"))
+        .join(orderNation, col("l_orderkey") === orderNation("o_orderkey"))
         .groupBy(col("c_nationkey"))
         .agg(
-          sum(discPrice).cast("double").as("revenue"),
+          sumScaled(col("ud"), 4).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
         .select(col("n_name").as("nation"), col("revenue"), col("n_items"))

@@ -25,7 +25,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q1: map-side partial aggregation, exactly one shuffle, pruned scan") {
     val p = planOf("q1_pricing_summary")
-    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+    assert(p.contains("partial_int128sum"), "expected map-side partial aggregation")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "q1 must shuffle exactly once (group-by)")
     assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"),

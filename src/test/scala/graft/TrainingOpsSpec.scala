@@ -51,6 +51,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Int128Sum: matches sum(decimal) exactly, survives >64-bit totals, null groups") {
+    import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
+    import org.apache.spark.sql.types.DecimalType
+    // totals past Long.MaxValue unscaled units: 10 × 9.2e17 cents
+    val big = Seq.fill(10)(9.2e15).map(v => ("g", v)).toDF("g", "v").repartition(4)
+    val viaInt128 = big.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s"))
+      .head().getDecimal(1)
+    val viaDecimal = big.groupBy("g")
+      .agg(sum(col("v").cast(DecimalType(18, 2))).as("s")).head().getDecimal(1)
+    assert(viaInt128.compareTo(viaDecimal) == 0,
+      s"128-bit sum must equal decimal sum past long range: $viaInt128 vs $viaDecimal")
+    // empty-group semantics: all-null input sums to NULL, like sum()
+    val nulls = Seq(("g", None: Option[Double]), ("g", None)).toDF("g", "v")
+    val r = nulls.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s")).head()
+    assert(r.isNullAt(1), "all-null group must sum to NULL exactly like sum()")
+  }
+
   test("d10: planted n-gram flags positive, absent n-gram stays negative") {
     val out = SparkEntry.queries("d10_contamination")(spark, dir)
     val n = out.count()
