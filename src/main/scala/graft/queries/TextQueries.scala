@@ -190,6 +190,34 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("total_tokens"))
     },
 
+    // Document chunking: overlapping token windows (W=32, stride 24 — the
+    // standard LLM-ingest shape: every token is covered, consecutive chunks
+    // share W-S tokens of context). Output-proportional explode off the
+    // scan, no shuffle; a doc yields 1 + ceil(max(n-W,0)/S) chunks.
+    QueryDef.sql(
+      "t12_chunk_windows",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts, len(ts) AS n,
+        |        1 + CAST(ceil(greatest(len(ts) - 32, 0) / 24.0) AS INT) AS nchunks FROM t),
+        |e AS (SELECT doc_id, ts, n, unnest(range(nchunks)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |       array_to_string(ts[ci*24+1 : least(ci*24+32, n)], ' ') AS chunk,
+        |       CAST(least(ci*24+32, n) - ci*24 AS INT) AS n_chunk_tokens
+        |FROM e""".stripMargin) { (spark, dir) =>
+      val toks = graft.functions.TextTokens.tokens(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("ts"), size(toks).as("n"))
+        .withColumn("nchunks",
+          (lit(1) + ceil(greatest(col("n") - 32, lit(0)) / 24.0)).cast("int"))
+        .select(col("doc_id"), col("ts"), col("n"),
+          posexplode(sequence(lit(0), col("nchunks") - 1)).as(Seq("pos", "ci")))
+        .select(
+          col("doc_id"),
+          col("ci").cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(col("ts"), col("ci") * 24 + 1, lit(32))).as("chunk"),
+          (least(col("ci") * 24 + 32, col("n")) - col("ci") * 24).cast("int").as("n_chunk_tokens"))
+    },
+
     // TF-IDF top terms per document — the classic distributed text-weighting
     // pipeline: explode terms → per-doc term frequencies (shuffle 1) →
     // document frequencies (shuffle 2) → score join (term-keyed; the DF side

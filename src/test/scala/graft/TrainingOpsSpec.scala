@@ -66,6 +66,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     val nulls = Seq(("g", None: Option[Double]), ("g", None)).toDF("g", "v")
     val r = nulls.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s")).head()
     assert(r.isNullAt(1), "all-null group must sum to NULL exactly like sum()")
+    // mixed-sign randomized values against the decimal formulation
+    val rnd = new scala.util.Random(42)
+    val mixed = Seq.fill(500)(("g", (rnd.nextDouble() - 0.5) * 2e6))
+      .toDF("g", "v").repartition(8)
+    val mi = mixed.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s"))
+      .head().getDecimal(1)
+    val md = mixed.groupBy("g")
+      .agg(sum(col("v").cast(DecimalType(18, 2))).as("s")).head().getDecimal(1)
+    assert(mi.compareTo(md) == 0, s"mixed-sign 128-bit sum mismatch: $mi vs $md")
+  }
+
+  test("t12: chunks cover every token; consecutive chunks overlap by W-S") {
+    val out = SparkEntry.queries("t12_chunk_windows")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, chunks) =>
+      val n = docs(id)
+      val sorted = chunks.sortBy(_.getInt(1))
+      // coverage: last chunk must reach token n; starts advance by stride 24
+      val lastStart = (sorted.length - 1) * 24
+      assert(lastStart + sorted.last.getInt(3) == n,
+        s"doc $id: chunks must cover all $n tokens")
+      sorted.init.foreach(c => assert(c.getInt(3) == 32,
+        s"doc $id: every non-final chunk is a full window"))
+    }
   }
 
   test("d10: planted n-gram flags positive, absent n-gram stays negative") {
