@@ -119,6 +119,24 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
     },
 
+    // Cross-split leakage: canonical fingerprints that appear in more than
+    // one source split (train/eval contamination through exact duplicates).
+    // One shuffle on the 16-byte fingerprint; the leaked flag is a grouped
+    // distinct count, no pairwise work.
+    QueryDef.sql(
+      "d12_cross_split_leakage",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT source) > 1 AS leaked
+        |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .agg(
+          countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          (countDistinct(col("source")) > 1).as("leaked"))
+    },
+
     // Benchmark-contamination flagging: does a document contain any n-gram
     // from a (small, literal) evaluation-set blocklist? The blocklist is a
     // broadcast-sized literal and the check is a scan-level arrays_overlap —

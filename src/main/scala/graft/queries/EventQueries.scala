@@ -134,6 +134,66 @@ object EventQueries {
           coalesce(col("n"), lit(0L)).as("n"))
     },
 
+    // Retention cohorts: users grouped by first-seen day, activity counted
+    // per day offset — the classic engagement matrix. Two agg shuffles
+    // (cohort assignment, then the distinct-user count) + one user-keyed
+    // join; every stage is key-partitioned, nothing driver-side.
+    QueryDef.sql(
+      "e8_retention_cohorts",
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1)
+        |SELECT cohort_day, datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val events = Tables.load(spark, dir, "events")
+      val first = events.groupBy(col("user_id").as("f_user"))
+        .agg(min(col("ts")).cast("date").as("cohort_day"))
+      events.join(first, events("user_id") === first("f_user"))
+        .groupBy(col("cohort_day"),
+          datediff(col("ts").cast("date"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // Sequenced funnel: view → click-after-first-view → purchase-after-
+    // that-click, counted per reached stage. Three conditional-min
+    // aggregations chained by user-keyed joins — each stage is one agg
+    // shuffle on user_id and the joins co-partition with it.
+    QueryDef.sql(
+      "e9_funnel_stages",
+      """WITH v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id WHERE t_view IS NOT NULL GROUP BY 1, t_view),
+        |p AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END) AS t_buy
+        |      FROM events e JOIN c ON e.user_id = c.user_id WHERE t_click IS NOT NULL GROUP BY 1, t_click),
+        |s AS (SELECT v.user_id,
+        |        CASE WHEN t_buy IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |      WHERE t_view IS NOT NULL)
+        |SELECT stage, COUNT(*) AS n_users FROM s GROUP BY stage""".stripMargin) { (spark, dir) =>
+      val events = Tables.load(spark, dir, "events")
+      val v = events.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = events.join(v.select(col("user_id").as("vu"), col("t_view")),
+          events("user_id") === col("vu"))
+        .groupBy(col("vu"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+          col("ts"))).as("t_click"))
+        .filter(col("t_click").isNotNull)
+      val p = events.join(c.select(col("vu").as("cu"), col("t_click")),
+          events("user_id") === col("cu"))
+        .groupBy(col("cu"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+          col("ts"))).as("t_buy"))
+        .filter(col("t_buy").isNotNull)
+      v.join(c.select(col("vu"), lit(true).as("clicked")), v("user_id") === col("vu"), "left")
+        .join(p.select(col("cu"), lit(true).as("bought")), v("user_id") === col("cu"), "left")
+        .select(when(col("bought"), 3).when(col("clicked"), 2).otherwise(1).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // CDC compaction (graft.operators.Upsert.latestSnapshot): newest event
     // per user — the incremental-merge primitive that replaces the
     // reference's truncate-and-reload at scale. One key shuffle.
