@@ -96,6 +96,41 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** File-source stream over a documents parquet directory. */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming corpus clean — the d9 batch pipeline on a document stream:
+    * language gate → quality gate → canonical fingerprint → first-arrival
+    * dedup. The gates are stateless per-row expressions; only the dedup
+    * carries state. For a bounded backfill (AvailableNow) global exact
+    * dedup is the right call; a CONTINUOUS ingest should pass a horizon so
+    * state stays bounded by the watermark window instead of all
+    * fingerprints ever — same trade the batch/stream dedup twins document.
+    */
+  def cleanCorpusStream(
+      docs: DataFrame, ingestTs: Option[(String, String)] = None): DataFrame = {
+    val enStop = Seq("the", "a", "of", "and", "is")
+    val quality = graft.functions.TextAnalysis.qualityColumns(col("text"), enStop).toMap
+    val tsCols = ingestTs.map { case (c, _) => col(c) }.toSeq
+    val gated = docs
+      .filter(graft.functions.TextAnalysis.languageId(col("text")) === "en" &&
+        quality("quality_ok"))
+      .select(
+        col("doc_id") +:
+          graft.functions.TextAnalysis.fingerprintMd5(col("text")).as("fp") +:
+          quality("n_tokens").as("n_tokens") +: tsCols: _*)
+    ingestTs match {
+      case Some((tsCol, horizon)) =>
+        gated.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("fp")
+      case None => gated.dropDuplicates("fp")
+    }
+  }
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

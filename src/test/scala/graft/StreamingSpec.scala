@@ -43,6 +43,24 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming corpus clean == batch d9 pipeline (backfill parity)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStreams.cleanCorpusStream(
+      EventStreams.readDocumentsStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("clean_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("clean_test")
+      .select("doc_id", "fp", "n_tokens").collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("d9_clean_corpus")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // Same gates, same fingerprints; within a single backfill file the
+    // arrival order is row order, so first-arrival dedup keeps the same
+    // doc as batch's min-doc_id window.
+    assert(streamed == batch && batch.nonEmpty)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
