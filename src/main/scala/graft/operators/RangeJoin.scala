@@ -35,6 +35,6 @@ object RangeJoin {
       if (hiInclusive) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
       else col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
     p2.join(i2, p2("__bucket") === i2("__bucket") && rangePred)
-      .select(points.columns.map(points(_)) ++ intervals.columns.map(intervals(_)): _*)
+      .select((points.columns.map(points(_)) ++ intervals.columns.map(intervals(_))).toIndexedSeq: _*)
   }
 }

@@ -48,10 +48,10 @@ object Upsert {
     // NULL delete flag means "not a tombstone": without the coalesce the
     // !__del predicate would be NULL and silently drop the key.
     val c = changes.select(
-        cols.map(col) :+ coalesce(col(deleteCol), lit(false)).as("__del"): _*)
+        (cols.map(col) :+ coalesce(col(deleteCol), lit(false)).as("__del")).toIndexedSeq: _*)
       .withColumn("__src", lit(1))
     latestSnapshot(b.unionByName(c), keys, ts, tiebreak :+ "__src")
       .filter(!col("__del"))
-      .select(cols.map(col): _*)
+      .select(cols.map(col).toIndexedSeq: _*)
   }
 }

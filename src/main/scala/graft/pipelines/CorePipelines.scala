@@ -167,7 +167,7 @@ object CorePipelines {
     val missing = joined.filter(col("objectKey").isNull).count()
     require(missing == 0, s"$missing uploaded resolutions lost their object mapping")
     val merged = joined
-      .select(withA.columns.map(col) :+ col("objectKey").as("object_key"): _*)
+      .select((withA.columns.map(col) :+ col("objectKey").as("object_key")).toIndexedSeq: _*)
       .unionByName(withoutA)
     (merged, () => { mapping.unpersist(); () })
   }
