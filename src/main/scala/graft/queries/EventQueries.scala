@@ -155,41 +155,40 @@ object EventQueries {
     },
 
     // Sequenced funnel: view → click-after-first-view → purchase-after-
-    // that-click, counted per reached stage. Three conditional-min
-    // aggregations chained by user-keyed joins — each stage is one agg
-    // shuffle on user_id and the joins co-partition with it.
+    // that-click, counted per reached stage. ONE events scan + ONE
+    // user-key shuffle: the three conditional mins chain as whole-partition
+    // window aggregates over the same partitioning (no re-shuffle between
+    // them) — at 100 TB this replaces the naive 3-scan/3-join formulation.
     QueryDef.sql(
       "e9_funnel_stages",
-      """WITH v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-        |           FROM events GROUP BY 1),
-        |c AS (SELECT e.user_id, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END) AS t_click
-        |      FROM events e JOIN v ON e.user_id = v.user_id WHERE t_view IS NOT NULL GROUP BY 1, t_view),
-        |p AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END) AS t_buy
-        |      FROM events e JOIN c ON e.user_id = c.user_id WHERE t_click IS NOT NULL GROUP BY 1, t_click),
-        |s AS (SELECT v.user_id,
+      """WITH w1 AS (SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_buy FROM w2),
+        |s AS (SELECT DISTINCT user_id,
         |        CASE WHEN t_buy IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
-        |      FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
-        |      WHERE t_view IS NOT NULL)
+        |      FROM w3 WHERE t_view IS NOT NULL)
         |SELECT stage, COUNT(*) AS n_users FROM s GROUP BY stage""".stripMargin) { (spark, dir) =>
-      val events = Tables.load(spark, dir, "events")
-      val v = events.groupBy(col("user_id"))
-        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+            col("ts"))).over(byUser))
+        .withColumn("t_buy",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+            col("ts"))).over(byUser))
         .filter(col("t_view").isNotNull)
-      val c = events.join(v.select(col("user_id").as("vu"), col("t_view")),
-          events("user_id") === col("vu"))
-        .groupBy(col("vu"), col("t_view"))
-        .agg(min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
-          col("ts"))).as("t_click"))
-        .filter(col("t_click").isNotNull)
-      val p = events.join(c.select(col("vu").as("cu"), col("t_click")),
-          events("user_id") === col("cu"))
-        .groupBy(col("cu"), col("t_click"))
-        .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
-          col("ts"))).as("t_buy"))
-        .filter(col("t_buy").isNotNull)
-      v.join(c.select(col("vu"), lit(true).as("clicked")), v("user_id") === col("vu"), "left")
-        .join(p.select(col("cu"), lit(true).as("bought")), v("user_id") === col("cu"), "left")
-        .select(when(col("bought"), 3).when(col("clicked"), 2).otherwise(1).as("stage"))
+        .select(col("user_id"),
+          when(col("t_buy").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2).otherwise(1).as("stage"))
+        .distinct()
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_users"))
     },

@@ -121,6 +121,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "spine comes from sequence()+explode")
   }
 
+  test("e9 funnel: one events scan, windows share one user-key partitioning") {
+    val p = planOf("e9_funnel_stages")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "the chained conditional mins must not re-scan events")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "all three window aggregates share a single user-key exchange")
+  }
+
   test("t11 tf-idf: corpus count is a broadcast, not a collected scalar") {
     val p = planOf("t11_tfidf_top_terms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
