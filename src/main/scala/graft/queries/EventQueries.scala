@@ -135,20 +135,21 @@ object EventQueries {
     },
 
     // Retention cohorts: users grouped by first-seen day, activity counted
-    // per day offset — the classic engagement matrix. Two agg shuffles
-    // (cohort assignment, then the distinct-user count) + one user-keyed
-    // join; every stage is key-partitioned, nothing driver-side.
+    // per day offset — the classic engagement matrix. ONE events scan: the
+    // cohort day is a whole-partition window min over user_id (no
+    // aggregate-then-join-back re-scan), then one grouped distinct count.
     QueryDef.sql(
       "e8_retention_cohorts",
-      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1)
+      """WITH w AS (SELECT user_id, ts,
+        |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day FROM events)
         |SELECT cohort_day, datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
-        |       COUNT(DISTINCT e.user_id) AS n_users
-        |FROM events e JOIN f ON e.user_id = f.user_id
-        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-      val events = Tables.load(spark, dir, "events")
-      val first = events.groupBy(col("user_id").as("f_user"))
-        .agg(min(col("ts")).cast("date").as("cohort_day"))
-      events.join(first, events("user_id") === first("f_user"))
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("cohort_day",
+          min(col("ts")).over(Window.partitionBy(col("user_id"))).cast("date"))
         .groupBy(col("cohort_day"),
           datediff(col("ts").cast("date"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))

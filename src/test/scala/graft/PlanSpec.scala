@@ -129,6 +129,12 @@ class PlanSpec extends AnyFunSuite {
       "all three window aggregates share a single user-key exchange")
   }
 
+  test("e8 cohorts: one events scan (window cohort, no join-back)") {
+    val p = planOf("e8_retention_cohorts")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "cohort assignment must not aggregate-then-rejoin the scan")
+  }
+
   test("t11 tf-idf: corpus count is a broadcast, not a collected scalar") {
     val p = planOf("t11_tfidf_top_terms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
