@@ -229,7 +229,7 @@ object TextQueries {
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
         |e AS (SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS term FROM t),
         |tf AS (SELECT doc_id, term, n_tokens, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
-        |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+        |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n_docs FROM t),
         |s AS (SELECT tf.doc_id, tf.term,
         |        round((CAST(cnt AS DOUBLE) / n_tokens) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
@@ -244,7 +244,11 @@ object TextQueries {
         col("doc_id"), size(col("ts")).as("n_tokens"), explode(col("ts")).as("term"))
       val tf = e.groupBy(col("doc_id"), col("term"), col("n_tokens"))
         .agg(count(lit(1)).as("cnt"))
-      val dfreq = e.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      // DF from TF, not from a second explode pass: tf is already distinct
+      // on (doc, term), so df(term) = its row count — the exploded token
+      // stream is scanned ONCE, and tf's own agg exchange is reused for
+      // both consumers.
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       tf.join(dfreq, "term")
