@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Exact 3-gram Jaccard ≥ 0.8 pairs (id_a < id_b) via the inverted
+    * shingle index — the pair stage shared by d4 (reporting) and d13
+    * (cluster assignment). */
+  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextTokens.wordShingles(col("text"), 3).as("sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val a = exploded.alias("a")
+    val b = exploded.alias("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), col("id_b") === col("idb"))
+      .filter(j >= 0.8)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: canonical-text fingerprint → groupBy → first-id keeper.
@@ -42,22 +64,37 @@ object DedupQueries {
         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
         |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), TextTokens.wordShingles(col("text"), 3).as("sh"))
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val a = exploded.alias("a")
-      val b = exploded.alias("b")
-      val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val j = col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double")
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
-        .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), col("id_b") === col("idb"))
-        .filter(j >= 0.8)
-        .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+      jaccardPairs(spark, dir)
+    },
+
+    // Duplicate-cluster assignment: connected components over the near-dup
+    // pair graph — the stage between pair detection and keeper election
+    // (pairs → component id → keeper = component minimum). Iterative
+    // min-label propagation (graft.operators.ConnectedComponents), oracled
+    // against DuckDB's recursive-CTE transitive closure.
+    QueryDef.sql(
+      "d13_dup_clusters",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |pairs AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+        |          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8),
+        |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src)
+        |SELECT id AS doc_id, min(label) AS component, min(label) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
+      val verts = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val clusters = graft.operators.ConnectedComponents.minLabel(
+        verts, "doc_id", jaccardPairs(spark, dir), "id_a", "id_b")
+      clusters.select(
+        col("id").as("doc_id"), col("label").as("component"),
+        (col("label") === col("id")).as("is_keeper"))
     },
 
     // MinHash + banded LSH: the scale path for near-dup detection — the

@@ -95,6 +95,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains collapse to min label; singletons keep their own") {
+    import graft.operators.ConnectedComponents
+    // a 5-chain (1-2-3-4-5), a 2-cycle (10,11), and singleton 20
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L), (11L, 10L))
+      .toDF("a", "b")
+    val (labels, release) = ConnectedComponents.minLabelWithRelease(
+      verts, "id", edges, "a", "b")
+    try {
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+    } finally release()
+  }
+
   test("d10: planted n-gram flags positive, absent n-gram stays negative") {
     val out = SparkEntry.queries("d10_contamination")(spark, dir)
     val n = out.count()
