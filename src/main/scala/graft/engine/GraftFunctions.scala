@@ -1,0 +1,78 @@
+package graft.engine
+
+import graft.functions.expr._
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql(...)` users get the same codegen'd primitives as the Column
+  * API — the library-completeness seam for SQL-first callers.
+  *
+  *   - `graft_dot(a, b)`            — sequential-fold double dot product
+  *   - `graft_shingles(text, n)`    — hashed distinct word n-gram shingles
+  *   - `graft_minhash(hashes, k, seed)` — k-permutation MinHash signature
+  *   - `graft_hyperplane_sigs(vec, dim, nplanes, tables, seed)` — LSH bank
+  *   - `graft_sum_scaled(unscaledLong, scale)` — exact int128 money sum
+  *
+  * Static parameters (k, seed, dim, …) must be literals — they are baked
+  * into the expression at resolution time exactly like the Column API.
+  * Call [[registerAll]] on a live session; sessions built fresh can use
+  * `spark.sql.extensions=graft.engine.GraftExtensions` instead.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { args =>
+      require(args.length == 2, "graft_dot(a, b)")
+      ArrayDotProduct(args(0), args(1))
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(text, n)")
+      HashedWordShingles(args(0), litInt(args(1), "n"))
+    },
+    "graft_minhash" -> { args =>
+      require(args.length == 3, "graft_minhash(hashes, k, seed)")
+      MinHashSignature(args(0), litInt(args(1), "k"), litLong(args(2), "seed"))
+    },
+    "graft_hyperplane_sigs" -> { args =>
+      require(args.length == 5, "graft_hyperplane_sigs(vec, dim, nplanes, tables, seed)")
+      HyperplaneSignatures(args(0), litInt(args(1), "dim"), litInt(args(2), "nplanes"),
+        litInt(args(3), "tables"), litLong(args(4), "seed"))
+    },
+    "graft_sum_scaled" -> { args =>
+      require(args.length == 2, "graft_sum_scaled(unscaledLong, scale)")
+      Int128Sum(args(0), litInt(args(1), "scale")).toAggregateExpression()
+    })
+
+  /** Register every graft SQL function on a live session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point for sessions built fresh:
+  * `--conf spark.sql.extensions=graft.engine.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.engine.GraftFunctions", name),
+        builder))
+    }
+}

@@ -95,6 +95,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: graft_* functions register and match the Column API") {
+    graft.engine.GraftFunctions.registerAll(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(dot == 11.0)
+    Seq(("a b c d", 1L)).toDF("text", "id").createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(graft_shingles(text, 3), 16, 42L) AS mh FROM sqlfn_docs")
+      .head().getSeq[Long](0)
+    val viaColumns = Seq(("a b c d", 1L)).toDF("text", "id")
+      .select(graft.functions.MinHashLSH.minhashes(
+        array_distinct(graft.functions.expr.HashedWordShingles(col("text"), 3)), 16).as("mh"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaColumns, "SQL and Column formulations must agree bit-for-bit")
+    val s = spark.sql(
+      "SELECT CAST(graft_sum_scaled(v, 2) AS DOUBLE) AS s FROM VALUES (123L), (877L) t(v)")
+      .head().getDouble(0)
+    assert(s == 10.0, "int128 sum usable as a SQL aggregate")
+  }
+
   test("connected components: chains collapse to min label; singletons keep their own") {
     import graft.operators.ConnectedComponents
     // a 5-chain (1-2-3-4-5), a 2-cycle (10,11), and singleton 20
