@@ -31,10 +31,15 @@ object TextAnalysis {
     * in a single token pass, and the argmax in the finish lambda reads
     * fields of the BOUND accumulator value, which costs field accesses,
     * not re-evaluations. */
-  def languageId(text: Column): Column = {
+  def languageId(text: Column): Column =
+    languageIdFromTokens(TextTokens.tokens(text))
+
+  /** [[languageId]] over a caller-supplied token array (pair it with a
+    * shared lower-projection alias when other metrics tokenize too). */
+  def languageIdFromTokens(toks: Column): Column = {
     val langs = markers.map(_._1)
     aggregate(
-      TextTokens.tokens(text),
+      toks,
       struct(markers.map { case (lang, _) => lit(0).as(lang) }: _*),
       (acc, t) => struct(markers.map { case (lang, ws) =>
         (acc.getField(lang) + when(t.isin(ws: _*), 1).otherwise(0)).as(lang)

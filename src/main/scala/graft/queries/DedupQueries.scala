@@ -225,10 +225,17 @@ object DedupQueries {
         |SELECT doc_id, fp, n_tokens FROM f WHERE rn = 1""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val enStop = Seq("the", "a", "of", "and", "is")
-      val quality = TextAnalysis.qualityColumns(col("text"), enStop).toMap
+      // Shared-token projection (the t2 pattern): the gate references the
+      // token array 4+ times, so CollapseProject keeps __toks a real column
+      // and the regexp tokenization runs once per row.
+      val quality = TextAnalysis
+        .qualityColumnsFromTokens(col("text"), col("__toks"), enStop).toMap
       val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       Tables.load(spark, dir, "documents")
-        .filter(TextAnalysis.languageId(col("text")) === "en" && quality("quality_ok"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+        .filter(TextAnalysis.languageIdFromTokens(col("__toks")) === "en" &&
+          quality("quality_ok"))
         .select(
           col("doc_id"),
           TextAnalysis.fingerprintMd5(col("text")).as("fp"),
