@@ -34,14 +34,18 @@ object TextQueries {
         |  CAST(en AS INT) AS en_markers, CAST(es AS INT) AS es_markers,
         |  CAST(de AS INT) AS de_markers, CAST(fr AS INT) AS fr_markers
         |FROM c""".stripMargin) { (spark, dir) =>
-      val toks = graft.functions.TextTokens.tokens(col("text"))
-      val counts = TextAnalysis.markerCounts(toks)
-      Tables.load(spark, dir, "documents").select(
-        Seq(
-          col("doc_id"),
-          col("lang").as("labeled_lang"),
-          TextAnalysis.languageId(col("text")).as("predicted_lang")) ++
-          counts.map { case (lang, c) => c.as(s"${lang}_markers") }: _*)
+      // Shared-token projection: predicted_lang + 4 marker counts all read
+      // the one __toks column instead of re-tokenizing per output.
+      val counts = TextAnalysis.markerCounts(col("__toks"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+        .select(
+          Seq(
+            col("doc_id"),
+            col("lang").as("labeled_lang"),
+            TextAnalysis.languageIdFromTokens(col("__toks")).as("predicted_lang")) ++
+            counts.map { case (lang, c) => c.as(s"${lang}_markers") }: _*)
     },
 
     // Quality scoring: length/punctuation/stopword heuristics + keep flag.
@@ -216,6 +220,19 @@ object TextQueries {
           col("ci").cast("int").as("chunk_idx"),
           concat_ws(" ", slice(col("ts"), col("ci") * 24 + 1, lit(32))).as("chunk"),
           (least(col("ci") * 24 + 32, col("n")) - col("ci") * 24).cast("int").as("n_chunk_tokens"))
+    },
+
+    // Multimodal feature pipeline: synthesize the deterministic seeded
+    // media corpus (no driver-provided media table exists; the stub decode
+    // contract is SURVEY-mandated), chain resize → per-partition decode →
+    // scalar features. rows-only: binary payloads have no DuckDB oracle;
+    // the decode/resize/frame semantics are pinned in MultimodalSpec.
+    QueryDef.rowsOnly("m1_multimodal_features") { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.synthesizeCorpus(spark, 200)
+      Multimodal.extractFeatures(Multimodal.resize(media, 16, 16)).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_bytes"), round(col("brightness"), 6).as("brightness"))
     },
 
     // TF-IDF top terms per document — the classic distributed text-weighting
