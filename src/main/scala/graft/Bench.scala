@@ -34,8 +34,9 @@ object Bench {
     // A failed query must be VISIBLE, not a fast-looking small number:
     // run() reports success, and the JSON carries per-query status so a
     // regression can't hide behind a short failure path. (No clearCache():
-    // the query catalog no longer persists anything, and a global cache
-    // wipe would evict caller-owned caches in a shared session.)
+    // no HEADLINE query persists anything — the one cache-returning
+    // operator, ConnectedComponents/d13, is not benched — and a global
+    // cache wipe would evict caller-owned caches in a shared session.)
     def run(name: String): Boolean =
       try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch { case _: Throwable => false }

@@ -54,7 +54,10 @@ object GraftFunctions {
     },
     "graft_sum_scaled" -> { args =>
       require(args.length == 2, "graft_sum_scaled(unscaledLong, scale)")
-      Int128Sum(args(0), litInt(args(1), "scale")).toAggregateExpression()
+      // Return the bare AggregateFunction: the analyzer wraps it itself,
+      // which is what routes SQL DISTINCT / FILTER (WHERE ...) modifiers
+      // correctly — an eager toAggregateExpression() would reject them.
+      Int128Sum(args(0), litInt(args(1), "scale"))
     })
 
   /** Register every graft SQL function on a live session. Idempotent. */

@@ -40,7 +40,11 @@ object CsvExport {
         .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
       val dest = new Path(path)
       fs.delete(dest, true)
-      fs.rename(part, dest)
+      // Hadoop FileSystem.rename signals failure by RETURNING false (e.g.
+      // cross-directory restrictions on some object stores) — deleting the
+      // staging dir after an unchecked rename would destroy the only copy.
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"rename $part -> $dest failed; staging left at $staging")
       fs.delete(new Path(staging), true)
     }
 }

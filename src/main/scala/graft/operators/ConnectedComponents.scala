@@ -39,11 +39,17 @@ object ConnectedComponents {
       vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 20): (DataFrame, () => Unit) = {
+    // Persisted for the loop: every round's neighbor-min join reads the
+    // edge set, and without the cache each labelSum action would re-run
+    // the caller's whole edge-producing subplan (e.g. d13's pair
+    // detection) twice per round via the two union branches.
     val undirected = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .persist()
 
+    // NULL on an empty frame (sum over zero rows) — handled below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
@@ -51,6 +57,11 @@ object ConnectedComponents {
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist()
     var prevSum = labelSum(labels)
+    if (prevSum == null) { // no vertices: trivially converged, nothing cached to keep
+      undirected.unpersist()
+      val empty = labels
+      return (empty, () => { empty.unpersist(); () })
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -68,6 +79,7 @@ object ConnectedComponents {
       prevSum = newSum
       iter += 1
     }
+    undirected.unpersist() // labels is materialized; the edge cache is done
     require(converged, s"connected components did not converge in $maxIters rounds " +
       "(long-chain graph: use a star-contraction variant)")
     val done = labels

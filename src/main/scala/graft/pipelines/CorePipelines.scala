@@ -163,9 +163,13 @@ object CorePipelines {
     val joined = withA.join(mapping.select(col("id").as("m_id"), col("objectKey")),
       col("id") === col("m_id"), "left")
     // This count both asserts completeness AND materializes the persisted
-    // mapping (the join consumes every mapping partition).
-    val missing = joined.filter(col("objectKey").isNull).count()
-    require(missing == 0, s"$missing uploaded resolutions lost their object mapping")
+    // mapping (the join consumes every mapping partition). On the failure
+    // path the caller never receives the release hook, so the cache must
+    // not outlive the throw.
+    try {
+      val missing = joined.filter(col("objectKey").isNull).count()
+      require(missing == 0, s"$missing uploaded resolutions lost their object mapping")
+    } catch { case e: Throwable => mapping.unpersist(); throw e }
     val merged = joined
       .select((withA.columns.map(col) :+ col("objectKey").as("object_key")).toIndexedSeq: _*)
       .unionByName(withoutA)

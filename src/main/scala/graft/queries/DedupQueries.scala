@@ -90,6 +90,10 @@ object DedupQueries {
         |SELECT id AS doc_id, min(label) AS component, min(label) = id AS is_keeper
         |FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
       val verts = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      // minLabel's result stays cached (vertex-count × 16 bytes — the
+      // iterative operator's documented contract); the harness process is
+      // one-shot, so the hook-less form is fine here. Long-lived sessions
+      // should call minLabelWithRelease and release after their sink.
       val clusters = graft.operators.ConnectedComponents.minLabel(
         verts, "doc_id", jaccardPairs(spark, dir), "id_a", "id_b")
       clusters.select(

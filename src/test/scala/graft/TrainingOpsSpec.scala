@@ -54,8 +54,11 @@ class TrainingOpsSpec extends AnyFunSuite {
   test("Int128Sum: matches sum(decimal) exactly, survives >64-bit totals, null groups") {
     import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
     import org.apache.spark.sql.types.DecimalType
-    // totals past Long.MaxValue unscaled units: 10 × 9.2e17 cents
-    val big = Seq.fill(10)(9.2e15).map(v => ("g", v)).toDF("g", "v").repartition(4)
+    // totals past Long.MaxValue unscaled units: 20 × 9.2e17 cents
+    // = 1.84e19 > 2^63, so the low word overflows and eval must take the
+    // BigInteger hi/lo reconstruction branch (10 rows would stop at
+    // 9.2e18, just UNDER Long.MaxValue, and never exercise the carry).
+    val big = Seq.fill(20)(9.2e15).map(v => ("g", v)).toDF("g", "v").repartition(4)
     val viaInt128 = big.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s"))
       .head().getDecimal(1)
     val viaDecimal = big.groupBy("g")
