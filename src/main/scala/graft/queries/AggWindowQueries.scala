@@ -137,6 +137,53 @@ object AggWindowQueries {
         .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total_price"))
     },
 
+    // Explicit GROUPING SETS + grouping() provenance flags — the general
+    // form of a8's ROLLUP / a14's CUBE (arbitrary set lists, and the
+    // grouping() bit distinguishes "NULL because aggregated away" from a
+    // NULL data value). Same single-shuffle plan with map-side expansion.
+    QueryDef.sql(
+      "a15_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n"))
+    },
+
+    // Time-range window frame: per-user trailing-1-hour moving aggregate —
+    // a RANGE (not ROWS) frame over event time, the shape w3's row frame
+    // can't express. Both engines order by epoch microseconds with the
+    // same integer bound, and the windowed mean goes through exact decimal
+    // so sliding-sum association order can't drift the floats.
+    QueryDef.sql(
+      "w6_time_range_avg",
+      """SELECT event_id, user_id,
+        |  round(CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS avg_1h,
+        |  COUNT(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(
+          col("event_id"), col("user_id"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+            count(lit(1)).over(w), 6).as("avg_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+    },
+
     // Exact interpolated percentiles (engine-provided extra): Spark
     // `percentile` and DuckDB `quantile_cont` share the linear-interpolation
     // definition; 6dp rounding pins the float boundary. The three quantiles
