@@ -62,5 +62,34 @@ object SimilarityQueries {
         |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin) { (spark, dir) =>
       Similarity.nearDupPairs(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+    },
+
+    // Embedding duplicate clusters: cosine near-dup pairs → connected
+    // components → keeper election — d13's cluster-assignment stage
+    // composed over the embedding modality (threshold tuned so the
+    // synthetic corpus actually forms multi-member components). Oracled
+    // against DuckDB's recursive-CTE closure, like d13.
+    QueryDef.sql(
+      "d14_embedding_dup_clusters",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |          WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45),
+        |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src)
+        |SELECT id AS vec_id, min(label) AS component, min(label) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
+      val vecs = Tables.load(spark, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.45)
+      val clusters = graft.operators.ConnectedComponents.minLabel(
+        vecs.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      clusters.select(
+        col("id").as("vec_id"), col("label").as("component"),
+        (col("label") === col("id")).as("is_keeper"))
     })
 }
