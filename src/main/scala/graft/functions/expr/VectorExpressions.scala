@@ -37,6 +37,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A null ELEMENT nulls the whole product, exactly like the zip_with +
+  // aggregate formulation (null product poisons the fold) and DuckDB's
+  // list_dot_product — so the expression can be null even when both array
+  // children are non-null.
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -49,6 +55,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
       acc += x * y
@@ -68,6 +75,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
          |}
          |${ev.value} = $acc;
@@ -122,25 +130,32 @@ case class HyperplaneSignatures(
     val v = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
     val sigs = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var sig = 0L
-      var p = 0
-      while (p < nPlanes) {
-        val plane = planes(t)(p)
-        val n = math.min(v.numElements(), dim)
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
-          acc += x * plane(i)
-          i += 1
+    val n = math.min(v.numElements(), dim) // invariant across tables×planes
+    // A null element nulls every dot product; `when(d >= 0, bit)` in the
+    // literal formulation then sets NO bit — so all signatures are 0.
+    var anyNull = false
+    var j = 0
+    while (j < n && !anyNull) { anyNull = v.isNullAt(j); j += 1 }
+    if (!anyNull) {
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val plane = planes(t)(p)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+            acc += x * plane(i)
+            i += 1
+          }
+          if (acc >= 0.0) sig |= 1L << p
+          p += 1
         }
-        if (acc >= 0.0) sig |= 1L << p
-        p += 1
+        sigs(t) = sig
+        t += 1
       }
-      sigs(t) = sig
-      t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
@@ -154,23 +169,29 @@ case class HyperplaneSignatures(
       val t = ctx.freshName("t")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       val plane = ctx.freshName("plane")
       s"""
          |long[] $sigs = new long[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  long $sig = 0L;
-         |  for (int $p = 0; $p < $nPlanes; $p++) {
-         |    double[] $plane = $pRef[$t][$p];
-         |    int $n = java.lang.Math.min($v.numElements(), $dim);
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += (double) $v.$get($i) * $plane[$i];
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |boolean $anyNull = false;
+         |for (int $j = 0; $j < $n && !$anyNull; $j++) { $anyNull = $v.isNullAt($j); }
+         |if (!$anyNull) {
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $sig = 0L;
+         |    for (int $p = 0; $p < $nPlanes; $p++) {
+         |      double[] $plane = $pRef[$t][$p];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += (double) $v.$get($i) * $plane[$i];
+         |      }
+         |      if ($acc >= 0.0) $sig |= 1L << $p;
          |    }
-         |    if ($acc >= 0.0) $sig |= 1L << $p;
+         |    $sigs[$t] = $sig;
          |  }
-         |  $sigs[$t] = $sig;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
        """.stripMargin

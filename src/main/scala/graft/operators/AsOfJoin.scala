@@ -37,6 +37,8 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[(String, String)],
       rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(payload.map(_._2).forall(a => !left.columns.contains(a)),
+      s"payload aliases ${payload.map(_._2)} must not collide with left columns")
     val keyCols = keys.map(col)
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val pStruct = struct(payload.map { case (c, a) => col(c).as(a) }: _*)
@@ -45,11 +47,19 @@ object AsOfJoin {
     val tbTypes = rightTiebreak.map(c => right.schema(c).dataType)
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
 
-    val r2 = right.select(
-      keyCols ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
-        pStruct.as("__p"), lit(null).cast(lType).as("__l")) ++
-        rightTiebreak.zip(tbNames).map { case (c, n) => col(c).as(n) }: _*)
+    // ASOF equi-key semantics: a NULL right key or NULL right ts can never
+    // satisfy (r.key = l.key AND r.ts <= l.ts) — without this filter the
+    // nulls-first sort would carry a null-ts payload into every left row
+    // and pool all null-key rows into one matching partition. Null-KEY/ts
+    // LEFT rows need no filter: they sort before any (filtered) right row
+    // and correctly pick up a null payload, keeping left-outer semantics.
+    val r2 = right
+      .filter((col(rightTs) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
+      .select(
+        keyCols ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__side"),
+          pStruct.as("__p"), lit(null).cast(lType).as("__l")) ++
+          rightTiebreak.zip(tbNames).map { case (c, n) => col(c).as(n) }: _*)
     val l2 = left.select(
       keyCols ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
@@ -64,11 +74,13 @@ object AsOfJoin {
       .orderBy(col("__ts") +: col("__side") +: tbNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // getField, not col("__l.name"): a left column named "user.id" would
+    // otherwise be parsed as a nested-field path.
     r2.unionByName(l2)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
-        left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
-          payload.map { case (_, a) => col(s"__m.$a").as(a) }: _*)
+        left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+          payload.map { case (_, a) => col("__m").getField(a).as(a) }: _*)
   }
 }

@@ -80,8 +80,12 @@ object ConnectedComponents {
       iter += 1
     }
     undirected.unpersist() // labels is materialized; the edge cache is done
-    require(converged, s"connected components did not converge in $maxIters rounds " +
-      "(long-chain graph: use a star-contraction variant)")
+    if (!converged) {
+      labels.unpersist() // failure path hands out no release hook
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(long-chain graph: use a star-contraction variant)")
+    }
     val done = labels
     (done, () => { done.unpersist(); () })
   }

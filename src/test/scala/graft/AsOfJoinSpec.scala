@@ -48,6 +48,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       "greatest tiebreak value must win at an equal (key, ts)")
   }
 
+  test("null right keys/timestamps never match; null-key left rows keep null payload") {
+    val left = Seq(
+      (Some(1L), Some(ts(10)), "normal"),
+      (None: Option[Long], Some(ts(10)), "nullkey")
+    ).toDF("k", "lts", "lname")
+    val right = Seq(
+      (Some(1L), Some(ts(5)), "ok"),
+      (Some(1L), None: Option[Timestamp], "nullts"),   // must never match
+      (None: Option[Long], Some(ts(1)), "nullkeyr")    // must never match
+    ).toDF("k", "rts", "rname")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+        payload = Seq("rname" -> "match"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out("normal").contains("ok"),
+      "valid right row still matches; the null-ts row must not shadow it")
+    assert(out("nullkey").isEmpty,
+      "NULL = NULL is not a key match — left-outer null payload instead")
+  }
+
   test("plan: one hash shuffle for the key, no nested-loop join") {
     val left = Seq((1L, ts(1), "a")).toDF("k", "lts", "v")
     val right = Seq((1L, ts(0), "b")).toDF("k", "rts", "w")

@@ -69,6 +69,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found >= 8, s"IVF recall on planted near-dups too low: $found/10")
   }
 
+  test("null array elements: dot yields NULL (like the HOF fold); signatures zero") {
+    val df = Seq(Tuple1(1)).toDF("x").select(
+      array(lit(1.0), lit(null).cast("double")).as("v"),
+      array(lit(1.0), lit(2.0)).as("w"))
+    val dot = df.select(
+      graft.functions.expr.VectorExpressions.dotNative(col("v"), col("w")).as("d"))
+      .head()
+    assert(dot.isNullAt(0), "a null element must null the product, not read 0.0")
+    val sigs = df.select(graft.functions.expr.VectorExpressions
+        .hyperplaneSignatures(col("v"), dim = 2, nPlanes = 4, tables = 2, seed = 42L).as("s"))
+      .head().getSeq[Long](0)
+    assert(sigs == Seq(0L, 0L),
+      "null-element vector: every dot is NULL so when(d >= 0) sets no bit")
+  }
+
   test("native signature bank == literal-plane formulation, every table") {
     val df = (0 until 25).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
