@@ -89,6 +89,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components == local union-find on random graphs") {
+    val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
+    (1 to Rounds).foreach { round =>
+      val vertices = (0L until 30L).toDF("id")
+      val edges = samples(edgeGen, round).filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      // local oracle: path-compressed union-find with min-id representative
+      val parent = Array.tabulate(30)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      samples(edgeGen, round).filter { case (a, b) => a != b }.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val keep = math.min(ra, rb); parent(math.max(ra, rb)) = keep }
+      }
+      // normalize every representative to the true component minimum
+      val expected = (0 until 30).map(i => i.toLong -> find(i).toLong).toMap
+        .map { case (id, rep) => id -> (0 until 30).filter(j => find(j) == rep.toInt).min.toLong }
+      val (labels, release) = graft.operators.ConnectedComponents
+        .minLabelWithRelease(vertices, "id", edges, "a", "b")
+      try {
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"round $round: component mismatch")
+      } finally release()
+    }
+  }
+
   test("bucketed range join == naive theta join for random intervals/points") {
     val ptsGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 999L), Gen.chooseNum(-10.0, 50.0)))
     val ivGen = Gen.listOfN(8,
