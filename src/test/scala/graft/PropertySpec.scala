@@ -89,6 +89,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int128 scaled sum == BigDecimal fold for random mixed-sign money") {
+    import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
+    val moneyGen = Gen.listOfN(300,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-9.0e13, 9.0e13)))
+    (1 to Rounds).foreach { round =>
+      val xs = samples(moneyGen, round)
+      val df = xs.toDF("g", "v").repartition(7) // force multi-buffer merges
+      val got = df.groupBy("g").agg(sumScaled(unscaled2(col("v")), 2).as("s"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      val expected = xs.groupBy(_._1).map { case (g, vs) =>
+        // Spark's double→decimal cast goes through the SHORTEST string
+        // representation (BigDecimal.valueOf), not the full binary
+        // expansion — then HALF_UP to scale 2.
+        g -> vs.map(v => java.math.BigDecimal.valueOf(v._2)
+            .setScale(2, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).setScale(2)
+      }
+      expected.foreach { case (g, e) =>
+        assert(got(g).compareTo(e) == 0, s"round $round group $g: ${got(g)} vs $e")
+      }
+    }
+  }
+
   test("connected components == local union-find on random graphs") {
     val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
     (1 to Rounds).foreach { round =>
