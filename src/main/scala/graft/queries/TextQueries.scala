@@ -279,9 +279,12 @@ object TextQueries {
 
     // Sequence packing: assign documents to fixed token-budget training
     // bins by a running pre-sum within each source shard. Distributed
-    // posture: ONE window shuffle partitioned by source — global packing
-    // would serialize on a single partition, per-shard packing scales with
-    // shard count (the layout a 100 TB tokenization job actually uses).
+    // posture: ONE window shuffle partitioned by the shard key — global
+    // packing would serialize on a single partition. PARALLELISM == SHARD
+    // CARDINALITY: `source` (4 values here) demonstrates the semantics; a
+    // 100 TB job must pick a finer key (e.g. source × pmod(xxhash64(id),
+    // k)) — bins are then per-shard, which packing tolerates by design
+    // (any shard split yields valid, slightly-less-full bins).
     QueryDef.sql(
       "t10_sequence_pack",
       """WITH t AS (SELECT doc_id, source,
