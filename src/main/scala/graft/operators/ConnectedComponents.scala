@@ -35,6 +35,107 @@ object ConnectedComponents {
       maxIters: Int = 20): DataFrame =
     minLabelWithRelease(vertices, idCol, edges, srcCol, dstCol, maxIters)._1
 
+  /** Alternating large-star/small-star contraction — the O(log n)-round
+    * variant for graphs whose diameter defeats [[minLabel]] (long chains),
+    * after Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14 — public algorithm).
+    *
+    *  - large-star: every node u links each LARGER neighbor to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: every node u links each ≤-neighbor and itself to the
+    *    minimum among them.
+    *
+    * Each half-round is one groupBy-min shuffle + an explode back to
+    * edges; rounds until the canonical edge set fixpoints (exact `except`
+    * check, one join per round — no hash-collision shortcuts). At the
+    * fixpoint every node is directly attached to its component minimum.
+    * Same cache lifecycle and release contract as [[minLabel]].
+    */
+  def starContractionWithRelease(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 30): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+
+    // canonical undirected pair set (a < b), deduped
+    var cur = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist()
+    cur.count()
+
+    def adjacency(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+
+    // large-star: m = min over N(u) ∪ {u}; emit (v, m) for v ∈ N(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = adjacency(e)
+      val m = min(least(col("v"), col("u"))).over(Window.partitionBy(col("u")))
+      adj.withColumn("m", m)
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star: over neighbors v ≤ u (plus u itself): link all to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val adjLe = adjacency(e).filter(col("v") <= col("u"))
+      val m = min(col("v")).over(Window.partitionBy(col("u"))) // v ≤ u, so min incl. u is min(v)
+      adjLe.withColumn("m", m)
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("a"), col("n").as("b")) // m < n always
+        .distinct()
+    }
+
+    var curHandle = cur // persist handle for unpersist; `cur` is the truncated view
+    cur = truncateLineage(cur)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nextHandle = smallStar(largeStar(cur)).persist()
+      nextHandle.count()
+      // Each round references the prior frame several times, so building
+      // on the raw plan quadruples the logical tree per round (OOM by
+      // round ~10 just RENDERING it). The cached data is re-rooted as a
+      // leaf scan, which is what actually bounds iterative lineage.
+      val next = truncateLineage(nextHandle)
+      // exact fixpoint: identical canonical pair sets
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      curHandle.unpersist()
+      curHandle = nextHandle
+      cur = next
+      iter += 1
+    }
+    if (!converged) {
+      curHandle.unpersist()
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIters rounds")
+    }
+    // At the fixpoint each edge is (componentMin, member); isolated
+    // vertices label themselves.
+    val verts = vertices.select(col(idCol).cast("long").as("id"))
+    val labels = verts
+      .join(cur.select(col("b").as("id"), col("a").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+      .persist()
+    labels.count()
+    curHandle.unpersist()
+    (labels, () => { labels.unpersist(); () })
+  }
+
+  /** Re-root a persisted, materialized frame as a leaf over its RDD: the
+    * DATA stays in the cache, but the logical plan stops nesting the whole
+    * iteration history (which grows geometrically when a round references
+    * its predecessor more than once). RDD lineage remains fault-tolerant
+    * and linear. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def minLabelWithRelease(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -53,40 +154,45 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var labels = vertices
+    var labelsHandle = vertices
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist()
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsHandle)
     if (prevSum == null) { // no vertices: trivially converged, nothing cached to keep
       undirected.unpersist()
-      val empty = labels
+      val empty = labelsHandle
       return (empty, () => { empty.unpersist(); () })
     }
+    // Each round references `labels` twice, so lineage must be re-rooted
+    // per round (see truncateLineage) or the logical plan grows
+    // geometrically with the iteration count.
+    var labels = truncateLineage(labelsHandle)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = undirected.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val nextHandle = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist()
-      val newSum = labelSum(next) // materializes `next`, so the old cache can go
-      labels.unpersist()
-      labels = next
+      val newSum = labelSum(nextHandle) // materializes, so the old cache can go
+      labelsHandle.unpersist()
+      labelsHandle = nextHandle
+      labels = truncateLineage(nextHandle)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
     undirected.unpersist() // labels is materialized; the edge cache is done
     if (!converged) {
-      labels.unpersist() // failure path hands out no release hook
+      labelsHandle.unpersist() // failure path hands out no release hook
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
-          "(long-chain graph: use a star-contraction variant)")
+          "(long-chain graph: use starContractionWithRelease)")
     }
-    val done = labels
+    val done = labelsHandle
     (done, () => { done.unpersist(); () })
   }
 }

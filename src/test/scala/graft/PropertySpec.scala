@@ -134,7 +134,26 @@ class PropertySpec extends AnyFunSuite {
         val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expected, s"round $round: component mismatch")
       } finally release()
+      // the O(log n) star-contraction variant must agree exactly
+      val (starLabels, starRelease) = graft.operators.ConnectedComponents
+        .starContractionWithRelease(vertices, "id", edges, "a", "b")
+      try {
+        val got = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"round $round: star-contraction mismatch")
+      } finally starRelease()
     }
+  }
+
+  test("star contraction collapses a 40-node chain (diameter >> log rounds)") {
+    val vertices = (0L until 40L).toDF("id")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, release) = graft.operators.ConnectedComponents
+      .starContractionWithRelease(vertices, "id", edges, "a", "b")
+    try {
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L until 40L).map(_ -> 0L).toMap,
+        "every chain node must label to the chain minimum")
+    } finally release()
   }
 
   test("bucketed range join == naive theta join for random intervals/points") {
