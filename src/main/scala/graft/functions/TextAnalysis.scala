@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** English stopword/marker set — THE single source for every gate that
+    * must stay in lock-step (t2's quality ratios, d9's corpus-clean gate,
+    * the language-ID "en" markers). Referencing this constant everywhere is
+    * what keeps the gates from drifting apart on an edit. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
   /** Marker words per language, checked against lowercased tokens. */
   val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
+    "en" -> enStopwords,
     "es" -> Seq("el", "la", "de", "y", "es"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "de", "et", "est"))
@@ -107,9 +113,16 @@ object TextAnalysis {
 
   /** Rolling polynomial hash (mod 1e9+7) over the characters of the
     * canonical text — overflow-free in 64-bit, so the same value is
-    * computable in any engine with a left fold. */
+    * computable in any engine with a left fold.
+    *
+    * Non-ASCII characters are normalized to '?' BEFORE hashing: engines
+    * disagree on `ascii()` for multibyte text (Spark returns the first
+    * UTF-8 byte, DuckDB the Unicode codepoint), so cross-engine equality
+    * only holds on an ASCII-normalized stream — the oracle SQL applies
+    * the identical replacement. */
   def rollingHash(text: Column): Column = {
-    val canon = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val canon = regexp_replace(
+      regexp_replace(lower(trim(text)), "\\s+", " "), "[^\\x00-\\x7F]", "?")
     val codes = transform(sequence(lit(1), length(canon)), i => ascii(canon.substr(i, lit(1))))
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L)))
   }

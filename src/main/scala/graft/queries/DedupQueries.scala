@@ -121,10 +121,14 @@ object DedupQueries {
       val withSh = cand
         .join(docs.select(col("doc_id").as("ida"), col("hs").as("sha")), col("id_a") === col("ida"))
         .join(docs.select(col("doc_id").as("idb"), col("hs").as("shb")), col("id_b") === col("idb"))
+      // Filter on the UNROUNDED Jaccard, exactly like jaccardPairs/d4 —
+      // rounding before the threshold would admit boundary pairs
+      // (0.7999996 → 0.8) that the exact path rejects, breaking the
+      // LSH-vs-exact cross-check at the boundary.
       withSh
-        .withColumn("jaccard", round(MinHashLSH.jaccard(col("sha"), col("shb")), 6))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .withColumn("__j", MinHashLSH.jaccard(col("sha"), col("shb")))
+        .filter(col("__j") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
     },
 
     // SimHash near-dup pairs: 64-bit signatures, 4×16-bit band bucket join,
@@ -156,8 +160,11 @@ object DedupQueries {
         .select(
           col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           SimHash.hamming(col("a.sim"), col("b.sim")).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: hamming is pure in the pair, and random
+        // 16-bit band collisions vastly outnumber real near-dups — the
+        // dedup exchange should carry only the accepted set
         .filter(col("hamming") <= 3)
+        .distinct()
     },
 
     // Cross-split leakage: canonical fingerprints that appear in more than
@@ -228,7 +235,7 @@ object DedupQueries {
         |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
         |SELECT doc_id, fp, n_tokens FROM f WHERE rn = 1""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val enStop = Seq("the", "a", "of", "and", "is")
+      val enStop = TextAnalysis.enStopwords
       // Shared-token projection (the t2 pattern): the gate references the
       // token array 4+ times, so CollapseProject keeps __toks a real column
       // and the regexp tokenization runs once per row.

@@ -79,7 +79,10 @@ object EventQueries {
           .select("event_id", "user_id", "ts"),
         right = ev.filter(col("event_type") === "click"),
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        payload = Seq("ts" -> "click_ts", "event_id" -> "click_event_id"))
+        payload = Seq("ts" -> "click_ts", "event_id" -> "click_event_id"),
+        // determinism contract: nothing guarantees unique (user, ts) clicks
+        // in a regenerated corpus; event_id pins the winner
+        rightTiebreak = Seq("event_id"))
     },
 
     // Bucketed range join: events land in overlapping value bands via an

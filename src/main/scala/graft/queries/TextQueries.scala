@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val enStop = Seq("the", "a", "of", "and", "is")
+  private val enStop = TextAnalysis.enStopwords
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -94,8 +94,8 @@ object TextQueries {
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp_token_set,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
-        |        i -> CAST(ascii(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')[i+1]) AS BIGINT))),
+        |      list_transform(range(length(regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '[^\x00-\x7F]', '?', 'g'))),
+        |        i -> CAST(ascii(regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '[^\x00-\x7F]', '?', 'g')[i+1]) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
         |FROM documents""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "documents").select(
@@ -107,8 +107,12 @@ object TextQueries {
 
     // Deterministic stratified sampling (graft.functions.Sampling): fixed
     // per-source rates, keep-decision a pure function of (doc_id, seed) so
-    // retries and re-runs select the identical subset. rows-only (xxhash64
-    // family); rate/determinism pinned in SamplingChecksSpec.
+    // retries and re-runs select the identical subset. The rate map lists
+    // ONLY the strata of interest BY DESIGN — unlisted sources sample at
+    // rate 0 (the domain-selection use case: pick named domains, drop the
+    // rest); corpus-wide sampling passes a rate for every source.
+    // rows-only (xxhash64 family); rate/determinism pinned in
+    // SamplingChecksSpec.
     QueryDef.rowsOnly("t6_stratified_sample") { (spark, dir) =>
       graft.functions.Sampling.stratifiedSample(
         Tables.load(spark, dir, "documents"),

@@ -114,7 +114,7 @@ object EventStreams {
     */
   def cleanCorpusStream(
       docs: DataFrame, ingestTs: Option[(String, String)] = None): DataFrame = {
-    val enStop = Seq("the", "a", "of", "and", "is")
+    val enStop = graft.functions.TextAnalysis.enStopwords
     val quality = graft.functions.TextAnalysis.qualityColumns(col("text"), enStop).toMap
     val tsCols = ingestTs.map { case (c, _) => col(c) }.toSeq
     val gated = docs
