@@ -30,14 +30,20 @@ object Jdbc {
   }
 
   /** Partitioned full-table scan. `bounds` = (min, max) of the numeric
-    * partition column — pass None for a single-partition read of small
-    * dimensions. */
+    * partition column — pass None (with no partitionColumn) for a
+    * single-partition read of small dimensions. Supplying only ONE of
+    * partitionColumn/bounds fails fast: silently falling back to a single
+    * cursor would reintroduce the reference's single-threaded S1 scan on a
+    * fact table with nothing surfacing the misconfiguration. */
   def readTable(
       spark: SparkSession, conn: Conn, table: String,
       partitionColumn: Option[String] = None,
       bounds: Option[(Long, Long)] = None,
       numPartitions: Int = 16,
       fetchSize: Int = 10000): DataFrame = {
+    require(partitionColumn.isDefined == bounds.isDefined,
+      s"partitionColumn and bounds must be supplied together (got " +
+        s"partitionColumn=$partitionColumn, bounds=$bounds)")
     val base = spark.read.format("jdbc")
       .options(conn.options)
       .option("dbtable", table)
@@ -53,9 +59,14 @@ object Jdbc {
   }
 
   /** Projected scan via query pushdown (S2) — Catalyst also prunes
-    * automatically; this is for hand-written source SQL. */
-  def readQuery(spark: SparkSession, conn: Conn, query: String): DataFrame =
-    spark.read.format("jdbc").options(conn.options).option("query", query).load()
+    * automatically; this is for hand-written source SQL. Carries the same
+    * fetchsize default as [[readTable]]: the PG driver's default (0 =
+    * fetch-all) would materialize the whole result in task memory. */
+  def readQuery(
+      spark: SparkSession, conn: Conn, query: String,
+      fetchSize: Int = 10000): DataFrame =
+    spark.read.format("jdbc").options(conn.options)
+      .option("query", query).option("fetchsize", fetchSize).load()
 
   /** Append write (K1). `pgCastColumns` maps column → PG type for uuid/
     * jsonb/text[] targets; combined with `stringtype=unspecified` on the
@@ -75,13 +86,24 @@ object Jdbc {
     withTypes.mode("append").save()
   }
 
-  /** Truncate prologue (K2): raw statement on the sink connection. */
-  def truncate(conn: Conn, tables: Seq[String], restartIdentity: Boolean = true): Unit = {
+  /** Truncate prologue (K2): raw statement on the sink connection.
+    *
+    * PostgreSQL dialect. Defaults mirror the reference's statement
+    * (`TRUNCATE TABLE t RESTART IDENTITY CASCADE`, `src/utils.py:242`) —
+    * but note what CASCADE means: PG ALSO truncates every table with a
+    * foreign key onto the target, including tables never named here. Pass
+    * `cascade = false` when FK-referencing tables must survive; the two
+    * behaviors are now separate, explicit flags rather than one opaque
+    * default. */
+  def truncate(conn: Conn, tables: Seq[String],
+      restartIdentity: Boolean = true, cascade: Boolean = true): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
     try {
       val st = c.createStatement()
       tables.foreach { t =>
-        st.execute(s"TRUNCATE TABLE $t${if (restartIdentity) " RESTART IDENTITY CASCADE" else ""}")
+        val suffix = (if (restartIdentity) " RESTART IDENTITY" else "") +
+          (if (cascade) " CASCADE" else "")
+        st.execute(s"TRUNCATE TABLE $t$suffix")
       }
     } finally c.close()
   }

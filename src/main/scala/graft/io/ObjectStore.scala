@@ -65,7 +65,12 @@ object ObjectStore {
 
   /** Upload every (id, name, mime, payload) row; returns the id→object
     * mapping as a Dataset for the join-back step (the reference's
-    * `src/core.py:1006-1009`). `clientFactory` runs once per partition. */
+    * `src/core.py:1006-1009`). `clientFactory` runs once per partition.
+    *
+    * PRECONDITION: id, name, and payload are non-null — callers filter
+    * the null-attachment half FIRST (as `attachMapping` does). Violations
+    * fail with a row-identifying error instead of an anonymous NPE deep
+    * in the client. */
   def upload(
       rows: DataFrame, bucket: String,
       clientFactory: () => Client,
@@ -82,6 +87,9 @@ object ObjectStore {
     projected.as[(String, String, String, Array[Byte], String)].mapPartitions { it =>
       val client = clientFactory()
       it.map { case (id, name, mime, payload, hash) =>
+        require(id != null && name != null && payload != null,
+          s"upload precondition violated: null id/name/payload at id=$id name=$name " +
+            "(filter null attachments before uploading)")
         val key = s"$id/$hash/$name" // deterministic → retry-idempotent
         client.put(bucket, key, payload, mime)
         Uploaded(id, key, payload.length.toLong)

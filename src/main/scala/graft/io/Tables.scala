@@ -22,15 +22,19 @@ object Tables {
     * thing DuckDB's parquet reader does — with integer arithmetic (`DIV`),
     * never double division (ns epoch values exceed 2^53).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    lowerNanoTs(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** The ns→µs lowering, shared by the batch loader and the streaming
+    * readers ([[graft.streaming.EventStreams.readTableStream]]) so the two
+    * paths cannot drift apart on the expression. */
+  def lowerNanoTs(df: DataFrame, name: String): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (name == "events" && f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       else d
     }
-  }
 
   /** Register every test table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -118,8 +118,13 @@ object Multimodal {
     require(frameBytes > 0 && everyN > 0)
     media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
       val body = r.payload.drop(16)
+      // Fixed-size frames ONLY: a trailing partial slice is not a frame
+      // (the stub contract is fixed-size slices; emitting an
+      // input-length-dependent runt frame would hand consumers a
+      // truncated payload).
       body.grouped(frameBytes).zipWithIndex.collect {
-        case (slice, idx) if idx % everyN == 0 => Frame(r.media_id, idx, slice)
+        case (slice, idx) if idx % everyN == 0 && slice.length == frameBytes =>
+          Frame(r.media_id, idx, slice)
       }
     }
   }

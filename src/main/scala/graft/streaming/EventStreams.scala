@@ -14,17 +14,21 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** File-source stream over an events parquet directory (ns timestamps
-    * arrive as longs under nanosAsLong — lowered exactly like Tables.load). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+  /** File-source stream over one table's parquet file, lowering the ts
+    * column through [[graft.io.Tables.lowerNanoTs]] — the SAME helper the
+    * batch loader uses, so stream/batch parity can't drift on the
+    * ns-lowering expression. */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/$name.parquet").schema
     val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .option("pathGlobFilter", s"$name.parquet") // file source wants a dir
       .parquet(dir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    graft.io.Tables.lowerNanoTs(raw, name)
   }
+
+  /** File-source stream over an events parquet directory. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "events")
 
   /** Tumbling hourly counts with a watermark: late events beyond 10 minutes
     * are dropped; state is bounded by (watermark horizon × groups). */
@@ -97,12 +101,8 @@ object EventStreams {
       .start()
 
   /** File-source stream over a documents parquet directory. */
-  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-  }
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "documents")
 
   /** Streaming corpus clean — the d9 batch pipeline on a document stream:
     * language gate → quality gate → canonical fingerprint → first-arrival
@@ -114,11 +114,17 @@ object EventStreams {
     */
   def cleanCorpusStream(
       docs: DataFrame, ingestTs: Option[(String, String)] = None): DataFrame = {
-    val enStop = graft.functions.TextAnalysis.enStopwords
-    val quality = graft.functions.TextAnalysis.qualityColumns(col("text"), enStop).toMap
+    // Shared __toks projection, exactly like the batch d9 twin: the gate
+    // references the token array 4+ times, and only a multi-referenced
+    // lower-projection alias keeps the regexp tokenization at once-per-row.
+    val quality = graft.functions.TextAnalysis
+      .qualityColumnsFromTokens(col("text"), col("__toks"),
+        graft.functions.TextAnalysis.enStopwords).toMap
     val tsCols = ingestTs.map { case (c, _) => col(c) }.toSeq
     val gated = docs
-      .filter(graft.functions.TextAnalysis.languageId(col("text")) === "en" &&
+      .select(col("doc_id") +: col("text") +:
+        graft.functions.TextTokens.tokens(col("text")).as("__toks") +: tsCols: _*)
+      .filter(graft.functions.TextAnalysis.languageIdFromTokens(col("__toks")) === "en" &&
         quality("quality_ok"))
       .select(
         col("doc_id") +:
@@ -168,7 +174,14 @@ object EventStreams {
                   out += SessionOut(user, new Timestamp(s.start), s.n, closed = true)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // A late-but-within-watermark event from a LATER batch can
+                  // predate the open session's start; lowering start keeps
+                  // stream==batch parity for within-gap lateness. (An event
+                  // late enough to MERGE two already-emitted sessions is
+                  // inherently unfixable after emit-on-gap — that bound is
+                  // the watermark contract.)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts): hash of the given columns. */
+  /** Deterministic salt in [0, salts): hash of the given columns.
+    *
+    * LIMITATION (inherent to content-deterministic salting): rows that are
+    * byte-identical hash to the SAME salt, so a hot key whose rows are
+    * exact duplicates still lands on one reducer. No deterministic pure
+    * function of row content can split identical rows; under task retries
+    * the nondeterministic alternatives (rand, partition-local counters)
+    * break exactly-once sinks. The fix for duplicate-heavy hot keys is
+    * structural: pre-aggregate the duplicates (count + weight) BEFORE the
+    * salted stage — which also shrinks the data. */
   def salt(salts: Int, cols: Column*): Column =
     pmod(hash(cols: _*), lit(salts))
 
@@ -45,11 +54,17 @@ object Skew {
       df: DataFrame, keys: Seq[Column], salts: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(!df.columns.contains("__salt"), "input already has a __salt column")
     val allCols = df.columns.map(col).toSeq
-    df.withColumn("__salt", salt(salts, allCols: _*))
+    val partial = df.withColumn("__salt", salt(salts, allCols: _*))
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
-      .groupBy(keys: _*)
+    // The final stage groups by the PARTIAL OUTPUT's key columns (grouped
+    // keys come first in groupBy output, in order) — re-resolving the
+    // caller's key EXPRESSIONS here would fail for anything beyond bare
+    // col(...) because their inputs no longer exist after the first agg.
+    val keyNames = partial.columns.take(keys.size)
+    partial.groupBy(keyNames.map(col).toIndexedSeq: _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
