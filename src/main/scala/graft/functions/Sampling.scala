@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform keep-decision: hash of the id columns → [0, 1). */
+  /** Uniform keep-decision: hash of the id columns → [0, 1).
+    *
+    * PRECONDITION: the id columns identify rows (distinct, non-null).
+    * xxhash64 SKIPS null inputs, so all null-id rows share one hash and
+    * are kept or dropped as a single block — the unavoidable face of
+    * determinism (content-identical rows cannot be split by any pure
+    * function of content). Assign surrogate ids upstream if null ids are
+    * possible. */
   def hashFraction(seed: Long, ids: Column*): Column =
     (pmod(xxhash64((lit(seed) +: ids): _*), lit(1000000L)).cast("double") / 1000000.0)
 

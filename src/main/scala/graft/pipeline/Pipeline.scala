@@ -27,6 +27,9 @@ object Runner {
   /** Deterministic topological order (stable by declaration order among
     * ready pipelines); throws on unknown deps or cycles. */
   def order(pipelines: Seq[Pipeline]): Seq[Pipeline] = {
+    val dupes = pipelines.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"duplicate pipeline names (one would be silently dropped): ${dupes.mkString(", ")}")
     val byName = pipelines.map(p => p.name -> p).toMap
     pipelines.foreach(p => p.dependsOn.foreach(d =>
       require(byName.contains(d), s"pipeline '${p.name}' depends on unknown '$d'")))
@@ -49,8 +52,17 @@ object Runner {
       modules: Set[String] = Set("all")): Seq[Result] = {
     val selected = order(pipelines).filter(p =>
       modules.contains("all") || modules.contains(p.module))
+    // Module selection must not sever the DAG: a selected pipeline whose
+    // dependency was filtered out would run against missing/stale upstream
+    // data with nothing surfacing it.
+    val selectedNames = selected.map(_.name).toSet
+    selected.foreach(p => p.dependsOn.foreach(d =>
+      require(selectedNames.contains(d),
+        s"pipeline '${p.name}' (module '${p.module}') depends on '$d', " +
+          s"which the module selection $modules excludes")))
     selected.map { p =>
       val t0 = System.nanoTime()
+      ctx.spark.sparkContext.setJobDescription(s"pipeline:${p.name}")
       try {
         p.run(ctx)
         val ms = (System.nanoTime() - t0) / 1000000

@@ -22,10 +22,21 @@ object Arrays {
   def nullToEmpty(arr: Column): Column = coalesce(arr, array())
 
   /** Array of strings → PostgreSQL text[] literal `{"a","b"}`
-    * (`src/core.py:1432-1451`). Empty array → `{}`. */
-  def toPgTextArrayLiteral(arr: Column): Column =
+    * (`src/core.py:1432-1451`). Empty array → `{}`.
+    *
+    * Produces VALID literals for arbitrary text, which the reference's
+    * naive join does not: backslashes and double quotes are escaped
+    * (PG array-literal quoting rules), and a null ELEMENT renders as
+    * unquoted NULL instead of being silently dropped by concat_ws's
+    * null-skipping (which would also shift every later position). */
+  def toPgTextArrayLiteral(arr: Column): Column = {
+    def esc(x: Column): Column =
+      regexp_replace(regexp_replace(x, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     concat(
       lit("{"),
-      concat_ws(",", transform(arr, x => concat(lit("\""), x, lit("\"")))),
+      concat_ws(",", transform(arr, x =>
+        when(x.isNull, lit("NULL"))
+          .otherwise(concat(lit("\""), esc(x), lit("\""))))),
       lit("}"))
+  }
 }

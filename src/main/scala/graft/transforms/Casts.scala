@@ -21,12 +21,14 @@ object Casts {
   /** Null-on-error cast to int (Polars `cast(strict=False)`). */
   def tryToInt(c: Column): Column = c.try_cast(IntegerType)
 
-  /** Null-on-error cast to a non-negative int; negatives (which Polars'
-    * UInt16 cast would reject) become null — the documented divergence pin
-    * from SURVEY §7.2. */
+  /** Null-on-error cast pinned to the UInt16 domain: negatives AND values
+    * above 65535 become null, matching what Polars' `UInt16`
+    * `cast(strict=False)` does on BOTH out-of-range sides (SURVEY §7.2
+    * documents the type mapping; a one-sided guard would silently accept
+    * 70000 where the reference yields null). */
   def tryToUInt(c: Column): Column = {
     val i = c.try_cast(IntegerType)
-    when(i >= 0, i)
+    when(i >= 0 && i <= 65535, i)
   }
 
   /** Datetime normalize: cast to timestamp, null on garbage.

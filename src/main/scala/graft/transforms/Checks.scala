@@ -15,9 +15,13 @@ object Checks {
   final case class CheckFailed(check: String, violations: Long)
     extends RuntimeException(s"$check: $violations violating rows")
 
-  /** No duplicate values of the key columns. */
+  /** No duplicate values of the key columns. (The count alias is
+    * namespaced: `.count()`'s literal "count" column would be ambiguous
+    * whenever a key column is itself named "count".) */
   def requireUnique(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val dups = df.groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
+    val dups = df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .filter(col("__graft_cnt") > 1).count()
     if (dups > 0) throw CheckFailed(s"unique(${cols.mkString(",")})", dups)
     df
   }

@@ -27,18 +27,24 @@ object Text {
     * `instr`/`substring` to pin the reference semantics exactly. */
   def replaceFirst(c: Column, target: String, replacement: String): Column = {
     val pos = instr(c, target)
+    // instr/substr count CODE POINTS while String.length counts UTF-16
+    // units — a supplementary character (emoji) in the target would skip
+    // the character after the match if we advanced by .length.
+    val targetChars = target.codePointCount(0, target.length)
     when(pos > 0,
       concat(
         c.substr(lit(1), pos - 1),
         lit(replacement),
-        c.substr(pos + lit(target.length), length(c))))
+        c.substr(pos + lit(targetChars), length(c))))
       .otherwise(c)
   }
 
   /** Strip a literal suffix if present (`src/core.py:189` strips a trailing
-    * "-"). Regex-escapes the suffix. */
+    * "-"). Regex-escapes the suffix; anchored with `\z` (true end of input)
+    * because Java's `$` also matches BEFORE a final line terminator —
+    * "abc-\n" must keep its dash. */
   def stripSuffix(c: Column, suffix: String): Column =
-    regexp_replace(c, java.util.regex.Pattern.quote(suffix) + "$", "")
+    regexp_replace(c, java.util.regex.Pattern.quote(suffix) + "\\z", "")
 
   /** Null-safe "not null and not empty" predicate (reference filter
     * `src/core.py:1397`). */
