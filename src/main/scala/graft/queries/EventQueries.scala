@@ -197,6 +197,52 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // SCD2 history build: compress each user's event stream into
+    // [valid_from, valid_to) state intervals — keep only rows where the
+    // tracked attribute CHANGES (lag compare), then close each interval
+    // with the next change's timestamp (lead). The dimension-history twin
+    // of e6's latest-snapshot compaction: same ONE user-key shuffle, both
+    // windows share the partitioning (no re-shuffle between lag and lead).
+    QueryDef.sql(
+      "e10_scd2_history",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM v""".stripMargin) { (spark, dir) =>
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(order))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(order))
+        .select(
+          col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    },
+
+    // Sliding-window counts (1 h window, 15 min slide): each event lands in
+    // exactly 4 overlapping windows. Spark's window() generator expands
+    // them at the scan (output-proportional, zero shuffle before the agg);
+    // window starts surface as epoch seconds so the grid is engine-neutral.
+    QueryDef.sql(
+      "e11_sliding_windows",
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n
+        |FROM (SELECT CAST(floor(epoch(ts)/900) AS BIGINT)*900 - k*900 AS ws, event_type
+        |      FROM events CROSS JOIN range(4) t(k)) x
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .groupBy(
+          unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // CDC compaction (graft.operators.Upsert.latestSnapshot): newest event
     // per user — the incremental-merge primitive that replaces the
     // reference's truncate-and-reload at scale. One key shuffle.

@@ -176,6 +176,28 @@ object FilterJoinQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
     },
 
+    // J14: Bloom-prefiltered semi join (graft.operators.BloomPrefilter) —
+    // F4's semantics with a runtime filter: a sketch of the selective
+    // orders keys probes lineitem BEFORE the join shuffle, so at 100 TB
+    // only sketch-surviving rows (true matches + fpp false positives)
+    // enter the exchange; the exact semi join then removes the false
+    // positives, making the result bit-identical to the plain join.
+    QueryDef.sql(
+      "j14_bloom_prefiltered_join",
+      """SELECT l_orderkey, COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_orderkey""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      val hi = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      graft.operators.BloomPrefilter
+        .semiJoin(li, "l_orderkey", hi, "o_orderkey",
+          expectedItems = 64L << 10, fpp = 0.01)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+    },
+
     // J12: self-join alias hygiene (the reference leans on Polars' _right
     // suffix, src/core.py:1857-1861; here explicit aliases).
     QueryDef.sql(

@@ -91,5 +91,29 @@ object SimilarityQueries {
       clusters.select(
         col("id").as("vec_id"), col("label").as("component"),
         (col("label") === col("id")).as("is_keeper"))
+    },
+
+    // Per-group embedding centroid accumulation: sum + count per (label,
+    // dimension), the distributed half of a mean-vector/cluster-summary
+    // computation (the consumer divides). Accumulates in FIXED-POINT
+    // (floor(v·1e6) as int64) so the distributed sum is exact and
+    // order-independent — a float sum would be partial-agg-order-dependent
+    // and engine-divergent. posexplode is output-proportional (n·d rows);
+    // ONE agg shuffle on (label, dim) with map-side partial combine.
+    QueryDef.sql(
+      "d15_embedding_centroids",
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS centroid_sum_1e6,
+        |  COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             unnest(range(1, len(embedding)+1)) AS i FROM embeddings) x
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          sum(floor(col("v").cast("double") * 1000000).cast("long"))
+            .as("centroid_sum_1e6"),
+          count(lit(1)).as("n"))
     })
 }

@@ -308,5 +308,66 @@ object TextQueries {
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
         .withColumn("bin_id", floor(col("cum_before") / 512.0).cast("int"))
         .select("doc_id", "source", "n_tokens", "cum_before", "bin_id")
+    },
+
+    // Per-source quota sampling: keep at most N docs per source, chosen by
+    // a deterministic hash order (md5 of the id — rerun/retry-stable, no
+    // RNG state). The web-corpus "per-domain cap" curation step. Cap-N is
+    // BOUNDED per key, so the window sort is safe here; at 100 TB with a
+    // skewed key, swap the window for the bounded TopKByScore aggregate
+    // (same map-side partial combine as w2's alternative).
+    QueryDef.sql(
+      "t13_source_quota_sample",
+      """SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t WHERE rn <= 10""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 10)
+    },
+
+    // Rare-token fraction: LM-free lexical quality signal — the share of a
+    // doc's tokens whose CORPUS frequency is below half the mean term
+    // frequency. The rare/common split is exact integer arithmetic
+    // (cf·vocab·2 < total) so the gate is engine-portable; only the final
+    // per-doc ratio is a single float division. Same one-explode shape as
+    // t11: the token stream is scanned once, term frequencies reuse its
+    // exchange, and the corpus totals ride a 1-row broadcast.
+    QueryDef.sql(
+      "t14_rare_token_fraction",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, unnest(ts) AS term FROM t),
+        |f AS (SELECT term, COUNT(*) AS cf FROM e GROUP BY 1),
+        |s AS (SELECT CAST(SUM(cf) AS BIGINT) AS total, COUNT(*) AS vocab FROM f),
+        |d AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
+        |        CAST(SUM(CASE WHEN cf * vocab * 2 < total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |      FROM e JOIN f USING (term) CROSS JOIN s GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_rare,
+        |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_fraction
+        |FROM d""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextTokens.tokens(col("text"))).as("term"))
+      // One pass over the exploded stream: per-(doc, term) counts first, so
+      // the corpus frequency join and both per-doc sums run on the
+      // compressed pair set, not the raw token stream.
+      val tf = e.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val cf = tf.groupBy(col("term")).agg(sum(col("cnt")).as("cf"))
+      val s = cf.agg(sum(col("cf")).as("total"), count(lit(1)).as("vocab"))
+      tf.join(cf, "term")
+        .crossJoin(broadcast(s))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cf") * col("vocab") * 2 < col("total"), col("cnt"))
+            .otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_fraction"))
     })
 }

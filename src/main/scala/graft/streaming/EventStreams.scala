@@ -60,6 +60,28 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: each event picks up attributes from a
+    * STATIC dimension (user → segment, sede → municipality — the streaming
+    * analogue of the reference's J1-family lookups, src/core.py:303-320).
+    * The static side re-resolves and broadcasts per micro-batch; the join
+    * is stateless (no watermark, no state store), so it composes freely
+    * with downstream windowed aggregates. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Sliding-window counts (1 h window, 15 min slide) with a watermark —
+    * the streaming twin of batch e11. Each event lands in 4 windows; state
+    * holds only open windows (closed ones emit and expire on watermark
+    * advance). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+
   /** Watermarked stream-stream interval join: each purchase joins clicks by
     * the same user within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so Spark can expire

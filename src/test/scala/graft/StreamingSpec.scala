@@ -43,6 +43,42 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("stream-static enrichment == batch dimension join (stateless parity)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables.load(spark, dir, "events")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
+    val stream = EventStreams.enrichWithDim(
+      EventStreams.readEventsStream(spark, dir), dim, "user_id")
+      .select("event_id", "user_id", "segment")
+    val q = stream.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+    val batch = events.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "segment").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      "a stateless dimension join must emit every event exactly once")
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("sliding-window stream over events == batch e11 (up to the watermark)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStreams.slidingCounts(EventStreams.readEventsStream(spark, dir))
+    val q = stream.writeStream.format("memory").queryName("sliding_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_test").collect().map(_.toSeq).toSet
+    val events = graft.io.Tables.load(spark, dir, "events")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val horizonEpoch = maxTs / 1000L - 10 * 60
+    val batch = SparkEntry.queries("e11_sliding_windows")(spark, dir)
+      .filter(col("window_start") + 3600 <= horizonEpoch)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming corpus clean == batch d9 pipeline (backfill parity)") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStreams.cleanCorpusStream(

@@ -144,4 +144,44 @@ class TrainingOpsSpec extends AnyFunSuite {
       .filter(lower(col("text")).rlike("(^| )key\\s+agg\\s+row( |$)")).count()
     assert(pos >= direct, "every direct contains-match must be flagged")
   }
+
+  test("t13: quota cap holds per source, ranks are contiguous, reruns agree") {
+    val out = SparkEntry.queries("t13_source_quota_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"source $src exceeds the cap")
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"source $src: ranks must be 1..k with no gaps")
+    }
+    val again = SparkEntry.queries("t13_source_quota_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)),
+      "hash-ordered sampling is rerun-stable (no RNG state)")
+  }
+
+  test("t14: rare fraction bounded, rare tokens exist, totals reconcile") {
+    val out = SparkEntry.queries("t14_rare_token_fraction")(spark, dir)
+    assert(out.filter(col("n_rare") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("rare_fraction") < 0 || col("rare_fraction") > 1).count() == 0)
+    assert(out.filter(col("n_rare") > 0).count() > 0,
+      "the synthetic corpus has sub-half-mean-frequency tokens")
+    val totalTokens = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val direct = graft.io.Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextTokens.tokens(col("text")))).count()
+    assert(totalTokens == direct, "per-doc token counts must sum to the corpus total")
+  }
+
+  test("d15: fixed-point centroid sums are exact vs a driver-side recompute") {
+    val out = SparkEntry.queries("d15_embedding_centroids")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = graft.io.Tables.load(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expect = vecs.flatMap { case (label, e) =>
+      e.zipWithIndex.map { case (v, i) =>
+        (label, i) -> math.floor(v.toDouble * 1000000).toLong }
+    }.groupBy(_._1).map { case (k, vs) => k -> (vs.map(_._2).sum, vs.length.toLong) }
+    assert(out == expect,
+      "distributed fixed-point accumulation must equal the sequential fold exactly")
+  }
 }
