@@ -58,6 +58,15 @@ object GraftFunctions {
       // which is what routes SQL DISTINCT / FILTER (WHERE ...) modifiers
       // correctly — an eager toAggregateExpression() would reject them.
       Int128Sum(args(0), litInt(args(1), "scale"))
+    },
+    "graft_bloom_might_contain" -> { args =>
+      require(args.length == 2, "graft_bloom_might_contain(key, sketchBytes)")
+      val bytes = args(1) match {
+        case Literal(v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+        case other => throw new IllegalArgumentException(
+          s"sketchBytes must be a binary literal (a serialized Bloom sketch), got $other")
+      }
+      BloomMightContainLong(args(0), bytes)
     })
 
   /** Register every graft SQL function on a live session. Idempotent. */

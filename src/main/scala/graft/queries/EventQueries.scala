@@ -243,6 +243,42 @@ object EventQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Keyed snapshot reconciliation (graft.operators.SnapshotDiff): the
+    // per-user latest state BEFORE a cutoff vs the final state, classified
+    // added/changed/unchanged/removed via ONE full outer join — the audit
+    // complement of e6's compaction, and the missing FULL OUTER member of
+    // the join-shape inventory. At 100 TB this replaces the reference's
+    // row-count-only load validation (src/utils.py:180,223) with a keyed,
+    // shuffle-parallel diff.
+    QueryDef.sql(
+      "e12_snapshot_diff",
+      """WITH o AS (SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') t WHERE rn = 1),
+        |n AS (SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.event_id = n.event_id THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.event_id AS old_event_id, n.event_id AS new_event_id
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id""".stripMargin) { (spark, dir) =>
+      val events = Tables.load(spark, dir, "events")
+        .select("user_id", "event_id", "ts")
+      val before = graft.operators.Upsert.latestSnapshot(
+        events.filter(col("ts") < lit("2024-01-15").cast("timestamp")),
+        keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
+      val after = graft.operators.Upsert.latestSnapshot(
+        events, keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
+      graft.operators.SnapshotDiff.diff(
+          before, after, keys = Seq("user_id"), compare = Seq("event_id"))
+        .select("user_id", "status", "old_event_id", "new_event_id")
+    },
+
     // CDC compaction (graft.operators.Upsert.latestSnapshot): newest event
     // per user — the incremental-merge primitive that replaces the
     // reference's truncate-and-reload at scale. One key shuffle.

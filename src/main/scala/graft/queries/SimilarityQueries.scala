@@ -115,5 +115,29 @@ object SimilarityQueries {
           sum(floor(col("v").cast("double") * 1000000).cast("long"))
             .as("centroid_sum_1e6"),
           count(lit(1)).as("n"))
+    },
+
+    // L2 normalization: unit-length embeddings (normalize-then-dot ==
+    // cosine, the standard pre-step that lets downstream ANN use plain dot
+    // products). Scan-only per-row work — the norm folds once per vector
+    // (same sequential double fold as DuckDB's list_dot_product, so the
+    // quotient is bit-identical) and the exploded output is rounded to 6dp
+    // at the boundary. Output is (vec_id, dim, value) long-form: array
+    // cells don't survive the harness's sort, and long form is also what a
+    // (label, dim)-keyed consumer joins against.
+    QueryDef.sql(
+      "d16_embedding_normalize",
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim, round(v / nrm, 6) AS nv
+        |FROM (SELECT vec_id, nrm, unnest(e) AS v,
+        |             unnest(range(1, len(e)+1)) AS i FROM n) x""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Similarity.norm(col("embedding")).as("nrm"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim"),
+          round(col("v").cast("double") / col("nrm"), 6).as("nv"))
     })
 }

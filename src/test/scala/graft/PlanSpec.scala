@@ -141,4 +141,33 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row corpus count must arrive via broadcast")
     assert(p.contains("Window"), "per-doc top-k is a window")
   }
+
+  test("e10 SCD2: lag and lead share ONE user-key exchange") {
+    val p = planOf("e10_scd2_history")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "change-detect (lag) and interval-close (lead) must reuse the same partitioning")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("e11 sliding windows: generator expansion at the scan, one agg shuffle") {
+    val p = planOf("e11_sliding_windows")
+    assert(p.contains("Expand"),
+      "window membership must expand via the static 4-projection Expand, not a join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "only the final aggregate shuffles")
+  }
+
+  test("e12 snapshot diff: full outer join on the key, no nested loop") {
+    val p = planOf("e12_snapshot_diff")
+    assert(p.contains("FullOuter"), "reconciliation is a FULL OUTER equi-join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
+  }
+
+  test("d15/d16 embedding ops: posexplode at the scan, no joins") {
+    for (q <- Seq("d15_embedding_centroids", "d16_embedding_normalize")) {
+      val p = planOf(q)
+      assert(p.contains("Generate posexplode"), s"$q expands long-form at the scan")
+      assert(!p.contains("Join"), s"$q needs no join")
+    }
+  }
 }

@@ -116,6 +116,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       "SELECT CAST(graft_sum_scaled(v, 2) AS DOUBLE) AS s FROM VALUES (123L), (877L) t(v)")
       .head().getDouble(0)
     assert(s == 10.0, "int128 sum usable as a SQL aggregate")
+    val sketch = graft.operators.BloomPrefilter.build(
+      Seq(42L).toDF("k"), "k", expectedItems = 16, fpp = 0.01)
+    val hex = sketch.map("%02x".format(_)).mkString
+    val probes = spark.sql(
+      s"SELECT graft_bloom_might_contain(42L, x'$hex') AS yes," +
+        s" graft_bloom_might_contain(987654321L, x'$hex') AS no")
+      .head()
+    assert(probes.getBoolean(0), "an inserted key must probe true")
+    assert(!probes.getBoolean(1), "a distant key should probe false at fpp=0.01")
   }
 
   test("connected components: chains collapse to min label; singletons keep their own") {
