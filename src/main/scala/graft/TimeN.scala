@@ -18,7 +18,10 @@ object TimeN {
         q(spark, dir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val med = ts.sorted.apply(reps / 2)
+      val sorted = ts.sorted
+      val med =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       println(f"TIMEN $name median=$med%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()

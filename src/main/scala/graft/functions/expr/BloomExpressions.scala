@@ -27,6 +27,17 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   extends UnaryExpression {
 
+  // Array[Byte] gives the generated case-class equals reference semantics,
+  // which would make byte-identical probes compare unequal and defeat
+  // semanticEquals / exchange reuse. Compare the sketch by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

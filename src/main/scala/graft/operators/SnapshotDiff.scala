@@ -19,13 +19,20 @@ object SnapshotDiff {
 
   /** Diff `next` against `prev` on `keys`; `compare` columns decide
     * changed-vs-unchanged. Output: key columns (coalesced across sides),
-    * `status`, and `old_<c>` / `new_<c>` for each compared column. */
+    * `status`, and `old_<c>` / `new_<c>` for each compared column.
+    *
+    * NULL-key rows are first-class: the join is null-safe (`<=>`), so a
+    * NULL key matches its NULL counterpart, and side presence is carried
+    * by explicit marker columns — never inferred from key nullness (which
+    * would flip removed↔added for NULL-keyed rows). */
   def diff(prev: DataFrame, next: DataFrame, keys: Seq[String], compare: Seq[String]): DataFrame = {
-    val o = prev.select((keys ++ compare).map(col): _*).alias("o")
-    val n = next.select((keys ++ compare).map(col): _*).alias("n")
-    val cond = keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
-    val inOld = col(s"o.${keys.head}").isNotNull
-    val inNew = col(s"n.${keys.head}").isNotNull
+    val o = prev.select((keys ++ compare).map(col): _*)
+      .withColumn("__in_old", lit(true)).alias("o")
+    val n = next.select((keys ++ compare).map(col): _*)
+      .withColumn("__in_new", lit(true)).alias("n")
+    val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val inOld = col(s"o.__in_old").isNotNull
+    val inNew = col(s"n.__in_new").isNotNull
     val sameValues = compare
       .map(c => col(s"o.$c") <=> col(s"n.$c"))
       .foldLeft(lit(true))(_ && _)

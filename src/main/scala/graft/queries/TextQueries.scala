@@ -334,9 +334,12 @@ object TextQueries {
 
     // Rare-token fraction: LM-free lexical quality signal — the share of a
     // doc's tokens whose CORPUS frequency is below half the mean term
-    // frequency. The rare/common split is exact integer arithmetic
-    // (cf·vocab·2 < total) so the gate is engine-portable; only the final
-    // per-doc ratio is a single float division. Same one-explode shape as
+    // frequency. The rare/common split is exact integer arithmetic: the
+    // textbook form cf·vocab·2 < total overflows Long once cf·vocab passes
+    // ~4.6e18 (realistic at corpus scale), so it is evaluated as the
+    // equivalent-for-positive-integers cf < ceil(total / (2·vocab)) — the
+    // operands stay bounded by `total` and the gate remains engine-portable;
+    // only the final per-doc ratio is a float division. Same one-explode shape as
     // t11: the token stream is scanned once, term frequencies reuse its
     // exchange, and the corpus totals ride a 1-row broadcast.
     QueryDef.sql(
@@ -346,7 +349,7 @@ object TextQueries {
         |f AS (SELECT term, COUNT(*) AS cf FROM e GROUP BY 1),
         |s AS (SELECT CAST(SUM(cf) AS BIGINT) AS total, COUNT(*) AS vocab FROM f),
         |d AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
-        |        CAST(SUM(CASE WHEN cf * vocab * 2 < total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |        CAST(SUM(CASE WHEN cf < (total - 1) // (vocab * 2) + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         |      FROM e JOIN f USING (term) CROSS JOIN s GROUP BY 1)
         |SELECT doc_id, n_tokens, n_rare,
         |       round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_fraction
@@ -365,7 +368,7 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(
           sum(col("cnt")).as("n_tokens"),
-          sum(when(col("cf") * col("vocab") * 2 < col("total"), col("cnt"))
+          sum(when(col("cf") < expr("(total - 1) div (vocab * 2) + 1"), col("cnt"))
             .otherwise(0L)).as("n_rare"))
         .select(col("doc_id"), col("n_tokens"), col("n_rare"),
           round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_fraction"))

@@ -38,6 +38,16 @@ class BloomPrefilterSpec extends AnyFunSuite {
     assert(kept == total, "a Bloom filter cannot reject an inserted key")
   }
 
+  test("byte-identical probes compare equal (semanticEquals / reuse-friendly)") {
+    val bytes = BloomPrefilter.build(hi, "o_orderkey", expectedItems = 1 << 14, fpp = 0.01)
+    val copy = bytes.clone() // distinct array instance, same contents
+    val key = org.apache.spark.sql.catalyst.expressions.Literal(7L)
+    val ea = graft.functions.expr.BloomMightContainLong(key, bytes)
+    val eb = graft.functions.expr.BloomMightContainLong(key, copy)
+    assert(ea == eb && ea.hashCode == eb.hashCode,
+      "value equality on the sketch bytes, not reference equality")
+  }
+
   test("prefilter prunes: a 1-key dim drops ~all fact rows before the join") {
     val oneKey = Seq(7L).toDF("k")
     val bytes = BloomPrefilter.build(oneKey, "k", expectedItems = 1024, fpp = 0.001)

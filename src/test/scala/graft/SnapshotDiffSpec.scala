@@ -33,6 +33,16 @@ class SnapshotDiffSpec extends AnyFunSuite {
       4L -> "added", 5L -> "changed", 6L -> "unchanged"))
   }
 
+  test("NULL-keyed rows keep correct side attribution (null-safe key join)") {
+    // A NULL key only in prev must read as removed (not added), one only in
+    // next as added, and a NULL key present on both sides must match itself.
+    val prev = Seq((Option.empty[Long], "p"), (Some(1L), "x")).toDF("id", "v")
+    val next = Seq((Option.empty[Long], "p"), (Some(2L), "y")).toDF("id", "v")
+    val got = SnapshotDiff.diff(prev, next, Seq("id"), Seq("v"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(got == Map(None -> "unchanged", Some(1L) -> "removed", Some(2L) -> "added"))
+  }
+
   test("diff output carries both sides' values for audit") {
     val prev = Seq((1L, 10)).toDF("id", "v")
     val next = Seq((1L, 20)).toDF("id", "v")

@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     val streamed = spark.table(qname)
       .select("window_start", "event_type", "n", "max_value")
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
     val events = graft.io.Tables.load(spark, dir, "events")
     // Append mode emits a window only once the watermark (max ts − 10 min)
     // passes its end — the final open windows stay in state by design.
@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
       .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(horizon))
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(streamed == batch)
     assert(batch.nonEmpty)
     spark.streams.active.foreach(_.stop())
@@ -54,9 +54,9 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream.writeStream.format("memory").queryName("enrich_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val streamed = spark.table("enrich_test").collect().map(_.toSeq).toSet
+    val streamed = spark.table("enrich_test").collect().map(_.toSeq).sortBy(_.toString).toSeq
     val batch = events.join(dim, Seq("user_id"), "left")
-      .select("event_id", "user_id", "segment").collect().map(_.toSeq).toSet
+      .select("event_id", "user_id", "segment").collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(streamed == batch && batch.nonEmpty,
       "a stateless dimension join must emit every event exactly once")
     spark.streams.active.foreach(_.stop())
@@ -68,13 +68,13 @@ class StreamingSpec extends AnyFunSuite {
     val q = stream.writeStream.format("memory").queryName("sliding_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val streamed = spark.table("sliding_test").collect().map(_.toSeq).toSet
+    val streamed = spark.table("sliding_test").collect().map(_.toSeq).sortBy(_.toString).toSeq
     val events = graft.io.Tables.load(spark, dir, "events")
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0).getTime
     val horizonEpoch = maxTs / 1000L - 10 * 60
     val batch = SparkEntry.queries("e11_sliding_windows")(spark, dir)
       .filter(col("window_start") + 3600 <= horizonEpoch)
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(streamed == batch && batch.nonEmpty)
     spark.streams.active.foreach(_.stop())
   }
@@ -87,9 +87,9 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val streamed = spark.table("clean_test")
-      .select("doc_id", "fp", "n_tokens").collect().map(_.toSeq).toSet
+      .select("doc_id", "fp", "n_tokens").collect().map(_.toSeq).sortBy(_.toString).toSeq
     val batch = SparkEntry.queries("d9_clean_corpus")(spark, dir)
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
     // Same gates, same fingerprints; within a single backfill file the
     // arrival order is row order, so first-arrival dedup keeps the same
     // doc as batch's min-doc_id window.
