@@ -175,6 +175,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): pairwise cosine is
+    * computed only WITHIN a cluster, so the O(n²) pair space becomes
+    * Σ|cluster|² — one equi-join shuffle on the cluster id instead of a
+    * cross join. A vector is a duplicate when a lower-id vector in the same
+    * cluster is within `threshold`; `dup_of` is the smallest such id (a
+    * deterministic keeper rule, stable across retries). `clusterCol` is any
+    * coarse partition — a k-means cell (compose with the IVF quantizer), an
+    * LSH bucket, or a precomputed label. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    def side(id: String, v: String, n: String) = vecs.select(
+      col(clusterCol).as("__c"), col(idCol).as(id),
+      col(vecCol).cast("array<double>").as(v),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as(n))
+    val dupEdges = side("vec_id", "va", "na")
+      .join(side("id_b", "vb", "nb"), Seq("__c"))
+      .filter(col("id_b") < col("vec_id"))
+      .filter(round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("id_b")).as("dup_of"))
+    vecs.select(col(idCol).as("vec_id"), col(clusterCol).as("cluster"))
+      .join(dupEdges, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the cluster-partitioned scale path.
     *
     * A coarse quantizer (k-means on cosine similarity, deterministic

@@ -292,5 +292,31 @@ object EventQueries {
         Tables.load(spark, dir, "events")
           .select("user_id", "event_id", "ts", "event_type"),
         keys = Seq("user_id"), ts = "ts", tiebreak = Seq("event_id"))
+    },
+
+    // O2: Z-order clustering key (codegen'd ZValue Morton interleave) over
+    // (user_id, value-in-cents) — sortWithinPartitions on this key before a
+    // columnar write gives every file a narrow min-max envelope on BOTH
+    // columns, so predicates on EITHER prune files at planning time (the
+    // multi-dimensional data-skipping layout; see LayoutSpec for the
+    // one-dimension pruning proof). Pure per-row bit math, zero shuffle;
+    // the oracle replays the magic-mask spread chain in plain BIGINT
+    // arithmetic, pinning the expression bit for bit.
+    QueryDef.sql(
+      "o2_zorder_key",
+      """WITH z0 AS (SELECT event_id,
+        |             CAST(user_id AS BIGINT) & 2147483647 AS a,
+        |             CAST(floor(value * 100) AS BIGINT) & 2147483647 AS b
+        |            FROM events),
+        |z1 AS (SELECT event_id, (a | (a << 16)) & 281470681808895 AS a, (b | (b << 16)) & 281470681808895 AS b FROM z0),
+        |z2 AS (SELECT event_id, (a | (a << 8)) & 71777214294589695 AS a, (b | (b << 8)) & 71777214294589695 AS b FROM z1),
+        |z3 AS (SELECT event_id, (a | (a << 4)) & 1085102592571150095 AS a, (b | (b << 4)) & 1085102592571150095 AS b FROM z2),
+        |z4 AS (SELECT event_id, (a | (a << 2)) & 3689348814741910323 AS a, (b | (b << 2)) & 3689348814741910323 AS b FROM z3),
+        |z5 AS (SELECT event_id, (a | (a << 1)) & 6148914691236517205 AS a, (b | (b << 1)) & 6148914691236517205 AS b FROM z4)
+        |SELECT event_id, (a | (b << 1)) AS zval FROM z5""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"),
+          graft.functions.expr.ZValue.zValue(
+            col("user_id"), floor(col("value") * 100)).as("zval"))
     })
 }

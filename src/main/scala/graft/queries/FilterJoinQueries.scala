@@ -215,5 +215,31 @@ object FilterJoinQueries {
           col("n1.n_name").as("a"),
           col("n2.n_name").as("b"),
           col("n1.n_regionkey").as("region_id"))
+    },
+
+    // J15: blocked fuzzy match — the entity-resolution primitive. Candidate
+    // pairs come from an EQUI-join on a blocking key (name prefix), so the
+    // expensive edit-distance only runs inside blocks: Σ|block|² work and
+    // one hash shuffle, never the all-pairs cross join (at 100 TB the
+    // blocking key is the thing you tune; the join shape stays fixed).
+    // levenshtein ≤ 1 on TPC-H-style numbered names links ids that differ
+    // in one digit — a stand-in for real-world typo/transposition linkage.
+    QueryDef.sql(
+      "j15_fuzzy_blocked_match",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      def side(tag: String) = cust.select(
+        col("c_custkey").as(s"id_$tag"), col("c_name").as(s"name_$tag"),
+        substring(col("c_name"), 1, 15).as(s"blk_$tag"))
+      side("a").join(side("b"),
+          col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+        .filter(col("dist") <= 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
     })
 }

@@ -139,5 +139,28 @@ object SimilarityQueries {
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("vec_id"), col("dim"),
           round(col("v").cast("double") / col("nrm"), 6).as("nv"))
+    },
+
+    // SemDeDup: semantic dedup with pairwise cosine confined to a cluster —
+    // the published recipe for trillion-token corpora (cluster first, then
+    // O(|cluster|²) instead of O(n²)). Here the coarse partition is the
+    // `label` column (any quantizer output slots in); keeper rule = lowest
+    // id in the duplicate set, so output is retry-stable. ONE equi-join
+    // shuffle on the cluster id; the final attribution join is a broadcast
+    // at dim scale and a shuffle at corpus scale — both fine.
+    QueryDef.sql(
+      "d17_semdedup",
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |d AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |      FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id
+        |      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
+        |      GROUP BY 1)
+        |SELECT n.vec_id, n.label AS cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+        |FROM n LEFT JOIN d USING (vec_id)""".stripMargin) { (spark, dir) =>
+      graft.functions.Similarity.semDedup(
+        Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.45)
     })
 }

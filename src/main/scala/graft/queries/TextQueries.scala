@@ -372,5 +372,40 @@ object TextQueries {
             .otherwise(0L)).as("n_rare"))
         .select(col("doc_id"), col("n_tokens"), col("n_rare"),
           round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_fraction"))
+    },
+
+    // Corpus mixture planner: given per-source weights and a global char
+    // budget (half the corpus here), compute the per-source sampling rate
+    // that realizes the weighted mix — the "data mixing" step every
+    // training pipeline runs before sampling (the rates feed t13/t6-style
+    // hash samplers). Pure aggregate planning: one groupBy(source) shuffle
+    // over pre-aggregated stats plus a 1-row broadcast of the totals —
+    // corpus-size-independent output, so the plan is identical at 100 TB.
+    // All divisions mirror DuckDB's left-to-right double evaluation and the
+    // budget stays in exact integer arithmetic until the final ratio.
+    QueryDef.sql(
+      "t15_mixture_plan",
+      """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |                  CASE WHEN CAST(substr(source, 4, 10) AS INT) < 5 THEN 3.0 ELSE 1.0 END AS weight
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total, SUM(weight) AS wsum FROM s)
+        |SELECT source, chars, weight,
+        |       round(least(1.0, weight / wsum * (total // 2) / chars), 6) AS rate,
+        |       CAST(floor(round(least(1.0, weight / wsum * (total // 2) / chars), 6) * chars) AS BIGINT) AS planned_chars
+        |FROM s CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      val s = Tables.load(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("weight",
+          when(substring(col("source"), 4, 10).cast("int") < 5, lit(3.0))
+            .otherwise(lit(1.0)))
+      val t = s.agg(sum(col("chars")).cast("long").as("total"),
+        sum(col("weight")).as("wsum"))
+      val rate = round(
+        least(lit(1.0), col("weight") / col("wsum") * expr("total div 2") / col("chars")), 6)
+      s.crossJoin(broadcast(t))
+        .withColumn("rate", rate)
+        .select(col("source"), col("chars"), col("weight"), col("rate"),
+          floor(col("rate") * col("chars")).cast("long").as("planned_chars"))
     })
 }

@@ -48,6 +48,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(read.collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
   }
 
+  test("zValue: spread/compact are inverses; interleave splits back exactly") {
+    val probes = Seq(0L, 1L, 2L, 3L, 12345L, 0x7FFFFFFFL, 0xFFFFFFFFL)
+    for (a <- probes; b <- probes) {
+      val z = graft.functions.expr.ZValue.interleave(a, b)
+      assert(graft.functions.expr.ZValue.compact(z) == (a & 0x7FFFFFFFL))
+      assert(graft.functions.expr.ZValue.compact(z >> 1) == (b & 0x7FFFFFFFL))
+      assert(z >= 0L, "31-bit inputs keep the key non-negative")
+    }
+  }
+
+  test("zValue ordering narrows BOTH columns' per-chunk envelopes (data skipping)") {
+    // 4096 points on a 64×64 grid in row-major order: a row-major sort gives
+    // chunks the FULL y range; z-order must shrink the average y envelope
+    // while keeping x's envelope narrow too — the multi-dim skipping claim.
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    def avgEnvelope(sorted: Seq[(Long, Long)]): (Double, Double) = {
+      val chunks = sorted.grouped(256).toSeq // 16 "files"
+      def span(ps: Seq[Long]) = (ps.max - ps.min).toDouble
+      (chunks.map(c => span(c.map(_._1))).sum / chunks.size,
+        chunks.map(c => span(c.map(_._2))).sum / chunks.size)
+    }
+    val (rx, ry) = avgEnvelope(pts.sortBy(p => (p._1, p._2)))
+    val (zx, zy) = avgEnvelope(pts.sortBy(p =>
+      graft.functions.expr.ZValue.interleave(p._1, p._2)))
+    assert(ry == 63.0, "row-major chunks span the whole second dimension")
+    assert(zx <= 16 && zy <= 16,
+      s"z-order chunks must bound both dims (got x=$zx y=$zy vs row-major y=$ry)")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete(): Unit

@@ -163,6 +163,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
   }
 
+  test("j15/d17 blocked pairing: candidate pairs come from equi-joins, never nested loops") {
+    for (q <- Seq("j15_fuzzy_blocked_match", "d17_semdedup")) {
+      val p = planOf(q)
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q must block on an equi key — all-pairs shapes do not survive scale")
+    }
+  }
+
+  test("t15 mixture plan: totals ride a broadcast, not a second shuffle chain") {
+    val p = planOf("t15_mixture_plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals frame must broadcast")
+  }
+
   test("d15/d16 embedding ops: posexplode at the scan, no joins") {
     for (q <- Seq("d15_embedding_centroids", "d16_embedding_normalize")) {
       val p = planOf(q)

@@ -23,6 +23,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 5.0) < 1e-12)
   }
 
+  test("semDedup: duplicates only within a cluster; lowest id survives") {
+    // 1 ≈ 2 ≈ 4, but 4 sits in another cluster — cluster confinement must
+    // keep it; inside cluster 0 the keeper is the LOWEST id (1), 2 is a dup.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.999f, 0.04f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.get(3)))).toMap
+    assert(got(1L) == (false, None) && got(3L) == (false, None))
+    assert(got(2L) == (true, Some(1L)), "2 duplicates 1 within cluster 0")
+    assert(got(4L) == (false, None), "cross-cluster twin must NOT be deduped")
+  }
+
   test("brute-force top-k ranks by cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
