@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `graft_minhash(hashes, k, seed)` — k-permutation MinHash signature
   *   - `graft_hyperplane_sigs(vec, dim, nplanes, tables, seed)` — LSH bank
   *   - `graft_sum_scaled(unscaledLong, scale)` — exact int128 money sum
+  *   - `graft_zvalue(a, b)`         — Z-order (Morton) clustering key
   *
   * Static parameters (k, seed, dim, …) must be literals — they are baked
   * into the expression at resolution time exactly like the Column API.
@@ -58,6 +59,10 @@ object GraftFunctions {
       // which is what routes SQL DISTINCT / FILTER (WHERE ...) modifiers
       // correctly — an eager toAggregateExpression() would reject them.
       Int128Sum(args(0), litInt(args(1), "scale"))
+    },
+    "graft_zvalue" -> { args =>
+      require(args.length == 2, "graft_zvalue(a, b)")
+      ZValue(args(0), args(1))
     },
     "graft_bloom_might_contain" -> { args =>
       require(args.length == 2, "graft_bloom_might_contain(key, sketchBytes)")

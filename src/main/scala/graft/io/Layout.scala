@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout for scale (SURVEY §4.2 partition-pruning row and
   * the 100 TB posture): the two levers that delete shuffles and scans
@@ -38,4 +39,40 @@ object Layout {
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
+
+  /** Z-order clustered write: range-partition then sort by the Morton key
+    * of (`colA`, `colB`), so every output file covers a NARROW min-max
+    * envelope on BOTH columns — the multi-dimensional companion to
+    * [[writePartitioned]] (one-dimensional pruning) for predicates that
+    * alternate between two columns. One range shuffle at write time; see
+    * [[statsIndex]] for turning the envelopes into a file-pruning list. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val keyed = df.withColumn("__z",
+      graft.functions.expr.ZValue.zValue(col(colA), col(colB)))
+    keyed
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** File-level min-max stats index over a parquet directory — the
+    * data-skipping catalog a lakehouse keeps per table. One narrow
+    * aggregate keyed on `_metadata.file_path` (no shuffle wider than
+    * #files); the output is file-count-sized and drives
+    * [[pruneFiles]]-style planning without touching data. */
+  def statsIndex(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** Files whose [min, max] envelope on `column` may contain `value` —
+    * the planning-time skip list (no false negatives; envelope overlap
+    * only). Consumers pass the survivors to `spark.read.parquet(files:_*)`. */
+  def pruneFiles(index: DataFrame, column: String, value: Long): DataFrame =
+    index.filter(col(s"min_$column") <= value && col(s"max_$column") >= value)
+      .select(col("file"))
 }

@@ -162,5 +162,49 @@ object SimilarityQueries {
       graft.functions.Similarity.semDedup(
         Tables.load(spark, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.45)
+    },
+
+    // Embedding outlier detection: cosine of each vector against its
+    // group's mean DIRECTION — the pre-training gate that drops
+    // mis-clustered / drifted vectors. The centroid direction is the
+    // fixed-point component sum (d15's exact int64 accumulation — cosine is
+    // scale-invariant, so the un-divided sum IS the mean direction), built
+    // once per label and broadcast; the per-vector cosine is a sequential
+    // double fold identical to DuckDB's list_dot_product. Shuffles: one
+    // (label, dim) agg, one label agg — both centroid-sized, never
+    // corpus-wide pair work.
+    QueryDef.sql(
+      "d18_embedding_outliers",
+      """WITH ex AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |                   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS sv
+        |            FROM (SELECT label, unnest(embedding) AS v,
+        |                         unnest(range(1, len(embedding)+1)) AS i FROM embeddings) x),
+        |s AS (SELECT label, dim, CAST(SUM(sv) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
+        |c AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS cvec FROM s GROUP BY 1),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT vec_id, v.label,
+        |       round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_centroid,
+        |       round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) < 0.0 AS is_outlier
+        |FROM v JOIN c ON v.label = c.label""".stripMargin) { (spark, dir) =>
+      import graft.functions.Similarity
+      val vecs = Tables.load(spark, dir, "embeddings")
+      val sums = vecs
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("s"))
+      val cents = sums
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+        .select(col("label"),
+          expr("transform(ds, x -> CAST(x.s AS DOUBLE))").as("cvec"))
+      val cos = round(
+        Similarity.dot(col("e"), col("cvec")) /
+          (sqrt(Similarity.dot(col("e"), col("e"))) *
+            sqrt(Similarity.dot(col("cvec"), col("cvec")))), 6)
+      vecs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+        .join(broadcast(cents), "label")
+        .withColumn("cos_centroid", cos)
+        .select(col("vec_id"), col("label"), col("cos_centroid"),
+          (col("cos_centroid") < 0.0).as("is_outlier"))
     })
 }

@@ -125,6 +125,9 @@ class TrainingOpsSpec extends AnyFunSuite {
       .head()
     assert(probes.getBoolean(0), "an inserted key must probe true")
     assert(!probes.getBoolean(1), "a distant key should probe false at fpp=0.01")
+    val z = spark.sql("SELECT graft_zvalue(3L, 5L) AS z").head().getLong(0)
+    assert(z == graft.functions.expr.ZValue.interleave(3L, 5L),
+      "SQL zvalue must match the Column/eval path")
   }
 
   test("connected components: chains collapse to min label; singletons keep their own") {
