@@ -77,6 +77,35 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order chunks must bound both dims (got x=$zx y=$zy vs row-major y=$ry)")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // The 100 TB star-join lever static pruning can't reach: the fact-side
+    // partition filter is only knowable AFTER the dim filter runs, so Spark
+    // injects a runtime `dynamicpruning` subquery on the partition column.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_test"
+    val dimDir = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_dim"
+    try {
+      val fact = (0L until 10000L).map(i => (i, i % 8, i * 1.5)).toDF("id", "part_key", "v")
+      Layout.writePartitioned(fact, dir, Seq("part_key"))
+      // The dim must be a real scan: a literal Seq would constant-fold its
+      // filter into a LocalRelation, and with no surviving selective
+      // predicate the PartitionPruning rule (correctly) stands down.
+      (0L until 8L).map(k => (k, if (k == 3L) "keep" else "drop"))
+        .toDF("part_key", "tag").write.mode("overwrite").parquet(dimDir)
+      val joined = withConf("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true") {
+        val j = spark.read.parquet(dir)
+          .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"), Seq("part_key"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("dynamicpruning"),
+          s"fact scan must carry a runtime partition-pruning subquery:\n$plan")
+        j
+      }
+      assert(joined.count() == 1250L)
+    } finally {
+      deleteRecursively(new java.io.File(dir))
+      deleteRecursively(new java.io.File(dimDir))
+    }
+  }
+
   test("z-ordered write + stats index: point predicates prune files on BOTH columns") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_test"
     try {
