@@ -62,7 +62,11 @@ object GraftFunctions {
     },
     "graft_zvalue" -> { args =>
       require(args.length == 2, "graft_zvalue(a, b)")
-      ZValue(args(0), args(1))
+      // Coerce like the Column API (ZValue.zValue casts to long): without
+      // this, INT inputs would fail analysis instead of widening.
+      ZValue(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))
     },
     "graft_bloom_might_contain" -> { args =>
       require(args.length == 2, "graft_bloom_might_contain(key, sketchBytes)")

@@ -192,6 +192,10 @@ object Similarity {
     val dupEdges = side("vec_id", "va", "na")
       .join(side("id_b", "vb", "nb"), Seq("__c"))
       .filter(col("id_b") < col("vec_id"))
+      // Zero-norm guard: 0/0 = NaN, and NaN compares GREATER than any
+      // double in both Spark and DuckDB — without this, one all-zero
+      // vector (a failed-encoder row) would "duplicate" its entire cluster.
+      .filter(col("na") * col("nb") > 0)
       .filter(round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
         >= threshold)
       .groupBy(col("vec_id"))

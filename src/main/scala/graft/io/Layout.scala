@@ -49,6 +49,8 @@ object Layout {
   def writeZOrdered(
       df: DataFrame, path: String, colA: String, colB: String,
       numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrdered reserves the column name __z; rename it before writing")
     val keyed = df.withColumn("__z",
       graft.functions.expr.ZValue.zValue(col(colA), col(colB)))
     keyed

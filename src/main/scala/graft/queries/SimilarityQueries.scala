@@ -155,7 +155,8 @@ object SimilarityQueries {
         |           FROM embeddings),
         |d AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
         |      FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id
-        |      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
+        |      WHERE a.nrm * b.nrm > 0
+        |        AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
         |      GROUP BY 1)
         |SELECT n.vec_id, n.label AS cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
         |FROM n LEFT JOIN d USING (vec_id)""".stripMargin) { (spark, dir) =>
@@ -184,7 +185,8 @@ object SimilarityQueries {
         |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT vec_id, v.label,
         |       round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_centroid,
-        |       round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) < 0.0 AS is_outlier
+        |       (isnan(round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6))
+        |        OR round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) < 0.0) AS is_outlier
         |FROM v JOIN c ON v.label = c.label""".stripMargin) { (spark, dir) =>
       import graft.functions.Similarity
       val vecs = Tables.load(spark, dir, "embeddings")
@@ -204,7 +206,10 @@ object SimilarityQueries {
       vecs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
         .join(broadcast(cents), "label")
         .withColumn("cos_centroid", cos)
+        // NaN (zero-norm vector or degenerate centroid) IS an outlier: the
+        // gate exists to drop garbage rows, and NaN < 0.0 is false in both
+        // engines — the explicit isnan keeps the degenerate case flagged.
         .select(col("vec_id"), col("label"), col("cos_centroid"),
-          (col("cos_centroid") < 0.0).as("is_outlier"))
+          (isnan(col("cos_centroid")) || col("cos_centroid") < 0.0).as("is_outlier"))
     })
 }

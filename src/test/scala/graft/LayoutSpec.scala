@@ -112,18 +112,15 @@ class LayoutSpec extends AnyFunSuite {
       val df = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
         .toDF("x", "y")
       Layout.writeZOrdered(df, dir, "x", "y", numFiles = 16)
-      val idx = Layout.statsIndex(spark, dir, Seq("x", "y")).collect()
-        .map(r => (r.getAs[String]("file"),
-          r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
-          r.getAs[Long]("min_y"), r.getAs[Long]("max_y"))).toSeq
-      val total = idx.size
+      val idx = Layout.statsIndex(spark, dir, Seq("x", "y"))
+      val total = idx.count()
       assert(total >= 8, s"expected ~16 files, got $total")
-      val hitX = idx.count(f => f._2 <= 7L && f._3 >= 7L)
-      val hitY = idx.count(f => f._4 <= 7L && f._5 >= 7L)
+      val hitX = Layout.pruneFiles(idx, "x", 7L).count()
+      val hitY = Layout.pruneFiles(idx, "y", 7L).count()
       assert(hitX <= total / 2 && hitY <= total / 2,
         s"z-layout must prune most files on BOTH dims (x hits $hitX, y hits $hitY of $total)")
       // No false negatives: the surviving files hold every matching row.
-      val survivors = idx.filter(f => f._2 <= 7L && f._3 >= 7L).map(_._1)
+      val survivors = Layout.pruneFiles(idx, "x", 7L).collect().map(_.getString(0))
       val got = spark.read.parquet(survivors: _*).filter(col("x") === 7L).count()
       assert(got == 64L, "pruned read must still see all 64 x=7 rows")
     } finally deleteRecursively(new java.io.File(dir))

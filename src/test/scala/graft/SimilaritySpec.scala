@@ -37,6 +37,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(4L) == (false, None), "cross-cluster twin must NOT be deduped")
   }
 
+  test("semDedup: a zero-norm vector neither dups nor poisons its cluster") {
+    // 0/0 = NaN, and NaN >= threshold is TRUE under NaN-is-largest ordering
+    // — without the zero-norm guard, one all-zero row would mark every
+    // clustermate as its duplicate.
+    val vecs = Seq(
+      (1L, Array(0f, 0f, 0f), 0), // degenerate: failed-encoder row
+      (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false),
+      "zero-norm NaN cosine must never satisfy the dup threshold")
+  }
+
   test("brute-force top-k ranks by cosine with id tiebreak") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),

@@ -128,6 +128,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     val z = spark.sql("SELECT graft_zvalue(3L, 5L) AS z").head().getLong(0)
     assert(z == graft.functions.expr.ZValue.interleave(3L, 5L),
       "SQL zvalue must match the Column/eval path")
+    val zInt = spark.sql("SELECT graft_zvalue(3, 5) AS z").head().getLong(0)
+    assert(zInt == z, "INT inputs must coerce like the Column API does")
   }
 
   test("connected components: chains collapse to min label; singletons keep their own") {
