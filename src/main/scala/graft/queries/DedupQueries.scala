@@ -254,5 +254,42 @@ object DedupQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn")
+    },
+
+    // Cross-document boilerplate detection: a token 3-gram that recurs in
+    // ≥5 distinct docs is template text (header/footer/nav chrome), and
+    // each doc reports what share of its grams is boilerplate — the
+    // n-gram-granularity counterpart of CCNet's line-level dedup (this
+    // corpus has no newlines). Inverted-index shape like d4/t14: ONE
+    // explode of the token stream, gram frequencies reuse its exchange,
+    // and the join back runs on the compressed (doc, gram) pair set —
+    // never doc×doc. Docs with <3 tokens have no grams and no row.
+    QueryDef.sql(
+      "d19_boilerplate_ngrams",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |g AS (SELECT doc_id, array_to_string(list_slice(ts, i, i+2), ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) r),
+        |f AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       round(CAST(SUM(CASE WHEN nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_fraction
+        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val grams = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextTokens.tokens(col("text")).as("__toks"))
+        // sequence(1, n) is DESCENDING when n < 1 — guard short docs to an
+        // empty gram list instead of a phantom [1, 0] index walk.
+        .select(col("doc_id"), explode(
+          when(size(col("__toks")) >= 3,
+            expr("transform(sequence(1, size(__toks) - 2), i -> concat_ws(' ', slice(__toks, i, 3)))"))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val freq = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      grams.join(freq, "gram")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_fraction"))
     })
 }
