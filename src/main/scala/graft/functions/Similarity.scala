@@ -192,10 +192,13 @@ object Similarity {
     val dupEdges = side("vec_id", "va", "na")
       .join(side("id_b", "vb", "nb"), Seq("__c"))
       .filter(col("id_b") < col("vec_id"))
-      // Zero-norm guard: 0/0 = NaN, and NaN compares GREATER than any
-      // double in both Spark and DuckDB — without this, one all-zero
-      // vector (a failed-encoder row) would "duplicate" its entire cluster.
-      .filter(col("na") * col("nb") > 0)
+      // Degenerate-vector guard, covering BOTH failure shapes: a zero-norm
+      // vector (Spark's 0/0 divide yields NULL — filtered anyway — but
+      // DuckDB's yields NaN, which sorts ABOVE the threshold) and a
+      // NaN-component vector (norm = NaN in both engines; NaN * nb > 0 is
+      // TRUE under NaN-is-largest ordering, so the > 0 test alone would let
+      // one failed-encoder row "duplicate" its entire cluster).
+      .filter(!isnan(col("na") * col("nb")) && col("na") * col("nb") > 0)
       .filter(round(dotNative(col("va"), col("vb")) / (col("na") * col("nb")), 6)
         >= threshold)
       .groupBy(col("vec_id"))

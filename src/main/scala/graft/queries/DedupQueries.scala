@@ -260,35 +260,36 @@ object DedupQueries {
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the
     // n-gram-granularity counterpart of CCNet's line-level dedup (this
-    // corpus has no newlines). Inverted-index shape like d4/t14: ONE
-    // explode of the token stream, gram frequencies reuse its exchange,
-    // and the join back runs on the compressed (doc, gram) pair set —
-    // never doc×doc. Docs with <3 tokens have no grams and no row.
+    // corpus has no newlines). Single linear chain, no self-join: the gram
+    // stream collapses to per-(gram, doc) counts, the gram's document
+    // frequency is a COUNT() OVER (PARTITION BY gram) on that compressed
+    // pair set (one row per (gram, doc) = distinct-doc count), and the
+    // per-doc roll-up follows — one scan + shingling pass, three keyed
+    // shuffles, all on pair-set-sized data (pinned in PlanSpec). Docs with
+    // <3 tokens have no grams and no row.
     QueryDef.sql(
       "d19_boilerplate_ngrams",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
         |g AS (SELECT doc_id, array_to_string(list_slice(ts, i, i+2), ' ') AS gram
         |      FROM t, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) r),
-        |f AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
-        |SELECT doc_id, COUNT(*) AS n_grams,
-        |       CAST(SUM(CASE WHEN nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-        |       round(CAST(SUM(CASE WHEN nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_fraction
-        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val grams = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), TextTokens.tokens(col("text")).as("__toks"))
-        // sequence(1, n) is DESCENDING when n < 1 — guard short docs to an
-        // empty gram list instead of a phantom [1, 0] index walk.
-        .select(col("doc_id"), explode(
-          when(size(col("__toks")) >= 3,
-            expr("transform(sequence(1, size(__toks) - 2), i -> concat_ws(' ', slice(__toks, i, 3)))"))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-      val freq = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      grams.join(freq, "gram")
+        |p AS (SELECT gram, doc_id, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |w AS (SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY gram) AS nd FROM p)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN nd >= 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       round(CAST(SUM(CASE WHEN nd >= 5 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt), 6) AS boiler_fraction
+        |FROM w GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairCounts = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextTokens.wordShinglesAll(col("text"), 3)).as("gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+      pairCounts
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gram"))))
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+          sum(col("cnt")).as("n_grams"),
+          sum(when(col("nd") >= 5, col("cnt")).otherwise(0L)).as("n_boiler"))
         .select(col("doc_id"), col("n_grams"), col("n_boiler"),
           round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_fraction"))
     })

@@ -155,7 +155,7 @@ object SimilarityQueries {
         |           FROM embeddings),
         |d AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
         |      FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id
-        |      WHERE a.nrm * b.nrm > 0
+        |      WHERE NOT isnan(a.nrm * b.nrm) AND a.nrm * b.nrm > 0
         |        AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
         |      GROUP BY 1)
         |SELECT n.vec_id, n.label AS cluster, d.dup_of IS NOT NULL AS is_dup, d.dup_of
@@ -182,12 +182,14 @@ object SimilarityQueries {
         |                         unnest(range(1, len(embedding)+1)) AS i FROM embeddings) x),
         |s AS (SELECT label, dim, CAST(SUM(sv) AS BIGINT) AS s FROM ex GROUP BY 1, 2),
         |c AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS cvec FROM s GROUP BY 1),
-        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        |SELECT vec_id, v.label,
-        |       round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cos_centroid,
-        |       (isnan(round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6))
-        |        OR round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) < 0.0) AS is_outlier
-        |FROM v JOIN c ON v.label = c.label""".stripMargin) { (spark, dir) =>
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |r AS (SELECT vec_id, v.label AS label,
+        |             round(list_dot_product(e, cvec) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cos0
+        |      FROM v JOIN c ON v.label = c.label)
+        |SELECT vec_id, label,
+        |       CASE WHEN isnan(cos0) THEN NULL ELSE cos0 END AS cos_centroid,
+        |       (cos0 IS NULL OR isnan(cos0) OR cos0 < 0.0) AS is_outlier
+        |FROM r""".stripMargin) { (spark, dir) =>
       import graft.functions.Similarity
       val vecs = Tables.load(spark, dir, "embeddings")
       val sums = vecs
@@ -205,11 +207,15 @@ object SimilarityQueries {
             sqrt(Similarity.dot(col("cvec"), col("cvec")))), 6)
       vecs.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
         .join(broadcast(cents), "label")
-        .withColumn("cos_centroid", cos)
-        // NaN (zero-norm vector or degenerate centroid) IS an outlier: the
-        // gate exists to drop garbage rows, and NaN < 0.0 is false in both
-        // engines — the explicit isnan keeps the degenerate case flagged.
-        .select(col("vec_id"), col("label"), col("cos_centroid"),
-          (isnan(col("cos_centroid")) || col("cos_centroid") < 0.0).as("is_outlier"))
+        .withColumn("cos0", cos)
+        // Degenerate rows surface differently per engine — Spark's 0/0
+        // divide is NULL while DuckDB's is NaN; NaN-component vectors are
+        // NaN in both — so the cosine is normalized to NULL and is_outlier
+        // treats every degenerate shape as an outlier: the gate exists to
+        // drop garbage rows, and NaN < 0.0 / NULL < 0.0 would both let
+        // them through.
+        .select(col("vec_id"), col("label"),
+          when(isnan(col("cos0")), lit(null)).otherwise(col("cos0")).as("cos_centroid"),
+          (col("cos0").isNull || isnan(col("cos0")) || col("cos0") < 0.0).as("is_outlier"))
     })
 }

@@ -177,6 +177,13 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row totals frame must broadcast")
   }
 
+  test("d19 boilerplate: one shingling pass, window df-count, no self-join") {
+    val p = planOf("d19_boilerplate_ngrams")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"gram document frequency must ride a window, not a second scan branch:\n$p")
+    assert(!p.contains("Join"), s"d19 needs no join:\n$p")
+  }
+
   test("d15/d16 embedding ops: posexplode at the scan, no joins") {
     for (q <- Seq("d15_embedding_centroids", "d16_embedding_normalize")) {
       val p = planOf(q)

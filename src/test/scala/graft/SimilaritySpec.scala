@@ -37,19 +37,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(4L) == (false, None), "cross-cluster twin must NOT be deduped")
   }
 
-  test("semDedup: a zero-norm vector neither dups nor poisons its cluster") {
-    // 0/0 = NaN, and NaN >= threshold is TRUE under NaN-is-largest ordering
-    // — without the zero-norm guard, one all-zero row would mark every
-    // clustermate as its duplicate.
+  test("semDedup: degenerate vectors neither dup nor poison their cluster") {
+    // Two failure shapes, and they surface differently: a zero-norm vector
+    // gives Spark a NULL cosine (0/0 divide is NULL here — the guard
+    // exists for DuckDB parity, where 0/0 is NaN and NaN sorts above any
+    // threshold); a NaN-COMPONENT vector gives NaN in BOTH engines, and
+    // NaN >= threshold is true under NaN-is-largest ordering — without the
+    // isnan guard one failed-encoder row would mark every clustermate as
+    // its duplicate.
     val vecs = Seq(
-      (1L, Array(0f, 0f, 0f), 0), // degenerate: failed-encoder row
-      (2L, Array(1f, 0f, 0f), 0),
-      (3L, Array(0f, 1f, 0f), 0)
+      (1L, Array(0f, 0f, 0f), 0), // zero norm
+      (2L, Array(Float.NaN, 0f, 0f), 0), // NaN component
+      (3L, Array(1f, 0f, 0f), 0),
+      (4L, Array(0f, 1f, 0f), 0)
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.semDedup(vecs, "vec_id", "embedding", "label", 0.95)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(got == Map(1L -> false, 2L -> false, 3L -> false),
-      "zero-norm NaN cosine must never satisfy the dup threshold")
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false),
+      "degenerate cosines must never satisfy the dup threshold")
   }
 
   test("brute-force top-k ranks by cosine with id tiebreak") {
