@@ -175,4 +175,29 @@ class PropertySpec extends AnyFunSuite {
       assert(bucketed == naive, s"round $round width $w")
     }
   }
+
+  test("semDedup is idempotent: survivors contain no pair above threshold") {
+    // The lowest-id keeper rule guarantees every survivor has NO lower-id
+    // neighbor within threshold — so re-running the pass on survivors must
+    // find zero duplicates, for arbitrary vector sets and clusterings.
+    import graft.functions.Similarity
+    val vecGen = Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0, 3), // cluster
+      Gen.listOfN(4, Gen.chooseNum(-1.0, 1.0)))) // 4-dim vector
+    (1 to Rounds).foreach { round =>
+      val rows = samples(vecGen, round).zipWithIndex.map { case ((c, v), i) =>
+        (i.toLong, v.map(_.toFloat).toArray, c)
+      }
+      val vecs = rows.toDF("vec_id", "embedding", "label")
+      val first = Similarity.semDedup(vecs, "vec_id", "embedding", "label", 0.9)
+      val survivorIds = first.filter(!col("is_dup")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivorIds.nonEmpty)
+      val survivors = rows.filter(r => survivorIds(r._1))
+        .toDF("vec_id", "embedding", "label")
+      val second = Similarity.semDedup(survivors, "vec_id", "embedding", "label", 0.9)
+      assert(second.filter(col("is_dup")).count() == 0L,
+        s"round $round: re-dedup of survivors must be a no-op")
+    }
+  }
 }
