@@ -37,4 +37,40 @@ object RangeJoin {
     p2.join(i2, p2("__bucket") === i2("__bucket") && rangePred)
       .select((points.columns.map(points(_)) ++ intervals.columns.map(intervals(_))).toIndexedSeq: _*)
   }
+
+  /** Interval × interval overlap join on half-open intervals: pairs with
+    * `lStart < rEnd && rStart < lEnd` (and equal `keys`) — the temporal
+    * reconciliation shape (sessions × incidents, visits × campaigns) that
+    * a theta join would plan as a nested loop.
+    *
+    * Both sides explode to their bucket spans, the join runs on
+    * (keys, bucket), and a pair is emitted ONLY from the bucket containing
+    * `max(lStart, rStart)` — the overlap's left edge — so each pair
+    * appears exactly once with NO distinct pass. Cost: shuffle of
+    * |L|+|R| × (avg span / bucketWidth) rows on an equi key.
+    *
+    * `keys` must exist on both sides (one copy survives, from the left);
+    * all other column names must be distinct across the two frames.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def spans(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
+      explode(sequence(
+        floor(col(s) / w).cast("long"),
+        floor(col(e) / w).cast("long"))))
+    val l2 = spans(left, lStart, lEnd)
+    val r2 = spans(right, rStart, rEnd)
+    val overlap = l2(lStart) < r2(rEnd) && r2(rStart) < l2(lEnd)
+    val reportOnce =
+      floor(greatest(l2(lStart), r2(rStart)) / w).cast("long") === l2("__bucket")
+    val cond = (keys.map(k => l2(k) === r2(k)) :+
+      (l2("__bucket") === r2("__bucket")) :+ overlap :+ reportOnce).reduce(_ && _)
+    val lCols = left.columns.map(l2(_))
+    val rCols = right.columns.filterNot(keys.contains).map(r2(_))
+    l2.join(r2, cond).select((lCols ++ rCols).toIndexedSeq: _*)
+  }
 }

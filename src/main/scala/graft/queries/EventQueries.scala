@@ -318,5 +318,39 @@ object EventQueries {
         .select(col("event_id"),
           graft.functions.expr.ZValue.zValue(
             col("user_id"), floor(col("value") * 100)).as("zval"))
+    },
+
+    // E13: interval-overlap join (graft.operators.RangeJoin.intervalOverlap)
+    // — per-user click windows × purchase windows (10 min each) that
+    // overlap in time: the temporal reconciliation shape a theta join
+    // would nested-loop. Bucketed on (user, time bucket) with the
+    // report-once trick (a pair is emitted only from its overlap's
+    // left-edge bucket), so the plan is one equi-join shuffle and NO
+    // distinct pass; the oracle states the naive theta join directly.
+    QueryDef.sql(
+      "e13_interval_overlap_join",
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS cs,
+        |             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS ce
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ps,
+        |             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS pe
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id AND cs < pe AND ps < ce""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      def windows(tpe: String, idAs: String, s: String, e: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id"),
+            unix_timestamp(col("ts")).as(s),
+            (unix_timestamp(col("ts")) + 600).as(e))
+      graft.operators.RangeJoin.intervalOverlap(
+          windows("click", "click_id", "cs", "ce"),
+          windows("purchase", "purchase_id", "ps", "pe"),
+          keys = Seq("user_id"),
+          lStart = "cs", lEnd = "ce", rStart = "ps", rEnd = "pe",
+          bucketWidth = 600)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
     })
 }

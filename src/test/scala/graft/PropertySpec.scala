@@ -176,6 +176,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed interval-overlap join == naive theta join, each pair once") {
+    val ivGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 500L), Gen.chooseNum(1L, 120L)))
+    val widths = Seq(10.0, 60.0, 300.0)
+    (1 to Rounds).foreach { round =>
+      val ls = samples(ivGen, round).zipWithIndex
+        .map { case ((k, s, len), i) => (i.toLong, k, s, s + len) }
+        .toDF("lid", "k", "ls", "le")
+      val rs = samples(ivGen, round + 100).zipWithIndex
+        .map { case ((k, s, len), i) => (i.toLong, k, s, s + len) }
+        .toDF("rid", "k", "rs", "re")
+      val naive = ls.join(rs, ls("k") === rs("k") &&
+          col("ls") < col("re") && col("rs") < col("le"))
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val w = widths(round % widths.size)
+      val bucketed = graft.operators.RangeJoin
+        .intervalOverlap(ls, rs, Seq("k"), "ls", "le", "rs", "re", w)
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(bucketed == naive, s"round $round width $w")
+      assert(bucketed.distinct == bucketed, "report-once must hold — no dup pairs")
+    }
+  }
+
   test("semDedup is idempotent: survivors contain no pair above threshold") {
     // The lowest-id keeper rule guarantees every survivor has NO lower-id
     // neighbor within threshold — so re-running the pass on survivors must
