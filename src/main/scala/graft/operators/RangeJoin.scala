@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bucketed range join: points ⋈ intervals on `lo <= p < hi` (optionally
@@ -19,17 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Explode `df` to one row per bucket its [lo, hi] span touches. The
+    * `__bucket` column name is RESERVED (guarded, not silently replaced).
+    * With `endExclusive`, a bucket-aligned end stops one bucket short —
+    * [s, e) never occupies bucket e/w, and shipping it would only inflate
+    * the shuffle (up to 2× for aligned data); `greatest` keeps zero-length
+    * aligned spans from producing a descending sequence. */
+  private def bucketSpans(
+      df: DataFrame, lo: String, hi: String, w: Column,
+      endExclusive: Boolean): DataFrame = {
+    require(!df.columns.contains("__bucket"),
+      "bucketed range joins reserve the column name __bucket; rename it first")
+    val first = floor(col(lo) / w).cast("long")
+    val last =
+      if (endExclusive) greatest(first, (ceil(col(hi) / w) - 1).cast("long"))
+      else floor(col(hi) / w).cast("long")
+    df.withColumn("__bucket", explode(sequence(first, last)))
+  }
+
   /** @param hiInclusive false → `lo <= p < hi` (default), true → `<= hi`. */
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       bucketWidth: Double, hiInclusive: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("__bucket"),
+      "bucketed range joins reserve the column name __bucket; rename it first")
     val w = lit(bucketWidth)
-    val i2 = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / w).cast("long"),
-        floor(col(hiCol) / w).cast("long"))))
+    val i2 = bucketSpans(intervals, loCol, hiCol, w, endExclusive = !hiInclusive)
     val p2 = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
     val rangePred =
       if (hiInclusive) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
@@ -58,12 +75,8 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    def spans(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
-      explode(sequence(
-        floor(col(s) / w).cast("long"),
-        floor(col(e) / w).cast("long"))))
-    val l2 = spans(left, lStart, lEnd)
-    val r2 = spans(right, rStart, rEnd)
+    val l2 = bucketSpans(left, lStart, lEnd, w, endExclusive = true)
+    val r2 = bucketSpans(right, rStart, rEnd, w, endExclusive = true)
     val overlap = l2(lStart) < r2(rEnd) && r2(rStart) < l2(lEnd)
     val reportOnce =
       floor(greatest(l2(lStart), r2(rStart)) / w).cast("long") === l2("__bucket")
