@@ -75,7 +75,12 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"sketchBytes must be a binary literal (a serialized Bloom sketch), got $other")
       }
-      BloomMightContainLong(args(0), bytes)
+      // Coerce like graft_zvalue (and the Column API's mightContain, which
+      // casts its probe): INT keys widen to LONG instead of failing the
+      // expression's LongType input check.
+      BloomMightContainLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
+        bytes)
     })
 
   /** Register every graft SQL function on a live session. Idempotent. */

@@ -48,6 +48,17 @@ object BloomPrefilter {
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // Enforce the documented "integral keys only" contract: a string or
+    // decimal key would silently cast (non-numeric strings → NULL) and
+    // change results relative to the plain join this claims to mirror.
+    def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(key).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"BloomPrefilter.semiJoin needs an integral $side key; '$key' is $dt")
+    }
+    requireIntegral(fact, factKey, "fact")
+    requireIntegral(dim, dimKey, "dim")
     val keys = dim.select(col(dimKey).cast("long").as(dimKey))
     val pre = filterMightContain(fact, factKey, build(keys, dimKey, expectedItems, fpp))
     pre.join(keys, pre(factKey).cast("long") === keys(dimKey), "left_semi")

@@ -21,19 +21,18 @@ object RangeJoin {
 
   /** Explode `df` to one row per bucket its [lo, hi] span touches. The
     * `__bucket` column name is RESERVED (guarded, not silently replaced).
-    * With `endExclusive`, a bucket-aligned end stops one bucket short —
-    * [s, e) never occupies bucket e/w, and shipping it would only inflate
-    * the shuffle (up to 2× for aligned data); `greatest` keeps zero-length
-    * aligned spans from producing a descending sequence. */
+    * The last bucket is always `floor(hi/w)`, even for half-open spans
+    * whose aligned end never occupies it: the tighter `ceil(hi/w)-1` bound
+    * silently DROPS matches when `hi > N*w` but `hi/w` rounds down to
+    * exactly `N` in floating point (then a point `p < hi` lands in bucket
+    * `N`, which the interval would no longer ship). The extra aligned-end
+    * bucket only ever produces pairs the exact range predicate removes. */
   private def bucketSpans(
-      df: DataFrame, lo: String, hi: String, w: Column,
-      endExclusive: Boolean): DataFrame = {
+      df: DataFrame, lo: String, hi: String, w: Column): DataFrame = {
     require(!df.columns.contains("__bucket"),
       "bucketed range joins reserve the column name __bucket; rename it first")
     val first = floor(col(lo) / w).cast("long")
-    val last =
-      if (endExclusive) greatest(first, (ceil(col(hi) / w) - 1).cast("long"))
-      else floor(col(hi) / w).cast("long")
+    val last = floor(col(hi) / w).cast("long")
     df.withColumn("__bucket", explode(sequence(first, last)))
   }
 
@@ -46,7 +45,7 @@ object RangeJoin {
     require(!points.columns.contains("__bucket"),
       "bucketed range joins reserve the column name __bucket; rename it first")
     val w = lit(bucketWidth)
-    val i2 = bucketSpans(intervals, loCol, hiCol, w, endExclusive = !hiInclusive)
+    val i2 = bucketSpans(intervals, loCol, hiCol, w)
     val p2 = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
     val rangePred =
       if (hiInclusive) col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)
@@ -75,8 +74,8 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val w = lit(bucketWidth)
-    val l2 = bucketSpans(left, lStart, lEnd, w, endExclusive = true)
-    val r2 = bucketSpans(right, rStart, rEnd, w, endExclusive = true)
+    val l2 = bucketSpans(left, lStart, lEnd, w)
+    val r2 = bucketSpans(right, rStart, rEnd, w)
     val overlap = l2(lStart) < r2(rEnd) && r2(rStart) < l2(lEnd)
     val reportOnce =
       floor(greatest(l2(lStart), r2(rStart)) / w).cast("long") === l2("__bucket")
