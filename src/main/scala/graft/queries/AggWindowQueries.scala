@@ -416,5 +416,53 @@ object AggWindowQueries {
       val b = customer.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey").as("nid"))
       a.intersect(b).withColumn("op", lit("intersect"))
         .union(a.except(b).withColumn("op", lit("except")))
+    },
+
+    // A16: winsorized stats — clip each group's values to its [p05, p95]
+    // order statistics before averaging, the standard outlier-robust
+    // aggregate for skewed telemetry/quality metrics. Bounds are DISCRETE
+    // quantiles picked by explicit row_number arithmetic (value at position
+    // ceil(q·n) under a total order), not interpolated percentile — an
+    // exact element of the data, so both engines agree bit-for-bit and no
+    // float lerp parity risk exists. Plan shape: one hash(event_type)
+    // exchange feeds the rank window; the bounds frame is
+    // |groups|-sized and broadcast back; the final agg reuses the same
+    // key. At 100 TB the per-group sort is the cost — the documented scale
+    // alternative is approx_percentile bounds (a13's sketch family) with
+    // this exact form as the auditable baseline.
+    QueryDef.sql(
+      "a16_winsorized_stats",
+      """WITH r AS (SELECT event_type, "value",
+        |    row_number() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type, MIN("value") AS lo, MAX("value") AS hi FROM r
+        |      WHERE rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |         OR rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      GROUP BY event_type)
+        |SELECT r.event_type, COUNT(*) AS n, b.lo, b.hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(r."value", b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_winsor,
+        |  COUNT(CASE WHEN r."value" < b.lo OR r."value" > b.hi THEN 1 END) AS n_clipped
+        |FROM r JOIN b USING (event_type) GROUP BY r.event_type, b.lo, b.hi""".stripMargin) { (spark, dir) =>
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val r = Tables.load(spark, dir, "events").select(
+        col("event_type"), col("value"),
+        row_number().over(wOrd).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      val b = r.filter(
+          col("rn") === greatest(lit(1L), ceil(col("n") * 0.05).cast("long")) ||
+          col("rn") === ceil(col("n") * 0.95).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val clipped = least(greatest(col("value"), col("lo")), col("hi"))
+      r.join(broadcast(b), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(Num.dec2(clipped)).cast(DoubleType) / count(lit(1))).as("avg_winsor"),
+          count(when(col("value") < col("lo") || col("value") > col("hi"), 1)).as("n_clipped"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("avg_winsor"), col("n_clipped"))
     })
 }

@@ -241,5 +241,37 @@ object FilterJoinQueries {
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
         .filter(col("dist") <= 1)
         .select(col("id_a"), col("id_b"), col("dist"))
+    },
+
+    // J16: full-outer reconciliation — the snapshot-diff join shape for two
+    // derived views of the same key space (here: BUILDING-segment customers
+    // vs high-balance customers), with provenance tagged both/left_only/
+    // right_only and the payload coalesced across sides. Completes the join
+    // family (inner/left/semi/anti/self/fuzzy/bloom/as-of/range/interval).
+    // Full outer cannot broadcast (both sides must ship) — it hash-shuffles
+    // both inputs on the key, which is exactly right at scale; the filters
+    // push to the scans so only the two slices enter the exchange.
+    QueryDef.sql(
+      "j16_full_outer_reconcile",
+      """SELECT COALESCE(a.c_custkey, b.c_custkey) AS cust_id,
+        |       COALESCE(a.c_name, b.c_name) AS name,
+        |       CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'both'
+        |            WHEN a.c_custkey IS NOT NULL THEN 'left_only'
+        |            ELSE 'right_only' END AS provenance
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') a
+        |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) b
+        |  ON a.c_custkey = b.c_custkey""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val a = customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k_a"), col("c_name").as("n_a"))
+      val b = customer.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k_b"), col("c_name").as("n_b"))
+      a.join(b, col("k_a") === col("k_b"), "full_outer")
+        .select(
+          coalesce(col("k_a"), col("k_b")).as("cust_id"),
+          coalesce(col("n_a"), col("n_b")).as("name"),
+          when(col("k_a").isNotNull && col("k_b").isNotNull, "both")
+            .when(col("k_a").isNotNull, "left_only")
+            .otherwise("right_only").as("provenance"))
     })
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.TextAnalysis
+import graft.functions.{TextAnalysis, TextTokens}
 import graft.io.Tables
 import org.apache.spark.sql.functions._
 
@@ -407,5 +407,78 @@ object TextQueries {
         .withColumn("rate", rate)
         .select(col("source"), col("chars"), col("weight"), col("rate"),
           floor(col("rate") * col("chars")).cast("long").as("planned_chars"))
+    },
+
+    // Heavy hitters: exact top-20 tokens by document frequency — the
+    // corpus-vocabulary profiling step (stopword discovery, boilerplate
+    // tokens, tokenizer audits). Distinct-per-doc BEFORE the explode so a
+    // token counts once per document, then a count aggregation whose
+    // map-side partial combine absorbs the Zipf skew (the hot token's rows
+    // collapse to one partial per task before the shuffle — no salting
+    // needed for pure counts). Ties at the cut break on the token itself,
+    // so the limit is deterministic.
+    QueryDef.sql(
+      "t16_heavy_hitters",
+      """WITH e AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token FROM documents)
+        |SELECT token, COUNT(*) AS df FROM e WHERE token <> ''
+        |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(explode(array_distinct(TextTokens.tokens(col("text")))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    },
+
+    // Lexical diversity: per-document type-token ratio and hapax-legomenon
+    // fraction — quality signals that catch keyword-stuffed and repetitive
+    // machine-generated text that length/punctuation ratios (t2) miss.
+    // Shape: explode → (doc_id, token) count → doc_id rollup. Two shuffles,
+    // both on well-distributed keys (doc_id dominates both); at 100 TB this
+    // is the canonical pattern — never per-row quadratic array scans.
+    QueryDef.sql(
+      "t17_lexical_diversity",
+      """WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM e WHERE token <> '' GROUP BY 1, 2)
+        |SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_types,
+        |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
+        |  COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+        |  round(CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS hapax_frac
+        |FROM tc GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(count(lit(1)).cast("double") / sum(col("cnt")), 6).as("ttr"),
+          count(when(col("cnt") === 1, 1)).as("n_hapax"),
+          round(count(when(col("cnt") === 1, 1)).cast("double") / count(lit(1)), 6)
+            .as("hapax_frac"))
+    },
+
+    // Frame-sample planning: the deterministic evenly-spaced offset math of
+    // graft.multimodal.Multimodal.sampleFrames, surfaced as an oracled
+    // query over scalar metadata (n_chars stands in for the frame count —
+    // the real pipeline runs this same arithmetic on media metadata before
+    // any binary decode, so the PLAN is what must be exact). offsets[i] =
+    // floor(i·n/k): pure per-row expression work, scan-only, no shuffle;
+    // the array serializes at the output boundary (a1/p23 flatten rule).
+    QueryDef.sql(
+      "m2_frame_sample_plan",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames,
+        |  array_to_string(list_transform(range(8), i -> CAST(CAST(floor(i * n_chars / 8.0) AS BIGINT) AS VARCHAR)), ',') AS frame_offsets
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_frames"),
+        concat_ws(",",
+          transform(sequence(lit(0), lit(7)),
+            i => floor(i * col("n_chars") / 8.0).cast("long").cast("string")))
+          .as("frame_offsets"))
     })
 }
