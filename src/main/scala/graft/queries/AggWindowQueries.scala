@@ -464,5 +464,26 @@ object AggWindowQueries {
           count(when(col("value") < col("lo") || col("value") > col("hi"), 1)).as("n_clipped"))
         .select(col("event_type"), col("n"), col("lo"), col("hi"),
           col("avg_winsor"), col("n_clipped"))
+    },
+
+    // A17: equi-depth binning — per-group decile bins via ntile under a
+    // total order (value, event_id), then per-bin count/min/max: the
+    // feature-bucketing primitive (quantile bins per segment). The window
+    // partitions by event_type so the sort distributes across groups —
+    // never a global single-partition window. At 100 TB the per-group sort
+    // is the cost; the sketch alternative is approx_percentile cut points
+    // (a13's family) with this exact form as the auditable baseline.
+    QueryDef.sql(
+      "a17_equidepth_bins",
+      """WITH r AS (SELECT event_type, "value",
+        |    CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS INT) AS bin
+        |  FROM events)
+        |SELECT event_type, bin, COUNT(*) AS n, MIN("value") AS lo, MAX("value") AS hi
+        |FROM r GROUP BY event_type, bin""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("value"), ntile(10).over(w).as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
     })
 }

@@ -292,5 +292,60 @@ object DedupQueries {
           sum(when(col("nd") >= 5, col("cnt")).otherwise(0L)).as("n_boiler"))
         .select(col("doc_id"), col("n_grams"), col("n_boiler"),
           round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_fraction"))
+    },
+
+    // Segment-level dedup with document REASSEMBLY — CCNet's line-level
+    // dedup loop end to end (d19 only scores; this one rewrites). The
+    // corpus has no newlines, so the "line" unit is a non-overlapping
+    // 8-token segment; the plan is identical for real lines: posexplode
+    // segments with position → per-segment distinct-doc frequency (one
+    // segment-keyed agg shuffle) → join frequencies back to the positioned
+    // stream (AQE broadcasts the vocab side when it fits) → drop segments
+    // seen in ≥2 distinct docs → reassemble surviving segments in
+    // position order (collect_list skips the nulled boilerplate, one
+    // doc-keyed shuffle). A final left join from the base table keeps
+    // fully-boilerplate docs as empty rows — at 100 TB the rewrite must
+    // preserve the doc set so downstream joins stay total. Threshold 2 is
+    // the test-corpus setting; production uses higher cutoffs.
+    QueryDef.sql(
+      "d20_segment_dedup",
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ts, (i-1)*8+1, (i-1)*8+8), ' ') AS seg
+        |      FROM d, LATERAL (SELECT unnest(range(1, CAST(ceil(len(ts)/8.0) AS BIGINT) + 1)) AS i) r
+        |      WHERE array_to_string(list_slice(ts, (i-1)*8+1, (i-1)*8+8), ' ') <> ''),
+        |f AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
+        |r AS (SELECT s.doc_id, COUNT(*) AS n_total,
+        |        COUNT(CASE WHEN f.nd < 2 THEN 1 END) AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN f.nd < 2 THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text
+        |      FROM s JOIN f USING (seg) GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |       COALESCE(r.n_total, 0) AS n_total, COALESCE(r.n_kept, 0) AS n_kept
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val toks = TextTokens.tokens(col("text"))
+      val nseg = ceil(size(toks) / lit(8.0)).cast("int")
+      val segs = docs
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), nseg),
+            i => concat_ws(" ", slice(toks, (i - 1) * 8 + 1, lit(8))))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "seg")
+        .filter(col("seg") =!= "")
+      val segDf = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val rebuilt = segs.join(segDf, "seg")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("nd") < 2, 1)).as("n_kept"),
+          concat_ws(" ",
+            transform(
+              array_sort(collect_list(when(col("nd") < 2,
+                struct(col("p").as("p"), col("seg").as("s"))))),
+              e => e.getField("s"))).as("clean_text"))
+      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_total"), lit(0L)).as("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     })
 }

@@ -352,5 +352,38 @@ object EventQueries {
           lStart = "cs", lEnd = "ce", rStart = "ps", rEnd = "pe",
           bucketWidth = 600)
         .select(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
+    // Z-score anomaly flags: per-event-type standardization from EXACT
+    // decimal moments (Σx, Σx² as DECIMAL — order-independent under
+    // partial aggregation), lowered to double only for the final
+    // μ/σ/z arithmetic so both engines evaluate the identical IEEE
+    // expression tree on identical inputs. Population variance via
+    // E[x²]−E[x]². One event_type-keyed exchange feeds both window
+    // sums; per-row z is then scan-local. At 100 TB the moments come
+    // from a groupBy + broadcast join-back instead of a window, but
+    // the shuffle count is the same (one).
+    QueryDef.sql(
+      "e14_zscore_anomalies",
+      """WITH m AS (SELECT event_id, event_type, "value",
+        |    CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS sxx,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+        |  FROM events)
+        |SELECT event_id, event_type, "value",
+        |       round(("value" - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS z
+        |FROM m
+        |WHERE abs(("value" - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 1.5""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+      val dec = Num.dec2(col("value"))
+      val m = Tables.load(spark, dir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        sum(dec).over(w).cast("double").as("sx"),
+        sum(dec * dec).over(w).cast("double").as("sxx"),
+        count(lit(1)).over(w).cast("double").as("n"))
+      val mu = col("sx") / col("n")
+      val z = (col("value") - mu) / sqrt(col("sxx") / col("n") - mu * mu)
+      m.filter(abs(z) > 1.5)
+        .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))
     })
 }
