@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over an explicit edge list.
+  *
+  * All arithmetic is 64-bit integer with floor division (`div`) at a fixed
+  * 1e12 scale, so ranks are BIT-IDENTICAL across engines, retries, and
+  * partitionings — no float summation order anywhere. Damping is 85/100;
+  * dangling mass (nodes with no out-edges) is redistributed uniformly each
+  * round, which keeps total mass conserved up to per-node floor remainders.
+  *
+  * Plan shape per round: one edge-keyed join to ship ranks to destinations
+  * (the only fact-scale shuffle), a groupBy(dst) with map-side partial sums,
+  * and two 1-row aggregates (dangling mass, node count) broadcast back.
+  * Rounds are synchronous and the iteration count is fixed by the caller —
+  * the classic bounded-round formulation (Page et al. 1999; the
+  * Spark-idiomatic loop mirrors GraphX's staticPageRank contract without
+  * the RDD API).
+  *
+  * Cache lifecycle: each round's ranks are persisted and materialized, the
+  * previous round unpersisted — lineage stays one round deep (same contract
+  * as [[ConnectedComponents]]), so the plan does not grow with `iters` and
+  * a 100 TB run is `iters` bounded passes. The returned frame is persisted;
+  * the caller owns the final unpersist.
+  */
+object PageRank {
+
+  /** 1e12 — rank mass is tracked in trillionths. */
+  val Scale: Long = 1000000000000L
+
+  /** @param nodes one column `v` (long id), the full vertex set (dangling
+    *              vertices included)
+    * @param edges columns `src`, `dst` (long ids), directed, duplicates
+    *              allowed (parallel edges weight the transition)
+    * @param iters number of synchronous rounds (fixed, no convergence test —
+    *              deterministic plans beat adaptive stopping for parity)
+    * @return (v, r) with r the fixed-point rank at [[Scale]]
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // The edge list is re-read every round — persist it, or an expensive
+    // upstream (e.g. the Jaccard pair self-join) recomputes once per round.
+    val e = edges.persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val params = nodes.agg(count(lit(1)).as("n")) // 1 row, broadcast below
+
+    var r = nodes.crossJoin(broadcast(params))
+      .selectExpr("v", s"$Scale div n AS r")
+      .persist()
+    r.count()
+
+    for (_ <- 1 to iters) {
+      // Dangling mass: ranks of vertices with no out-edges (1-row aggregate).
+      val dang = r.join(deg, r("v") === deg("src"), "left")
+        .filter(col("src").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // Each vertex ships r div deg along every out-edge; sum at the dst.
+      val contrib = e.join(r, col("src") === col("v"))
+        .join(deg, "src")
+        .selectExpr("dst", "r div deg AS share")
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      val next = nodes.crossJoin(broadcast(params)).crossJoin(broadcast(dang))
+        .join(contrib, col("v") === col("dst"), "left")
+        .selectExpr("v",
+          s"(($Scale * 15) div 100) div n + " +
+            "(85 * (coalesce(contrib, 0) + dang div n)) div 100 AS r")
+        .persist()
+      next.count()
+      r.unpersist()
+      r = next
+    }
+    deg.unpersist()
+    e.unpersist()
+    r
+  }
+}

@@ -347,5 +347,47 @@ object DedupQueries {
           coalesce(col("clean_text"), lit("")).as("clean_text"),
           coalesce(col("n_total"), lit(0L)).as("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
+    // Fixed-point PageRank over the near-dup graph (d4's Jaccard pairs,
+    // undirected → both directions): centrality inside duplicate clusters —
+    // the canonical-representative signal when picking which near-dup to
+    // KEEP (highest-rank doc is the hub the others orbit). All arithmetic
+    // is 64-bit integer floor division at 1e12 scale (graft.operators
+    // .PageRank), so Spark and DuckDB agree bit-for-bit — float PageRank
+    // can never hash-match across engines. The oracle unrolls the same 5
+    // synchronous rounds as CTEs; DuckDB `//` == Spark `div` on
+    // non-negative operands, and every SUM is cast back to BIGINT (DuckDB
+    // widens to HUGEINT).
+    QueryDef.sql(
+      "d21_pagerank", {
+        val pairGraph =
+          """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+            |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
+            |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+            |z AS (SELECT doc_id, len(sh) AS n FROM s),
+            |pairs AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+            |          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+            |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+            |nodes AS (SELECT doc_id AS v FROM documents),
+            |params AS (SELECT COUNT(*) AS n FROM nodes),
+            |r0 AS (SELECT v, 1000000000000 // p.n AS r FROM nodes CROSS JOIN params p)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang FROM r${i - 1} LEFT JOIN deg ON v = src WHERE src IS NULL),
+             |c$i AS (SELECT e.dst AS v, CAST(SUM(r.r // deg.deg) AS BIGINT) AS contrib
+             |        FROM edges e JOIN r${i - 1} r ON r.v = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.v, ((1000000000000 * 15) // 100) // p.n + (85 * (COALESCE(c.contrib, 0) + (d.dang // p.n))) // 100 AS r
+             |        FROM nodes n CROSS JOIN params p CROSS JOIN d$i d LEFT JOIN c$i c ON c.v = n.v)""".stripMargin
+        }.mkString(",\n")
+        s"$pairGraph,\n$rounds\nSELECT v AS doc_id, r AS rank_fp FROM r5"
+      }) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val nodes = Tables.load(spark, dir, "documents").select(col("doc_id").as("v"))
+      graft.operators.PageRank.run(nodes, edges, iters = 5)
+        .select(col("v").as("doc_id"), col("r").as("rank_fp"))
     })
 }
