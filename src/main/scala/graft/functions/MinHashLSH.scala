@@ -71,6 +71,24 @@ object MinHashLSH {
     array((0 until bands).map(b =>
       xxhash64(concat_ws("_", slice(minhash, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
+  /** Exploded LSH band index: one (id, band_idx, sig) row per band — the
+    * shared probe/build shape for the batch self-join ([[candidatePairs]])
+    * and the streaming stream-static gate (EventStreams
+    * .nearDupCandidatesStream). Works on static AND streaming frames: the
+    * minhash fold and the posexplode are stateless per-row expressions. */
+  def bandIndex(
+      docs: DataFrame,
+      idCol: String,
+      hashedCol: String,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = k / bands
+    docs
+      .select(col(idCol).as("id"), minhashes(col(hashedCol), k).as("mh"))
+      .select(col("id"),
+        posexplode(bandSignatures(col("mh"), bands, rowsPerBand)).as(Seq("band_idx", "sig")))
+  }
+
   /** Candidate near-dup pairs (idA < idB) for docs sharing ≥1 LSH bucket.
     * `docs` must have columns (id, hashedShingles: array<long>). */
   def candidatePairs(
@@ -79,7 +97,6 @@ object MinHashLSH {
       hashedCol: String,
       k: Int = 64,
       bands: Int = 16): DataFrame = {
-    val rowsPerBand = k / bands
     // No persist anywhere: (1) the single-evaluation guarantee for the
     // minhash fold comes from bandSignatures' multi-reference shape (see
     // its doc) rather than a cache barrier; (2) the self-join below hash-
@@ -87,11 +104,7 @@ object MinHashLSH {
     // subplans, so ReuseExchange runs the map stage once — caching a
     // full-corpus signature frame is exactly what does NOT survive 100 TB
     // (and leaks executor memory in a shared session).
-    val mh = docs
-      .select(col(idCol).as("id"), minhashes(col(hashedCol), k).as("mh"))
-    val sigs = mh
-      .select(col("id"),
-        posexplode(bandSignatures(col("mh"), bands, rowsPerBand)).as(Seq("band_idx", "sig")))
+    val sigs = bandIndex(docs, idCol, hashedCol, k, bands)
     // shuffle_hash, not broadcast: the signature frame is corpus-scale, so
     // a broadcast build side is impossible at 100 TB — and shuffling both
     // sides on the same (band_idx, sig) key turns them into identical map

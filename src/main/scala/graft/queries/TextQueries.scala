@@ -480,5 +480,31 @@ object TextQueries {
           transform(sequence(lit(0), lit(7)),
             i => floor(i * col("n_chars") / 8.0).cast("long").cast("string")))
           .as("frame_offsets"))
+    },
+
+    // Deterministic train/val/test assignment: the split is a PURE FUNCTION
+    // of the stable key (md5 of the id — identical hex in every engine), so
+    // it is reproducible across reruns, engines, and data re-orders, and a
+    // doc can never migrate between splits when the corpus grows — the
+    // property RNG-based splits lack. Band edges are hex-prefix ranges on
+    // the first two nibbles (256 buckets): 00-cb train (~79.7%), cc-e5 val
+    // (~10.2%), e6-ff test (~10.2%). Scan-only, no shuffle; the summary agg
+    // at the end is for the gate (per-split counts must reconcile).
+    QueryDef.sql(
+      "t18_hash_split",
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split""".stripMargin) { (spark, dir) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     })
 }

@@ -159,6 +159,36 @@ object EventStreams {
     }
   }
 
+  /** Streaming near-dup gate: each incoming document is LSH-banded and
+    * equi-joined against a STATIC corpus band index — the online admission
+    * check of a continuously-ingesting training pipeline ("is this new doc
+    * a near-dup of anything already in the corpus?").
+    *
+    * The join is stream-static INNER on (band_idx, sig): completely
+    * STATELESS (no watermark, no join state — each micro-batch probes the
+    * static side and forgets), which is what makes it viable at 100 TB
+    * corpus scale: the index is a normal table the optimizer can shuffle or
+    * broadcast, while per-stream-row work stays bounded at `bands` probes.
+    * Output is CANDIDATE pairs (doc_id, match_id, band_idx) — duplicates
+    * across bands are expected and the downstream exact-Jaccard verify is
+    * idempotent, the same contract as the batch candidatePairs → jaccard
+    * chain (a streaming global distinct would reintroduce unbounded state).
+    *
+    * `index` comes from [[graft.functions.MinHashLSH.bandIndex]] over the
+    * existing corpus (same k/bands — signatures only match like-for-like).
+    */
+  def nearDupCandidatesStream(
+      docs: DataFrame, index: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      array_distinct(graft.functions.expr.HashedWordShingles(col("text"), 3)).as("hs"))
+    graft.functions.MinHashLSH.bandIndex(hashed, "doc_id", "hs", k, bands)
+      .join(
+        index.select(col("id").as("match_id"), col("band_idx"), col("sig")),
+        Seq("band_idx", "sig"))
+      .filter(col("id") =!= col("match_id"))
+      .select(col("id").as("doc_id"), col("match_id"), col("band_idx"))
+  }
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming near-dup gate == batch LSH candidate pairs (stateless stream-static join)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    val hashed = docs.select(col("doc_id").as("id"),
+      array_distinct(graft.functions.expr.HashedWordShingles(col("text"), 3)).as("hs"))
+    val index = graft.functions.MinHashLSH.bandIndex(hashed, "id", "hs")
+
+    val gate = EventStreams.nearDupCandidatesStream(
+      EventStreams.readDocumentsStream(spark, dir), index)
+    val q = gate.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // Candidates may repeat across bands by contract; compare as unordered
+    // distinct pairs against the batch self-join (which emits id_a < id_b).
+    val streamed = spark.table("neardup_test").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val batch = graft.functions.MinHashLSH.candidatePairs(hashed, "id", "hs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
