@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   * Cache lifecycle: each round's ranks are persisted and materialized, the
   * previous round unpersisted — lineage stays one round deep (same contract
   * as [[ConnectedComponents]]), so the plan does not grow with `iters` and
-  * a 100 TB run is `iters` bounded passes. The returned frame is persisted;
-  * the caller owns the final unpersist.
+  * a 100 TB run is `iters` bounded passes. The returned frame is the final
+  * (vertex-count × 16 bytes) rank set, still cached; long-lived sessions
+  * use [[runWithRelease]] and release after consuming.
   */
 object PageRank {
 
   /** 1e12 — rank mass is tracked in trillionths. */
   val Scale: Long = 1000000000000L
+
+  /** Hook-less form for one-shot processes; see [[runWithRelease]]. */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
+    runWithRelease(nodes, edges, iters)._1
 
   /** @param nodes one column `v` (long id), the full vertex set (dangling
     *              vertices included)
@@ -36,19 +41,22 @@ object PageRank {
     *              allowed (parallel edges weight the transition)
     * @param iters number of synchronous rounds (fixed, no convergence test —
     *              deterministic plans beat adaptive stopping for parity)
-    * @return (v, r) with r the fixed-point rank at [[Scale]]
+    * @return ((v, r) with r the fixed-point rank at [[Scale]], release hook
+    *         that unpersists the returned frame)
     */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def runWithRelease(
+      nodes: DataFrame, edges: DataFrame, iters: Int): (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // The edge list is re-read every round — persist it, or an expensive
+    // Inputs are re-read every round — persist both, or an expensive
     // upstream (e.g. the Jaccard pair self-join) recomputes once per round.
     val e = edges.persist()
+    val vs = nodes.persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val params = nodes.agg(count(lit(1)).as("n")) // 1 row, broadcast below
+    // Vertex count once, eagerly: a literal in every round's expression
+    // beats re-running even a 1-row aggregate subplan per round.
+    val n = vs.count()
 
-    var r = nodes.crossJoin(broadcast(params))
-      .selectExpr("v", s"$Scale div n AS r")
-      .persist()
+    var r = vs.selectExpr("v", s"$Scale div ${n}L AS r").persist()
     r.count()
 
     for (_ <- 1 to iters) {
@@ -61,11 +69,11 @@ object PageRank {
         .join(deg, "src")
         .selectExpr("dst", "r div deg AS share")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      val next = nodes.crossJoin(broadcast(params)).crossJoin(broadcast(dang))
+      val next = vs.crossJoin(broadcast(dang))
         .join(contrib, col("v") === col("dst"), "left")
         .selectExpr("v",
-          s"(($Scale * 15) div 100) div n + " +
-            "(85 * (coalesce(contrib, 0) + dang div n)) div 100 AS r")
+          s"(($Scale * 15) div 100) div ${n}L + " +
+            s"(85 * (coalesce(contrib, 0) + dang div ${n}L)) div 100 AS r")
         .persist()
       next.count()
       r.unpersist()
@@ -73,6 +81,8 @@ object PageRank {
     }
     deg.unpersist()
     e.unpersist()
-    r
+    vs.unpersist()
+    val out = r
+    (out, () => { out.unpersist(); () })
   }
 }

@@ -35,6 +35,23 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** Shared DuckDB CTE prefix: distinct 3-gram shingle stream → candidate
+    * pair intersections (`p`) and shingle-set sizes (`z`) — the oracle-side
+    * twin of [[jaccardPairs]]. ONE copy, composed into the d4/d13/d21
+    * oracles, so a threshold or shingling change can never desynchronize
+    * some oracles from the shared Spark helper. */
+  private val shingleGraphSql: String =
+    """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |z AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+
+  /** The ≥0.8-Jaccard pair set on top of [[shingleGraphSql]]. */
+  private val jaccardPairsSql: String =
+    """pairs AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: canonical-text fingerprint → groupBy → first-id keeper.
@@ -56,14 +73,10 @@ object DedupQueries {
     // skew risk — at scale, drop top-frequency shingles first.
     QueryDef.sql(
       "d4_ngram_jaccard_pairs",
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |z AS (SELECT doc_id, len(sh) AS n FROM s)
-        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
-        |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
+      s"""WITH $shingleGraphSql
+         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+         |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
       jaccardPairs(spark, dir)
     },
 
@@ -74,15 +87,10 @@ object DedupQueries {
     // against DuckDB's recursive-CTE transitive closure.
     QueryDef.sql(
       "d13_dup_clusters",
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |z AS (SELECT doc_id, len(sh) AS n FROM s),
-        |pairs AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
-        |          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8),
-        |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      s"""WITH RECURSIVE
+         |$shingleGraphSql,
+         |$jaccardPairsSql,
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, label) AS (
         |  SELECT doc_id, doc_id FROM t
         |  UNION
@@ -362,14 +370,9 @@ object DedupQueries {
     QueryDef.sql(
       "d21_pagerank", {
         val pairGraph =
-          """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-            |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
-            |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-            |z AS (SELECT doc_id, len(sh) AS n FROM s),
-            |pairs AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
-            |          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8),
-            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+          s"""WITH $shingleGraphSql,
+             |$jaccardPairsSql,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
             |nodes AS (SELECT doc_id AS v FROM documents),
             |params AS (SELECT COUNT(*) AS n FROM nodes),
@@ -387,6 +390,10 @@ object DedupQueries {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val nodes = Tables.load(spark, dir, "documents").select(col("doc_id").as("v"))
+      // run's result stays cached (vertex-count × 16 bytes — the iterative
+      // operator's documented contract); the harness process is one-shot,
+      // so the hook-less form is fine here. Long-lived sessions should call
+      // runWithRelease and release after their sink (same trade as d13).
       graft.operators.PageRank.run(nodes, edges, iters = 5)
         .select(col("v").as("doc_id"), col("r").as("rank_fp"))
     })

@@ -369,11 +369,13 @@ object EventQueries {
         |    CAST(SUM(CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS sxx,
         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
-        |  FROM events)
-        |SELECT event_id, event_type, "value",
-        |       round(("value" - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS z
-        |FROM m
-        |WHERE abs(("value" - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 1.5""".stripMargin) { (spark, dir) =>
+        |  FROM events),
+        |v AS (SELECT event_id, event_type, "value",
+        |        CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+        |             THEN ("value" - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) END AS z
+        |      FROM m)
+        |SELECT event_id, event_type, "value", round(z, 4) AS z
+        |FROM v WHERE abs(z) > 1.5""".stripMargin) { (spark, dir) =>
       val w = Window.partitionBy(col("event_type"))
       val dec = Num.dec2(col("value"))
       val m = Tables.load(spark, dir, "events").select(
@@ -382,7 +384,12 @@ object EventQueries {
         sum(dec * dec).over(w).cast("double").as("sxx"),
         count(lit(1)).over(w).cast("double").as("n"))
       val mu = col("sx") / col("n")
-      val z = (col("value") - mu) / sqrt(col("sxx") / col("n") - mu * mu)
+      // A zero-variance group (all values identical, incl. singletons) must
+      // yield z = NULL in BOTH engines: Spark's Divide already NULLs on a
+      // zero divisor, but DuckDB is IEEE (0/0 = NaN > 1.5 — it would EMIT
+      // the row), so the guard is explicit on both sides.
+      val variance = col("sxx") / col("n") - mu * mu
+      val z = when(variance > 0, (col("value") - mu) / sqrt(variance))
       m.filter(abs(z) > 1.5)
         .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))
     })
