@@ -485,5 +485,49 @@ object AggWindowQueries {
         .select(col("event_type"), col("value"), ntile(10).over(w).as("bin"))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+    },
+
+    // A18: per-group Pearson correlation + population covariance from EXACT
+    // decimal moments (Σx, Σy, Σxy, Σx², Σy² — order-independent under
+    // partial aggregation), lowered to double only for the final closed-form
+    // arithmetic so both engines evaluate the identical IEEE expression tree.
+    // Spark's built-in corr() is a streaming double accumulator whose result
+    // depends on partition merge order — it can never hash-match an oracle;
+    // this moment form is the distributed-exact alternative. ONE agg shuffle
+    // with map-side partial combine; zero-variance groups yield NULL by an
+    // explicit guard (DuckDB is IEEE and would emit ±inf/NaN otherwise).
+    QueryDef.sql(
+      "a18_grouped_corr",
+      """WITH m AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr_qty_price,
+        |  round((n * sxy - sx * sy) / n / n, 6) AS covar_pop
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val x = Num.dec2(col("l_quantity"))
+      val y = Num.dec2(col("l_extendedprice"))
+      val m = Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(
+        col("l_returnflag"), col("l_linestatus"), col("n").cast(LongType).as("n"),
+        round(when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))), 6).as("corr_qty_price"),
+        round(cov / col("n") / col("n"), 6).as("covar_pop"))
     })
 }

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Exact 3-gram Jaccard ≥ 0.8 pairs (id_a < id_b) via the inverted
-    * shingle index — the pair stage shared by d4 (reporting) and d13
-    * (cluster assignment). */
-  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Shared pair-statistics stage over the inverted 3-gram shingle index:
+    * (id_a < id_b, |A∩B| as `inter`, |A| as `na`, |B| as `nb`). Feeds d4/d13
+    * (Jaccard), d23 (containment) — one implementation so the overlap
+    * semantics can never diverge between the symmetric and asymmetric
+    * thresholds. */
+  private def shinglePairStats(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), TextTokens.wordShingles(col("text"), 3).as("sh"))
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -26,11 +28,19 @@ object DedupQueries {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val j = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter")).cast("double")
     inter
       .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
       .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), col("id_b") === col("idb"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Exact 3-gram Jaccard ≥ 0.8 pairs (id_a < id_b) via the inverted
+    * shingle index — the pair stage shared by d4 (reporting) and d13
+    * (cluster assignment). */
+  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    shinglePairStats(spark, dir)
       .filter(j >= 0.8)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
@@ -396,5 +406,72 @@ object DedupQueries {
       // runWithRelease and release after their sink (same trade as d13).
       graft.operators.PageRank.run(nodes, edges, iters = 5)
         .select(col("v").as("doc_id"), col("r").as("rank_fp"))
+    },
+
+    // D22: exact bag-of-words cosine near-dup pairs via the inverted TERM
+    // index — the sparse-vector twin of d7's dense-embedding cosine. All
+    // heavy arithmetic stays in exact integers (tf products, squared norms);
+    // the lone double op (dot/√(‖a‖²·‖b‖²)) is the identical IEEE tree in
+    // both engines. No pair ever exists unless the docs SHARE a term: the
+    // candidate generator is the term-keyed equi-join, never a cross join.
+    // Skew note (same as d4): the shuffle key is the term, so stopword rows
+    // dominate — at 100 TB drop the top-DF head first (d19 computes it);
+    // the exact form here is the auditable baseline.
+    QueryDef.sql(
+      "d22_tf_cosine_pairs",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |f AS (SELECT doc_id, g, COUNT(*) AS tf FROM (SELECT doc_id, unnest(ts) AS g FROM t) GROUP BY 1, 2),
+        |z2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM f GROUP BY 1),
+        |p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+        |       FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(za.n2 AS DOUBLE) * CAST(zb.n2 AS DOUBLE)), 6) AS cosine
+        |FROM p2 JOIN z2 za ON id_a = za.doc_id JOIN z2 zb ON id_b = zb.doc_id
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(za.n2 AS DOUBLE) * CAST(zb.n2 AS DOUBLE)) >= 0.9""".stripMargin) { (spark, dir) =>
+      val f = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+      val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+      val a = f.alias("a")
+      val b = f.alias("b")
+      val dots = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      val cos = col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+      dots
+        .join(z.select(col("doc_id").as("ida"), col("n2").as("na2")), col("id_a") === col("ida"))
+        .join(z.select(col("doc_id").as("idb"), col("n2").as("nb2")), col("id_b") === col("idb"))
+        .filter(cos >= 0.9)
+        .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+    },
+
+    // D23: asymmetric shingle containment |A∩B|/|A| ≥ 0.9 — catches a small
+    // doc embedded inside a larger one (quote inclusion, boilerplate
+    // wrapping), which symmetric Jaccard misses when the size ratio is
+    // large. Rides the SAME shinglePairStats stage as d4/d13 (zero new
+    // shuffles beyond the shared pair graph); each unordered pair is tested
+    // in both directions via a cheap projection union.
+    QueryDef.sql(
+      "d23_containment_pairs",
+      s"""WITH $shingleGraphSql,
+         |u AS (
+         |  SELECT id_a AS contained_id, id_b AS container_id, inter, za.n AS nc
+         |  FROM p JOIN z za ON id_a = za.doc_id
+         |  UNION ALL
+         |  SELECT id_b, id_a, inter, zb.n FROM p JOIN z zb ON id_b = zb.doc_id)
+         |SELECT contained_id, container_id,
+         |  round(CAST(inter AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS containment
+         |FROM u WHERE CAST(inter AS DOUBLE) / CAST(nc AS DOUBLE) >= 0.9""".stripMargin) { (spark, dir) =>
+      val st = shinglePairStats(spark, dir)
+      val fwd = st.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("inter"), col("na").as("nc"))
+      val rev = st.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        col("inter"), col("nb").as("nc"))
+      val c = col("inter").cast("double") / col("nc").cast("double")
+      fwd.union(rev)
+        .filter(c >= 0.9)
+        .select(col("contained_id"), col("container_id"), round(c, 6).as("containment"))
     })
 }

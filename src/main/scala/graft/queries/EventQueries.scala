@@ -392,5 +392,30 @@ object EventQueries {
       val z = when(variance > 0, (col("value") - mu) / sqrt(variance))
       m.filter(abs(z) > 1.5)
         .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))
+    },
+
+    // E15: per-user event-type transition matrix (the Markov-chain /
+    // clickstream-flow primitive): each user's event stream under the total
+    // order (ts, event_id) — event_id breaks equal-timestamp ties so the
+    // lag is retry-deterministic — then (prev → curr) pair counts with
+    // distinct-user support. ONE user-key exchange feeds the lag window;
+    // the transition rollup is a |types|²-cardinality agg with map-side
+    // combine. At 100 TB user_id is the natural partition key and no user's
+    // history crosses executors.
+    QueryDef.sql(
+      "e15_event_transitions",
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     })
 }

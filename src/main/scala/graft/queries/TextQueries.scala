@@ -506,5 +506,29 @@ object TextQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    },
+
+    // T19: corpus bigram collocations — top-20 token bigrams by raw count
+    // with document-frequency support, ties broken lexicographically so the
+    // limit is deterministic. The shingling reuses t8's wordShinglesAll
+    // stream (duplicates KEPT: collocation strength needs raw counts, not
+    // the dedup stream). Shape at 100 TB: one scan+explode, one agg shuffle
+    // keyed on the bigram whose map-side partial combine absorbs the Zipf
+    // head, then a global top-20 (TakeOrdered — never a full sort).
+    QueryDef.sql(
+      "t19_bigram_collocations",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+        |        THEN list_transform(range(len(ts)-1), i -> ts[i+1] || ' ' || ts[i+2])
+        |        ELSE [] END) AS bigram FROM t),
+        |c AS (SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY 1)
+        |SELECT bigram, n, df FROM c ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextTokens.wordShinglesAll(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     })
 }
