@@ -529,5 +529,48 @@ object AggWindowQueries {
         col("l_returnflag"), col("l_linestatus"), col("n").cast(LongType).as("n"),
         round(when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy))), 6).as("corr_qty_price"),
         round(cov / col("n") / col("n"), 6).as("covar_pop"))
+    },
+
+    // A19: per-group min-max feature scaling — group bounds from one agg
+    // shuffle, broadcast back onto the fact scan, per-row rescale stays in
+    // codegen. Degenerate groups (hi == lo, incl. singletons) yield NULL by
+    // explicit guard in BOTH engines (DuckDB is IEEE: 0/0 = NaN would
+    // otherwise flow through). The standard ML-preprocessing twin of e14's
+    // z-score standardization.
+    QueryDef.sql(
+      "a19_minmax_normalize",
+      """WITH b AS (SELECT event_type, MIN("value") AS lo, MAX("value") AS hi FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, "value",
+        |  round(CASE WHEN hi > lo THEN ("value" - lo) / (hi - lo) END, 6) AS scaled
+        |FROM events e JOIN b USING (event_type)""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val b = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(broadcast(b), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(when(col("hi") > col("lo"),
+            (col("value") - col("lo")) / (col("hi") - col("lo"))), 6).as("scaled"))
+    },
+
+    // A20: per-group mode (most frequent value) with a deterministic
+    // lexicographic tie-break — the categorical summary statistic. Shape:
+    // (group, value) counts (one shuffle with map-side combine absorbing
+    // the frequency skew), then a row_number top-1 per group over the
+    // |groups|×|values|-sized count frame — the window never sees fact
+    // rows.
+    QueryDef.sql(
+      "a20_grouped_mode",
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+        |      FROM c)
+        |SELECT lang, source AS mode_source, n FROM r WHERE rk = 1""".stripMargin) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("source"))
+      c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("n"))
     })
 }

@@ -34,14 +34,16 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
   }
 
-  /** Exact 3-gram Jaccard ≥ 0.8 pairs (id_a < id_b) via the inverted
-    * shingle index — the pair stage shared by d4 (reporting) and d13
-    * (cluster assignment). */
-  private def jaccardPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Exact 3-gram Jaccard ≥ `threshold` pairs (id_a < id_b) via the
+    * inverted shingle index — the pair stage shared by d4 (reporting), d13
+    * (cluster assignment), d21 (ranking) at 0.8 and d24 (triangles) at the
+    * looser 0.5. */
+  private def jaccardPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double = 0.8) = {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
     shinglePairStats(spark, dir)
-      .filter(j >= 0.8)
+      .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
@@ -473,5 +475,28 @@ object DedupQueries {
       fwd.union(rev)
         .filter(c >= 0.9)
         .select(col("contained_id"), col("container_id"), round(c, 6).as("containment"))
+    },
+
+    // D24: exact triangle participation over the ≥0.5-Jaccard near-dup
+    // graph (graft.operators.Triangles) — distinguishes template FAMILIES
+    // (triangle-rich mutual-similarity clusters) from hub-and-spoke quoting
+    // (one doc similar to many that aren't similar to each other). The
+    // looser 0.5 threshold densifies the graph enough for closure to exist;
+    // edges stay id-canonical so every triangle is enumerated once as
+    // a < b < c in both engines.
+    QueryDef.sql(
+      "d24_triangle_count",
+      s"""WITH $shingleGraphSql,
+         |pairs05 AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+         |            WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+         |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |        FROM pairs05 e1
+         |        JOIN pairs05 e2 ON e1.id_b = e2.id_a
+         |        JOIN pairs05 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |nodes AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT v AS doc_id, COUNT(*) AS n_triangles FROM nodes GROUP BY 1""".stripMargin) { (spark, dir) =>
+      graft.operators.Triangles.perNode(
+        jaccardPairs(spark, dir, threshold = 0.5), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("n_triangles"))
     })
 }

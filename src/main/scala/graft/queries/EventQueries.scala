@@ -417,5 +417,60 @@ object EventQueries {
         .filter(col("prev").isNotNull)
         .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // E16: daily active users + new-user accretion — DAU per day, first-seen
+    // new users per day, and the cumulative user count. Two fact-scale agg
+    // shuffles (day-distinct users; per-user first day); the running total
+    // is a global-order window but runs over the |days|-cardinality
+    // aggregate, never the fact table, so the single-partition sort is
+    // bounded by the calendar, not the data.
+    QueryDef.sql(
+      "e16_daily_active",
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        |a AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1),
+        |nu AS (SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT a.day, a.dau, COALESCE(nu.new_users, 0) AS new_users,
+        |  SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM a LEFT JOIN nu ON a.day = nu.day""".stripMargin) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "events")
+        .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      val a = d.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val nu = d.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.join(nu, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+    },
+
+    // E17: 7-day rolling distinct users — the metric a windowed
+    // COUNT(DISTINCT) cannot express distributively. Scale shape: dedup to
+    // (day, user) pairs first (fact-scale shuffle ONCE), then each pair
+    // explodes to the ≤7 window-end days it contributes to (bounded ×7
+    // expansion of the already-deduped frame, at the scan), inner-join to
+    // the observed-day spine (tiny → broadcast), and one distinct-count per
+    // window-end day. Never a self-join of the fact table, never a
+    // quadratic range join.
+    QueryDef.sql(
+      "e17_rolling_distinct",
+      """WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        |c AS (SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP), CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day, user_id FROM d),
+        |obs AS (SELECT DISTINCT day FROM d)
+        |SELECT c.day, COUNT(DISTINCT user_id) AS rolling_users_7d
+        |FROM c JOIN obs ON c.day = obs.day GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "events")
+        .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+        .distinct()
+      val c = d.select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      val obs = d.select(col("day")).distinct()
+      c.join(broadcast(obs), "day")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("rolling_users_7d"))
     })
 }

@@ -530,5 +530,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+
+    // T20: Count-Min-sketched token frequencies beside the exact counts —
+    // the frequency member of the sketch family (HLL a11, GK a13, Bloom
+    // j14). The sketch build is ONE distributed pass with fixed memory
+    // (depth×width counters, merged by addition across partitions); at
+    // 100 TB it replaces the full token counter table when only point
+    // lookups are needed. The exact top-20 here is the gate's candidate
+    // set + ground truth, not part of the sketch path. rows-only: the CMS
+    // hash family doesn't exist in DuckDB; AggSketchSpec pins the
+    // overestimate-only + ε·N error bound + merge associativity instead.
+    QueryDef.rowsOnly("t20_cms_heavy_hitters") { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(TextTokens.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val cms = graft.operators.CountMin.build(toks, "token", eps = 1e-4)
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+        .select(col("token"), col("n"),
+          graft.operators.CountMin.estimate(col("token"), cms).as("cms_est"))
     })
 }

@@ -197,6 +197,41 @@ object EventStreams {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  case class DayUser(day: String, user_id: Long)
+  case class DauUpdate(day: String, dau_estimate: Long)
+
+  /** Streaming daily-active-users with MERGEABLE sketch state: each day's
+    * distinct-user set lives in state as a serialized HLL sketch (~KBs,
+    * lgK=12), so per-day state is O(sketch) regardless of user cardinality —
+    * the only shape where "distinct users today" survives a 100 TB day
+    * (an exact per-day user set in state grows with the users). Emits the
+    * refreshed estimate for every day touched by a trigger (Update mode).
+    * The datasketches HLL register state is insertion-order-independent, so
+    * replays/batch-boundary changes can't change the estimate — pinned in
+    * StreamingSpec against an identically-parameterized local sketch.
+    * State keys are calendar days, so state cardinality is time-bounded;
+    * production adds an event-time timeout past the watermark to retire
+    * closed days (same trade as sessionize).
+    */
+  def dailyActiveUsersStream(events: DataFrame): Dataset[DauUpdate] = {
+    import org.apache.datasketches.hll.HllSketch
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .as[DayUser]
+      .groupByKey(_.day)
+      .mapGroupsWithState[Array[Byte], DauUpdate](GroupStateTimeout.NoTimeout()) {
+        (day: String, rows: Iterator[DayUser], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption
+            .map(b => HllSketch.heapify(b))
+            .getOrElse(new HllSketch(12))
+          rows.foreach(r => sk.update(r.user_id))
+          state.update(sk.toCompactByteArray)
+          DauUpdate(day, Math.round(sk.getEstimate))
+      }
+  }
+
   /** Per-user gap sessionizer: emits a closed session whenever a new event
     * arrives more than 30 min after the previous one (plus the open session
     * on timeout). Demonstrates arbitrary stateful processing

@@ -53,4 +53,37 @@ class AggSketchSpec extends AnyFunSuite {
     assert(merged == onePass,
       s"merged partial sketches ($merged) must equal the one-pass sketch ($onePass)")
   }
+
+  test("count-min: overestimate-only, within eps*N, t20 exact column is the truth") {
+    val out = SparkEntry.queries("t20_cms_heavy_hitters")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    val total = graft.io.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").count()
+    out.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"'$tok': CMS must never underestimate ($est < $exact)")
+      assert(est <= exact + (1e-4 * total).toLong + 1,
+        s"'$tok': estimate $est beyond eps*N of exact $exact (N=$total)")
+    }
+  }
+
+  test("count-min merge is exact: partition-wise build + merge == one-pass build") {
+    import java.io.ByteArrayInputStream
+    import org.apache.spark.util.sketch.CountMinSketch
+    val words = (1 to 2000).map(i => (i, s"w${i % 97}")).toDF("i", "token")
+    val onePass = CountMinSketch.readFrom(new ByteArrayInputStream(
+      graft.operators.CountMin.build(words, "token", eps = 1e-3)))
+    // the distributed build IS partition-wise + merge; re-derive the same
+    // sketch from two disjoint halves merged locally and compare estimates
+    val half1 = CountMinSketch.readFrom(new ByteArrayInputStream(
+      graft.operators.CountMin.build(words.filter(col("i") <= 1000), "token", eps = 1e-3)))
+    val half2 = CountMinSketch.readFrom(new ByteArrayInputStream(
+      graft.operators.CountMin.build(words.filter(col("i") > 1000), "token", eps = 1e-3)))
+    half1.mergeInPlace(half2)
+    (0 until 97).foreach { i =>
+      assert(half1.estimateCount(s"w$i") == onePass.estimateCount(s"w$i"),
+        s"w$i: merged halves must estimate identically to the one-pass sketch")
+    }
+  }
 }

@@ -191,4 +191,28 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), s"$q needs no join")
     }
   }
+
+  test("d22/d23 sparse similarity: candidates from equi-joins only, never all-pairs") {
+    for (q <- Seq("d22_tf_cosine_pairs", "d23_containment_pairs")) {
+      val p = planOf(q)
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q must generate candidates via the inverted-index equi-join:\n$p")
+    }
+  }
+
+  test("a19 min-max scaling: group bounds broadcast back, no fact-side shuffle join") {
+    val p = planOf("a19_minmax_normalize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds join-back must broadcast the |groups|-sized frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact table must not shuffle for the bounds join:\n$p")
+  }
+
+  test("e17 rolling distinct: bounded explode + broadcast day spine, no range join") {
+    val p = planOf("e17_rolling_distinct")
+    assert(p.contains("Generate explode"),
+      s"each (day,user) pair expands to its ≤7 window-end days at the scan:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"the day spine must equi-join, never a theta range join:\n$p")
+  }
 }

@@ -144,6 +144,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counts == naive enumeration on random graphs; K4 and paths pin") {
+    // K4: every node sits in C(3,2) = 3 triangles; a path has none.
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("s", "d")
+    val gotK4 = graft.operators.Triangles.perNode(k4, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == (0L to 3L).map(_ -> 3L).toMap)
+    assert(graft.operators.Triangles.perNode(
+      (0L until 9L).map(i => (i, i + 1)).toDF("s", "d"), "s", "d").count() == 0)
+    val edgeGen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    (1 to Rounds).foreach { round =>
+      val canon = samples(edgeGen, round)
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val edgeSet = canon.toSet
+      val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        (a, b) <- canon; (b2, c) <- canon if b2 == b && edgeSet.contains((a, c))
+      } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+      val got = graft.operators.Triangles.perNode(canon.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive.toMap, s"round $round: triangle participation mismatch")
+    }
+  }
+
   test("star contraction collapses a 40-node chain (diameter >> log rounds)") {
     val vertices = (0L until 40L).toDF("id")
     val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")

@@ -185,6 +185,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming HLL DAU: state estimates == identically-parameterized local sketches") {
+    import org.apache.datasketches.hll.HllSketch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    def ts(day: Int, m: Int) = new Timestamp(1700000000000L + day * 86400000L + m * 60000L)
+    // two days, overlapping users, replayed duplicate in a later batch
+    mem.addData((ts(0, 1), 1L), (ts(0, 2), 2L), (ts(0, 3), 1L), (ts(1, 1), 2L))
+    mem.addData((ts(0, 4), 3L), (ts(1, 2), 2L), (ts(1, 3), 9L))
+    val out = EventStreams.dailyActiveUsersStream(
+      mem.toDF().toDF("ts", "user_id"))
+    val q = out.writeStream.format("memory").queryName("dau_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-day estimates only grow as users accrete, so the day's final
+    // estimate is the max across trigger updates (order-safe)
+    val got = spark.table("dau_test").groupBy("day")
+      .agg(max("dau_estimate").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ref(users: Seq[Long]): Long = {
+      val sk = new HllSketch(12)
+      users.foreach(sk.update)
+      Math.round(sk.getEstimate)
+    }
+    val day0 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .format(java.time.Instant.ofEpochMilli(ts(0, 1).getTime)
+        .atZone(java.time.ZoneId.systemDefault()).toLocalDate)
+    val day1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .format(java.time.Instant.ofEpochMilli(ts(1, 1).getTime)
+        .atZone(java.time.ZoneId.systemDefault()).toLocalDate)
+    assert(got == Map(day0 -> ref(Seq(1L, 2L, 1L, 3L)), day1 -> ref(Seq(2L, 2L, 9L))))
+    // tiny cardinalities sit in the sketch's exact regime: estimate == truth
+    assert(got(day0) == 3L && got(day1) == 2L)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("flatMapGroupsWithState sessionizer splits on 30-min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
