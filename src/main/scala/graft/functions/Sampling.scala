@@ -38,4 +38,26 @@ object Sampling {
       element_at(typedLit(rates), stratumCol.cast("string")), lit(0.0))
     df.filter(hashFraction(seed, ids: _*) < rate)
   }
+
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weight` — Efraimidis–Spirakis A-ES: each row draws
+    * the deterministic uniform u = hash(id, seed) and competes with key
+    * u^(1/w); the k largest keys win. Pure function of (id, seed, weight):
+    * retry/rerun-stable like every sampler here, and weight-SCALE-invariant
+    * (w → c·w applies the monotone map x → x^(1/c) to all keys, preserving
+    * order — pinned in SamplingChecksSpec). The top-k is a TakeOrdered
+    * (O(k) heap per partition + k-row driver merge), never a full sort.
+    * Rows with weight ≤ 0 or null are excluded by contract. */
+  def weightedSample(
+      df: DataFrame, k: Int, seed: Long, weight: Column, ids: Column*): DataFrame = {
+    // u in (0, 1]: the +1 shift avoids u = 0 (pow(0, 1/w) would tie all
+    // zero-hash rows at key 0 regardless of weight).
+    val u = (pmod(xxhash64((lit(seed) +: ids): _*), lit(1000000L)) + 1L)
+      .cast("double") / 1000000.0
+    df.filter(weight > 0)
+      .withColumn("__wkey", pow(u, lit(1.0) / weight))
+      .orderBy(col("__wkey").desc, struct(ids: _*))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

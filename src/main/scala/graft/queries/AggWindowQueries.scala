@@ -572,5 +572,54 @@ object AggWindowQueries {
       c.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("lang"), col("source").as("mode_source"), col("n"))
+    },
+
+    // A21: robust (median/MAD) outlier statistics per group — the heavy-
+    // tail-safe twin of e14's mean/σ z-scores (one wild value moves the
+    // mean arbitrarily; the median moves one rank). Medians are DISCRETE
+    // order statistics (row_number rank (n+1)÷2 under a total order —
+    // a16's no-float-interpolation rule), so every compare is on exact
+    // input values and both engines agree bit for bit. Two group-key
+    // window exchanges (value rank, deviation rank); the |groups|-sized
+    // med/mad frames broadcast back.
+    QueryDef.sql(
+      "a21_robust_scale",
+      """WITH r AS (SELECT event_type, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type ORDER BY "value", event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type, MIN("value") AS med FROM r
+        |        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1),
+        |r2 AS (SELECT r.event_type, r.event_id, r."value", r.n,
+        |         abs(r."value" - med.med) AS dev
+        |       FROM r JOIN med USING (event_type)),
+        |r3 AS (SELECT event_type, dev, n,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS drn
+        |       FROM r2),
+        |mad AS (SELECT event_type, MIN(dev) AS mad FROM r3
+        |        WHERE drn = CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1)
+        |SELECT r2.event_type, COUNT(*) AS n, MIN(med.med) AS med, MIN(mad.mad) AS mad,
+        |  COUNT(CASE WHEN r2.dev > 3 * mad.mad THEN 1 END) AS n_outliers
+        |FROM r2 JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val medianRank = floor((col("n") + 1) / 2.0).cast(LongType)
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val r = Tables.load(spark, dir, "events").select(
+        col("event_type"), col("event_id"), col("value"),
+        row_number().over(wOrd).cast("long").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      val med = r.filter(col("rn") === medianRank)
+        .groupBy(col("event_type")).agg(min(col("value")).as("med"))
+      val r2 = r.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val wDev = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
+      val mad = r2.withColumn("drn", row_number().over(wDev).cast("long"))
+        .filter(col("drn") === medianRank)
+        .groupBy(col("event_type")).agg(min(col("dev")).as("mad"))
+      r2.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("med")).as("med"), min(col("mad")).as("mad"),
+          count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
     })
 }

@@ -498,5 +498,43 @@ object DedupQueries {
       graft.operators.Triangles.perNode(
         jaccardPairs(spark, dir, threshold = 0.5), "id_a", "id_b")
         .select(col("node").as("doc_id"), col("n_triangles"))
+    },
+
+    // D25: dedup ROI report — the full near-dup loop rolled up per
+    // duplicate cluster: pairs → connected components → keeper election
+    // (component minimum) → docs dropped and characters saved if only the
+    // keeper is retained. The per-component frame is |components|-sized;
+    // the only fact-scale work is the component join back to doc lengths
+    // (key-partitioned equi-join). Singleton components report zero
+    // savings and are filtered — the report lists actual clusters only.
+    QueryDef.sql(
+      "d25_dedup_savings",
+      s"""WITH RECURSIVE
+         |$shingleGraphSql,
+         |$jaccardPairsSql,
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src),
+         |comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)
+         |SELECT c.component, COUNT(*) AS n_docs, COUNT(*) - 1 AS n_dropped,
+         |  SUM(d.n_chars) - MIN(CASE WHEN c.doc_id = c.component THEN d.n_chars END) AS chars_saved
+         |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id")), "doc_id",
+        jaccardPairs(spark, dir), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("component"))
+      comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("component"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          (sum(col("n_chars")) -
+            min(when(col("doc_id") === col("component"), col("n_chars"))))
+            .as("chars_saved"))
+        .filter(col("n_docs") > 1)
     })
 }

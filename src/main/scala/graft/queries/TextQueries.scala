@@ -552,5 +552,19 @@ object TextQueries {
         .limit(20)
         .select(col("token"), col("n"),
           graft.operators.CountMin.estimate(col("token"), cms).as("cms_est"))
+    },
+
+    // T21: weighted sampling without replacement (Efraimidis–Spirakis) —
+    // 50 docs with inclusion probability ∝ n_chars, the primitive behind
+    // size-aware corpus subsetting (t15's mixture planner decides rates;
+    // this draws the actual rows). Deterministic: the competition key is a
+    // pure function of (doc_id, seed, weight), so reruns/retries draw the
+    // SAME sample. rows-only (xxhash64 family); SamplingChecksSpec pins
+    // determinism, weight-scale invariance, and the zero/negative-weight
+    // exclusion contract.
+    QueryDef.rowsOnly("t21_weighted_sample") { (spark, dir) =>
+      graft.functions.Sampling.weightedSample(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        k = 50, seed = 42L, weight = col("n_chars"), col("doc_id"))
     })
 }

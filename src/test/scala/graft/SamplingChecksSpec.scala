@@ -33,6 +33,28 @@ class SamplingChecksSpec extends AnyFunSuite {
     assert(math.abs(out("web") - 300) < 80, s"web rate off: ${out.get("web")}/3000 at 0.1")
   }
 
+  test("weighted sample: deterministic, scale-invariant, excludes non-positive weights") {
+    val weighted = (1L to 2000L).map(i =>
+      (i, if (i <= 10) 1000.0 else 1.0)).toDF("id", "w")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, k = 100, seed = 7, weight = col("w"), col("id"))
+        .collect().map(_.getLong(0)).toSet
+    val a = draw(weighted)
+    assert(a == draw(weighted), "same seed must draw the same sample")
+    assert(a.size == 100)
+    // A-ES keys transform monotonically under weight scaling (x -> x^(1/c)),
+    // so multiplying every weight by a constant cannot change the sample
+    val scaled = weighted.withColumn("w", col("w") * 1000.0)
+    assert(draw(scaled) == a, "weight-scale invariance")
+    // 1000x-weighted rows must dominate a 100-of-2000 sample
+    assert((1L to 10L).toSet.subsetOf(a), "all heavy rows selected")
+    // zero/negative weights are excluded by contract
+    val withBad = weighted.withColumn("w",
+      when(col("id") === 1L, -5.0).when(col("id") === 2L, 0.0).otherwise(col("w")))
+    val b = draw(withBad)
+    assert(!b.contains(1L) && !b.contains(2L), "non-positive weights never sampled")
+  }
+
   test("checks pass through clean data and fail with violation counts") {
     val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dirty = Seq((1L, "a"), (1L, "b"), (3L, null)).toDF("k", "v")
