@@ -64,3 +64,83 @@ object HashedWordShingles {
   def apply(text: Column, n: Int): Column =
     GraftBridge.column(HashedWordShingles(GraftBridge.expression(text), n))
 }
+
+/** One-pass STRING word-shingling — the exact-pipeline sibling of
+  * [[HashedWordShingles]] for operators whose shingles must stay readable
+  * strings (the d4-family inverted index, whose DuckDB oracle rebuilds the
+  * same shingles). Same tokenization, same single tight loop per document;
+  * `distinct = true` dedups in first-occurrence order, bit-compatible with
+  * `array_distinct` over the HOF stream (parity pinned in DedupSpec).
+  *
+  * Exists for the same reason as its hashed sibling: the HOF formulation
+  * is interpreted (HOFs are CodegenFallback) and allocates a sliced array
+  * + concat per position through lambda dispatch — measured ~10× slower
+  * per scan branch on the shingle-join family, and those queries evaluate
+  * the shingling once per join branch by design (recompute beats caching
+  * a full-corpus shingle stream at 100 TB).
+  */
+case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"WordShingleStrings needs string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase.split("\\s+")
+    val m = toks.length - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val sb = new java.lang.StringBuilder(64)
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](m * 2)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
+    copy(child = newChild)
+}
+
+object WordShingleStrings {
+  /** String shingles of `text`; `distinct` keeps first-occurrence order. */
+  def apply(text: Column, n: Int, distinct: Boolean = true): Column =
+    GraftBridge.column(WordShingleStrings(GraftBridge.expression(text), n, distinct))
+}

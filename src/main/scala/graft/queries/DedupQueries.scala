@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.{MinHashLSH, SimHash, TextAnalysis, TextTokens}
 import graft.functions.expr.HashedWordShingles
 import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` corpus: exact
@@ -19,15 +20,32 @@ object DedupQueries {
     * semantics can never diverge between the symmetric and asymmetric
     * thresholds. */
   private def shinglePairStats(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    // native single-pass shingling (WordShingleStrings): this stage is
+    // evaluated once per join branch by design (recompute beats caching a
+    // full-corpus shingle stream), so per-branch scan cost must be a tight
+    // loop, not the interpreted HOF chain
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), TextTokens.wordShingles(col("text"), 3).as("sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"),
+        graft.functions.expr.WordShingleStrings(col("text"), 3).as("sh"))
+    // explode_outer + attribute null-filter, NOT explode: plain explode
+    // makes InferFiltersFromGenerate add `size(sh)>0 AND isnotnull(sh)`,
+    // and predicate pushdown substitutes the aliases back — re-inlining
+    // the whole quadratic shingle tree into a pre-projection Filter, twice
+    // per self-join branch. The outer variant infers nothing; the null
+    // rows it keeps die on the cheap post-Generate attribute filter.
+    val exploded = docs.select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    // |sh| counted from the exploded stream, not size(sh) on the doc frame:
+    // a derived-column size would drag the shingle tree back into inferred
+    // not-null filters (pushdown substitutes aliases), while an aggregate
+    // is a pushdown barrier. Zero-shingle docs drop out of the count, but
+    // they have no pairs to join anyway. count(distinct shingles) == size.
+    val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
       .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("n", "nb"), col("id_b") === col("idb"))
@@ -58,6 +76,69 @@ object DedupQueries {
       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
       |z AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+
+  /** d22's implementation, parameterized so the spec can force EITHER
+    * regime on the same corpus (the stats probe would always pick dense on
+    * the tiny-vocab test data): `denseVocabMax = 0` forces the sparse
+    * prefix-filter plan, the default follows the probe. See the d22 query
+    * comment for the plan-choice rationale. */
+  private[graft] def tfCosinePairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.9, denseVocabMax: Long = 1024L) = {
+    val f = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    // stats probe: one tiny aggregate decides the plan (AQE-style)
+    val vocabSize = f.select(col("g")).distinct().count()
+    val dots =
+      if (vocabSize <= denseVocabMax) {
+        // vocab is broadcast-scale by the guard above
+        val vocab = f.select(col("g")).distinct().orderBy(col("g"))
+          .collect().map(_.getString(0)).toSeq
+        val dense = f.groupBy(col("doc_id"))
+          .agg(map_from_arrays(collect_list(col("g")), collect_list(col("tf"))).as("m"))
+          .select(col("doc_id"),
+            transform(typedLit(vocab),
+              t => coalesce(element_at(col("m"), t), lit(0L)).cast("double")).as("v"))
+        dense.select(col("doc_id").as("id_a"), col("v").as("va"))
+          .join(broadcast(dense.select(col("doc_id").as("id_b"), col("v").as("vb"))),
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.Similarity.dot(col("va"), col("vb")).as("dot"))
+      } else {
+        val fw = f.join(z, "doc_id")
+          .withColumn("w", col("tf").cast("double") / sqrt(col("n2").cast("double")))
+        val termStats = fw.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"), max(col("w")).as("mw"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").desc, col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val indexed = fw.join(termStats, "g")
+          .withColumn("b", sum(col("w") * col("mw")).over(wDoc))
+          .filter(col("b") >= threshold - 1e-9)
+          .select(col("doc_id"), col("g"))
+        val cand = indexed.alias("ia")
+          .join(indexed.alias("ib"),
+            col("ia.g") === col("ib.g") && col("ia.doc_id") < col("ib.doc_id"))
+          .select(col("ia.doc_id").as("id_a"), col("ib.doc_id").as("id_b"))
+          .distinct()
+        // exact integer dot over the FULL vectors for surviving candidates
+        cand
+          .join(f.select(col("doc_id").as("id_a"), col("g"), col("tf").as("tfa")), Seq("id_a"))
+          .join(f.select(col("doc_id").as("id_b"), col("g"), col("tf").as("tfb")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(col("tfa") * col("tfb")).cast("double").as("dot"))
+      }
+    val cos = col("dot") /
+      sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+    dots
+      .join(z.select(col("doc_id").as("ida"), col("n2").as("na2")), col("id_a") === col("ida"))
+      .join(z.select(col("doc_id").as("idb"), col("n2").as("nb2")), col("id_b") === col("idb"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
 
   /** The ≥0.8-Jaccard pair set on top of [[shingleGraphSql]]. */
   private val jaccardPairsSql: String =
@@ -222,7 +303,7 @@ object DedupQueries {
       Tables.load(spark, dir, "documents").select(
         col("doc_id"),
         arrays_overlap(
-          TextTokens.wordShingles(col("text"), 3),
+          graft.functions.expr.WordShingleStrings(col("text"), 3),
           typedLit(bench)).as("contaminated"))
     },
 
@@ -301,7 +382,8 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val pairCounts = Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
-          explode(TextTokens.wordShinglesAll(col("text"), 3)).as("gram"))
+          explode(graft.functions.expr.WordShingleStrings(
+            col("text"), 3, distinct = false)).as("gram"))
         .groupBy(col("gram"), col("doc_id"))
         .agg(count(lit(1)).as("cnt"))
       pairCounts
@@ -342,9 +424,12 @@ object DedupQueries {
         |       COALESCE(r.n_total, 0) AS n_total, COALESCE(r.n_kept, 0) AS n_kept
         |FROM d LEFT JOIN r USING (doc_id)""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val toks = TextTokens.tokens(col("text"))
+      // tokens materialize before the segment lambda (inline split would
+      // re-run per segment position in the interpreted HOF)
+      val toks = col("__toks")
       val nseg = ceil(size(toks) / lit(8.0)).cast("int")
       val segs = docs
+        .select(col("doc_id"), TextTokens.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(1), nseg),
             i => concat_ws(" ", slice(toks, (i - 1) * 8 + 1, lit(8))))))
@@ -410,15 +495,32 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("r").as("rank_fp"))
     },
 
-    // D22: exact bag-of-words cosine near-dup pairs via the inverted TERM
-    // index — the sparse-vector twin of d7's dense-embedding cosine. All
-    // heavy arithmetic stays in exact integers (tf products, squared norms);
-    // the lone double op (dot/√(‖a‖²·‖b‖²)) is the identical IEEE tree in
-    // both engines. No pair ever exists unless the docs SHARE a term: the
-    // candidate generator is the term-keyed equi-join, never a cross join.
-    // Skew note (same as d4): the shuffle key is the term, so stopword rows
-    // dominate — at 100 TB drop the top-DF head first (d19 computes it);
-    // the exact form here is the auditable baseline.
+    // D22: exact bag-of-words cosine near-dup pairs — the sparse-vector
+    // twin of d7's dense-embedding cosine, with a STATS-DRIVEN plan choice
+    // (measure, don't guess — the two regimes differ by ~75× here):
+    //
+    //  * dense regime (vocabulary ≤ 1024 distinct terms — this synthetic
+    //    corpus has 31): every doc-pair shares terms, so no inverted-index
+    //    pruning can help (candidates ≈ all pairs by construction).
+    //    Pivot each doc to a dense TF vector over the sorted vocab,
+    //    broadcast one side, and run the codegen'd ArrayDotProduct over
+    //    the id-ordered pair stream — zero pair-space shuffle, the d5
+    //    broadcast pattern. Integer TFs in double are exact (< 2^53), so
+    //    the dot equals the oracle's integer sum bit for bit.
+    //  * sparse regime (real text, unbounded vocab): exact All-Pairs
+    //    prefix filtering (Bayardo et al., WWW'07). Order every vector by
+    //    global document frequency DESCENDING with running prefix bound
+    //    b_p = Σ_{j≤p} w_j·maxw(g_j) over normalized weights; index a term
+    //    only where b_p ≥ t − ε. For any pair, dot(x,y) ≤ b_x at the LAST
+    //    shared term, so every ≥t pair shares an indexed-in-both term — no
+    //    false negatives (ε covers float rounding; extra candidates die in
+    //    exact verification). Stopwords sit at the HEAD of the order where
+    //    b < t, so the k²-per-term blowup of the naive inverted index
+    //    never materializes; the surviving candidates get exact integer
+    //    dots over the full vectors.
+    //
+    // Both paths emit the identical IEEE cosine tree, so the one oracle
+    // (and the naive all-pairs recompute in CorpusStatsSpec) pins both.
     QueryDef.sql(
       "d22_tf_cosine_pairs",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
@@ -430,23 +532,7 @@ object DedupQueries {
         |  round(CAST(dot AS DOUBLE) / sqrt(CAST(za.n2 AS DOUBLE) * CAST(zb.n2 AS DOUBLE)), 6) AS cosine
         |FROM p2 JOIN z2 za ON id_a = za.doc_id JOIN z2 zb ON id_b = zb.doc_id
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(za.n2 AS DOUBLE) * CAST(zb.n2 AS DOUBLE)) >= 0.9""".stripMargin) { (spark, dir) =>
-      val f = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("tf"))
-      val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-      val a = f.alias("a")
-      val b = f.alias("b")
-      val dots = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-      val cos = col("dot").cast("double") /
-        sqrt(col("na2").cast("double") * col("nb2").cast("double"))
-      dots
-        .join(z.select(col("doc_id").as("ida"), col("n2").as("na2")), col("id_a") === col("ida"))
-        .join(z.select(col("doc_id").as("idb"), col("n2").as("nb2")), col("id_b") === col("idb"))
-        .filter(cos >= 0.9)
-        .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+      tfCosinePairs(spark, dir)
     },
 
     // D23: asymmetric shingle containment |A∩B|/|A| ≥ 0.9 — catches a small

@@ -166,20 +166,27 @@ object TextQueries {
         |  CAST(len(list_distinct(sh)) AS INT) AS n_distinct_ngrams,
         |  round(CASE WHEN len(sh) > 0 THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) ELSE 0.0 END, 6) AS dup_ngram_frac
         |FROM s""".stripMargin) { (spark, dir) =>
-      val toks = graft.functions.TextTokens.tokens(col("text"))
-      val sh = graft.functions.TextTokens.wordShinglesAll(col("text"), 3)
+      // tokens + shingles materialize once (native single-pass shingling;
+      // the interpreted HOF chain re-ran the tokenizer per position)
+      val toks = col("__toks")
+      val sh = col("__sh")
       def dupFrac(all: org.apache.spark.sql.Column) = round(
         when(size(all) > 0,
           lit(1.0) - size(array_distinct(all)).cast("double") / size(all))
           .otherwise(lit(0.0)), 6)
-      Tables.load(spark, dir, "documents").select(
-        col("doc_id"),
-        size(toks).cast("int").as("n_tokens"),
-        size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
-        dupFrac(toks).as("dup_token_frac"),
-        size(sh).cast("int").as("n_ngrams"),
-        size(array_distinct(sh)).cast("int").as("n_distinct_ngrams"),
-        dupFrac(sh).as("dup_ngram_frac"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"),
+          graft.functions.expr.WordShingleStrings(
+            col("text"), 3, distinct = false).as("__sh"))
+        .select(
+          col("doc_id"),
+          size(toks).cast("int").as("n_tokens"),
+          size(array_distinct(toks)).cast("int").as("n_distinct_tokens"),
+          dupFrac(toks).as("dup_token_frac"),
+          size(sh).cast("int").as("n_ngrams"),
+          size(array_distinct(sh)).cast("int").as("n_distinct_ngrams"),
+          dupFrac(sh).as("dup_ngram_frac"))
     },
 
     // Length bucketing for batch shaping: histogram of documents by
@@ -525,7 +532,8 @@ object TextQueries {
         |SELECT bigram, n, df FROM c ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
-          explode(TextTokens.wordShinglesAll(col("text"), 2)).as("bigram"))
+          explode(graft.functions.expr.WordShingleStrings(
+            col("text"), 2, distinct = false)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("n").desc, col("bigram"))

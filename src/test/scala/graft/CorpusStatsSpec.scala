@@ -42,6 +42,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("d22 sparse regime (prefix filter, forced) == dense regime == naive") {
+    // the tiny test vocabulary makes the stats probe always pick dense, so
+    // force the sparse All-Pairs prefix-filter plan and require identical
+    // output — no false negatives at the candidate-generation bound
+    val dense = SparkEntry.queries("d22_tf_cosine_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sparse = graft.queries.DedupQueries
+      .tfCosinePairs(spark, dir, denseVocabMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sparse == dense, "regimes must agree pair-for-pair, bit-for-bit")
+    assert(dense.nonEmpty, "test corpus must exercise the ≥0.9 band")
+  }
+
   test("d23: distributed containment pairs == naive recompute, both directions") {
     val sh = docs.map { case (id, ts) =>
       id -> (if (ts.size >= 3) ts.sliding(3).map(_.mkString(" ")).toSet else Set.empty[String])

@@ -58,6 +58,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native WordShingleStrings == HOF shingles, ordered, both variants") {
+    import graft.functions.expr.WordShingleStrings
+    // weird inputs: short docs (< n tokens), empty, whitespace-only,
+    // repeated shingles (distinct order must be first-occurrence)
+    val tricky = docs.select(col("text"))
+      .union(Seq("", "   ", "one two", "a b a b a b", "x\t y \n z w").toDF("text"))
+    val rows = tricky.select(
+      WordShingleStrings(col("text"), 3).as("nd"),
+      TextTokens.wordShingles(col("text"), 3).as("hd"),
+      WordShingleStrings(col("text"), 3, distinct = false).as("na"),
+      TextTokens.wordShinglesAll(col("text"), 3).as("ha"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), "distinct variant diverged")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), "all variant diverged")
+    }
+  }
+
   test("codegen'd MinHashSignature agrees bit-for-bit with the HOF fold") {
     val rows = docs.select(
       MinHashLSH.minhashes(TextTokens.hashedShingles(col("text"), 3)).as("native"),

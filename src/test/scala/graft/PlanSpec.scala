@@ -192,12 +192,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d22/d23 sparse similarity: candidates from equi-joins only, never all-pairs") {
-    for (q <- Seq("d22_tf_cosine_pairs", "d23_containment_pairs")) {
-      val p = planOf(q)
-      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
-        s"$q must generate candidates via the inverted-index equi-join:\n$p")
-    }
+  test("d23 containment: candidates from equi-joins only, never all-pairs") {
+    val p = planOf("d23_containment_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"d23 must generate candidates via the inverted-index equi-join:\n$p")
+  }
+
+  test("d22 dense regime: broadcast pair stream, no shuffle-side cartesian") {
+    // the test corpus has a tiny vocabulary, so d22's stats probe picks the
+    // dense plan: all-pairs IS the answer there, and it must ride a
+    // BROADCAST nested loop (no pair-space exchange), never a shuffle
+    // cartesian. The sparse prefix-filter regime is forced and
+    // equality-pinned in CorpusStatsSpec (denseVocabMax = 0).
+    val p = planOf("d22_tf_cosine_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dense d22 pairs must come from the broadcast side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"d22 must never shuffle the pair space:\n$p")
   }
 
   test("a19 min-max scaling: group bounds broadcast back, no fact-side shuffle join") {
