@@ -50,10 +50,12 @@ object Sampling {
     * Rows with weight ≤ 0 or null are excluded by contract. */
   def weightedSample(
       df: DataFrame, k: Int, seed: Long, weight: Column, ids: Column*): DataFrame = {
-    // u in (0, 1]: the +1 shift avoids u = 0 (pow(0, 1/w) would tie all
-    // zero-hash rows at key 0 regardless of weight).
-    val u = (pmod(xxhash64((lit(seed) +: ids): _*), lit(1000000L)) + 1L)
-      .cast("double") / 1000000.0
+    // u STRICTLY inside (0, 1): the half-shift avoids both endpoints —
+    // u = 0 would tie all zero-hash rows at key 0 regardless of weight,
+    // and u = 1 would pin key = 1.0 (the maximum) regardless of weight,
+    // making ~1-in-1e6 rows win every draw no matter how light.
+    val u = (pmod(xxhash64((lit(seed) +: ids): _*), lit(1000000L)).cast("double") + 0.5) /
+      1000000.0
     df.filter(weight > 0)
       .withColumn("__wkey", pow(u, lit(1.0) / weight))
       .orderBy(col("__wkey").desc, struct(ids: _*))

@@ -8,6 +8,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Tokenization shared by the native shingle expressions — EXACTLY Spark's
+  * `split(lower(trim(text)), '\s+')` tree, via the same UTF8String ops the
+  * column functions lower to: space-only trim (Java's String.trim strips
+  * all whitespace ≤ U+0020 — different), UTF8String.toLowerCase (Java's
+  * default-locale toLowerCase diverges on tr_TR 'I'), split with limit -1
+  * (Java's default split drops trailing empty tokens — different). Any
+  * cheaper tokenizer here silently desynchronizes the native expressions
+  * from the HOF forms and the DuckDB oracles on whitespace-weird text.
+  */
+private[expr] object ShingleTok {
+  private val WS = UTF8String.fromString("\\s+")
+  def tokens(input: UTF8String): Array[UTF8String] =
+    input.trim().toLowerCase().split(WS, -1)
+}
+
 /** One-pass hashed word-shingling: lowercase+trim the text, split on
   * whitespace, hash every n-gram shingle ("tok_i … tok_{i+n-1}") with
   * xxhash64 (seed 42, identical to `functions.xxhash64` on the shingle
@@ -34,8 +49,7 @@ case class HashedWordShingles(child: Expression, n: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase.split("\\s+")
+    val toks = ShingleTok.tokens(input.asInstanceOf[UTF8String])
     val m = toks.length - (n - 1)
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](m)
@@ -46,7 +60,7 @@ case class HashedWordShingles(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        sb.append(toks(i + j).toString)
         j += 1
       }
       out(i) = XxHash64Function.hash(
@@ -93,8 +107,7 @@ case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase.split("\\s+")
+    val toks = ShingleTok.tokens(input.asInstanceOf[UTF8String])
     val m = toks.length - (n - 1)
     if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
     val sb = new java.lang.StringBuilder(64)
@@ -106,7 +119,7 @@ case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
+          sb.append(toks(i + j).toString)
           j += 1
         }
         seen.add(sb.toString)
@@ -125,7 +138,7 @@ case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
+          sb.append(toks(i + j).toString)
           j += 1
         }
         out(i) = UTF8String.fromString(sb.toString)

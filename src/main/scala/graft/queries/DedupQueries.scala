@@ -90,13 +90,20 @@ object DedupQueries {
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("tf"))
     val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-    // stats probe: one tiny aggregate decides the plan (AQE-style)
-    val vocabSize = f.select(col("g")).distinct().count()
+    // stats probe, ONE job: TakeOrdered of denseVocabMax+1 distinct terms —
+    // its size doubles as the regime test and its rows as the dense vocab.
+    val vocabProbe = f.select(col("g")).distinct().orderBy(col("g"))
+      .take(denseVocabMax.toInt + 1)
+    // the dense broadcast is the PER-DOCUMENT vector frame, so the guard
+    // must bound docs × vocab (the vocab bound alone says nothing about the
+    // corpus: 10M docs over a 500-term vocab is a 40 GB "broadcast").
+    // ~1 GiB ceiling on the vectors themselves.
+    val denseBytesMax = 1L << 30
     val dots =
-      if (vocabSize <= denseVocabMax) {
-        // vocab is broadcast-scale by the guard above
-        val vocab = f.select(col("g")).distinct().orderBy(col("g"))
-          .collect().map(_.getString(0)).toSeq
+      if (vocabProbe.length <= denseVocabMax &&
+        vocabProbe.nonEmpty &&
+        z.count() * vocabProbe.length * 8L <= denseBytesMax) {
+        val vocab = vocabProbe.map(_.getString(0)).toSeq
         val dense = f.groupBy(col("doc_id"))
           .agg(map_from_arrays(collect_list(col("g")), collect_list(col("tf"))).as("m"))
           .select(col("doc_id"),

@@ -13,9 +13,15 @@ class CorpusStatsSpec extends AnyFunSuite {
   private val dir = TestSpark.sfDir
 
   /** The exact token stream the engine uses: lower(trim(text)) split on
-    * \s+ with trailing empties kept (Spark's split limit = -1). */
-  private def toks(text: String): Seq[String] =
-    text.trim.toLowerCase.split("\\s+", -1).toSeq
+    * \s+ with trailing empties kept (Spark's split limit = -1). Spark's
+    * trim strips SPACES only — Java's String.trim (all whitespace ≤ U+0020)
+    * would diverge on leading/trailing tabs/newlines. */
+  private def toks(text: String): Seq[String] = {
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(s, e).toLowerCase.split("\\s+", -1).toSeq
+  }
 
   private lazy val docs: Seq[(Long, Seq[String])] =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -61,9 +61,15 @@ class DedupSpec extends AnyFunSuite {
   test("native WordShingleStrings == HOF shingles, ordered, both variants") {
     import graft.functions.expr.WordShingleStrings
     // weird inputs: short docs (< n tokens), empty, whitespace-only,
-    // repeated shingles (distinct order must be first-occurrence)
+    // repeated shingles (distinct order must be first-occurrence), and
+    // LEADING/TRAILING non-space whitespace — Spark's trim strips spaces
+    // only, so "\ta b c" keeps an empty first token and "a b c\n" an empty
+    // last one; a Java-String tokenizer in the native expression would
+    // silently drop them (and the oracle would disagree)
     val tricky = docs.select(col("text"))
-      .union(Seq("", "   ", "one two", "a b a b a b", "x\t y \n z w").toDF("text"))
+      .union(Seq("", "   ", "one two", "a b a b a b", "x\t y \n z w",
+        "\tfoo bar baz qux", "foo bar baz qux\n", " \t mixed lead trail \n ",
+        "a b c d").toDF("text"))
     val rows = tricky.select(
       WordShingleStrings(col("text"), 3).as("nd"),
       TextTokens.wordShingles(col("text"), 3).as("hd"),

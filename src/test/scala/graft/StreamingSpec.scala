@@ -208,12 +208,15 @@ class StreamingSpec extends AnyFunSuite {
       users.foreach(sk.update)
       Math.round(sk.getEstimate)
     }
+    // day strings in the SESSION timezone (GraftSession pins UTC) — the
+    // JVM default zone would diverge on any non-UTC machine
+    val sessionZone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
     val day0 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
       .format(java.time.Instant.ofEpochMilli(ts(0, 1).getTime)
-        .atZone(java.time.ZoneId.systemDefault()).toLocalDate)
+        .atZone(sessionZone).toLocalDate)
     val day1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
       .format(java.time.Instant.ofEpochMilli(ts(1, 1).getTime)
-        .atZone(java.time.ZoneId.systemDefault()).toLocalDate)
+        .atZone(sessionZone).toLocalDate)
     assert(got == Map(day0 -> ref(Seq(1L, 2L, 1L, 3L)), day1 -> ref(Seq(2L, 2L, 9L))))
     // tiny cardinalities sit in the sketch's exact regime: estimate == truth
     assert(got(day0) == 3L && got(day1) == 2L)
