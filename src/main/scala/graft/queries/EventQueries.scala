@@ -3,6 +3,7 @@ package graft.queries
 import graft.io.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Event-stream analytics in batch form over `events` (the same transforms
   * run under Structured Streaming in graft.streaming — these batch versions
@@ -472,5 +473,49 @@ object EventQueries {
       c.join(broadcast(obs), "day")
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("rolling_users_7d"))
+    },
+
+    // E18: session-shape distribution — e1's 30-min-gap sessions rolled up
+    // to (events-per-session bucket → session count, avg duration). The
+    // engagement-shape summary on top of sessionization: one user-key
+    // exchange feeds both windows (same partitioning as e1), the
+    // per-session frame is |sessions|-sized, and the final rollup has
+    // bucket cardinality. Durations in exact integer micros, averaged via
+    // decimal before the double lowering (the Num rule).
+    QueryDef.sql(
+      "e18_session_stats",
+      """WITH x AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |y AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |s AS (SELECT event_id, user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+        |  FROM y),
+        |p AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(LEAST(n_events, 10) AS INT) AS n_events_bucket,
+        |  COUNT(*) AS n_sessions,
+        |  round(CAST(SUM(CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_duration_s
+        |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("ts"), 1).over(order)
+      val isNew = when(
+        prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > 1800000000L, 1)
+        .otherwise(0)
+      val sessions = Tables.load(spark, dir, "events")
+        .withColumn("is_new", isNew)
+        .select(col("user_id"), col("ts"),
+          sum(col("is_new")).over(frame).cast("int").as("session_seq"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      sessions
+        .groupBy(least(col("n_events"), lit(10L)).cast("int").as("n_events_bucket"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          round(sum(col("dur_us").cast(DecimalType(20, 0))).cast(DoubleType) /
+            count(lit(1)) / 1000000.0, 4).as("avg_duration_s"))
     })
 }

@@ -574,5 +574,35 @@ object TextQueries {
       graft.functions.Sampling.weightedSample(
         Tables.load(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
         k = 50, seed = 42L, weight = col("n_chars"), col("doc_id"))
+    },
+
+    // T22: n-gram novelty — per doc, the fraction of its distinct 3-grams
+    // that appear in NO earlier document (doc_id order stands in for
+    // arrival order): the directional curation signal that separates
+    // fresh content from recombinations of already-seen text. d19 measures
+    // "how many docs share this gram"; this measures "was I first".
+    // Shape: distinct-gram explode (native single-pass shingling) →
+    // per-gram min(doc_id) as a window over the gram key → per-doc rollup.
+    // Both shuffles are gram/doc-keyed; no self-join.
+    QueryDef.sql(
+      "t22_ngram_novelty",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+        |        THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+        |        ELSE [] END) AS g FROM t),
+        |w AS (SELECT doc_id, g, MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM s)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+        |  round(CAST(COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM w GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val novel = count(when(col("first_doc") === col("doc_id"), 1))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.expr.WordShingleStrings(col("text"), 3)).as("g"))
+        .withColumn("first_doc", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), novel.as("n_novel"),
+          round(novel.cast("double") / count(lit(1)), 6).as("novelty"))
     })
 }
