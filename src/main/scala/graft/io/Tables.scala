@@ -39,4 +39,20 @@ object Tables {
   /** Register every test table as a temp view for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Schema-evolution read: union all parquet batches under `path`,
+    * merging schemas (`mergeSchema`) so batches written before a column
+    * existed surface it as NULL and projections over the union see the
+    * widest schema. This is how a 100 TB table accretes columns over
+    * months of ingest without rewriting history — the file-level twin of
+    * the frame-level diagonal union (`u3_union_by_name_missing`).
+    *
+    * Footgun the option flag guards: by default Spark reads the schema
+    * from ONE random footer, so whether the new column appears would
+    * depend on which file won — nondeterministic projections. Merging is
+    * a footer-only operation (no data read), priced per file at planning
+    * time; tables with frozen schemas skip it via the plain [[load]].
+    */
+  def loadMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -107,6 +107,27 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(f.toString).count() == 25)
   }
 
+  test("schema-evolution read: merged schema, NULL backfill for pre-column batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    // batch 1 written before column `b` existed; batch 2 after
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(tmp)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(tmp)
+    val merged = graft.io.Tables.loadMerged(spark, tmp)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"),
+      "merged schema must include the late column")
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L)),
+      "pre-column rows surface NULL, post-column rows their value")
+    // pruning still reaches the scan through the merged schema
+    val plan = merged.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection must prune to id through the merged schema:\n$plan")
+  }
+
   test("jdbc option assembly: pg url decoration and cast columns") {
     assert(Jdbc.pgUrlWithUnspecifiedStrings("jdbc:postgresql://h/db")
       == "jdbc:postgresql://h/db?stringtype=unspecified")
