@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `graft_hyperplane_sigs(vec, dim, nplanes, tables, seed)` — LSH bank
   *   - `graft_sum_scaled(unscaledLong, scale)` — exact int128 money sum
   *   - `graft_zvalue(a, b)`         — Z-order (Morton) clustering key
+  *   - `graft_word_shingles(text, n, distinct)` — string word n-grams
+  *   - `graft_cms_estimate(key, sketchBytes)` — Count-Min frequency probe
   *
   * Static parameters (k, seed, dim, …) must be literals — they are baked
   * into the expression at resolution time exactly like the Column API.
@@ -67,6 +69,24 @@ object GraftFunctions {
       ZValue(
         org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType))
+    },
+    "graft_word_shingles" -> { args =>
+      require(args.length == 3, "graft_word_shingles(text, n, distinct)")
+      val dist = args(2) match {
+        case Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(
+          s"distinct must be a boolean literal, got $other")
+      }
+      WordShingleStrings(args(0), litInt(args(1), "n"), dist)
+    },
+    "graft_cms_estimate" -> { args =>
+      require(args.length == 2, "graft_cms_estimate(key, sketchBytes)")
+      val bytes = args(1) match {
+        case Literal(v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+        case other => throw new IllegalArgumentException(
+          s"sketchBytes must be a binary literal (a serialized CMS), got $other")
+      }
+      CmsEstimateString(args(0), bytes)
     },
     "graft_bloom_might_contain" -> { args =>
       require(args.length == 2, "graft_bloom_might_contain(key, sketchBytes)")

@@ -130,6 +130,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       "SQL zvalue must match the Column/eval path")
     val zInt = spark.sql("SELECT graft_zvalue(3, 5) AS z").head().getLong(0)
     assert(zInt == z, "INT inputs must coerce like the Column API does")
+    val shingles = spark.sql(
+      "SELECT graft_word_shingles('A b a B c', 2, true) AS d, " +
+        "graft_word_shingles('a b a b c', 2, false) AS a").head()
+    assert(shingles.getSeq[String](0) == Seq("a b", "b a", "b c"),
+      "distinct string shingles, first-occurrence order")
+    assert(shingles.getSeq[String](1) == Seq("a b", "b a", "a b", "b c"),
+      "raw stream keeps duplicates in document order")
+    val cms = graft.operators.CountMin.build(
+      Seq.fill(7)("tok").toDF("t"), "t", eps = 1e-3)
+    val cmsHex = cms.map("%02x".format(_)).mkString
+    val est = spark.sql(
+      s"SELECT graft_cms_estimate('tok', x'$cmsHex') AS e").head().getLong(0)
+    assert(est == 7L, "SQL CMS probe must match the built sketch")
   }
 
   test("connected components: chains collapse to min label; singletons keep their own") {
