@@ -19,8 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[expr] object ShingleTok {
   private val WS = UTF8String.fromString("\\s+")
-  def tokens(input: UTF8String): Array[UTF8String] =
-    input.trim().toLowerCase().split(WS, -1)
+  /** Decoded ONCE per token here — the shingle loops read each token up to
+    * n times, and a per-read UTF8String→String decode would triple the
+    * allocation on the hottest scan path. */
+  def tokens(input: UTF8String): Array[String] = {
+    val ts = input.trim().toLowerCase().split(WS, -1)
+    val out = new Array[String](ts.length)
+    var i = 0
+    while (i < ts.length) { out(i) = ts(i).toString; i += 1 }
+    out
+  }
 }
 
 /** One-pass hashed word-shingling: lowercase+trim the text, split on
@@ -60,7 +68,7 @@ case class HashedWordShingles(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(i + j).toString)
+        sb.append(toks(i + j))
         j += 1
       }
       out(i) = XxHash64Function.hash(
@@ -119,7 +127,7 @@ case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(toks(i + j).toString)
+          sb.append(toks(i + j))
           j += 1
         }
         seen.add(sb.toString)
@@ -138,7 +146,7 @@ case class WordShingleStrings(child: Expression, n: Int, distinct: Boolean)
         var j = 0
         while (j < n) {
           if (j > 0) sb.append(' ')
-          sb.append(toks(i + j).toString)
+          sb.append(toks(i + j))
           j += 1
         }
         out(i) = UTF8String.fromString(sb.toString)

@@ -90,20 +90,22 @@ object DedupQueries {
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("tf"))
     val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-    // stats probe, ONE job: TakeOrdered of denseVocabMax+1 distinct terms —
-    // its size doubles as the regime test and its rows as the dense vocab.
-    val vocabProbe = f.select(col("g")).distinct().orderBy(col("g"))
-      .take(denseVocabMax.toInt + 1)
-    // the dense broadcast is the PER-DOCUMENT vector frame, so the guard
-    // must bound docs × vocab (the vocab bound alone says nothing about the
-    // corpus: 10M docs over a 500-term vocab is a 40 GB "broadcast").
-    // ~1 GiB ceiling on the vectors themselves.
+    // stats probe, ONE aggregate job over the pair frame: vocab size AND
+    // doc count together (a separate doc-count pass would re-scan the
+    // corpus just to reject the dense plan). The dense broadcast is the
+    // PER-DOCUMENT vector frame, so the guard must bound docs × vocab —
+    // the vocab bound alone says nothing about the corpus (10M docs over a
+    // 500-term vocab is a 40 GB "broadcast"). ~1 GiB vector ceiling.
+    val probe = f.agg(
+      countDistinct(col("g")).as("v"), countDistinct(col("doc_id")).as("d")).head()
+    val (vocabSize, nDocs) = (probe.getLong(0), probe.getLong(1))
     val denseBytesMax = 1L << 30
     val dots =
-      if (vocabProbe.length <= denseVocabMax &&
-        vocabProbe.nonEmpty &&
-        z.count() * vocabProbe.length * 8L <= denseBytesMax) {
-        val vocab = vocabProbe.map(_.getString(0)).toSeq
+      if (vocabSize > 0 && vocabSize <= denseVocabMax &&
+        nDocs * vocabSize * 8L <= denseBytesMax) {
+        // vocab values: a TakeOrdered bounded by the guard above
+        val vocab = f.select(col("g")).distinct().orderBy(col("g"))
+          .take(vocabSize.toInt).map(_.getString(0)).toSeq
         val dense = f.groupBy(col("doc_id"))
           .agg(map_from_arrays(collect_list(col("g")), collect_list(col("tf"))).as("m"))
           .select(col("doc_id"),

@@ -11,30 +11,44 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object EventQueries {
 
+  /** ONE copy of the 30-min-gap sessionization, shared by e1 (reporting)
+    * and e18 (rollup) on both the Spark and the oracle side — the
+    * shingleGraphSql rule: a gap or tie-break change can never
+    * desynchronize the rollup from the query it summarizes. */
+  private val sessionizeSql: String =
+    """x AS (SELECT event_id, user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+      |y AS (SELECT event_id, user_id, ts,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
+      |sess AS (SELECT event_id, user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+      |  FROM y)""".stripMargin
+
+  /** (event_id, user_id, ts, session_seq) — the Spark twin of
+    * [[sessionizeSql]]. */
+  private def sessionized(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(order)
+    val isNew = when(
+      prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > 1800000000L, 1)
+      .otherwise(0)
+    Tables.load(spark, dir, "events")
+      .withColumn("is_new", isNew)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        sum(col("is_new")).over(frame).cast("int").as("session_seq"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Gap-based sessionization: a new session starts after >30 min of
     // silence per user; session index = running sum of boundary flags.
     QueryDef.sql(
       "e1_sessionize",
-      """WITH x AS (SELECT event_id, user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
-        |y AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x)
-        |SELECT event_id, user_id, ts,
-        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
-        |FROM y""".stripMargin) { (spark, dir) =>
-      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("ts"), 1).over(order)
-      val isNew = when(
-        prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > 1800000000L, 1)
-        .otherwise(0)
-      Tables.load(spark, dir, "events")
-        .withColumn("is_new", isNew)
-        .select(
-          col("event_id"), col("user_id"), col("ts"),
-          sum(col("is_new")).over(frame).cast("int").as("session_seq"))
+      s"""WITH $sessionizeSql
+         |SELECT event_id, user_id, ts, session_seq FROM sess""".stripMargin) { (spark, dir) =>
+      sessionized(spark, dir)
     },
 
     // Tumbling-window aggregation (hourly): the batch twin of the
@@ -484,30 +498,15 @@ object EventQueries {
     // decimal before the double lowering (the Num rule).
     QueryDef.sql(
       "e18_session_stats",
-      """WITH x AS (SELECT event_id, user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
-        |y AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new FROM x),
-        |s AS (SELECT event_id, user_id, ts,
-        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
-        |  FROM y),
-        |p AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
-        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
-        |  FROM s GROUP BY 1, 2)
-        |SELECT CAST(LEAST(n_events, 10) AS INT) AS n_events_bucket,
-        |  COUNT(*) AS n_sessions,
-        |  round(CAST(SUM(CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_duration_s
-        |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("ts"), 1).over(order)
-      val isNew = when(
-        prev.isNull || (unix_micros(col("ts")) - unix_micros(prev)) > 1800000000L, 1)
-        .otherwise(0)
-      val sessions = Tables.load(spark, dir, "events")
-        .withColumn("is_new", isNew)
-        .select(col("user_id"), col("ts"),
-          sum(col("is_new")).over(frame).cast("int").as("session_seq"))
+      s"""WITH $sessionizeSql,
+         |p AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+         |  FROM sess GROUP BY 1, 2)
+         |SELECT CAST(LEAST(n_events, 10) AS INT) AS n_events_bucket,
+         |  COUNT(*) AS n_sessions,
+         |  round(CAST(SUM(CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_duration_s
+         |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val sessions = sessionized(spark, dir)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))

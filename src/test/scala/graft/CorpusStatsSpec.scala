@@ -20,7 +20,9 @@ class CorpusStatsSpec extends AnyFunSuite {
     var s = 0; var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    text.substring(s, e).toLowerCase.split("\\s+", -1).toSeq
+    // Locale.ROOT: the engine lowers via UTF8String (locale-invariant on
+    // ASCII); the default-locale String.toLowerCase would diverge on tr_TR
+    text.substring(s, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
   }
 
   private lazy val docs: Seq[(Long, Seq[String])] =
