@@ -621,5 +621,42 @@ object AggWindowQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("med")).as("med"), min(col("mad")).as("mad"),
           count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+    },
+
+    // A22: Pareto / ABC classification — customers ranked by exact decimal
+    // revenue, cumulative share of the total, A (≤80%) / B (≤95%) / C
+    // classes: the concentration report behind "which 20% of keys carry
+    // 80% of the mass". The fact table reduces to a |customers|-sized
+    // aggregate FIRST; the global-order cumulative window runs on that
+    // aggregate only (the unavoidable total order of any Pareto curve,
+    // never on fact rows). Window sums stay decimal-exact; the single
+    // lowering to double is the share division, identical in both engines.
+    QueryDef.sql(
+      "a22_pareto_abc",
+      """WITH r AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |           FROM orders GROUP BY 1),
+        |w AS (SELECT o_custkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev) OVER () AS total
+        |  FROM r)
+        |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+        |  CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+        |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM w""".stripMargin) { (spark, dir) =>
+      val r = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(Num.dec2(col("o_totalprice"))).as("rev"))
+      val wCum = Window.orderBy(col("rev").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val share = col("cum").cast(DoubleType) / col("total").cast(DoubleType)
+      r.select(col("o_custkey"), col("rev"),
+          sum(col("rev")).over(wCum).as("cum"),
+          sum(col("rev")).over(wAll).as("total"))
+        .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
+          round(share, 6).as("cum_share"),
+          when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").as("abc_class"))
     })
 }

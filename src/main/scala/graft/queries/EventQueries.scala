@@ -516,5 +516,35 @@ object EventQueries {
           count(lit(1)).as("n_sessions"),
           round(sum(col("dur_us").cast(DecimalType(20, 0))).cast(DoubleType) /
             count(lit(1)) / 1000000.0, 4).as("avg_duration_s"))
+    },
+
+    // E19: conversion latency — hours from a user's FIRST view to their
+    // FIRST purchase, histogrammed: the funnel-speed companion to e9's
+    // stage counts. Two per-user min aggregates off one scan family, a
+    // user-keyed equi-join, and a bucket rollup; the time math is exact
+    // integer micros with one identical double floor-divide per row.
+    // Users who purchased before ever viewing are excluded (attribution
+    // is view-led, matching e9's ordered-stage rule).
+    QueryDef.sql(
+      "e19_conversion_latency",
+      """WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, MIN(ts) AS first_purchase FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(floor((epoch_us(first_purchase) - epoch_us(first_view)) / 3600000000.0) AS BIGINT) AS hours_bucket,
+        |  COUNT(*) AS n_users
+        |FROM v JOIN p USING (user_id)
+        |WHERE first_purchase >= first_view GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      v.join(p, "user_id")
+        .filter(col("first_purchase") >= col("first_view"))
+        .groupBy(floor(
+          (unix_micros(col("first_purchase")) - unix_micros(col("first_view"))) /
+            3600000000.0).cast("long").as("hours_bucket"))
+        .agg(count(lit(1)).as("n_users"))
     })
 }

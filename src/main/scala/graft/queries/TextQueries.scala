@@ -604,5 +604,35 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"), novel.as("n_novel"),
           round(novel.cast("double") / count(lit(1)), 6).as("novelty"))
+    },
+
+    // T23: vocabulary growth (Heaps' law curve) — distinct types seen
+    // after each document in doc_id order: when the curve flattens, new
+    // data stops adding vocabulary. Scale shape: each type charges ONE
+    // first-occurrence credit (min doc_id over the token key), credits
+    // roll up per doc, and the running total is a window over the
+    // |docs|-cardinality aggregate — the fact-scale work is two keyed
+    // shuffles, never a cumulative-distinct over raw rows.
+    QueryDef.sql(
+      "t23_vocab_growth",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM t),
+        |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
+        |nt AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types FROM f GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(nt.new_types, 0) AS new_types,
+        |  SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
+        |FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val nt = docs
+        .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.select(col("doc_id")).join(nt, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("vocab_size", sum(col("new_types")).over(wCum))
     })
 }
