@@ -616,16 +616,18 @@ object TextQueries {
     QueryDef.sql(
       "t23_vocab_growth",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        |e AS (SELECT DISTINCT doc_id, unnest(ts) AS tok FROM t),
+        |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
         |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
         |nt AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types FROM f GROUP BY 1)
         |SELECT d.doc_id, COALESCE(nt.new_types, 0) AS new_types,
         |  SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
         |FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
+      // no pre-dedup of (doc, tok): min(doc_id) per token and the per-doc
+      // type count are duplicate-invariant, so a distinct pass would add a
+      // second fact-scale shuffle for byte-identical output
       val nt = docs
         .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("tok"))
-        .distinct()
         .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
       val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))

@@ -20,8 +20,11 @@ class CorpusStatsSpec extends AnyFunSuite {
     var s = 0; var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    // Locale.ROOT: the engine lowers via UTF8String (locale-invariant on
-    // ASCII); the default-locale String.toLowerCase would diverge on tr_TR
+    // Locale.ROOT matches the engine's UTF8String.toLowerCase on ASCII
+    // text (the test corpus); the default-locale String.toLowerCase would
+    // diverge on tr_TR 'I'. Non-ASCII text is NOT locale-invariant in the
+    // engine either (UTF8String falls back to the default locale there) —
+    // this helper only claims parity for the ASCII corpus it runs on.
     text.substring(s, e).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
   }
 
