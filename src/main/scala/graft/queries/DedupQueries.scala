@@ -614,7 +614,7 @@ object DedupQueries {
          |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src),
          |comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)
          |SELECT c.component, COUNT(*) AS n_docs, COUNT(*) - 1 AS n_dropped,
-         |  SUM(d.n_chars) - MIN(CASE WHEN c.doc_id = c.component THEN d.n_chars END) AS chars_saved
+         |  CAST(SUM(d.n_chars) - MIN(CASE WHEN c.doc_id = c.component THEN d.n_chars END) AS BIGINT) AS chars_saved
          |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
          |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")

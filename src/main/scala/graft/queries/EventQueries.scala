@@ -160,7 +160,7 @@ object EventQueries {
       "e8_retention_cohorts",
       """WITH w AS (SELECT user_id, ts,
         |    CAST(min(ts) OVER (PARTITION BY user_id) AS DATE) AS cohort_day FROM events)
-        |SELECT cohort_day, datediff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+        |SELECT cohort_day, CAST(datediff('day', cohort_day, CAST(ts AS DATE)) AS INTEGER) AS day_offset,
         |       COUNT(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -447,7 +447,7 @@ object EventQueries {
         |f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1),
         |nu AS (SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY 1)
         |SELECT a.day, a.dau, COALESCE(nu.new_users, 0) AS new_users,
-        |  SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM a LEFT JOIN nu ON a.day = nu.day""".stripMargin) { (spark, dir) =>
       val d = Tables.load(spark, dir, "events")
         .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))

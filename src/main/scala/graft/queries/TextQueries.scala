@@ -393,7 +393,7 @@ object TextQueries {
     QueryDef.sql(
       "t15_mixture_plan",
       """WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars,
-        |                  CASE WHEN CAST(substr(source, 4, 10) AS INT) < 5 THEN 3.0 ELSE 1.0 END AS weight
+        |                  CAST(CASE WHEN CAST(substr(source, 4, 10) AS INT) < 5 THEN 3.0 ELSE 1.0 END AS DOUBLE) AS weight
         |           FROM documents GROUP BY 1),
         |t AS (SELECT CAST(SUM(chars) AS BIGINT) AS total, SUM(weight) AS wsum FROM s)
         |SELECT source, chars, weight,
@@ -448,7 +448,7 @@ object TextQueries {
       "t17_lexical_diversity",
       """WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
         |tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM e WHERE token <> '' GROUP BY 1, 2)
-        |SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_types,
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
         |  round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
         |  COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
         |  round(CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS hapax_frac
@@ -620,7 +620,7 @@ object TextQueries {
         |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
         |nt AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types FROM f GROUP BY 1)
         |SELECT d.doc_id, COALESCE(nt.new_types, 0) AS new_types,
-        |  SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
+        |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
         |FROM documents d LEFT JOIN nt ON d.doc_id = nt.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
       // no pre-dedup of (doc, tok): min(doc_id) per token and the per-doc

@@ -28,6 +28,28 @@ def canon(v):
     return str(v)
 
 
+def frame_types(con, sql):
+    """Column name -> DuckDB logical type, via DESCRIBE so both the oracle
+    query and the Spark parquet read-back land in the same type namespace.
+    The driver's hash is TYPE-SENSITIVE: an untyped SUM(BIGINT) that DuckDB
+    widens to HUGEINT fails the driver even when every value matches (the
+    round-5 d25/e16/t17/t23 defect class). Normalizations below cover the
+    representation gaps the driver demonstrably tolerates:
+      - TIMESTAMP WITH TIME ZONE vs TIMESTAMP (Spark writes UTC-adjusted
+        int64 parquet timestamps; DuckDB reads those as TIMESTAMPTZ while
+        the oracle side computes plain TIMESTAMP — driver-green queries
+        like e4_asof_join span this gap).
+    """
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    out = {}
+    for r in rows:
+        t = r[1].upper()
+        if t == "TIMESTAMP WITH TIME ZONE":
+            t = "TIMESTAMP"
+        out[r[0]] = t
+    return out
+
+
 def frame_rows(con, sql):
     res = con.execute(sql)
     cols = [d[0] for d in res.description]
@@ -53,14 +75,21 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO-SPARK-OUTPUT"
             continue
+        spark_sql = f"SELECT * FROM read_parquet({files!r})"
         try:
-            got_cols, got = frame_rows(
-                con, f"SELECT * FROM read_parquet({files!r})")
+            got_cols, got = frame_rows(con, spark_sql)
         except Exception as e:
             results[name] = f"SPARK-READ-ERROR {e}"
             continue
+        want_types = frame_types(con, sql)
+        got_types = frame_types(con, spark_sql)
+        type_diff = {c: (want_types.get(c), got_types.get(c))
+                     for c in set(want_types) | set(got_types)
+                     if want_types.get(c) != got_types.get(c)}
         if want_cols != got_cols:
             results[name] = f"SCHEMA want={want_cols} got={got_cols}"
+        elif type_diff:
+            results[name] = f"TYPES oracle-vs-spark diff {type_diff}"
         elif len(want) != len(got):
             results[name] = f"ROWS want={len(want)} got={len(got)}"
         elif want != got:
