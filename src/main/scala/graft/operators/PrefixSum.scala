@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global running sum (prefix sum / cumulative aggregate).
+  *
+  * `Window.orderBy(k)` with no partition spec plans an
+  * `Exchange SinglePartition`: the whole frame sorts and scans through ONE
+  * task, which is fine over a calendar spine but fatal over a
+  * billion-key aggregate (|customers|, |documents|). This operator keeps
+  * the exact same semantics with no task ever holding more than one slice:
+  *
+  *  1. probe `approxQuantile` boundaries of the order key (a distributed
+  *     aggregate returning ≤ `buckets`-1 doubles to the driver — a bounded
+  *     build contract like the IVF training sample, not a data collect);
+  *  2. assign each row a bucket id with a monotone O(buckets) scan of the
+  *     boundary array (equal keys always share a bucket, so any total
+  *     order consistent with (key, tieBreak) is preserved across buckets);
+  *  3. ONE hash shuffle on the bucket id; the per-bucket running-sum
+  *     window reuses that clustering — no further full-data exchange;
+  *  4. per-bucket totals (a distributed aggregate returning ≤ `buckets`
+  *     rows) come back to the driver, fold into exclusive-prefix offsets
+  *     there, and rejoin as a broadcast LocalRelation.
+  *
+  * The offsets deliberately round-trip through the driver instead of
+  * staying a lazy self-join branch: ≤ `buckets` rows is a bounded build
+  * contract (config-sized, like the IVF training sample), and a fresh
+  * LocalRelation shares no attribute lineage with the main branch — a
+  * lazy `parted.groupBy(pid)` sibling trips Catalyst constraint
+  * inference, which propagates the `pid = size(filter(bounds, ...))`
+  * alias constraint across the self-join into the aggregated side where
+  * the order key no longer exists, planning an unbindable `!Filter`.
+  *
+  * Boundary quality only affects balance, never correctness: the bucket id
+  * is a deterministic monotone function of the key, so retries and
+  * recomputations bucket identically. A key whose single value dominates
+  * the frame degrades to one hot bucket — the same degenerate case a
+  * range partitioner hits; such orders have no parallel prefix structure
+  * to exploit without value-splitting, which sum associativity would
+  * permit but the deterministic-output contract here does not need.
+  *
+  * Requirements: `rangeCol` must be numeric and non-null (both query
+  * call-sites order on non-null keys; nulls would need a nulls-first/last
+  * bucket pin that no current caller wants).
+  */
+object PrefixSum {
+
+  /** Adds `out` = running sum of `value` over the global order
+    * (`rangeCol` asc/desc, then `tieBreak`). Output column type matches
+    * `sum(value)` widening (+1 decimal step for the cross-bucket add).
+    *
+    * @param buckets number of range buckets; set ~4x target parallelism so
+    *                the hash of bucket ids balances across shuffle
+    *                partitions (balls-in-bins)
+    * @param probe   optional cheaper frame with the same `rangeCol`
+    *                distribution to sample boundaries from — e.g. the raw
+    *                key spine instead of a join output, saving the probe
+    *                job a recompute of the full lineage
+    */
+  def withRunningSum(
+      df: DataFrame,
+      rangeCol: String,
+      descending: Boolean,
+      tieBreak: Seq[Column],
+      value: Column,
+      out: String,
+      buckets: Int = 128,
+      relativeError: Double = 0.01,
+      probe: Option[DataFrame] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val pid = "_ps_pid"
+    val ptot = "_ps_tot"
+    val poff = "_ps_off"
+
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else probe.getOrElse(df).stat.approxQuantile(rangeCol, probes, relativeError)
+        .distinct.sorted(Ordering.Double.TotalOrdering)
+    // Monotone bucket id: count of boundaries strictly passed in scan
+    // order, found by a nested-CASE binary search (O(log buckets) scalar
+    // comparisons, whole-stage-codegen friendly; a higher-order
+    // filter(array, lambda) scan would also trip Catalyst constraint
+    // inference — the lambda's outer reference lands in an unbindable
+    // inferred filter on the far join side). double-cast is monotone over
+    // numerics, so a lossy cast can only merge adjacent buckets, never
+    // reorder them.
+    val v = col(rangeCol).cast("double")
+    // first index in bounds[lo..hi) where `pred(bound)` holds, else hi
+    def lowerBound(pred: Double => Column, lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(pred(bounds(mid)), lowerBound(pred, lo, mid))
+          .otherwise(lowerBound(pred, mid + 1, hi))
+      }
+    val pidExpr =
+      if (bounds.isEmpty) lit(0)
+      else if (descending) lit(bounds.length) - lowerBound(b => lit(b) > v, 0, bounds.length)
+      else lowerBound(b => lit(b) >= v, 0, bounds.length)
+
+    val ordering =
+      (if (descending) col(rangeCol).desc else col(rangeCol).asc) +: tieBreak
+    val parted = df.withColumn(pid, pidExpr).repartition(col(pid))
+    val wLocal = Window.partitionBy(col(pid)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn(out, sum(value).over(wLocal))
+
+    // Exclusive prefix of per-bucket totals, folded on the driver over the
+    // ≤ `buckets`-row aggregate and rejoined as a fresh LocalRelation
+    // (see scaladoc for why this must not stay a lazy self-join branch).
+    val totals = parted.groupBy(col(pid)).agg(sum(value).as(ptot))
+    val sumType = totals.schema(ptot).dataType
+    val totRows = totals.collect()
+      .map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    val offRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    var accDec = java.math.BigDecimal.ZERO
+    var accLong = 0L
+    var accDouble = 0.0
+    for ((p, tot) <- totRows) {
+      val off: Any = sumType match {
+        case _: org.apache.spark.sql.types.DecimalType => accDec
+        case org.apache.spark.sql.types.DoubleType => accDouble
+        case _ => accLong
+      }
+      offRows += org.apache.spark.sql.Row(p, off)
+      tot match {
+        case null =>
+        case d: java.math.BigDecimal => accDec = accDec.add(d)
+        case d: scala.math.BigDecimal => accDec = accDec.add(d.bigDecimal)
+        case d: java.lang.Double => accDouble += d
+        case n: java.lang.Number => accLong += n.longValue()
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(pid,
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(poff, sumType, nullable = true)))
+    val offsets = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offRows.toSeq: _*), offSchema)
+
+    local.join(broadcast(offsets), Seq(pid))
+      .withColumn(out, col(out) + col(poff))
+      .drop(pid, poff)
+  }
+}

@@ -627,10 +627,13 @@ object AggWindowQueries {
     // revenue, cumulative share of the total, A (≤80%) / B (≤95%) / C
     // classes: the concentration report behind "which 20% of keys carry
     // 80% of the mass". The fact table reduces to a |customers|-sized
-    // aggregate FIRST; the global-order cumulative window runs on that
-    // aggregate only (the unavoidable total order of any Pareto curve,
-    // never on fact rows). Window sums stay decimal-exact; the single
-    // lowering to double is the share division, identical in both engines.
+    // aggregate FIRST; the cumulative sum over that aggregate runs through
+    // the bucketed distributed prefix sum (operators/PrefixSum.scala) —
+    // at 100 TB |customers| is billions, so a bare Window.orderBy would
+    // funnel the whole aggregate through one task. The grand total rides
+    // a 1-row broadcast instead of a global window. Sums stay
+    // decimal-exact; the single lowering to double is the share division,
+    // identical in both engines.
     QueryDef.sql(
       "a22_pareto_abc",
       """WITH r AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -648,13 +651,12 @@ object AggWindowQueries {
       val r = Tables.load(spark, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(Num.dec2(col("o_totalprice"))).as("rev"))
-      val wCum = Window.orderBy(col("rev").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val cum = graft.operators.PrefixSum.withRunningSum(
+        r, rangeCol = "rev", descending = true,
+        tieBreak = Seq(col("o_custkey")), value = col("rev"), out = "cum")
+      val total = r.agg(sum(col("rev")).as("total"))
       val share = col("cum").cast(DoubleType) / col("total").cast(DoubleType)
-      r.select(col("o_custkey"), col("rev"),
-          sum(col("rev")).over(wCum).as("cum"),
-          sum(col("rev")).over(wAll).as("total"))
+      cum.crossJoin(broadcast(total))
         .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
           round(share, 6).as("cum_share"),
           when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").as("abc_class"))

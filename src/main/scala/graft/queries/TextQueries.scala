@@ -610,9 +610,11 @@ object TextQueries {
     // after each document in doc_id order: when the curve flattens, new
     // data stops adding vocabulary. Scale shape: each type charges ONE
     // first-occurrence credit (min doc_id over the token key), credits
-    // roll up per doc, and the running total is a window over the
-    // |docs|-cardinality aggregate — the fact-scale work is two keyed
-    // shuffles, never a cumulative-distinct over raw rows.
+    // roll up per doc, and the running total is the bucketed distributed
+    // prefix sum (operators/PrefixSum.scala) over the |docs|-cardinality
+    // aggregate — the fact-scale work is two keyed shuffles, never a
+    // cumulative-distinct over raw rows, and no task ever sorts the whole
+    // doc spine.
     QueryDef.sql(
       "t23_vocab_growth",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
@@ -630,11 +632,11 @@ object TextQueries {
         .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs.select(col("doc_id")).join(nt, Seq("doc_id"), "left")
+      val base = docs.select(col("doc_id")).join(nt, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("new_types"), lit(0L)).as("new_types"))
-        .withColumn("vocab_size", sum(col("new_types")).over(wCum))
+      graft.operators.PrefixSum.withRunningSum(
+        base, rangeCol = "doc_id", descending = false,
+        tieBreak = Seq.empty, value = col("new_types"), out = "vocab_size",
+        probe = Some(docs.select(col("doc_id"))))
     })
 }
