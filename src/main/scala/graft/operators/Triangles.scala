@@ -2,31 +2,61 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Exact triangle counting over an undirected simple graph — the density /
   * clustering-coefficient primitive for the near-dup pair graphs the dedup
   * family emits (a triangle-rich cluster is a template family; a triangle-
   * free star is one hub document quoted everywhere).
   *
-  * Algorithm: canonical edges (src < dst) enumerate each triangle exactly
-  * once as a < b < c — wedge join (a,b)⋈(b,c) then close with the (a,c)
-  * composite equi-join. Both joins are hash joins on edge keys; no nested
-  * loop ever appears. Scale note: wedge fan-out concentrates on high-degree
-  * vertices (Σ deg², the classic skew) — at 100 TB orient each edge from its
-  * lower-degree to its higher-degree endpoint first (triangle total is
-  * orientation-invariant, wedge work drops to O(m^1.5)); the id-canonical
-  * form here is the deterministic baseline the oracle can replay.
+  * Algorithm: orient each edge from its lower-(degree, id) endpoint to its
+  * higher-(degree, id) endpoint — a total order, so each triangle keeps
+  * exactly one acyclic orientation a→b, b→c, a→c and is enumerated once by
+  * the wedge join (a→b)⋈(b→c) closed with the (a,c) composite equi-join.
+  * Both joins stay hash joins on edge keys; no nested loop ever appears.
+  *
+  * The orientation is what makes this survive skew: out-degree under the
+  * (degree, id) order is O(√m) for every vertex, so wedge fan-out
+  * Σ in(b)·out(b) ≤ √m · Σ in(b) = O(m^1.5) — a hub document quoted
+  * everywhere gets ALL its edges pointed inward (out-degree 0) instead of
+  * pivoting a quadratic wedge set (TrianglesSpec pins this on a star).
+  * Triangle totals are orientation-invariant, so the DuckDB oracle can
+  * still replay the count from the canonical edge list.
   */
 object Triangles {
+
+  private val integral = Set[org.apache.spark.sql.types.DataType](
+    ByteType, ShortType, IntegerType, LongType)
+
+  /** Edges oriented lower-(degree, id) → higher-(degree, id). Input must be
+    * canonical (src < dst, no duplicates); ties in degree fall back to the
+    * id order, so the orientation is deterministic and acyclic. */
+  private[graft] def orientByDegree(edges: DataFrame, src: String, dst: String): DataFrame = {
+    for (c <- Seq(src, dst)) {
+      val t = edges.schema(c).dataType
+      require(integral.contains(t),
+        s"Triangles needs integral node ids; column '$c' is $t — a silent " +
+          "numeric cast would null out non-numeric ids and corrupt the count")
+    }
+    val e = edges.select(col(src).cast("long").as("__s"), col(dst).cast("long").as("__d"))
+    val deg = e.select(col("__s").as("n")).unionAll(e.select(col("__d").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // src < dst by contract, so on equal degrees the id order keeps s→d
+    e.join(deg.select(col("n").as("__s"), col("deg").as("__sd")), "__s")
+      .join(deg.select(col("n").as("__d"), col("deg").as("__dd")), "__d")
+      .select(
+        when(col("__sd") <= col("__dd"), col("__s")).otherwise(col("__d")).as("u"),
+        when(col("__sd") <= col("__dd"), col("__d")).otherwise(col("__s")).as("v"))
+  }
 
   /** (node, n_triangles) for every node that participates in ≥1 triangle.
     * `edges` must be canonical: src < dst, no duplicates. */
   def perNode(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges.select(col(src).cast("long").as("__s"), col(dst).cast("long").as("__d"))
-    val wedges = e.select(col("__s").as("a"), col("__d").as("b"))
-      .join(e.select(col("__s").as("b"), col("__d").as("c")), "b")
+    val o = orientByDegree(edges, src, dst)
+    val wedges = o.select(col("u").as("a"), col("v").as("b"))
+      .join(o.select(col("u").as("b"), col("v").as("c")), "b")
     val tri = wedges.join(
-      e.select(col("__s").as("a"), col("__d").as("c")), Seq("a", "c"))
+      o.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))

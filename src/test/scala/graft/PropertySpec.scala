@@ -169,6 +169,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("degree orientation: mid-id hub pivots zero wedges (id-canonical pivots deg²/4)") {
+    // Hub id 50 in the MIDDLE of the id range: id-canonical edges split
+    // low→hub / hub→high, so the pre-orientation wedge join pivots
+    // 50×50 wedges at the hub. Degree orientation points every edge INTO
+    // the hub (leaves have degree 1) → zero wedges, same (zero) triangles.
+    val star = ((0L until 50L).map(i => (i, 50L)) ++
+      (51L to 100L).map(j => (50L, j))).toDF("s", "d")
+    val o = graft.operators.Triangles.orientByDegree(star, "s", "d")
+    val wedges = o.select(col("u").as("a"), col("v").as("b"))
+      .join(o.select(col("u").as("b"), col("v").as("c")), "b")
+    assert(wedges.count() == 0, "oriented star must pivot no wedges")
+    val canonWedges = star.select(col("s").as("a"), col("d").as("b"))
+      .join(star.select(col("s").as("b"), col("d").as("c")), "b")
+    assert(canonWedges.count() == 2500, "id-canonical baseline is quadratic at the hub")
+    assert(graft.operators.Triangles.perNode(star, "s", "d").count() == 0)
+  }
+
+  test("triangle counting rejects non-integral node ids instead of nulling them") {
+    val bad = Seq(("x", "y"), ("y", "z")).toDF("s", "d")
+    assertThrows[IllegalArgumentException](
+      graft.operators.Triangles.perNode(bad, "s", "d"))
+  }
+
   test("star contraction collapses a 40-node chain (diameter >> log rounds)") {
     val vertices = (0L until 40L).toDF("id")
     val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
