@@ -50,12 +50,15 @@ object Sampling {
     * Rows with weight ≤ 0 or null are excluded by contract. */
   def weightedSample(
       df: DataFrame, k: Int, seed: Long, weight: Column, ids: Column*): DataFrame = {
-    // u STRICTLY inside (0, 1): the half-shift avoids both endpoints —
-    // u = 0 would tie all zero-hash rows at key 0 regardless of weight,
-    // and u = 1 would pin key = 1.0 (the maximum) regardless of weight,
-    // making ~1-in-1e6 rows win every draw no matter how light.
-    val u = (pmod(xxhash64((lit(seed) +: ids): _*), lit(1000000L)).cast("double") + 0.5) /
-      1000000.0
+    // u STRICTLY inside (0, 1) at full double resolution: the top 53 hash
+    // bits (>>> 11) are exactly representable, and the half-shift avoids
+    // both endpoints — u = 0 would tie all zero-hash rows at key 0
+    // regardless of weight, u = 1 would pin key = 1.0 (the maximum)
+    // regardless of weight. A coarser grid (e.g. 1e6 levels) makes
+    // equal-weight rows collide on u past ~1e6 rows, and the ascending-id
+    // tie-break then biases the top-k boundary toward low ids.
+    val u = (shiftrightunsigned(xxhash64((lit(seed) +: ids): _*), 11).cast("double") + 0.5) /
+      9007199254740992.0
     df.filter(weight > 0)
       .withColumn("__wkey", pow(u, lit(1.0) / weight))
       .orderBy(col("__wkey").desc, struct(ids: _*))

@@ -85,8 +85,13 @@ object DedupQueries {
   private[graft] def tfCosinePairs(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       threshold: Double = 0.9, denseVocabMax: Long = 1024L) = {
+    // empty-string tokens (whitespace-edge text) are not terms: the
+    // token-stats family (t17/t20/t23/d22) filters them uniformly, unlike
+    // the raw length metrics (t2/t3) and the shingle stream (t8/t19/t22)
+    // which keep the raw split by documented convention.
     val f = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
+      .filter(col("g") =!= "")
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("tf"))
     val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
@@ -95,14 +100,20 @@ object DedupQueries {
     // corpus just to reject the dense plan). The dense broadcast is the
     // PER-DOCUMENT vector frame, so the guard must bound docs × vocab —
     // the vocab bound alone says nothing about the corpus (10M docs over a
-    // 500-term vocab is a 40 GB "broadcast"). ~1 GiB vector ceiling.
+    // 500-term vocab is a 40 GB "broadcast"). ~1 GiB vector ceiling, AND a
+    // pair budget: the dense path streams nDocs² dot products through the
+    // broadcast nested loop, so a tiny vocab must not admit a huge corpus
+    // (vocab=31 passes the byte bound at ~4M docs = 8e12 pairs). Past
+    // ~1e8 pairs the sparse prefix-filter plan wins regardless of vocab.
     val probe = f.agg(
       countDistinct(col("g")).as("v"), countDistinct(col("doc_id")).as("d")).head()
     val (vocabSize, nDocs) = (probe.getLong(0), probe.getLong(1))
     val denseBytesMax = 1L << 30
+    val densePairsMax = 100000000L
     val dots =
       if (vocabSize > 0 && vocabSize <= denseVocabMax &&
-        nDocs * vocabSize * 8L <= denseBytesMax) {
+        nDocs * vocabSize * 8L <= denseBytesMax &&
+        nDocs * nDocs <= densePairsMax) {
         // vocab values: a TakeOrdered bounded by the guard above
         val vocab = f.select(col("g")).distinct().orderBy(col("g"))
           .take(vocabSize.toInt).map(_.getString(0)).toSeq
@@ -533,7 +544,7 @@ object DedupQueries {
     QueryDef.sql(
       "d22_tf_cosine_pairs",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        |f AS (SELECT doc_id, g, COUNT(*) AS tf FROM (SELECT doc_id, unnest(ts) AS g FROM t) GROUP BY 1, 2),
+        |f AS (SELECT doc_id, g, COUNT(*) AS tf FROM (SELECT doc_id, unnest(ts) AS g FROM t) WHERE g <> '' GROUP BY 1, 2),
         |z2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM f GROUP BY 1),
         |p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
         |       FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -519,7 +519,12 @@ object TextQueries {
     // with document-frequency support, ties broken lexicographically so the
     // limit is deterministic. The shingling reuses t8's wordShinglesAll
     // stream (duplicates KEPT: collocation strength needs raw counts, not
-    // the dedup stream). Shape at 100 TB: one scan+explode, one agg shuffle
+    // the dedup stream). Token convention: bigrams are SHINGLE-family
+    // (t8/t19/t22/d4...), riding the raw whitespace split — a
+    // whitespace-edge empty token participates in its bigram exactly as it
+    // does in every other shingle query; the token-stats family
+    // (t17/t20/t23/d22) filters empties instead. Documented divergence,
+    // identical in the oracle. Shape at 100 TB: one scan+explode, one agg shuffle
     // keyed on the bigram whose map-side partial combine absorbs the Zipf
     // head, then a global top-20 (TakeOrdered — never a full sort).
     QueryDef.sql(
@@ -619,7 +624,7 @@ object TextQueries {
       "t23_vocab_growth",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
         |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
-        |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM e GROUP BY 1),
+        |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM e WHERE tok <> '' GROUP BY 1),
         |nt AS (SELECT first_doc AS doc_id, COUNT(*) AS new_types FROM f GROUP BY 1)
         |SELECT d.doc_id, COALESCE(nt.new_types, 0) AS new_types,
         |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
@@ -630,6 +635,7 @@ object TextQueries {
       // second fact-scale shuffle for byte-identical output
       val nt = docs
         .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
       val base = docs.select(col("doc_id")).join(nt, Seq("doc_id"), "left")

@@ -197,7 +197,7 @@ object EventStreams {
 
   val GapMs: Long = 30 * 60 * 1000L
 
-  case class DayUser(day: String, user_id: Long)
+  case class DayUser(day: String, user_id: Long, ts: Timestamp)
   case class DauUpdate(day: String, dau_estimate: Long)
 
   /** Streaming daily-active-users with MERGEABLE sketch state: each day's
@@ -209,26 +209,50 @@ object EventStreams {
     * The datasketches HLL register state is insertion-order-independent, so
     * replays/batch-boundary changes can't change the estimate — pinned in
     * StreamingSpec against an identically-parameterized local sketch.
-    * State keys are calendar days, so state cardinality is time-bounded;
-    * production adds an event-time timeout past the watermark to retire
-    * closed days (same trade as sessionize).
+    * State keys are calendar days; each day's state retires on an
+    * event-time timeout one hour after the watermark passes its end, so a
+    * long-running deployment holds O(watermark horizon) days, never the
+    * full calendar. An event later than watermark + the 1 h retention
+    * re-opens its day with a fresh sketch — the standard TTL'd-state trade;
+    * mapGroupsWithState does not drop late rows on its own, so the horizon
+    * is what bounds the error window.
     */
   def dailyActiveUsersStream(events: DataFrame): Dataset[DauUpdate] = {
     import org.apache.datasketches.hll.HllSketch
     val spark = events.sparkSession
     import spark.implicits._
+    val zoneId = spark.conf.get("spark.sql.session.timeZone")
+    val retireMs = 60 * 60 * 1000L
     events
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout
+      // ts stays in the projection: the event-time-timeout check needs the
+      // watermarked column to reach the stateful operator
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"), col("ts"))
       .as[DayUser]
       .groupByKey(_.day)
-      .mapGroupsWithState[Array[Byte], DauUpdate](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[Array[Byte], DauUpdate](GroupStateTimeout.EventTimeTimeout()) {
         (day: String, rows: Iterator[DayUser], state: GroupState[Array[Byte]]) =>
-          val sk = state.getOption
-            .map(b => HllSketch.heapify(b))
-            .getOrElse(new HllSketch(12))
-          rows.foreach(r => sk.update(r.user_id))
-          state.update(sk.toCompactByteArray)
-          DauUpdate(day, Math.round(sk.getEstimate))
+          if (state.hasTimedOut) {
+            // day closed past the watermark: emit the final estimate once
+            // more (idempotent in Update mode) and release the state
+            val est = Math.round(HllSketch.heapify(state.get).getEstimate)
+            state.remove()
+            DauUpdate(day, est)
+          } else {
+            val sk = state.getOption
+              .map(b => HllSketch.heapify(b))
+              .getOrElse(new HllSketch(12))
+            rows.foreach(r => sk.update(r.user_id))
+            state.update(sk.toCompactByteArray)
+            // retire when the watermark clears end-of-day + retention; the
+            // max() keeps the timestamp ahead of the current watermark for
+            // very late (but in-horizon) stragglers of already-passed days
+            val endOfDay = java.time.LocalDate.parse(day).plusDays(1)
+              .atStartOfDay(java.time.ZoneId.of(zoneId)).toInstant.toEpochMilli
+            state.setTimeoutTimestamp(
+              math.max(endOfDay + retireMs, state.getCurrentWatermarkMs() + 60000L))
+            DauUpdate(day, Math.round(sk.getEstimate))
+          }
       }
   }
 

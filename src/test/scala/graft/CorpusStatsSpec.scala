@@ -37,8 +37,9 @@ class CorpusStatsSpec extends AnyFunSuite {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("d22: distributed TF-cosine pairs == naive all-pairs recompute") {
+    // token-stats convention: empty tokens are not terms (d22 filters them)
     val tf = docs.map { case (id, ts) =>
-      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      id -> ts.filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong).toMap
     }
     val n2 = tf.map { case (id, m) => id -> m.values.map(v => v * v).sum }.toMap
     val naive = (for {

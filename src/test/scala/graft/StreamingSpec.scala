@@ -223,6 +223,36 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("HLL DAU state retires on event-time timeout once the watermark clears the day") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    def ts(day: Int, m: Int) = new Timestamp(1700000000000L + day * 86400000L + m * 60000L)
+    val out = EventStreams.dailyActiveUsersStream(mem.toDF().toDF("ts", "user_id"))
+    val q = out.writeStream.format("memory").queryName("dau_retire_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts(0, 1), 1L), (ts(0, 2), 2L))
+      q.processAllAvailable() // batch 1: day-0 state opens, watermark still day 0
+      mem.addData((ts(2, 720), 7L))
+      q.processAllAvailable() // batch 2: watermark jumps past day-0 end + retention
+      mem.addData((ts(2, 721), 8L))
+      q.processAllAvailable() // batch 3: timeout fires against the advanced watermark
+      val day0 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+        .format(java.time.Instant.ofEpochMilli(ts(0, 1).getTime)
+          .atZone(java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+          .toLocalDate)
+      val day0Rows = spark.table("dau_retire_test")
+        .filter(col("day") === day0).collect().map(_.getLong(1)).toSeq
+      // batch 1 emitted the live estimate; the timeout re-emits the final
+      // one on a batch that carried NO day-0 data — proof the timer fired
+      assert(day0Rows.length >= 2, s"expected a timeout re-emit for $day0, got $day0Rows")
+      assert(day0Rows.distinct == Seq(2L), s"final estimate must match the live one: $day0Rows")
+    } finally {
+      q.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer splits on 30-min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
