@@ -26,6 +26,12 @@ object Bench {
     "e1_sessionize",
     "e4_asof_join")
 
+  /** Timed iterations per query (after one warm run). Medians absorb the
+    * session-level noise that made round-over-round single-shot numbers
+    * swing ±30% on sub-second queries; the min/max spread is emitted so a
+    * "regression" can be told apart from a wide run distribution. */
+  val Iters: Int = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -42,20 +48,27 @@ object Bench {
       catch { case _: Throwable => false }
     val results = names.map { name =>
       // Warm once (whole-stage-codegen class compilation is a per-plan,
-      // not per-run, cost), then time the steady-state run.
+      // not per-run, cost), then time Iters steady-state runs.
       run(name)
-      val t0 = System.nanoTime()
-      val ok = run(name)
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      var ok = true
+      val times = Array.fill(Iters) {
+        val t0 = System.nanoTime()
+        ok &= run(name)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(Iters / 2)
+      (name, median, times.head, times.last, ok)
     }
-    val qjson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sjson = results.map { case (k, _, ok) =>
+    def obj(f: ((String, Double, Double, Double, Boolean)) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qjson = obj { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val minjson = obj { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
+    val maxjson = obj { case (k, _, _, mx, _) => "\"" + k + "\":" + mx }
+    val sjson = obj { case (k, _, _, _, ok) =>
       "\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
-      .mkString("{", ",", "}")
-    val failed = results.count(!_._3)
+    val failed = results.count(!_._5)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"status":$sjson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"min":$minjson,"max":$maxjson,"iters":$Iters,"status":$sjson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
