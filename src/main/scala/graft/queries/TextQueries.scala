@@ -551,10 +551,20 @@ object TextQueries {
     // (depth×width counters, merged by addition across partitions); at
     // 100 TB it replaces the full token counter table when only point
     // lookups are needed. The exact top-20 here is the gate's candidate
-    // set + ground truth, not part of the sketch path. rows-only: the CMS
-    // hash family doesn't exist in DuckDB; AggSketchSpec pins the
-    // overestimate-only + ε·N error bound + merge associativity instead.
-    QueryDef.rowsOnly("t20_cms_heavy_hitters") { (spark, dir) =>
+    // set + ground truth, not part of the sketch path. VALUE-CHECKED in
+    // exact mode: DuckDB can't replay the CMS hash family, but at ε=1e-4
+    // the width (~27k counters/row) dwarfs the test vocabularies, so every
+    // heavy hitter sits alone in at least one sketch row and its estimate
+    // EQUALS the exact count (verified collision-free at sf0.001/0.01/0.1;
+    // AggSketchSpec pins the premise plus the overestimate-only + ε·N
+    // bound + merge associativity that hold on any corpus). A corpus dense
+    // enough to collide every sketch row would need this oracle reverted
+    // to rows-only — the spec failing first is the intended tripwire.
+    QueryDef.sql(
+      "t20_cms_heavy_hitters",
+      """WITH e AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS n FROM e WHERE token <> '' GROUP BY 1)
+        |SELECT token, n, n AS cms_est FROM c ORDER BY n DESC, token LIMIT 20""".stripMargin) { (spark, dir) =>
       val toks = Tables.load(spark, dir, "documents")
         .select(explode(TextTokens.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")

@@ -65,6 +65,13 @@ class AggSketchSpec extends AnyFunSuite {
       assert(est >= exact, s"'$tok': CMS must never underestimate ($est < $exact)")
       assert(est <= exact + (1e-4 * total).toLong + 1,
         s"'$tok': estimate $est beyond eps*N of exact $exact (N=$total)")
+      // the t20 DuckDB oracle emits the exact count AS the estimate —
+      // valid only while the test corpora stay collision-free at this
+      // width (checked at sf0.001/0.01/0.1); this equality is the
+      // tripwire that forces the oracle back to rows-only if a denser
+      // corpus ever collides every sketch row
+      assert(est == exact,
+        s"'$tok': estimate $est != exact $exact — t20's exact-mode oracle premise broke")
     }
   }
 
