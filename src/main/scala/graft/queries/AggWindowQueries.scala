@@ -660,5 +660,25 @@ object AggWindowQueries {
         .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
           round(share, 6).as("cum_share"),
           when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").as("abc_class"))
+    },
+
+    // A23: EXACT global median — the order statistic everyone approximates
+    // (approx_percentile) or serializes (orderBy through one task). This
+    // rides operators/Selection: distributed quickselect, 3-4 aggregate
+    // passes that each shrink the candidate range ~128x; nothing
+    // data-scale is ever sorted, shuffled to one task, or collected. The
+    // rank-k definition ((n+1)/2, 1-based) sidesteps the even-count
+    // interpolation ambiguity between engines.
+    QueryDef.sql(
+      "a23_exact_median",
+      """WITH r AS (SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |                  COUNT(*) OVER () AS n
+        |           FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT o_totalprice AS median_price, n AS n_rows FROM r WHERE rn = (n + 1) // 2""".stripMargin) { (spark, dir) =>
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+      val n = orders.count()
+      val med = graft.operators.Selection.kthSmallest(orders, "o_totalprice", (n + 1) / 2)
+      spark.range(1).select(lit(med).as("median_price"), lit(n).as("n_rows"))
     })
 }

@@ -642,5 +642,54 @@ object DedupQueries {
             min(when(col("doc_id") === col("component"), col("n_chars"))))
             .as("chars_saved"))
         .filter(col("n_docs") > 1)
+    },
+
+    // D26: cluster cohesion — per near-dup cluster, how tight the family
+    // is: edge count, minimum and mean in-cluster Jaccard. Separates true
+    // duplicate families (cohesion ≈ 1) from chained borderline matches
+    // (min ≈ threshold), the triage signal before a keeper election
+    // deletes data. Rides the SAME pair + component stages as d13/d25 —
+    // zero new fact-scale work; the rollup is |clusters|-keyed. The mean
+    // goes through an exact decimal sum of the 6-dp edge scores (float
+    // sums are merge-order-dependent and could never hash-match).
+    QueryDef.sql(
+      "d26_cluster_cohesion",
+      s"""WITH RECURSIVE
+         |$shingleGraphSql,
+         |pj AS (SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+         |       FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+         |       WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8),
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pj UNION ALL SELECT id_b, id_a FROM pj),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src),
+         |comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+         |cl AS (SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY 1 HAVING COUNT(*) > 1),
+         |ed AS (SELECT c.component, pj.jaccard FROM pj JOIN comp c ON pj.id_a = c.doc_id)
+         |SELECT cl.component, cl.n_docs, COUNT(*) AS n_edges,
+         |  MIN(ed.jaccard) AS min_jaccard,
+         |  round(CAST(SUM(CAST(ed.jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard
+         |FROM cl JOIN ed ON cl.component = ed.component
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val pairs = jaccardPairs(spark, dir)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("component"))
+      val cl = comp.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+      val ed = pairs.join(
+        comp.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .select(col("component"), col("jaccard"))
+      cl.join(
+        ed.groupBy(col("component")).agg(
+          count(lit(1)).as("n_edges"),
+          min(col("jaccard")).as("min_jaccard"),
+          round(sum(col("jaccard").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("avg_jaccard")),
+        Seq("component"))
+        .select(col("component"), col("n_docs"), col("n_edges"),
+          col("min_jaccard"), col("avg_jaccard"))
     })
 }

@@ -546,5 +546,116 @@ object EventQueries {
           (unix_micros(col("first_purchase")) - unix_micros(col("first_view"))) /
             3600000000.0).cast("long").as("hours_bucket"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // E20: behavioral path mining — top-20 event-type trigrams over
+    // per-user timelines, the "what do users do next" primitive behind
+    // navigation analysis and next-event models. Two leads share ONE
+    // user-key window partitioning; the path rollup is a keyed aggregate
+    // with map-side combine over a bounded (|event_types|^3) key space —
+    // nothing here grows beyond the fact scan at 100 TB.
+    QueryDef.sql(
+      "e20_path_trigrams",
+      """WITH o AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |FROM o WHERE e3 IS NOT NULL AND e2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull && col("e2").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
+    // E21: inter-arrival statistics per event type — the traffic-shape
+    // profile (burstiness, gaps, rate) operations teams read before sizing
+    // stream consumers. One user... no: one TYPE-keyed window for the lag,
+    // then a type-keyed rollup; gap math stays in exact integer micros,
+    // the single divide to seconds is the same IEEE op in both engines.
+    QueryDef.sql(
+      "e21_interarrival_stats",
+      """WITH d AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(gap_us) AS n_gaps,
+        |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+        |  round(CAST(SUM(gap_us) AS BIGINT) / 1000000.0 / COUNT(gap_us), 6) AS avg_gap_s
+        |FROM d WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          round(sum(col("gap_us")) / 1000000.0 / count(lit(1)), 6).as("avg_gap_s"))
+    },
+
+    // E22: NEAREST-event join — each purchase attributes to the closest
+    // click by the same user within ±1 h, either direction: the symmetric
+    // completion of e4's backward-only as-of. Both directions ride the
+    // SAME union+running-window as-of machinery (the forward pass feeds
+    // negated micros through AsOfJoin.backward — r.(-ts) <= l.(-ts) IS
+    // r.ts >= l.ts), so the plan stays two sort-linear passes, never a
+    // per-key theta join. Ties: equal distance prefers the earlier
+    // (backward) click; equal timestamps prefer the greatest event id —
+    // both pinned identically in the oracle's rank ordering.
+    QueryDef.sql(
+      "e22_nearest_event_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_id
+        |    ORDER BY abs(epoch_us(click_ts) - epoch_us(ts)), click_ts, click_event_id DESC) AS rn
+        |  FROM cand)
+        |SELECT event_id, user_id, ts, click_event_id, click_ts,
+        |  CAST(epoch_us(click_ts) - epoch_us(ts) AS BIGINT) AS gap_us
+        |FROM r WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val back = graft.operators.AsOfJoin.backward(
+        purchases, clicks, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("ts" -> "b_ts", "event_id" -> "b_id"),
+        rightTiebreak = Seq("event_id"))
+      val negP = purchases.withColumn("nts", -unix_micros(col("ts")))
+      val negC = clicks.withColumn("nts", -unix_micros(col("ts")))
+      val fwd = graft.operators.AsOfJoin.backward(
+        negP, negC, keys = Seq("user_id"), leftTs = "nts", rightTs = "nts",
+        payload = Seq("ts" -> "f_ts", "event_id" -> "f_id"),
+        // ascending tiebreak + last-wins = greatest event id, same as back
+        rightTiebreak = Seq("event_id"))
+        .drop("nts")
+      val j = back.join(fwd, Seq("event_id", "user_id", "ts"))
+      val bGap = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+      val fGap = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+      val hourUs = 3600L * 1000000L
+      val bOk = col("b_ts").isNotNull && bGap <= hourUs
+      val fOk = col("f_ts").isNotNull && fGap <= hourUs
+      // equal distance prefers backward (the earlier click_ts)
+      val useBack = bOk && (!fOk || bGap <= fGap)
+      j.filter(bOk || fOk)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(useBack, col("b_id")).otherwise(col("f_id")).as("click_event_id"),
+          when(useBack, col("b_ts")).otherwise(col("f_ts")).as("click_ts"),
+          when(useBack, -bGap).otherwise(fGap).as("gap_us"))
     })
 }

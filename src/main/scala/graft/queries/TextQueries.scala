@@ -654,5 +654,55 @@ object TextQueries {
         base, rangeCol = "doc_id", descending = false,
         tieBreak = Seq.empty, value = col("new_types"), out = "vocab_size",
         probe = Some(docs.select(col("doc_id"))))
+    },
+
+    // T25: per-source divergence from the corpus token distribution —
+    // Bhattacharyya coefficient and Hellinger distance, the "which source
+    // is an outlier mixture-wise" signal a data-mixing pipeline reads
+    // beside t15's rate planner. Hellinger over KL/JS deliberately: it
+    // needs only division/multiply/sqrt, ALL correctly-rounded IEEE ops
+    // that both engines compute bit-identically from the same integer
+    // counts, where ln/exp are implementation-defined and could never
+    // hash-match. The order-dependent float SUM is neutralized by casting
+    // each term to DECIMAL(38,12) first (exact add); the cast's sub-ulp
+    // tie behavior is the one cross-engine premise, gate-verified at all
+    // three SFs. Shape: one token-keyed shuffle for the per-source counts,
+    // a vocab-keyed join against the corpus counts, broadcast totals —
+    // every stage keyed, nothing all-pairs.
+    QueryDef.sql(
+      "t25_source_divergence",
+      """WITH e AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents),
+        |f AS (SELECT source, t, COUNT(*) AS c FROM e WHERE t <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns, COUNT(*) AS n_types FROM f GROUP BY 1),
+        |g AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM f),
+        |b AS (SELECT f.source,
+        |        SUM(CAST(sqrt((f.c / s.ns) * (g.ct / tot.total)) AS DECIMAL(38,12))) AS bc
+        |      FROM f JOIN s ON f.source = s.source JOIN g ON f.t = g.t CROSS JOIN tot
+        |      GROUP BY 1)
+        |SELECT s.source, s.ns AS n_tokens, s.n_types,
+        |  round(CAST(b.bc AS DOUBLE), 6) AS bhattacharyya,
+        |  round(sqrt(greatest(0.0, 1.0 - CAST(b.bc AS DOUBLE))), 6) AS hellinger
+        |FROM s JOIN b ON s.source = b.source""".stripMargin) { (spark, dir) =>
+      val f = Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(TextTokens.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      val s = f.groupBy(col("source"))
+        .agg(sum(col("c")).as("ns"), count(lit(1)).as("n_types"))
+      val g = f.groupBy(col("t")).agg(sum(col("c")).as("ct"))
+      val tot = f.agg(sum(col("c")).as("total"))
+      val term = sqrt((col("c") / col("ns")) * (col("ct") / col("total")))
+      val b = f.join(broadcast(s.select(col("source"), col("ns"))), "source")
+        .join(g, "t")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          term.cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("term"))
+        .groupBy(col("source")).agg(sum(col("term")).as("bc"))
+      val bcD = col("bc").cast("double")
+      s.join(b, "source")
+        .select(col("source"), col("ns").as("n_tokens"), col("n_types"),
+          round(bcD, 6).as("bhattacharyya"),
+          round(sqrt(greatest(lit(0.0), lit(1.0) - bcD)), 6).as("hellinger"))
     })
 }

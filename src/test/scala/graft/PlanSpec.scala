@@ -219,6 +219,24 @@ class PlanSpec extends AnyFunSuite {
       s"the fact table must not shuffle for the bounds join:\n$p")
   }
 
+  test("e20 path trigrams: both leads share ONE user-key exchange") {
+    val p = planOf("e20_path_trigrams")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "lead(1) and lead(2) must ride the same user-key partitioning")
+  }
+
+  test("e21 inter-arrival: lag and rollup share the event_type key, no extra shuffle") {
+    val p = planOf("e21_interarrival_stats")
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      "the type-keyed window partitioning must feed the type-keyed aggregate directly")
+  }
+
+  test("e22 nearest join: as-of unions + equi-joins only, never a theta join") {
+    val p = planOf("e22_nearest_event_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"nearest-event must ride the as-of machinery, not a per-key theta join:\n$p")
+  }
+
   test("e17 rolling distinct: bounded explode + broadcast day spine, no range join") {
     val p = planOf("e17_rolling_distinct")
     assert(p.contains("Generate explode"),
