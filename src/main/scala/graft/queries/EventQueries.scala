@@ -657,5 +657,75 @@ object EventQueries {
           when(useBack, col("b_id")).otherwise(col("f_id")).as("click_event_id"),
           when(useBack, col("b_ts")).otherwise(col("f_ts")).as("click_ts"),
           when(useBack, -bGap).otherwise(fGap).as("gap_us"))
+    },
+
+    // E23: interval-union coverage — each event opens a 30-min presence
+    // window; overlapping windows merge and each user reports merged
+    // interval count + total covered time. The classic sweep, distributed:
+    // a running max of prior interval ends (user-partitioned window) flags
+    // interval starts, a running sum of flags numbers the islands, and two
+    // keyed aggregates roll up — no self-join, no interval-pair explosion.
+    // All time math in exact integer micros. Rows with identical (start,
+    // end) permute freely under the ROWS frames without changing any flag,
+    // so the sweep is deterministic without an id tiebreak.
+    QueryDef.sql(
+      "e23_interval_coverage",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events),
+        |o AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag FROM o),
+        |g AS (SELECT user_id, s, e, SUM(flag) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS UNBOUNDED PRECEDING) AS iid FROM f),
+        |m AS (SELECT user_id, iid, MIN(s) AS ms, MAX(e) AS me FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |  CAST(SUM(me - ms) AS BIGINT) AS covered_us
+        |FROM m GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 1800000000L).as("e"))
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("flag",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("iid", sum(col("flag")).over(wRun))
+        .groupBy(col("user_id"), col("iid"))
+        .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("me") - col("ms")).as("covered_us"))
+    },
+
+    // E24: point-in-time (time-travel) lookup against the e10 SCD2 history:
+    // each user's state as of a fixed instant — the feature-store query
+    // every training-set builder runs to avoid label leakage. Same
+    // change-detect windows as e10 (one user-key partitioning), then a
+    // scan-level interval filter; at 100 TB the filter prunes to |users|
+    // rows with zero additional shuffles.
+    QueryDef.sql(
+      "e24_point_in_time",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c)
+        |SELECT user_id, event_type AS state_at, valid_from
+        |FROM v
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')""".stripMargin) { (spark, dir) =>
+      val asOf = to_timestamp(lit("2024-01-15 12:00:00"))
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(order))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(order))
+        .filter(col("ts") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select(col("user_id"), col("event_type").as("state_at"),
+          col("ts").as("valid_from"))
     })
 }

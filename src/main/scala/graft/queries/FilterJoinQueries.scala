@@ -273,5 +273,49 @@ object FilterJoinQueries {
           when(col("k_a").isNotNull && col("k_b").isNotNull, "both")
             .when(col("k_a").isNotNull, "left_only")
             .otherwise("right_only").as("provenance"))
+    },
+
+    // J17: six-table snowflake rollup — revenue by (region, order priority)
+    // through lineitem⋈orders⋈customer⋈nation⋈region. Same doctrine as j9
+    // scaled one dimension deeper: collapse the fact chain on integer keys
+    // first (AQE picks the fact-edge strategies; a broadcast HINT there
+    // would collect orders at 100 TB), aggregate to the 25×5 nation-
+    // priority grid in exact int128 cents, and only then let the two true
+    // dimensions (nation, region — both hint-broadcast) attach names to a
+    // dimension-sized frame. The region re-aggregate stays in exact
+    // decimal; the ONLY double lowering is the final output cast.
+    QueryDef.sql(
+      "j17_snowflake_rollup",
+      """SELECT r_name AS region, o_orderpriority AS priority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
+      val li = Tables.load(spark, dir, "lineitem")
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      val nation = Tables.load(spark, dir, "nation")
+      val region = Tables.load(spark, dir, "region")
+      val discScaled = unscaled2(col("l_extendedprice")) *
+        (lit(100L) - unscaled2(col("l_discount")))
+      val orderNation = orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("o_orderpriority"))
+      li.select(col("l_orderkey"), discScaled.as("ud"))
+        .join(orderNation, col("l_orderkey") === orderNation("o_orderkey"))
+        .groupBy(col("c_nationkey"), col("o_orderpriority"))
+        .agg(sumScaled(col("ud"), 4).as("rev"), count(lit(1)).as("n_items"))
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"))
+        .join(broadcast(region), col("n_regionkey") === region("r_regionkey"))
+        .select(col("r_name").as("region"), col("o_orderpriority").as("priority"),
+          col("rev").cast("double").as("revenue"), col("n_items"))
     })
 }

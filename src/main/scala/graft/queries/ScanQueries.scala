@@ -62,5 +62,21 @@ object ScanQueries {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], nation.schema)
       empty.unionByName(nation)
+    },
+
+    // S7: JSON-lines round-trip — THE interchange format of training-data
+    // pipelines (one JSON doc per line, splittable, append-friendly). The
+    // gate proves write→read is lossless against the original parquet
+    // values, including JSON string escaping of whatever the text column
+    // carries. Explicit read schema, never inference: schema inference is
+    // a full extra pass at 100 TB and can silently widen types.
+    QueryDef.sql(
+      "s7_jsonl_roundtrip",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents") { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = "/tmp/graft_jsonl/documents"
+      docs.write.mode("overwrite").json(tmp)
+      spark.read.schema(docs.schema).json(tmp)
     })
 }

@@ -704,5 +704,29 @@ object TextQueries {
         .select(col("source"), col("ns").as("n_tokens"), col("n_types"),
           round(bcD, 6).as("bhattacharyya"),
           round(sqrt(greatest(lit(0.0), lit(1.0) - bcD)), 6).as("hellinger"))
+    },
+
+    // T26: exact-duplicate rate per source — the corpus-health column every
+    // ingestion report leads with (a source at 30% dup rate gets its
+    // crawler fixed before its data gets cleaned). Rides t4's canonical
+    // fingerprint; COUNT(DISTINCT fp) is Spark's two-phase exact distinct
+    // (partial sets per partition, one source-keyed merge) — fine at any
+    // scale because the rollup key space is |sources|.
+    QueryDef.sql(
+      "t26_dup_rate_by_source",
+      """WITH fp AS (SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+        |  round(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        |FROM fp GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"),
+          round((count(lit(1)) - countDistinct(col("fp"))).cast("double") /
+            count(lit(1)), 6).as("dup_rate"))
     })
 }

@@ -219,6 +219,23 @@ class PlanSpec extends AnyFunSuite {
       s"the fact table must not shuffle for the bounds join:\n$p")
   }
 
+  test("j17 snowflake: only the two true dimensions are hint-broadcast at fact scale") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("j17_snowflake_rollup")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+        "exactly nation and region may broadcast; fact edges stay strategy-free")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("e23 interval coverage: sweep windows and both rollups share ONE user-key exchange") {
+    val p = planOf("e23_interval_coverage")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "running-max, island numbering, and the (user,island)/(user) aggregates " +
+        "must all reuse the user-key partitioning")
+  }
+
   test("e20 path trigrams: both leads share ONE user-key exchange") {
     val p = planOf("e20_path_trigrams")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
