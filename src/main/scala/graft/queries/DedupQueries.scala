@@ -691,5 +691,29 @@ object DedupQueries {
         Seq("component"))
         .select(col("component"), col("n_docs"), col("n_edges"),
           col("min_jaccard"), col("avg_jaccard"))
+    },
+
+    // D28: duplication profile — near-dup pair counts per Jaccard tier
+    // from 0.5 up: the one-page histogram that tells a curation team
+    // whether the corpus problem is exact mirrors (tier 9-10) or template
+    // sprawl (tier 5-6), and which dedup threshold buys what. Same
+    // inverted-index pair stage as d4 at the looser 0.5 floor; the tier
+    // rollup is a ≤6-key aggregate. floor(j*10) on the 6-dp-rounded double
+    // is the same IEEE op in both engines.
+    QueryDef.sql(
+      "d28_dup_profile_tiers",
+      s"""WITH $shingleGraphSql
+         |SELECT CAST(floor(round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) * 10) AS INT) AS tier,
+         |  COUNT(*) AS n_pairs,
+         |  MIN(round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6)) AS min_jaccard,
+         |  MAX(round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6)) AS max_jaccard
+         |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5
+         |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      jaccardPairs(spark, dir, threshold = 0.5)
+        .groupBy(floor(col("jaccard") * 10).cast("int").as("tier"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_jaccard"),
+          max(col("jaccard")).as("max_jaccard"))
     })
 }

@@ -78,5 +78,24 @@ object ScanQueries {
       val tmp = "/tmp/graft_jsonl/documents"
       docs.write.mode("overwrite").json(tmp)
       spark.read.schema(docs.schema).json(tmp)
+    },
+
+    // S8: hive-partitioned parquet layout + partition-pruned read-back —
+    // THE 100 TB access pattern: a filter on the partition column must
+    // resolve in the file index (directories never listed, let alone
+    // read), not as a post-scan predicate. The gate checks value fidelity
+    // through the partitioned layout; LayoutSpec pins PartitionFilters in
+    // the read-back plan so pruning can't silently regress to a full scan.
+    QueryDef.sql(
+      "s8_partition_pruned_scan",
+      """SELECT doc_id, lang, n_chars, source FROM documents
+        |WHERE source IN ('src2', 'src5')""".stripMargin) { (spark, dir) =>
+      val tmp = "/tmp/graft_part/documents"
+      Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      spark.read.parquet(tmp)
+        .filter(col("source").isin("src2", "src5"))
+        .select("doc_id", "lang", "n_chars", "source")
     })
 }

@@ -217,5 +217,44 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           when(isnan(col("cos0")), lit(null)).otherwise(col("cos0")).as("cos_centroid"),
           (col("cos0").isNull || isnan(col("cos0")) || col("cos0") < 0.0).as("is_outlier"))
+    },
+
+    // D27: embedding-space split contamination — near-identical vectors
+    // that landed on OPPOSITE sides of the deterministic hash split
+    // (t18's md5 bands): the semantic twin of d12's n-gram leakage check,
+    // catching paraphrases and re-encodes that no shingle overlap sees.
+    // Pair stage = the same cosine pair machinery as d14; the rollup
+    // reports, per unordered split pair, how many cross-split near-dup
+    // edges exist and how tight the worst one is. A clean split protocol
+    // drives cross_pairs to 0 by deduplicating BEFORE splitting.
+    QueryDef.sql(
+      "d27_split_contamination",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, split, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (SELECT a.split AS sa, b.split AS sb,
+        |             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
+        |        AND a.split <> b.split)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |  COUNT(*) AS cross_pairs, MAX(cos) AS worst_cos
+        |FROM p GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val h = substring(md5(col("vec_id").cast("string")), 1, 2)
+      val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .withColumn("split", split)
+      val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.45)
+      val splits = vecs.select(col("vec_id"), col("split"))
+      pairs
+        .join(splits.select(col("vec_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(splits.select(col("vec_id").as("id_b"), col("split").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("cross_pairs"), max(col("cos")).as("worst_cos"))
     })
 }

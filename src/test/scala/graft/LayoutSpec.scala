@@ -36,6 +36,15 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s8 gate query: source filter resolves as PartitionFilters, not a data filter") {
+    val df = SparkEntry.queries("s8_partition_pruned_scan")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+      s"the IN filter must prune partition directories at planning time:\n$p")
+    assert(!"PushedFilters: \\[[^\\]]*source".r.findFirstIn(p).isDefined,
+      s"the partition-column filter must not fall through to the row scan:\n$p")
+  }
+
   test("partition pruning: equality filter reads only its directory") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_test"
     val df = Seq(("2024-01-01", 1L, "a"), ("2024-01-02", 2L, "b"), ("2024-01-03", 3L, "c"))
