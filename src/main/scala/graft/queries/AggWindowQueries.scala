@@ -680,5 +680,32 @@ object AggWindowQueries {
       val n = orders.count()
       val med = graft.operators.Selection.kthSmallest(orders, "o_totalprice", (n + 1) / 2)
       spark.range(1).select(lit(med).as("median_price"), lit(n).as("n_rows"))
+    },
+
+    // A24: exact PER-GROUP median — the grouped companion of a23. Groups
+    // are bounded (|statuses|), so the right plan is one partition-keyed
+    // window (rank + group count share the partitioning) and a rank
+    // filter, NOT per-group quickselect: the window sorts each group
+    // within its own partition slice, no global order exists anywhere.
+    // Rank (n+1)/2 over (price, orderkey) — the unique tiebreak makes the
+    // picked ROW deterministic, and the picked VALUE is the group median
+    // regardless of ties.
+    QueryDef.sql(
+      "a24_grouped_median",
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus, o_totalprice AS median_price, n AS n_rows
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin) { (spark, dir) =>
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+      val w = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byStatus))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
+          col("n").as("n_rows"))
     })
 }

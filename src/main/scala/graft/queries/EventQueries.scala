@@ -40,6 +40,18 @@ object EventQueries {
         sum(col("is_new")).over(frame).cast("int").as("session_seq"))
   }
 
+  /** Shared SCD2 interval stage (e10 builds the history table, e24 reads a
+    * point-in-time snapshot off it): change-detect via lag, interval-close
+    * via lead, both windows on ONE user-key partitioning. */
+  private def scd2Intervals(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(order))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(order))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Gap-based sessionization: a new session starts after >30 min of
@@ -229,12 +241,7 @@ object EventQueries {
         |SELECT user_id, event_type, valid_from, valid_to,
         |       valid_to IS NULL AS is_current
         |FROM v""".stripMargin) { (spark, dir) =>
-      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev", lag(col("event_type"), 1).over(order))
-        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(order))
+      scd2Intervals(spark, dir)
         .select(
           col("user_id"), col("event_type"), col("ts").as("valid_from"),
           col("valid_to"), col("valid_to").isNull.as("is_current"))
@@ -717,12 +724,7 @@ object EventQueries {
         |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')""".stripMargin) { (spark, dir) =>
       val asOf = to_timestamp(lit("2024-01-15 12:00:00"))
-      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev", lag(col("event_type"), 1).over(order))
-        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-        .withColumn("valid_to", lead(col("ts"), 1).over(order))
+      scd2Intervals(spark, dir)
         .filter(col("ts") <= asOf &&
           (col("valid_to").isNull || col("valid_to") > asOf))
         .select(col("user_id"), col("event_type").as("state_at"),

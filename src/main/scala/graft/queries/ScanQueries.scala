@@ -97,5 +97,19 @@ object ScanQueries {
       spark.read.parquet(tmp)
         .filter(col("source").isin("src2", "src5"))
         .select("doc_id", "lang", "n_chars", "source")
+    },
+
+    // S9: ORC round-trip — the remaining columnar interchange format
+    // (Hive-ecosystem tables arrive as ORC as often as parquet). Lossless
+    // write→read against the original values, explicit schema, same
+    // doctrine as s7's JSONL gate.
+    QueryDef.sql(
+      "s9_orc_roundtrip",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders") { (spark, dir) =>
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val tmp = "/tmp/graft_orc/orders"
+      orders.write.mode("overwrite").orc(tmp)
+      spark.read.schema(orders.schema).orc(tmp)
     })
 }
