@@ -50,15 +50,16 @@ object Sampling {
     * Rows with weight ≤ 0 or null are excluded by contract. */
   def weightedSample(
       df: DataFrame, k: Int, seed: Long, weight: Column, ids: Column*): DataFrame = {
-    // u STRICTLY inside (0, 1) at full double resolution: the top 53 hash
-    // bits (>>> 11) are exactly representable, and the half-shift avoids
-    // both endpoints — u = 0 would tie all zero-hash rows at key 0
-    // regardless of weight, u = 1 would pin key = 1.0 (the maximum)
-    // regardless of weight. A coarser grid (e.g. 1e6 levels) makes
-    // equal-weight rows collide on u past ~1e6 rows, and the ascending-id
-    // tie-break then biases the top-k boundary toward low ids.
-    val u = (shiftrightunsigned(xxhash64((lit(seed) +: ids): _*), 11).cast("double") + 0.5) /
-      9007199254740992.0
+    // u STRICTLY inside (0, 1) at full double resolution: 52 hash bits
+    // (>>> 12), so x + 0.5 stays exactly representable for EVERY x — with
+    // 53 bits the maximal x has (2^53-1) + 0.5 round half-even UP to 2^53
+    // and u hits exactly 1.0, pinning key = 1.0 regardless of weight. The
+    // half-shift keeps both endpoints out (u in [2^-53, 1 - 2^-53]); a
+    // coarser grid (e.g. 1e6 levels) makes equal-weight rows collide on u
+    // past ~1e6 rows, and the ascending-id tie-break then biases the
+    // top-k boundary toward low ids.
+    val u = (shiftrightunsigned(xxhash64((lit(seed) +: ids): _*), 12).cast("double") + 0.5) /
+      4503599627370496.0
     df.filter(weight > 0)
       .withColumn("__wkey", pow(u, lit(1.0) / weight))
       .orderBy(col("__wkey").desc, struct(ids: _*))

@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   *
   * Requirements: `rangeCol` must be numeric and non-null (both query
   * call-sites order on non-null keys; nulls would need a nulls-first/last
-  * bucket pin that no current caller wants).
+  * bucket pin that no current caller wants), and `value` must be non-null
+  * (coalesce first): a bucket whose local prefix is all-null would emit
+  * null + offset = null where the global window would carry the prior
+  * buckets' total through.
   */
 object PrefixSum {
 
@@ -58,6 +61,11 @@ object PrefixSum {
     *                distribution to sample boundaries from — e.g. the raw
     *                key spine instead of a join output, saving the probe
     *                job a recompute of the full lineage
+    * @param totalOut when set, also attach the GRAND total of `value`
+    *                under this name — it falls out of the per-bucket
+    *                totals already folded on the driver, so callers
+    *                needing cum/total shares (Pareto curves) get it
+    *                without a separate full aggregation pass
     */
   def withRunningSum(
       df: DataFrame,
@@ -68,7 +76,8 @@ object PrefixSum {
       out: String,
       buckets: Int = 128,
       relativeError: Double = 0.01,
-      probe: Option[DataFrame] = None): DataFrame = {
+      probe: Option[DataFrame] = None,
+      totalOut: Option[String] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val pid = "_ps_pid"
     val ptot = "_ps_tot"
@@ -103,7 +112,15 @@ object PrefixSum {
 
     val ordering =
       (if (descending) col(rangeCol).desc else col(rangeCol).asc) +: tieBreak
+    // Persisted: the bucketed frame feeds the totals aggregate (an eager
+    // collect below) and the final windowed query — without the cache the
+    // whole input lineage would execute once per consumer. MEMORY_AND_DISK:
+    // the frame is the caller's (usually pre-aggregated) input, and
+    // spilling beats recomputing a fact-scale lineage. The cache lives for
+    // the session (LRU-evicted); there is no post-execution hook to
+    // release it deterministically.
     val parted = df.withColumn(pid, pidExpr).repartition(col(pid))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col(pid)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn(out, sum(value).over(wLocal))
@@ -141,8 +158,17 @@ object PrefixSum {
     val offsets = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(offRows.toSeq: _*), offSchema)
 
-    local.join(broadcast(offsets), Seq(pid))
+    val cum = local.join(broadcast(offsets), Seq(pid))
       .withColumn(out, col(out) + col(poff))
       .drop(pid, poff)
+    // the fold ran past the last bucket, so acc* now holds the grand total
+    totalOut.fold(cum) { name =>
+      val total: Any = sumType match {
+        case _: org.apache.spark.sql.types.DecimalType => accDec
+        case org.apache.spark.sql.types.DoubleType => accDouble
+        case _ => accLong
+      }
+      cum.withColumn(name, lit(total).cast(sumType))
+    }
   }
 }

@@ -36,7 +36,8 @@ object Selection {
     var rank = k
     var rows = -1L // unknown until first count
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    while (rows < 0 || rows > localLimit) {
+    var resolved: Option[Double] = None
+    while (resolved.isEmpty && (rows < 0 || rows > localLimit)) {
       val bounds = cur.stat.approxQuantile(valueCol, probes, 0.001)
         .distinct.sorted(Ordering.Double.TotalOrdering)
       if (bounds.isEmpty) {
@@ -61,12 +62,35 @@ object Selection {
         val bucketRows = cnts.find(_._1 == target).get._2
         cur = cur.filter(col(valueCol) > lo &&
           (if (hi.isPosInfinity) lit(true) else col(valueCol) <= hi))
-        if (bucketRows == rows) rows = 0 // no shrink possible (one value): finish
-        else rows = bucketRows
+        if (bucketRows == rows) {
+          // Quantile boundaries can no longer subdivide: one value
+          // dominates this bucket. Resolve it EXACTLY with a three-way
+          // split around the bucket median — if rank lands in the equal
+          // band the answer is that value (O(1), no collect); otherwise
+          // descend into the strictly-smaller/larger side, which just
+          // shed the dominant mass. This keeps the no-data-scale-collect
+          // contract: the old fallback TakeOrdered+collected up to `rank`
+          // rows (potentially ~n/2) onto the driver.
+          val x = cur.stat.approxQuantile(valueCol, Array(0.5), 0.001).head
+          val r3 = cur.agg(
+            sum(when(col(valueCol) < x, 1L).otherwise(0L)).as("lt"),
+            sum(when(col(valueCol) === x, 1L).otherwise(0L)).as("eq")).head()
+          val (nLt, nEq) = (r3.getLong(0), r3.getLong(1))
+          if (rank > nLt && rank <= nLt + nEq) resolved = Some(x)
+          else if (rank <= nLt) { cur = cur.filter(col(valueCol) < x); rows = nLt }
+          else {
+            cur = cur.filter(col(valueCol) > x)
+            rank -= nLt + nEq
+            rows = bucketRows - nLt - nEq
+          }
+        } else rows = bucketRows
       }
     }
-    val tail = cur.orderBy(col(valueCol)).limit(rank.toInt).collect()
-    require(tail.length >= rank, s"rank $k exceeds remaining ${tail.length} rows")
-    tail(rank.toInt - 1).getDouble(0)
+    resolved.getOrElse {
+      // rows ≤ localLimit here, so rank ≤ localLimit: bounded driver work
+      val tail = cur.orderBy(col(valueCol)).limit(rank.toInt).collect()
+      require(tail.length >= rank, s"rank $k exceeds remaining ${tail.length} rows")
+      tail(rank.toInt - 1).getDouble(0)
+    }
   }
 }

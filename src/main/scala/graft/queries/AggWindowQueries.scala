@@ -651,12 +651,14 @@ object AggWindowQueries {
       val r = Tables.load(spark, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(Num.dec2(col("o_totalprice"))).as("rev"))
+      // total comes out of the prefix sum's own driver fold (totalOut) —
+      // a separate r.agg(sum) would re-run the whole orders aggregation
       val cum = graft.operators.PrefixSum.withRunningSum(
         r, rangeCol = "rev", descending = true,
-        tieBreak = Seq(col("o_custkey")), value = col("rev"), out = "cum")
-      val total = r.agg(sum(col("rev")).as("total"))
+        tieBreak = Seq(col("o_custkey")), value = col("rev"), out = "cum",
+        totalOut = Some("total"))
       val share = col("cum").cast(DoubleType) / col("total").cast(DoubleType)
-      cum.crossJoin(broadcast(total))
+      cum
         .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
           round(share, 6).as("cum_share"),
           when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").as("abc_class"))

@@ -587,9 +587,11 @@ object DedupQueries {
     // graph (graft.operators.Triangles) — distinguishes template FAMILIES
     // (triangle-rich mutual-similarity clusters) from hub-and-spoke quoting
     // (one doc similar to many that aren't similar to each other). The
-    // looser 0.5 threshold densifies the graph enough for closure to exist;
-    // edges stay id-canonical so every triangle is enumerated once as
-    // a < b < c in both engines.
+    // looser 0.5 threshold densifies the graph enough for closure to exist.
+    // The INPUT edges are id-canonical (id_a < id_b) on both sides; the
+    // Spark operator then re-orients them by (degree, id) for O(m^1.5)
+    // wedge work, while the oracle replays the id-canonical enumeration —
+    // totals are orientation-invariant, so the two plans hash-match.
     QueryDef.sql(
       "d24_triangle_count",
       s"""WITH $shingleGraphSql,

@@ -576,7 +576,9 @@ object EventQueries {
         .withColumn("e2", lead(col("e1"), 1).over(w))
         .withColumn("e3", lead(col("e1"), 2).over(w))
         .filter(col("e3").isNotNull && col("e2").isNotNull)
-        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        // concat, not concat_ws: the oracle's || null-propagates, so a
+        // null e1 must produce a null path group in BOTH engines
+        .select(concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)

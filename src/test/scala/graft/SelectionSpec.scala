@@ -35,6 +35,19 @@ class SelectionSpec extends AnyFunSuite {
     assert(Selection.kthSmallest(one, "v", 250L, buckets = 8, localLimit = 50) == 42.0)
   }
 
+  test("dominant-value stall resolves via the three-way split, all three bands") {
+    // 9900 of 10000 rows share one value: quantile bounds collapse to it
+    // and buckets stop shrinking — the path that must NOT fall back to a
+    // rank-sized driver collect
+    val dom = spark.range(10000).select(
+      when(col("id") < 50, col("id").cast("double") - 100.0)
+        .when(col("id") >= 9950, col("id").cast("double"))
+        .otherwise(lit(5.0)).as("v"))
+    assert(Selection.kthSmallest(dom, "v", 5000L, buckets = 8, localLimit = 100) == 5.0)
+    assert(Selection.kthSmallest(dom, "v", 25L, buckets = 8, localLimit = 100) == -76.0)
+    assert(Selection.kthSmallest(dom, "v", 9975L, buckets = 8, localLimit = 100) == 9974.0)
+  }
+
   test("rank beyond row count fails loudly") {
     assertThrows[IllegalArgumentException](
       Selection.kthSmallest(data, "v", 5001L, buckets = 8, localLimit = 100))

@@ -81,8 +81,12 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"SPARK-READ-ERROR {e}"
             continue
-        want_types = frame_types(con, sql)
-        got_types = frame_types(con, spark_sql)
+        try:
+            want_types = frame_types(con, sql)
+            got_types = frame_types(con, spark_sql)
+        except Exception as e:
+            results[name] = f"DESCRIBE-ERROR {e}"
+            continue
         type_diff = {c: (want_types.get(c), got_types.get(c))
                      for c in set(want_types) | set(got_types)
                      if want_types.get(c) != got_types.get(c)}
