@@ -706,6 +706,38 @@ object TextQueries {
           round(sqrt(greatest(lit(0.0), lit(1.0) - bcD)), 6).as("hellinger"))
     },
 
+    // T27: language-ID confusion matrix — labeled vs predicted counts, the
+    // evaluation every classifier change reads before shipping (which
+    // languages leak into which). Reuses t1's marker-argmax expression
+    // verbatim; the rollup is a |langs|²-keyed aggregate with map-side
+    // combine, so the whole query is one scan + one tiny shuffle.
+    QueryDef.sql(
+      "t27_langid_confusion",
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
+        |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
+        |  FROM t),
+        |p AS (SELECT lang AS labeled_lang,
+        |  CASE WHEN en + es + de + fr = 0 THEN 'und'
+        |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |       WHEN de > en AND de > es THEN 'de'
+        |       WHEN es > en THEN 'es'
+        |       ELSE 'en' END AS predicted_lang
+        |  FROM c)
+        |SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("lang").as("labeled_lang"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+        .select(col("labeled_lang"),
+          TextAnalysis.languageIdFromTokens(col("__toks")).as("predicted_lang"))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // T26: exact-duplicate rate per source — the corpus-health column every
     // ingestion report leads with (a source at 30% dup rate gets its
     // crawler fixed before its data gets cleaned). Rides t4's canonical

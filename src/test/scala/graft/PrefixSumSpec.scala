@@ -66,6 +66,15 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got.map(BigDecimal(_)).toSeq == want.map(BigDecimal(_)).toSeq)
   }
 
+  test("totalOut attaches the exact grand total from the driver fold") {
+    val got = PrefixSum.withRunningSum(data, "k", descending = false,
+        tieBreak = Seq(col("tb")), value = col("v"), out = "cum", buckets = 16,
+        totalOut = Some("tot"))
+      .select(col("tot")).distinct().as[Long].collect()
+    val want = data.agg(sum(col("v"))).as[Long].head()
+    assert(got.toSeq == Seq(want), "every row carries the one exact total")
+  }
+
   test("plan: data window is pid-partitioned; offsets arrive as a broadcast local relation") {
     val df = PrefixSum.withRunningSum(data, "k", descending = false,
       tieBreak = Seq(col("tb")), value = col("v"), out = "cum", buckets = 16)
