@@ -709,5 +709,91 @@ object AggWindowQueries {
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
           col("n").as("n_rows"))
+    },
+
+    // U5: multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min / difference of per-value counts), unlike u4's
+    // set-semantics pair. Spark's intersectAll/exceptAll plan this as a
+    // count-aggregate + generate, no join explosion.
+    QueryDef.sql(
+      "u5_setops_all",
+      """SELECT nid, 'intersect_all' AS op FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t1
+        |UNION ALL
+        |SELECT nid, 'except_all' AS op FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t2""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val a = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("nid"))
+      val b = customer.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey").as("nid"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .union(a.exceptAll(b).withColumn("op", lit("except_all")))
+    },
+
+    // W7: value-position window family — first/last/nth over an explicit
+    // full-partition ROWS frame (the default RANGE..CURRENT ROW frame makes
+    // last_value useless; both engines get the explicit frame spelled out).
+    QueryDef.sql(
+      "w7_value_windows",
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    },
+
+    // A25: Benford first-digit profile of order totals — the standard
+    // fabricated-data / unit-mixing detector. Digit extraction goes through
+    // DECIMAL(12,2) → string on BOTH engines (plain positional rendering;
+    // no float formatting, no log10), so the leading character is identical
+    // cross-engine by construction.
+    QueryDef.sql(
+      "a25_benford_digits",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / t.total, 6) AS share
+        |FROM g CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      val g = Tables.load(spark, dir, "orders")
+        .select(substring(col("o_totalprice").cast(DecimalType(12, 2)).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = g.agg(sum(col("n")).as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / col("total"), 6).as("share"))
+    },
+
+    // A26: conditional aggregate family — count_if, FILTER-style counts,
+    // bool_and/bool_or. All integer/boolean outputs, hash-stable.
+    QueryDef.sql(
+      "a26_filtered_bool_aggs",
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"))
     })
 }

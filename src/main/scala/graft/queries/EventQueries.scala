@@ -731,5 +731,23 @@ object EventQueries {
           (col("valid_to").isNull || col("valid_to") > asOf))
         .select(col("user_id"), col("event_type").as("state_at"),
           col("ts").as("valid_from"))
+    },
+
+    // E26: weekday×hour activity profile — the load-shape heatmap behind
+    // capacity planning and anomaly baselines. Day-of-week goes through
+    // ISO numbering on both engines (DuckDB isodow = Spark weekday + 1,
+    // Monday = 1); one groupBy on a 168-key space, partial-aggregated
+    // map-side so the shuffle is |keys|, not |events|.
+    QueryDef.sql(
+      "e26_weekday_hour_profile",
+      """SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(
+          (weekday(col("ts")) + 1).cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
     })
 }

@@ -760,5 +760,46 @@ object TextQueries {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"),
           round((count(lit(1)) - countDistinct(col("fp"))).cast("double") /
             count(lit(1)), 6).as("dup_rate"))
+    },
+
+    // T28: per-source character-class composition — alpha/digit/space/other
+    // counts and ratios, the cheap first-pass encoding-health check (a
+    // source whose digit or symbol ratio jumps is mis-parsed markup or
+    // binary bleed, caught before tokenization). Per-row class counts via
+    // codegen'd regexp_replace+length, then one |sources|-key rollup; all
+    // integer sums (CAST BIGINT — DuckDB widens SUM to HUGEINT) and
+    // rational ratios.
+    QueryDef.sql(
+      "t28_char_class_profile",
+      """WITH c AS (SELECT source, length(text) AS nc,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+        |    length(regexp_replace(text, '[^ ]', '', 'g')) AS ns
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(na) AS BIGINT) AS n_alpha,
+        |  CAST(SUM(nd) AS BIGINT) AS n_digit,
+        |  CAST(SUM(ns) AS BIGINT) AS n_space,
+        |  CAST(SUM(nc - na - nd - ns) AS BIGINT) AS n_other,
+        |  round(CAST(SUM(na) AS DOUBLE) / SUM(nc), 6) AS alpha_ratio,
+        |  round(CAST(SUM(nc - na - nd - ns) AS DOUBLE) / SUM(nc), 6) AS other_ratio
+        |FROM c GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val nc = length(col("text"))
+      val na = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val nd = length(regexp_replace(col("text"), "[^0-9]", ""))
+      val ns = length(regexp_replace(col("text"), "[^ ]", ""))
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), nc.as("nc"), na.as("na"), nd.as("nd"), ns.as("ns"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("nc")).as("n_chars"),
+          sum(col("na")).as("n_alpha"),
+          sum(col("nd")).as("n_digit"),
+          sum(col("ns")).as("n_space"),
+          sum(col("nc") - col("na") - col("nd") - col("ns")).as("n_other"),
+          round(sum(col("na")).cast("double") / sum(col("nc")), 6).as("alpha_ratio"),
+          round(sum(col("nc") - col("na") - col("nd") - col("ns")).cast("double") /
+            sum(col("nc")), 6).as("other_ratio"))
     })
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-6 additions (u5, w7, a25, a26, e26, t28)
+  * beyond the DuckDB hash gate: multiset algebra for the ALL set ops,
+  * frame semantics for the value windows, and conservation laws for the
+  * profile aggregates.
+  */
+class QueryFamilySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sfDir
+
+  test("u5: INTERSECT ALL + EXCEPT ALL multiplicities reconstruct the left multiset") {
+    // |A ∩all B| per value = min(countA, countB); |A \all B| = max(0, countA - countB);
+    // together they partition A's multiset: countA = inter + except.
+    val customer = graft.io.Tables.load(spark, dir, "customer")
+    val countsBySeg = customer
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)) -> r.getLong(2)).toMap
+    val nations = countsBySeg.keys.map(_._1).toSeq.distinct
+    val out = SparkEntry.queries("u5_setops_all")(spark, dir)
+      .groupBy(col("nid"), col("op")).count()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1)) -> r.getLong(2)).toMap
+    nations.foreach { n =>
+      val a = countsBySeg.getOrElse((n, "BUILDING"), 0L)
+      val b = countsBySeg.getOrElse((n, "MACHINERY"), 0L)
+      assert(out.getOrElse((n, "intersect_all"), 0L) == math.min(a, b),
+        s"nation $n: intersect_all multiplicity")
+      assert(out.getOrElse((n, "except_all"), 0L) == math.max(0L, a - b),
+        s"nation $n: except_all multiplicity")
+    }
+  }
+
+  test("w7: first <= last in event-time order; second_ok null iff the customer has one order") {
+    val out = SparkEntry.queries("w7_value_windows")(spark, dir).cache()
+    try {
+      val sizes = out.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("first_ok")).as("nf"),
+          countDistinct(col("last_ok")).as("nl"),
+          sum(when(col("second_ok").isNull, 1).otherwise(0)).as("nulls"))
+      // first/last are partition-constant; nth_value(2) is null exactly for
+      // singleton partitions (and never null otherwise, orderkey >= 1).
+      assert(sizes.filter(col("nf") =!= 1 || col("nl") =!= 1).count() == 0)
+      assert(sizes.filter((col("n") === 1 && col("nulls") =!= col("n")) ||
+        (col("n") > 1 && col("nulls") =!= 0)).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("a25: digits are 1-9 and shares sum to 1 over the full distribution") {
+    val rows = SparkEntry.queries("a25_benford_digits")(spark, dir).collect()
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9),
+      "a positive DECIMAL(12,2) leads with 1-9")
+    val share = rows.map(_.getDouble(2)).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to ~1, got $share")
+  }
+
+  test("a26: filtered counts are bounded by the group size; bool aggs match recompute") {
+    val orders = graft.io.Tables.load(spark, dir, "orders")
+    val base = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("has_p"))
+    val out = SparkEntry.queries("a26_filtered_bool_aggs")(spark, dir)
+      .join(base, "o_orderpriority")
+    assert(out.filter(col("n_finished") > col("n") || col("n_big") > col("n")).count() == 0)
+    assert(out.filter(col("all_over_1k") =!= (col("min_price") > 1000)).count() == 0)
+    assert(out.filter(col("any_pending") =!= (col("has_p") === 1)).count() == 0)
+  }
+
+  test("e26: dow in 1-7 (ISO), hr in 0-23, and event counts conserve the table total") {
+    val out = SparkEntry.queries("e26_weekday_hour_profile")(spark, dir).cache()
+    try {
+      assert(out.filter(col("dow") < 1 || col("dow") > 7 ||
+        col("hr") < 0 || col("hr") > 23).count() == 0)
+      val total = out.agg(sum(col("n_events"))).head().getLong(0)
+      assert(total == graft.io.Tables.load(spark, dir, "events").count(),
+        "cells partition the event set")
+    } finally out.unpersist()
+  }
+
+  test("t28: char classes partition every source's characters exactly") {
+    val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
+    rows.foreach { r =>
+      val (nc, na, nd, ns, no) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(na + nd + ns + no == nc, s"${r.getString(0)}: classes must sum to n_chars")
+      assert(math.abs(r.getDouble(6) - na.toDouble / nc) < 1e-6)
+    }
+  }
+}
