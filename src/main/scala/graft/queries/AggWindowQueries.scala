@@ -764,18 +764,20 @@ object AggWindowQueries {
       "a25_benford_digits",
       """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT) AS digit
         |           FROM orders),
-        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
-        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
-        |SELECT digit, n, round(CAST(n AS DOUBLE) / t.total, 6) AS share
-        |FROM g CROSS JOIN t""".stripMargin) { (spark, dir) =>
-      val g = Tables.load(spark, dir, "orders")
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+        |FROM g""".stripMargin) { (spark, dir) =>
+      // The global-total window runs over the ALREADY-AGGREGATED 9-row
+      // frame, so the SinglePartition exchange it forces is 9 rows — one
+      // scan of orders total (a separate total-aggregate branch would
+      // scan the fact table twice).
+      Tables.load(spark, dir, "orders")
         .select(substring(col("o_totalprice").cast(DecimalType(12, 2)).cast("string"), 1, 1)
           .cast("int").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-      val t = g.agg(sum(col("n")).as("total"))
-      g.crossJoin(broadcast(t))
         .select(col("digit"), col("n"),
-          round(col("n").cast(DoubleType) / col("total"), 6).as("share"))
+          round(col("n").cast(DoubleType) /
+            sum(col("n")).over(Window.partitionBy()), 6).as("share"))
     },
 
     // A26: conditional aggregate family — count_if, FILTER-style counts,

@@ -749,5 +749,21 @@ object EventQueries {
           hour(col("ts")).cast("int").as("hr"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // E27: equi-width value histogram per event type — bucket index by
+    // IEEE double division + floor (bit-identical across engines; no
+    // width_bucket, which DuckDB lacks), value mass via exact decimal.
+    // One |types×buckets|-key rollup, map-side partial.
+    QueryDef.sql(
+      "e27_value_histogram",
+      """SELECT event_type, CAST(least(floor("value" / 50.0), 9) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"),
+          least(floor(col("value") / 50.0), lit(9)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("value")).as("value_sum"))
     })
 }

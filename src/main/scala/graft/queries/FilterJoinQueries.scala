@@ -317,5 +317,89 @@ object FilterJoinQueries {
         .join(broadcast(region), col("n_regionkey") === region("r_regionkey"))
         .select(col("r_name").as("region"), col("o_orderpriority").as("priority"),
           col("rev").cast("double").as("revenue"), col("n_items"))
+    },
+
+    // J18 (TPC-H Q3 shape): shipping-priority top-k — segment-filtered
+    // customers, date-split orders/lineitem, revenue per order, global
+    // top 10. The segment filter reaches the customer SCAN (pushed), both
+    // date filters reach their fact scans, and the top-k is TakeOrdered
+    // (per-partition heaps, never a global sort).
+    QueryDef.sql(
+      "j18_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
+      val cutoff = to_timestamp(lit("1998-06-01 00:00:00"))
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (unscaled2(col("l_extendedprice")) *
+            (lit(100L) - unscaled2(col("l_discount")))).as("ud"))
+      li.join(orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumScaled(col("ud"), 4).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+    },
+
+    // J19 (TPC-H Q5 shape): local supplier volume — revenue per nation
+    // counted only when the supplier serving a line item sits in the
+    // customer's own nation. The same-nation constraint rides INTO the
+    // supplier join as an equi-key (s_nationkey = c_nationkey), so the
+    // plan is pure hash equi-joins: no post-join filter, no theta join.
+    QueryDef.sql(
+      "j19_local_supplier_volume",
+      """SELECT n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.Int128Sum.{sumScaled, unscaled2}
+      val li = Tables.load(spark, dir, "lineitem")
+      val orders = Tables.load(spark, dir, "orders")
+      val customer = Tables.load(spark, dir, "customer")
+      val supplier = Tables.load(spark, dir, "supplier")
+      val nation = Tables.load(spark, dir, "nation")
+      val discScaled = unscaled2(col("l_extendedprice")) *
+        (lit(100L) - unscaled2(col("l_discount")))
+      // j9's doctrine: collapse the fact chain on integer keys, names last.
+      // The (suppkey, nationkey) map is dimension-sized → broadcast, so the
+      // same-nation predicate evaluates as a composite hash key on the
+      // lineitem side with zero extra shuffles.
+      val orderNation = orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      li.select(col("l_orderkey"), col("l_suppkey"), discScaled.as("ud"))
+        .join(orderNation, col("l_orderkey") === orderNation("o_orderkey"))
+        .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sumScaled(col("ud"), 4).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("revenue"), col("n_items"))
     })
 }

@@ -84,6 +84,37 @@ class QueryFamilySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("j18: at most 10 rows, revenue strictly ordered, only pre-cutoff orders") {
+    val rows = SparkEntry.queries("j18_shipping_priority")(spark, dir).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.drop(1)).forall { case (a, b) => a >= b }, "descending revenue")
+    val cutoff = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    assert(rows.forall(_.getAs[java.time.LocalDateTime](2).isBefore(cutoff)),
+      "order date < cutoff")
+  }
+
+  test("j19: local-volume revenue is a subset of j9's all-supplier revenue per nation") {
+    val all = SparkEntry.queries("j9_revenue_per_nation")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val local = SparkEntry.queries("j19_local_supplier_volume")(spark, dir).collect()
+    assert(local.nonEmpty)
+    local.foreach { r =>
+      val nation = r.getString(0)
+      assert(r.getDouble(1) <= all(nation) + 1e-6,
+        s"$nation: same-nation revenue cannot exceed total revenue")
+    }
+  }
+
+  test("e27: buckets in 0-9 and counts conserve the event total") {
+    val out = SparkEntry.queries("e27_value_histogram")(spark, dir).cache()
+    try {
+      assert(out.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
+      val total = out.agg(sum(col("n"))).head().getLong(0)
+      assert(total == graft.io.Tables.load(spark, dir, "events").count())
+    } finally out.unpersist()
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
