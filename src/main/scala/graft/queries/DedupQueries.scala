@@ -717,5 +717,33 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"),
           min(col("jaccard")).as("min_jaccard"),
           max(col("jaccard")).as("max_jaccard"))
+    },
+
+    // D29: incremental dedup — admit an incoming batch only where its
+    // canonical fingerprint collides with neither the existing corpus nor
+    // an earlier row of the same batch (min-doc_id wins within the batch).
+    // This is the ingestion-time shape of d1: the corpus side reduces to
+    // its DISTINCT fingerprint set before the anti-join, so the join
+    // carries |unique fps|, not |corpus rows|; both steps are one shuffle
+    // on the fingerprint key and the batch-internal first-wins rides the
+    // same aggregate. Batch = odd doc_ids, corpus = even (deterministic
+    // stand-ins for an ingest date split).
+    QueryDef.sql(
+      "d29_incremental_dedup",
+      """WITH corpus AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |               FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |          FROM documents WHERE doc_id % 2 = 1),
+        |fresh AS (SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_in_batch
+        |          FROM batch GROUP BY 1)
+        |SELECT f.fp, f.keeper_id, f.n_in_batch
+        |FROM fresh f ANTI JOIN corpus c ON f.fp = c.fp""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val fp = TextAnalysis.fingerprintMd5(col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp")).distinct()
+      docs.filter(col("doc_id") % 2 === 1)
+        .groupBy(fp.as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_in_batch"))
+        .join(corpus, Seq("fp"), "left_anti")
     })
 }

@@ -765,5 +765,32 @@ object EventQueries {
         .groupBy(col("event_type"),
           least(floor(col("value") / 50.0), lit(9)).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"), Num.sumMoney(col("value")).as("value_sum"))
+    },
+
+    // E28: out-of-orderness audit — per hour, how many events arrived more
+    // than 10 min behind their key's high-water mark (event_id = arrival
+    // order). This is the measurement that sizes a streaming watermark
+    // delay. The running max is per-user (partitioned window, scale-safe —
+    // a global high-water mark would funnel the frame through one task);
+    // the rollup is a |hours|-key aggregate.
+    QueryDef.sql(
+      "e28_late_event_audit",
+      """WITH m AS (SELECT ts, user_id,
+        |    max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events)
+        |SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) FILTER (WHERE hwm IS NOT NULL
+        |    AND epoch_us(ts) < epoch_us(hwm) - 600000000) AS BIGINT) AS n_late
+        |FROM m GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(spark, dir, "events")
+        .withColumn("hwm", max(col("ts")).over(w))
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("hwm").isNotNull &&
+            unix_micros(col("ts")) < unix_micros(col("hwm")) - 600000000L, 1L)
+            .otherwise(0L)).as("n_late"))
     })
 }

@@ -115,6 +115,37 @@ class QueryFamilySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d29: admitted fingerprints are disjoint from the corpus side and unique") {
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    val fp = graft.functions.TextAnalysis.fingerprintMd5(col("text"))
+    val corpusFps = docs.filter(col("doc_id") % 2 === 0)
+      .select(fp.as("fp")).distinct().collect().map(_.getString(0)).toSet
+    val out = SparkEntry.queries("d29_incremental_dedup")(spark, dir).collect()
+    val admitted = out.map(_.getString(0))
+    assert(admitted.distinct.length == admitted.length, "one row per fingerprint")
+    assert(admitted.forall(!corpusFps.contains(_)), "no admitted fp may exist in the corpus")
+    // keeper is the min doc_id of its batch-fingerprint group → odd by construction
+    assert(out.forall(_.getLong(1) % 2 == 1), "keepers come from the odd-id batch")
+  }
+
+  test("e28: late counts bounded by totals; an in-order single-user stream has zero late") {
+    val out = SparkEntry.queries("e28_late_event_audit")(spark, dir)
+    assert(out.filter(col("n_late") > col("n_events")).count() == 0)
+    // direct semantics check on a tiny constructed frame via the same SQL shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tiny = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-01 00:05:00"),
+      (3L, 1L, "2024-01-01 00:20:00"), (4L, 1L, "2024-01-01 00:02:00")) // 18 min late
+      .toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val late = tiny.withColumn("hwm", max(col("ts")).over(w))
+      .filter(col("hwm").isNotNull &&
+        unix_micros(col("ts")) < unix_micros(col("hwm")) - 600000000L)
+      .collect()
+    assert(late.map(_.getLong(0)).toSeq == Seq(4L), "exactly the 18-min-late event flags")
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
