@@ -797,5 +797,32 @@ object AggWindowQueries {
           count_if(col("o_totalprice") > 200000).as("n_big"),
           bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
           bool_or(col("o_orderstatus") === "P").as("any_pending"))
+    },
+
+    // A27: key-skew profile — per-key row counts bucketed into powers of
+    // two, the pre-join diagnostic that decides between a plain shuffle,
+    // AQE skew splitting, and transforms/Skew salting. Bucketing is an
+    // explicit comparison chain (no log2 — not correctly rounded across
+    // engines); two aggregates, the second over |keys| rows only.
+    QueryDef.sql(
+      "a27_key_skew_profile",
+      """WITH k AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+        |SELECT CASE WHEN c = 1 THEN 0 WHEN c <= 2 THEN 1 WHEN c <= 4 THEN 2
+        |            WHEN c <= 8 THEN 3 WHEN c <= 16 THEN 4 WHEN c <= 32 THEN 5
+        |            WHEN c <= 64 THEN 6 WHEN c <= 128 THEN 7 WHEN c <= 256 THEN 8
+        |            ELSE 9 END AS bucket,
+        |  COUNT(*) AS n_keys, MAX(c) AS max_count,
+        |  CAST(SUM(c) AS BIGINT) AS rows_covered
+        |FROM k GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val c = col("c")
+      val bucket = when(c === 1, 0).when(c <= 2, 1).when(c <= 4, 2)
+        .when(c <= 8, 3).when(c <= 16, 4).when(c <= 32, 5)
+        .when(c <= 64, 6).when(c <= 128, 7).when(c <= 256, 8)
+        .otherwise(9)
+      Tables.load(spark, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), max(c).as("max_count"),
+          sum(c).as("rows_covered"))
     })
 }

@@ -401,5 +401,29 @@ object FilterJoinQueries {
           count(lit(1)).as("n_items"))
         .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
         .select(col("n_name").as("nation"), col("revenue"), col("n_items"))
+    },
+
+    // J20: the salted-join path itself under the correctness gate — the
+    // Spark side runs transforms/Skew.saltedJoin (deterministic per-row
+    // salt on the big side, salts-fold explode of the other), the oracle
+    // is the PLAIN join: salting must be a pure physical rewrite with no
+    // semantic trace. Complements SkewSpec's equivalence property with a
+    // cross-engine value check.
+    QueryDef.sql(
+      "j20_salted_join_equivalence",
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import graft.queries.{Num => N}
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.transforms.Skew
+        .saltedJoin(li, orders, col("l_orderkey"), col("o_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          N.sumMoney(col("l_quantity")).as("total_qty"))
     })
 }

@@ -146,6 +146,39 @@ class QueryFamilySpec extends AnyFunSuite {
     assert(late.map(_.getLong(0)).toSeq == Seq(4L), "exactly the 18-min-late event flags")
   }
 
+  test("a27: buckets partition the key set; rows_covered conserves the event total") {
+    val out = SparkEntry.queries("a27_key_skew_profile")(spark, dir).cache()
+    try {
+      val events = graft.io.Tables.load(spark, dir, "events")
+      assert(out.agg(sum(col("n_keys"))).head().getLong(0) ==
+        events.select(col("user_id")).distinct().count(), "every key in exactly one bucket")
+      assert(out.agg(sum(col("rows_covered"))).head().getLong(0) == events.count())
+      // bucket upper bounds hold for the max count in each bucket
+      val bounds = Map(0 -> 1L, 1 -> 2L, 2 -> 4L, 3 -> 8L, 4 -> 16L,
+        5 -> 32L, 6 -> 64L, 7 -> 128L, 8 -> 256L)
+      out.collect().foreach { r =>
+        bounds.get(r.getInt(0)).foreach(b =>
+          assert(r.getLong(2) <= b, s"bucket ${r.getInt(0)} max over bound"))
+      }
+    } finally out.unpersist()
+  }
+
+  test("j20: salted join output == plain join output exactly") {
+    val plain = {
+      val li = graft.io.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = graft.io.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.queries.Num.sumMoney(col("l_quantity")).as("total_qty"))
+    }
+    val salted = SparkEntry.queries("j20_salted_join_equivalence")(spark, dir)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salting must leave no semantic trace")
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
