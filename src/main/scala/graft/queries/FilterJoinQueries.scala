@@ -425,5 +425,34 @@ object FilterJoinQueries {
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n_items"),
           N.sumMoney(col("l_quantity")).as("total_qty"))
+    },
+
+    // F6: the SQL-TEXT surface — temp views + spark.sql with a correlated
+    // NOT EXISTS. Catalyst decorrelates this to the same left-anti hash
+    // join j13 builds by hand; the gate pins the parser→decorrelation→
+    // anti-join path, not just the DataFrame API.
+    QueryDef.sql(
+      "f6_not_exists_sql",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "customer").createOrReplaceTempView("f6_customer")
+      Tables.load(spark, dir, "orders").createOrReplaceTempView("f6_orders")
+      spark.sql(
+        """SELECT c_custkey, c_name FROM f6_customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM f6_orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+    },
+
+    // F7: scalar subquery in a predicate — keys busier than the average
+    // key. AVG(BIGINT) is one exact integer sum divided once at the end in
+    // both engines (same IEEE division), so the threshold is bit-identical;
+    // the subquery plans as a 1-row broadcast, not a cross join.
+    QueryDef.sql(
+      "f7_scalar_subquery_sql",
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT o_custkey, n FROM oc WHERE n > (SELECT AVG(n) FROM oc)""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders").createOrReplaceTempView("f7_orders")
+      spark.sql(
+        """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM f7_orders GROUP BY 1)
+          |SELECT o_custkey, n FROM oc WHERE n > (SELECT AVG(n) FROM oc)""".stripMargin)
     })
 }

@@ -179,6 +179,26 @@ class QueryFamilySpec extends AnyFunSuite {
       "salting must leave no semantic trace")
   }
 
+  test("f6: NOT EXISTS output == hand-built left-anti join") {
+    val cust = graft.io.Tables.load(spark, dir, "customer")
+    val orders = graft.io.Tables.load(spark, dir, "orders")
+    val manual = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+    val viaSql = SparkEntry.queries("f6_not_exists_sql")(spark, dir)
+    assert(viaSql.exceptAll(manual).isEmpty && manual.exceptAll(viaSql).isEmpty)
+  }
+
+  test("f7: every returned key is strictly busier than the average; none missing") {
+    val oc = graft.io.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n")).cache()
+    try {
+      val avgN = oc.agg(avg(col("n"))).head().getDouble(0)
+      val expected = oc.filter(col("n") > avgN)
+      val got = SparkEntry.queries("f7_scalar_subquery_sql")(spark, dir)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    } finally oc.unpersist()
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
