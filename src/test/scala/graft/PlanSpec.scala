@@ -261,4 +261,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"the day spine must equi-join, never a theta range join:\n$p")
   }
+
+  test("j18 shipping priority: top-k is TakeOrdered, filters reach all three scans") {
+    val p = planOf("j18_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top 10 must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter pushed to customer scan")
+    assert(p.contains("GreaterThan(l_shipdate"), "ship-date filter pushed to lineitem scan")
+    assert(p.contains("LessThan(o_orderdate"), "order-date filter pushed to orders scan")
+  }
+
+  test("j19 local supplier volume: same-nation constraint joins equi, never filters post-join") {
+    val p = planOf("j19_local_supplier_volume")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"the customer=supplier nation constraint must ride the hash join key:\n$p")
+  }
+
+  test("f6 NOT EXISTS: decorrelates to an anti join, never a key-list collect") {
+    val p = planOf("f6_not_exists_sql")
+    assert(p.contains("LeftAnti"), s"correlated NOT EXISTS must plan as left-anti:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"decorrelation must produce an equi anti join:\n$p")
+  }
+
+  test("f7 scalar subquery: threshold rides a subquery broadcast, not a cross join") {
+    val p = planOf("f7_scalar_subquery_sql")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"the average must evaluate as a scalar subquery:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"a 1-row threshold must never cross-join the aggregate:\n$p")
+  }
 }
