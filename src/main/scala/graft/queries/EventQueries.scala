@@ -792,5 +792,37 @@ object EventQueries {
           sum(when(col("hwm").isNotNull &&
             unix_micros(col("ts")) < unix_micros(col("hwm")) - 600000000L, 1L)
             .otherwise(0L)).as("n_late"))
+    },
+
+    // E29: Gini coefficient of per-user activity — the concentration
+    // number behind "10% of users produce 80% of events" capacity and
+    // abuse baselines. G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over counts sorted
+    // ascending: every term is an exact integer until ONE final division
+    // (both engines convert the exact integer products to double the same
+    // way — no accumulation-order float drift). The global rank i comes
+    // from operators/PrefixSum (range-bucketed running sum of 1), NOT a
+    // no-partition window, so no task ever holds the |users| frame.
+    QueryDef.sql(
+      "e29_activity_gini",
+      """WITH oc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM oc)
+        |SELECT round(CAST(2 * SUM(i * c) AS DOUBLE) / CAST(COUNT(*) * SUM(c) AS DOUBLE)
+        |         - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS gini,
+        |  COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS n_events
+        |FROM r""".stripMargin) { (spark, dir) =>
+      val oc = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val ranked = graft.operators.PrefixSum.withRunningSum(
+        oc, rangeCol = "c", descending = false, tieBreak = Seq(col("user_id")),
+        value = lit(1L), out = "i")
+      // Integer products stay exact (long) until the single double cast —
+      // mirrors the oracle's HUGEINT-then-double exactly while n·Σc < 2^63.
+      ranked.agg(
+        round((lit(2L) * sum(col("i") * col("c"))).cast(DoubleType) /
+            (count(lit(1)) * sum(col("c"))).cast(DoubleType) -
+            (count(lit(1)) + lit(1L)).cast(DoubleType) / count(lit(1)).cast(DoubleType),
+          6).as("gini"),
+        count(lit(1)).as("n_users"),
+        sum(col("c")).as("n_events"))
     })
 }

@@ -199,6 +199,23 @@ class QueryFamilySpec extends AnyFunSuite {
     } finally oc.unpersist()
   }
 
+  test("e29: gini in [0,1); 0 for a uniform corpus, known value for a planted split") {
+    val row = SparkEntry.queries("e29_activity_gini")(spark, dir).head()
+    val g = row.getDouble(0)
+    assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    // closed-form check: counts (1,1,1,3) → G = 2*(1+2+3+4*3)/(4*6) - 5/4 = 0.25
+    val tiny = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L)).toDF("user_id", "c")
+    val ranked = graft.operators.PrefixSum.withRunningSum(
+      tiny, "c", descending = false, tieBreak = Seq(col("user_id")),
+      value = lit(1L), out = "i")
+    val gTiny = ranked.agg(
+      ((lit(2L) * sum(col("i") * col("c"))).cast("double") /
+        (count(lit(1)) * sum(col("c"))).cast("double") -
+        (count(lit(1)) + lit(1L)).cast("double") / count(lit(1)).cast("double"))
+        .as("g")).head().getDouble(0)
+    assert(math.abs(gTiny - 0.25) < 1e-9, s"planted gini: $gTiny")
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
