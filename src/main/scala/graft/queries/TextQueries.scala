@@ -801,5 +801,37 @@ object TextQueries {
           round(sum(col("na")).cast("double") / sum(col("nc")), 6).as("alpha_ratio"),
           round(sum(col("nc") - col("na") - col("nd") - col("ns")).cast("double") /
             sum(col("nc")), 6).as("other_ratio"))
+    },
+
+    // T29: per-language doc-length percentile bands — the corpus length
+    // report that drives context-window and chunk-size choices. Discrete
+    // order statistics at ceil(p·n) picked by INTEGER rank arithmetic
+    // (ceil(a/b) = (a+b-1)//b — no float percentile machinery to disagree
+    // across engines); one language-partitioned window, groups sort in
+    // their own slices (a24's doctrine).
+    QueryDef.sql(
+      "t29_length_bands_by_lang",
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75,
+        |  MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95
+        |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars"))).as("p75"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("n_chars"))).as("p95"))
     })
 }

@@ -216,6 +216,25 @@ class QueryFamilySpec extends AnyFunSuite {
     assert(math.abs(gTiny - 0.25) < 1e-9, s"planted gini: $gTiny")
   }
 
+  test("t29: percentile bands are monotone and drawn from each language's values") {
+    val rows = SparkEntry.queries("t29_length_bands_by_lang")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75, p95) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95,
+        s"${r.getString(0)}: bands must be monotone")
+    }
+    // every band value must exist as an actual n_chars in that language
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    rows.foreach { r =>
+      val vals = docs(r.getString(0))
+      Seq(2, 3, 4, 5).foreach(i => assert(vals.contains(r.getLong(i)),
+        s"${r.getString(0)}: band value not an observed length"))
+    }
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
