@@ -258,5 +258,32 @@ object ProjectionQueries {
         col("c_custkey"),
         when(col("c_mktsegment") === "MACHINERY", lit(null))
           .otherwise(col("c_nationkey")).as("nation_fk"))
+    },
+
+    // P30: array set algebra — intersect/except/sort over per-doc distinct
+    // token sets vs a literal vocabulary. Both engines' intersect leaves
+    // element ORDER unspecified, so every emitted array goes through an
+    // explicit sort (ASCII corpus → identical binary collation). All
+    // codegen'd array expressions, no explode: the row count never
+    // changes, so there is no shuffle at all.
+    QueryDef.sql(
+      "p30_array_set_ops",
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_sort(list_intersect(ts, ['the','a','of','and','is'])) AS stop_hits,
+        |  CAST(len(ts) AS INT) AS n_unique,
+        |  CAST(len(list_filter(ts, x -> NOT x IN ('the','a','of','and','is'))) AS INT) AS n_nonstop
+        |FROM t""".stripMargin) { (spark, dir) =>
+      val stops = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(filter(graft.functions.TextTokens.tokens(col("text")),
+            t => t =!= "")).as("ts"))
+        .select(col("doc_id"),
+          array_sort(array_intersect(col("ts"), stops)).as("stop_hits"),
+          size(col("ts")).as("n_unique"),
+          size(array_except(col("ts"), stops)).as("n_nonstop"))
     })
 }

@@ -235,6 +235,18 @@ class QueryFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("p30: stop_hits ⊆ vocabulary and sorted; n_unique = hits + non-stop") {
+    val stops = Set("the", "a", "of", "and", "is")
+    val rows = SparkEntry.queries("p30_array_set_ops")(spark, dir).collect()
+    rows.foreach { r =>
+      val hits = r.getSeq[String](1)
+      assert(hits.forall(stops.contains), "intersect must stay inside the vocabulary")
+      assert(hits == hits.sorted, "emitted arrays must be sorted")
+      assert(r.getInt(2) == hits.length + r.getInt(3),
+        "distinct tokens partition into stop hits and non-stop")
+    }
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
