@@ -824,5 +824,114 @@ object AggWindowQueries {
         .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n_keys"), max(c).as("max_count"),
           sum(c).as("rows_covered"))
+    },
+
+    // A28: column-level data profile — null count, distinct count, and
+    // min/max per column in ONE scan, the "ANALYZE TABLE" primitive behind
+    // ingestion QA and broadcast/size estimation. The four COUNT(DISTINCT)s
+    // share a single aggregate (Catalyst plans one Expand ×4 — one shuffle
+    // whose width is the distinct key stream, never four scans), and the
+    // wide→long pivot is a stack() over the already-1-row aggregate. Min/max
+    // surface as VARCHAR for the uniform report schema; numerics are
+    // min/max'd NATIVELY first and cast after (string min of c_custkey
+    // would be lexicographic). c_acctbal is excluded: DOUBLE→VARCHAR
+    // rendering differs across engines; profile doubles with a19/a21-style
+    // numeric stats instead.
+    QueryDef.sql(
+      "a28_column_profile",
+      """SELECT 'c_custkey' AS column_name,
+        |  CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS null_count,
+        |  COUNT(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+        |  COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey),
+        |  CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+        |  COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
+        |FROM customer""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "customer")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("c_custkey")).as("nn_ck"),
+          countDistinct(col("c_custkey")).as("nd_ck"),
+          min(col("c_custkey")).cast("string").as("mn_ck"),
+          max(col("c_custkey")).cast("string").as("mx_ck"),
+          count(col("c_name")).as("nn_nm"),
+          countDistinct(col("c_name")).as("nd_nm"),
+          min(col("c_name")).as("mn_nm"),
+          max(col("c_name")).as("mx_nm"),
+          count(col("c_nationkey")).as("nn_nk"),
+          countDistinct(col("c_nationkey")).as("nd_nk"),
+          min(col("c_nationkey")).cast("string").as("mn_nk"),
+          max(col("c_nationkey")).cast("string").as("mx_nk"),
+          count(col("c_mktsegment")).as("nn_ms"),
+          countDistinct(col("c_mktsegment")).as("nd_ms"),
+          min(col("c_mktsegment")).as("mn_ms"),
+          max(col("c_mktsegment")).as("mx_ms"))
+        .selectExpr(
+          """stack(4,
+            |  'c_custkey',    n - nn_ck, nd_ck, mn_ck, mx_ck,
+            |  'c_name',       n - nn_nm, nd_nm, mn_nm, mx_nm,
+            |  'c_nationkey',  n - nn_nk, nd_nk, mn_nk, mx_nk,
+            |  'c_mktsegment', n - nn_ms, nd_ms, mn_ms, mx_ms
+            |) AS (column_name, null_count, n_distinct, min_value, max_value)
+            |""".stripMargin)
+    },
+
+    // W8: per-group top-k WITHOUT a window — the functions/expr/TopKByScore
+    // TypedImperativeAggregate under a value oracle (the ANN paths use it
+    // rows-only; here DuckDB's row_number formulation must reproduce it
+    // bit for bit, tie-break included). Scale shape vs the window plan: the
+    // shuffle carries at most k pairs per (group × map partition) — the
+    // map-side partial combine the window's full sort can never do. The
+    // oracle's PARTITION BY ... rk <= 5 is the plan this aggregate REPLACES.
+    QueryDef.sql(
+      "w8_grouped_topk",
+      """WITH r AS (SELECT date_trunc('month', o_orderdate) AS mo, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT mo, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.TopKByScore
+      // trunc() (DateType), not date_trunc() (TimestampType): the oracle's
+      // date_trunc over a DATE column stays DATE in DuckDB.
+      Tables.load(spark, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").as("mo"))
+        .agg(TopKByScore.topK(col("o_totalprice"), col("o_orderkey"), 5).as("tk"))
+        .select(col("mo"), posexplode(col("tk")))
+        .select(col("mo"), col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rk"))
+    },
+
+    // W9: distribution-rank family — percent_rank, cume_dist, ntile. All
+    // three are exact rationals of integer ranks ((rk-1)/(n-1), rk/n, and
+    // integer bucket arithmetic), so 6dp rounding after the one IEEE divide
+    // is bit-identical cross-engine — no percentile interpolation anywhere.
+    // Segment-partitioned windows: groups sort in their own slices.
+    QueryDef.sql(
+      "w9_distribution_ranks",
+      """SELECT c_custkey, c_mktsegment,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(10) OVER w AS INT) AS decile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(10).over(w).cast("int").as("decile"))
     })
 }

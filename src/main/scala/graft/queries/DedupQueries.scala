@@ -745,5 +745,28 @@ object DedupQueries {
         .groupBy(fp.as("fp"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_in_batch"))
         .join(corpus, Seq("fp"), "left_anti")
+    },
+
+    // D30: near-dup graph degree distribution — the pre-flight profile for
+    // every graph stage (d13 components, d21 PageRank, d24 triangles): how
+    // many nodes carry each degree, i.e. where the wedge/propagation
+    // fan-out will concentrate. Built on the SAME shared pair stage as
+    // d4/d13/d21 (one inverted-index self-join); the degree rollup is two
+    // keyed aggregates over the |pairs| stream — nothing rescans documents.
+    QueryDef.sql(
+      "d30_degree_distribution",
+      s"""WITH $shingleGraphSql,
+         |$jaccardPairsSql,
+         |deg AS (SELECT id, COUNT(*) AS degree
+         |        FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+         |        GROUP BY 1)
+         |SELECT degree, COUNT(*) AS n_nodes, MIN(id) AS example_node
+         |FROM deg GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val pairs = jaccardPairs(spark, dir)
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("example_node"))
     })
 }

@@ -824,5 +824,41 @@ object EventQueries {
           6).as("gini"),
         count(lit(1)).as("n_users"),
         sum(col("c")).as("n_events"))
+    },
+
+    // E30: first-touch conversion attribution — which entry event a user's
+    // journey STARTED with, and how that first touch converts. Per user,
+    // ONE fact-keyed aggregate finds both the first event (min_by over the
+    // (ts, event_id) struct — no per-user window, ties broken exactly like
+    // the oracle's row_number order) and the first purchase; the rollup by
+    // first_type is then |event_types|-sized. Latency stays in exact
+    // integer microseconds until the single AVG division (one IEEE divide,
+    // bit-identical across engines — the f7 doctrine).
+    QueryDef.sql(
+      "e30_first_touch_attribution",
+      """WITH o AS (SELECT user_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS first_type, ts AS first_ts
+        |      FROM o WHERE rn = 1),
+        |p AS (SELECT user_id, MIN(ts) AS first_purchase FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT first_type, COUNT(*) AS n_users,
+        |  COUNT(first_purchase) AS n_converted,
+        |  round(CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+        |  round(AVG(epoch_us(first_purchase) - epoch_us(first_ts)), 6) AS avg_latency_us
+        |FROM f LEFT JOIN p USING (user_id) GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val firsts = ev.groupBy(col("user_id")).agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      firsts.groupBy(col("first_type")).agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_purchase")).as("n_converted"),
+        round(count(col("first_purchase")).cast(DoubleType) / count(lit(1)), 6)
+          .as("conversion_rate"),
+        round(avg(unix_micros(col("first_purchase")) - unix_micros(col("first_ts"))), 6)
+          .as("avg_latency_us"))
     })
 }

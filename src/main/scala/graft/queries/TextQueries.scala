@@ -833,5 +833,63 @@ object TextQueries {
           max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("p50"),
           max(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars"))).as("p75"),
           max(when(col("rn") === expr("(19 * n + 19) div 20"), col("n_chars"))).as("p95"))
+    },
+
+    // T30: tokenizer vocabulary construction — every distinct token gets a
+    // stable contiguous id ordered by (frequency DESC, token ASC), the
+    // token→id table a BPE-ish tokenizer ships with. The global rank is
+    // operators/PrefixSum's bucketed running count (range-bucket on freq,
+    // per-bucket row_number, broadcast offsets) — NEVER a no-partition
+    // window: |vocab| on a 100 TB corpus is hundreds of millions of rows,
+    // far past what one task should sort. Empty tokens are filtered on
+    // both sides (the t20 convention).
+    QueryDef.sql(
+      "t30_vocab_index",
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT unnest(ts) AS token FROM t),
+        |v AS (SELECT token, COUNT(*) AS freq FROM e WHERE token <> '' GROUP BY 1)
+        |SELECT token, freq,
+        |  row_number() OVER (ORDER BY freq DESC, token) AS vocab_id
+        |FROM v""".stripMargin) { (spark, dir) =>
+      val vocab = Tables.load(spark, dir, "documents")
+        .select(explode(TextTokens.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      graft.operators.PrefixSum.withRunningSum(
+        vocab, rangeCol = "freq", descending = true,
+        tieBreak = Seq(col("token")), value = lit(1L), out = "vocab_id")
+        .select(col("token"), col("freq"), col("vocab_id"))
+    },
+
+    // M3: content-addressed payload dedup — the binary-side analog of
+    // d1_exact_dedup: group opaque payloads by md5 content key, keep the
+    // lowest id as the canonical copy, report copy count and bytes. This is
+    // how 100 TB of scraped media dedups: one hash-keyed shuffle whose key
+    // is 16 bytes regardless of payload size (the md5 folds at the SCAN,
+    // map-side, so the exchange never carries payload bytes). The payload
+    // here is the document text cast to binary — both engines hash the
+    // identical UTF-8 byte stream (Spark md5(BINARY) == DuckDB md5(VARCHAR)
+    // over its encoded bytes), making this the multimodal family's first
+    // value-checked gate; magic4 is the uppercase hex of the leading 4
+    // bytes (the format-sniff field a real media table would carry).
+    // Oracle premise: the corpus is single-byte (ASCII), so DuckDB's
+    // left(text, 4) — character slicing; blobs can't be sliced — equals
+    // the first 4 BYTES; MultimodalSpec pins octet_length == length.
+    QueryDef.sql(
+      "m3_payload_dedup",
+      """WITH p AS (SELECT doc_id, encode(text) AS payload, text FROM documents)
+        |SELECT md5(text) AS content_key,
+        |  COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keeper_id,
+        |  CAST(MIN(octet_length(payload)) AS BIGINT) AS payload_bytes,
+        |  MIN(hex(encode(left(text, 4)))) AS magic4
+        |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .groupBy(md5(col("payload")).as("content_key"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keeper_id"),
+          min(length(col("payload"))).cast("long").as("payload_bytes"),
+          min(hex(substring(col("payload"), 1, 4))).as("magic4"))
     })
 }

@@ -291,4 +291,60 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"a 1-row threshold must never cross-join the aggregate:\n$p")
   }
+
+  test("a28 column profile: four COUNT(DISTINCT)s share ONE customer scan via Expand") {
+    val p = planOf("a28_column_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the whole profile must read customer exactly once:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-distinct must plan as one Expand aggregate, not per-column scans:\n$p")
+  }
+
+  test("w8 grouped top-k: partial-combine aggregate, no Window, no global sort") {
+    val p = planOf("w8_grouped_topk")
+    assert(!p.contains("Window"),
+      s"the TopKByScore aggregate must REPLACE the window plan:\n$p")
+    assert(p.contains("partial_topk") || p.contains("partial_graft"),
+      s"top-k must combine map-side before its one shuffle:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one group-key shuffle only:\n$p")
+  }
+
+  test("w9 distribution ranks: segment-partitioned window, never SinglePartition") {
+    val p = planOf("w9_distribution_ranks")
+    assert(p.contains("Window"), "rank family is a window plan")
+    assert(!p.contains("SinglePartition"),
+      s"percent_rank/cume_dist/ntile sort within c_mktsegment slices only:\n$p")
+  }
+
+  test("e30 first-touch: one events scan, aggregates only, no per-user window") {
+    val p = planOf("e30_first_touch_attribution")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"first event and first purchase fold in ONE pass over events:\n$p")
+    assert(!p.contains("Window"),
+      s"min_by replaces the row_number window entirely:\n$p")
+  }
+
+  test("t30 vocab index: bucketed global rank, never a SinglePartition sort") {
+    val p = planOf("t30_vocab_index")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"|vocab| rank must go through PrefixSum buckets, not one task:\n$p")
+  }
+
+  test("m3 payload dedup: content key folds at the scan; no payload-bytes shuffle") {
+    val p = planOf("m3_payload_dedup")
+    // The md5 grouping key surfaces as `_groupingexpression` pre-aggregation.
+    assert("Exchange hashpartitioning\\((content_key|_groupingexpression)".r.findAllIn(p).nonEmpty,
+      s"the one exchange must key on the 16-byte md5, not the payload:\n$p")
+    assert(p.contains("md5(payload"),
+      s"the content key must be computed below the exchange (at the scan side):\n$p")
+    assert(p.contains("partial_"),
+      s"copy counts and min ids must combine map-side before the shuffle:\n$p")
+  }
+
+  test("d30 degree distribution: pair candidates from equi-joins, never all-pairs") {
+    val p = planOf("d30_degree_distribution")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"the shared d4 pair stage must stay inverted-index equi-joins:\n$p")
+  }
 }

@@ -247,6 +247,79 @@ class QueryFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("a28: profile conserves totals — nulls + distinct bounded by row count") {
+    val n = graft.io.Tables.load(spark, dir, "customer").count()
+    val rows = SparkEntry.queries("a28_column_profile")(spark, dir).collect()
+    assert(rows.length == 4, "one profile row per profiled column")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= n, s"${r.getString(0)}: null_count in [0, n]")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= n - r.getLong(1),
+        s"${r.getString(0)}: n_distinct bounded by non-null rows")
+      assert(r.getString(3) <= r.getString(4) || r.getString(0) == "c_custkey" ||
+        r.getString(0) == "c_nationkey",
+        s"${r.getString(0)}: varchar min <= max")
+    }
+  }
+
+  test("t30: vocab ids are contiguous 1..V and rank respects (freq desc, token asc)") {
+    val rows = SparkEntry.queries("t30_vocab_index")(spark, dir)
+      .collect().sortBy(_.getLong(2))
+    assert(rows.head.getLong(2) == 1L && rows.last.getLong(2) == rows.length.toLong,
+      "ids are contiguous from 1 with no gaps")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)),
+        s"rank order violated between ${a.getString(0)} and ${b.getString(0)}")
+    }
+  }
+
+  test("m3: corpus is single-byte so the oracle's char-slice == byte-slice; copies conserve docs") {
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    // The m3 oracle slices the first 4 bytes via left(text, 4) (DuckDB cannot
+    // slice blobs); that premise requires byte length == char length.
+    assert(docs.filter(length(col("text").cast("binary")) =!= length(col("text")))
+      .count() == 0, "ASCII premise: octet length must equal char length")
+    val out = SparkEntry.queries("m3_payload_dedup")(spark, dir).cache()
+    try {
+      assert(out.agg(sum(col("n_copies"))).head.getLong(0) == docs.count(),
+        "every document lands in exactly one content group")
+      assert(out.filter(length(col("content_key")) =!= 32).count() == 0, "md5 hex keys")
+    } finally out.unpersist()
+  }
+
+  test("e30: attribution partitions users; conversions never exceed group size") {
+    val out = SparkEntry.queries("e30_first_touch_attribution")(spark, dir).collect()
+    val users = graft.io.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getLong(1)).sum == users, "each user attributed exactly once")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: converted <= users")
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0, s"${r.getString(0)}: rate in [0,1]")
+    }
+  }
+
+  test("w8: TopKByScore aggregate == the window row_number plan it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("mo"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = graft.io.Tables.load(spark, dir, "orders")
+      .select(trunc(col("o_orderdate"), "month").as("mo"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+    val agg = SparkEntry.queries("w8_grouped_topk")(spark, dir)
+    assert(agg.exceptAll(windowed).isEmpty && windowed.exceptAll(agg).isEmpty,
+      "aggregate and window formulations must agree exactly, ties included")
+  }
+
+  test("d30: handshake lemma — sum of degree * n_nodes equals twice the pair count") {
+    val pairs = SparkEntry.queries("d4_ngram_jaccard_pairs")(spark, dir).count()
+    val degSum = SparkEntry.queries("d30_degree_distribution")(spark, dir)
+      .agg(sum(col("degree") * col("n_nodes"))).head.getLong(0)
+    assert(degSum == 2 * pairs, s"handshake lemma: $degSum != 2 * $pairs")
+  }
+
   test("t28: char classes partition every source's characters exactly") {
     val rows = SparkEntry.queries("t28_char_class_profile")(spark, dir).collect()
     rows.foreach { r =>
