@@ -768,5 +768,34 @@ object DedupQueries {
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
         .groupBy(col("degree"))
         .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("example_node"))
+    },
+
+    // D31: 2-core of the near-dup graph — operators/KCore bounded-round
+    // peeling (4 rounds, fixpoint on this corpus pinned in KCoreSpec) over
+    // the SAME 0.5-Jaccard pair stream as d24. Survivors are documents
+    // entangled in duplication CLUSTERS rather than isolated pairs — the
+    // cheap kernel extractor that prioritizes which docs the heavier
+    // component/PageRank stages should chew on. The oracle unrolls the
+    // same 4 peels as CTE rounds (the d21 doctrine: truncated iteration,
+    // compared bit for bit — both engines compute the identical recursion).
+    QueryDef.sql(
+      "d31_kcore_members", {
+        val prefix =
+          s"""WITH $shingleGraphSql,
+             |pairs05 AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+             |            WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |e0 AS (SELECT id_a AS a, id_b AS b FROM pairs05 UNION ALL SELECT id_b, id_a FROM pairs05)""".stripMargin
+        val rounds = (1 to 4).map { i =>
+          s"""g$i AS (SELECT a, COUNT(*) AS deg FROM e${i - 1} GROUP BY 1),
+             |s$i AS (SELECT a FROM g$i WHERE deg >= 2),
+             |e$i AS (SELECT e.a, e.b FROM e${i - 1} e JOIN s$i x ON e.a = x.a JOIN s$i y ON e.b = y.a)""".stripMargin
+        }.mkString(",\n")
+        s"$prefix,\n$rounds\nSELECT a AS doc_id, CAST(deg AS BIGINT) AS core_deg FROM g4 WHERE deg >= 2"
+      }) { (spark, dir) =>
+      graft.operators.KCore.peel(
+        jaccardPairs(spark, dir, threshold = 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst")),
+        k = 2, rounds = 4)
+        .select(col("id").as("doc_id"), col("core_deg"))
     })
 }

@@ -891,5 +891,103 @@ object TextQueries {
           min(col("doc_id")).as("keeper_id"),
           min(length(col("payload"))).cast("long").as("payload_bytes"),
           min(hex(substring(col("payload"), 1, 4))).as("magic4"))
+    },
+
+    // T31: χ² token salience vs the target language — the classic
+    // feature-selection / domain-signature statistic, exact enough to
+    // hash-match because the 2×2 χ² is ONE rational: with m = a(N−T) − bT
+    // (ad − bc collapses, all exact int64), χ² = N·m² / (df·(N−df)·T·(N−T)).
+    // Every intermediate product stays ≤ 2^53 (N ≤ 5k at sf0.1; m² ≤
+    // 6.25e14) except the final N·m² — one correctly-rounded IEEE multiply,
+    // identical in both engines — then one divide and round(6): the f7/e30
+    // doctrine, no float SUMMATION anywhere. Counts are doc-frequencies
+    // (distinct doc×token — one distinct + one keyed aggregate); the 1-row
+    // (N, T) totals ride a broadcast cross join, never a second shuffle.
+    // df bounds: ≥5 kills the noise floor, <N keeps (N−df) > 0.
+    QueryDef.sql(
+      "t31_token_salience",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+        |d AS (SELECT DISTINCT doc_id, is_t, token FROM t WHERE token <> ''),
+        |c AS (SELECT token,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |        CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |      FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        |        FROM documents),
+        |x AS (SELECT token, a + b AS df, a, b, n, tt,
+        |        a * (n - tt) - b * tt AS m
+        |      FROM c CROSS JOIN tot WHERE a + b >= 5 AND a + b < n)
+        |SELECT token, df, a AS df_target,
+        |  round((CAST(n AS DOUBLE) * (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+        |        / (((CAST(df AS DOUBLE) * (n - df)) * tt) * (n - tt)), 6) AS chi2,
+        |  m > 0 AS target_enriched
+        |FROM x""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val tot = docs.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+      val counts = docs
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(TextTokens.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .groupBy(col("token"))
+        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("is_t"), 0L).otherwise(1L)).as("b"))
+      val x = counts.crossJoin(broadcast(tot))
+        .withColumn("df", col("a") + col("b"))
+        .filter(col("df") >= 5 && col("df") < col("n"))
+        .withColumn("m", col("a") * (col("n") - col("tt")) - col("b") * col("tt"))
+      x.select(col("token"), col("df"), col("a").as("df_target"),
+        round((col("n").cast("double") * (col("m").cast("double") * col("m").cast("double")))
+          / (((col("df").cast("double") * (col("n") - col("df"))) * col("tt")) * (col("n") - col("tt"))),
+          6).as("chi2"),
+        (col("m") > 0).as("target_enriched"))
+    },
+
+    // M4: symmetric int8 embedding quantization — the 4× storage/bandwidth
+    // compressor every 100 TB vector corpus applies before ANN serving.
+    // Pure scan-level array math (transform/zip_with/aggregate — all
+    // codegen'd, zero shuffles, row count unchanged): per vector,
+    // scale = max|x|/127, q_i = clamp(floor(x/scale + 0.5)); the report
+    // carries the order-INDEPENDENT exactness surface — integer q_sum
+    // (int addition commutes; float sums never hash cross-engine),
+    // q_min/q_max, and max|dequant − x| (max commutes; float32→float64
+    // widening is exact, and every per-element op is one correctly-rounded
+    // IEEE step mirrored verbatim in the oracle's list lambdas).
+    QueryDef.sql(
+      "m4_embedding_quantize",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS BIGINT))
+        |        END AS qv
+        |      FROM s)
+        |SELECT vec_id, CAST(len(v) AS INT) AS n_dims, round(scale, 6) AS scale_q,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  round(list_max(list_transform(range(len(v)), i -> abs(qv[i+1] * scale - v[i+1]))), 6) AS max_abs_err
+        |FROM q""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val s = e.withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      val q = s.withColumn("qv",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5)))
+              .cast("long"))))
+      q.select(col("vec_id"),
+        size(col("v")).cast("int").as("n_dims"),
+        round(col("scale"), 6).as("scale_q"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        round(array_max(zip_with(col("qv"), col("v"),
+          (qi, xi) => abs(qi * col("scale") - xi))), 6).as("max_abs_err"))
     })
 }

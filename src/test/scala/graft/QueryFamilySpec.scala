@@ -328,4 +328,32 @@ class QueryFamilySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(6) - na.toDouble / nc) < 1e-6)
     }
   }
+
+  test("t31: chi-square is non-negative and doc-frequencies respect the 2x2 margins") {
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val t = docs.filter(col("lang") === "en").count()
+    val rows = SparkEntry.queries("t31_token_salience")(spark, dir).collect()
+    assert(rows.nonEmpty, "some token must clear the df floor")
+    rows.foreach { r =>
+      val (df, a, chi2) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(df >= 5 && df < n, s"${r.getString(0)}: df bounds")
+      assert(a <= t && a <= df && df - a <= n - t,
+        s"${r.getString(0)}: margins a<=T, a<=df, b<=N-T")
+      assert(chi2 >= 0.0, s"${r.getString(0)}: chi2 >= 0")
+    }
+  }
+
+  test("m4: quantization stays in int8 range with error bounded by half a step") {
+    val out = SparkEntry.queries("m4_embedding_quantize")(spark, dir).cache()
+    try {
+      assert(out.count() ==
+        graft.io.Tables.load(spark, dir, "embeddings").count(),
+        "row count unchanged — quantization is a pure projection")
+      assert(out.filter(col("q_min") < -127 || col("q_max") > 127).count() == 0,
+        "quantized values clamp to [-127, 127]")
+      assert(out.filter(col("max_abs_err") > col("scale_q") * 0.5 + 1e-5).count() == 0,
+        "round-to-nearest error never exceeds half a quantization step")
+    } finally out.unpersist()
+  }
 }
