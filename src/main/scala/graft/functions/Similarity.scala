@@ -84,25 +84,35 @@ object Similarity {
     */
   def bruteForceTopKBroadcast(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, excludeSameLabel: Option[String] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // With excludeSameLabel, a candidate sharing the query's label is
+    // skipped — hard-NEGATIVE mining for contrastive training: the most
+    // similar vectors that are NOT of the query's class. Same broadcast
+    // contract, same tie-break; the filter is a per-candidate long compare.
+    val labCol = excludeSameLabel
+      .map(c => col(c).cast("long")).getOrElse(lit(0L)).as("lab")
     val prepped = vecs
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"), labCol)
+      .as[(Long, Array[Double], Long)]
     val index = prepped.collect()
     val n = index.length
     val ids = new Array[Long](n)
     val mat = new Array[Array[Double]](n)
     val norms = new Array[Double](n)
+    val labs = new Array[Long](n)
     var j = 0
     while (j < n) {
       ids(j) = index(j)._1
       mat(j) = index(j)._2
       norms(j) = math.sqrt(dotSeq(mat(j), mat(j)))
+      labs(j) = index(j)._3
       j += 1
     }
-    val bc = spark.sparkContext.broadcast((ids, mat, norms))
+    val useLab = excludeSameLabel.isDefined
+    val bc = spark.sparkContext.broadcast((ids, mat, norms, labs))
     val kk = k
     val scale = roundTo
     // The scan side of a single small parquet file arrives as one task
@@ -114,9 +124,9 @@ object Similarity {
       if (prepped.rdd.getNumPartitions < par) prepped.repartition(par)
       else prepped
     spread.mapPartitions { it =>
-      val (ids, mat, norms) = bc.value
+      val (ids, mat, norms, labs) = bc.value
       val m = ids.length
-      it.flatMap { case (qid, qv) =>
+      it.flatMap { case (qid, qv, qlab) =>
         val qn = math.sqrt(dotSeq(qv, qv))
         // bounded insertion: arrays of size k ordered best-first
         val topS = new Array[Double](kk)
@@ -124,7 +134,7 @@ object Similarity {
         var size = 0
         var i = 0
         while (i < m) {
-          if (ids(i) != qid) {
+          if (ids(i) != qid && (!useLab || labs(i) != qlab)) {
             val c = roundHalfUp(dotSeq(qv, mat(i)) / (qn * norms(i)), scale)
             if (size < kk || c > topS(size - 1) ||
                 (c == topS(size - 1) && ids(i) < topI(size - 1))) {

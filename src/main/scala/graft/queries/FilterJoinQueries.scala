@@ -454,5 +454,28 @@ object FilterJoinQueries {
       spark.sql(
         """WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM f7_orders GROUP BY 1)
           |SELECT o_custkey, n FROM oc WHERE n > (SELECT AVG(n) FROM oc)""".stripMargin)
+    },
+
+    // F8: correlated LATERAL subquery with ORDER BY + LIMIT — the third
+    // SQL-text surface gate (after f6 NOT EXISTS, f7 scalar subquery):
+    // per-nation top-3 customers written as the ANSI lateral join users
+    // port verbatim from other engines. Catalyst must DECORRELATE the
+    // limit into a per-key window/rank plan — one hash join + one
+    // partitioned rank, never an inner query re-executed per outer row
+    // (pinned in PlanSpec: no nested loop). Semantically this is w2/w8's
+    // shape arriving through the SQL front door.
+    QueryDef.sql(
+      "f8_lateral_topk_sql",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "nation").createOrReplaceTempView("f8_nation")
+      Tables.load(spark, dir, "customer").createOrReplaceTempView("f8_customer")
+      spark.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM f8_nation n JOIN LATERAL (SELECT c_custkey, c_acctbal FROM f8_customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin)
     })
 }

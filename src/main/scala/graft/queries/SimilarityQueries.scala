@@ -33,6 +33,27 @@ object SimilarityQueries {
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3)
     },
 
+    // Hard-negative mining for contrastive training: per vector, the top-3
+    // most-similar vectors with a DIFFERENT label — the batch-building
+    // primitive behind embedding-model training (the informative negatives
+    // are the near-misses, not random draws). Same broadcast best-k
+    // contract as d5 plus a per-candidate label compare; still no pair
+    // materialization, no shuffle.
+    QueryDef.sql(
+      "d32_hard_negatives",
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.label <> b.label)
+        |SELECT vec_id, neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk FROM p) t
+        |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      Similarity.bruteForceTopKBroadcast(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3,
+        excludeSameLabel = Some("label"))
+    },
+
     // ANN via 4 tables of 12 random hyperplanes: candidates share a bucket
     // in ≥1 table; exact cosine re-rank on candidates only. At scale the
     // cross join becomes 4 equi-join shuffles on 8-byte signatures.

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.{TextAnalysis, TextTokens}
 import graft.io.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: language ID, quality scoring,
@@ -945,6 +946,42 @@ object TextQueries {
           / (((col("df").cast("double") * (col("n") - col("df"))) * col("tt")) * (col("n") - col("tt"))),
           6).as("chi2"),
         (col("m") > 0).as("target_enriched"))
+    },
+
+    // T32: byte-weighted median length per source — the length L such that
+    // half the corpus BYTES live in documents of length ≤ L. The
+    // doc-count median (t29's band family) says what a typical DOCUMENT
+    // looks like; the byte-weighted one says where the VOLUME is — the
+    // statistic that actually drives packing/chunking budgets when a few
+    // huge docs carry most of the corpus. All exact integer arithmetic:
+    // per-source cumulative byte sums (source-partitioned windows — a24's
+    // doctrine, slices sort independently; never a global window), and the
+    // first row crossing half the total is the min matching value because
+    // the order key IS the value.
+    QueryDef.sql(
+      "t32_byte_median_length",
+      """WITH w AS (SELECT source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT) AS byte_median_len,
+        |  CAST(MIN(tot) AS BIGINT) AS total_bytes,
+        |  COUNT(*) AS n_docs
+        |FROM w GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val wOrd = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          sum(col("n_chars")).over(wOrd).as("cum"),
+          sum(col("n_chars")).over(wAll).as("tot"))
+        .groupBy(col("source"))
+        .agg(min(when(lit(2) * col("cum") >= col("tot"), col("n_chars")))
+          .as("byte_median_len"),
+          min(col("tot")).as("total_bytes"),
+          count(lit(1)).as("n_docs"))
     },
 
     // M4: symmetric int8 embedding quantization — the 4× storage/bandwidth

@@ -342,6 +342,14 @@ class PlanSpec extends AnyFunSuite {
       s"copy counts and min ids must combine map-side before the shuffle:\n$p")
   }
 
+  test("f8 lateral top-k: decorrelates to a group-limit window, never per-row re-execution") {
+    val p = planOf("f8_lateral_topk_sql")
+    assert(p.contains("WindowGroupLimit"),
+      s"the correlated LIMIT must become a per-key group limit (map-side partial):\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"decorrelation must produce an equi join:\n$p")
+  }
+
   test("d30 degree distribution: pair candidates from equi-joins, never all-pairs") {
     val p = planOf("d30_degree_distribution")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),

@@ -344,6 +344,35 @@ class QueryFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("t32: byte-median splits each source's volume at the half-byte point") {
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    val rows = SparkEntry.queries("t32_byte_median_length")(spark, dir).collect()
+    rows.foreach { r =>
+      val (src, med, tot) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val le = docs.filter(col("source") === src && col("n_chars") <= med)
+        .agg(sum(col("n_chars"))).head.getLong(0)
+      val lt = docs.filter(col("source") === src && col("n_chars") < med)
+        .agg(coalesce(sum(col("n_chars")), lit(0L))).head.getLong(0)
+      assert(2 * le >= tot, s"$src: bytes in docs <= median must reach half")
+      assert(2 * lt < tot, s"$src: bytes strictly below median must stay under half")
+    }
+  }
+
+  test("d32: hard negatives never share the query's label and rank by cosine") {
+    val emb = graft.io.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val out = SparkEntry.queries("d32_hard_negatives")(spark, dir)
+    val joined = out
+      .join(emb.withColumnRenamed("vec_id", "q").withColumnRenamed("label", "q_label"),
+        col("vec_id") === col("q"))
+      .join(emb.withColumnRenamed("vec_id", "nb").withColumnRenamed("label", "n_label"),
+        col("neighbor_id") === col("nb"))
+    assert(joined.filter(col("q_label") === col("n_label")).count() == 0,
+      "a hard negative must come from a different class")
+    assert(out.groupBy("vec_id").count().filter(col("count") > 3).count() == 0,
+      "at most k=3 negatives per query")
+  }
+
   test("m4: quantization stays in int8 range with error bounded by half a step") {
     val out = SparkEntry.queries("m4_embedding_quantize")(spark, dir).cache()
     try {
