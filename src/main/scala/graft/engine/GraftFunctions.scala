@@ -113,7 +113,7 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point for sessions built fresh:
   * `--conf spark.sql.extensions=graft.engine.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -121,4 +121,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.engine.GraftFunctions", name),
         builder))
     }
+    // Conf-gated (spark.graft.rangeJoin.bucketWidth): a no-op until opted in.
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
+  }
 }

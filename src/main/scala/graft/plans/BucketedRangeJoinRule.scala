@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Catalyst optimizer rule: rewrite a pure range join (point-in-interval
+  * theta join, no equi predicate) into the bucketed equi-join plan that
+  * [[graft.operators.RangeJoin.pointInInterval]] builds by hand — so the
+  * optimization also reaches joins written DIRECTLY against the DataFrame
+  * or SQL API, where Spark would otherwise plan BroadcastNestedLoopJoin:
+  * O(|P|·|I|) pair evaluation, and a broadcast (or worse, cartesian) that
+  * dies once neither side is small.
+  *
+  * Fires on `Join(Inner, cond)` where cond's conjuncts contain a lower and
+  * an upper bound comparing the SAME numeric point expression from one
+  * side against bound expressions from the other, and NO equi conjunct
+  * (if one exists, Spark already hash-joins on it and the explode would
+  * only add rows). The rewrite:
+  *
+  *   points   → Project  [+ __bucket = floor(p / w)]
+  *   intervals→ Generate [explode(sequence(floor(lo/w), floor(hi/w)))]
+  *   join on  __bucket = __bucket AND <original condition verbatim>
+  *   Project back to the original output — same schema, same rows.
+  *
+  * Each point lands in exactly ONE bucket, so no dedup pass is needed;
+  * intervals ship one row per overlapped bucket (the aligned-end bucket is
+  * kept deliberately — see RangeJoin.bucketSpans on the floating-point
+  * boundary case; spurious pairs die in the exact predicate). Strict vs
+  * non-strict bounds all bucket identically: p > lo ⇒ bucket(p) ≥
+  * bucket(lo) and p < hi ⇒ bucket(p) ≤ bucket(hi), and the original
+  * condition re-checks exactness after the equi match. NULL points bucket
+  * to NULL (never equi-match) and NULL interval ends sequence to no rows —
+  * both agree with the theta join, where NULL comparisons are false.
+  *
+  * The bucket width is the session conf `spark.graft.rangeJoin.bucketWidth`
+  * (same opt-in shape as engines that take a bin-size hint for their range
+  * join optimization); unset or non-positive disables the rule. Width
+  * should sit near the typical interval span: the shuffle then carries
+  * |P| + |I|·O(1) rows on an 8-byte key. Fixed-point safe: the rewritten
+  * join HAS an equi conjunct, so the rule never re-fires on its own output.
+  *
+  * Install on a live session via [[BucketedRangeJoinRule.install]]
+  * (`spark.experimental.extraOptimizations` — the public seam for exactly
+  * this) or for fresh sessions via `spark.sql.extensions=graft.engine
+  * .GraftExtensions`, which injects it alongside the graft_* functions.
+  */
+object BucketedRangeJoinRule extends Rule[LogicalPlan] {
+
+  val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  private def width: Option[Double] =
+    try Option(SQLConf.get.getConfString(WidthConf, "")).filter(_.nonEmpty)
+      .map(_.toDouble).filter(_ > 0)
+    catch { case _: NumberFormatException => None }
+
+  /** One interpretation of a comparison conjunct: `point` (from the side
+    * `pointOnLeft` says) bounded by `bound` from the other side. */
+  private case class Cand(
+      point: Expression, bound: Expression, lower: Boolean, pointOnLeft: Boolean)
+
+  private def sideOf(e: Expression, l: AttributeSet, r: AttributeSet): Option[Boolean] =
+    if (e.references.isEmpty || !e.deterministic) None
+    else if (e.references.subsetOf(l)) Some(true)
+    else if (e.references.subsetOf(r)) Some(false)
+    else None
+
+  /** A comparison a◦b where a and b come from opposite sides admits two
+    * readings (a as the point, or b as the point); emit both and let the
+    * pairing step find a lower+upper pair over the same point expression. */
+  private def candidates(
+      c: Expression, l: AttributeSet, r: AttributeSet): Seq[Cand] = {
+    def mk(a: Expression, b: Expression, aIsLowerBounded: Boolean): Seq[Cand] =
+      (sideOf(a, l, r), sideOf(b, l, r)) match {
+        case (Some(sa), Some(sb)) if sa != sb &&
+            a.dataType.isInstanceOf[NumericType] &&
+            b.dataType.isInstanceOf[NumericType] =>
+          Seq(Cand(a, b, lower = aIsLowerBounded, pointOnLeft = sa),
+            Cand(b, a, lower = !aIsLowerBounded, pointOnLeft = sb))
+        case _ => Seq.empty
+      }
+    c match {
+      case GreaterThanOrEqual(a, b) => mk(a, b, aIsLowerBounded = true)
+      case GreaterThan(a, b) => mk(a, b, aIsLowerBounded = true)
+      case LessThanOrEqual(a, b) => mk(a, b, aIsLowerBounded = false)
+      case LessThan(a, b) => mk(a, b, aIsLowerBounded = false)
+      case _ => Seq.empty
+    }
+  }
+
+  private def isEquiConjunct(c: Expression, l: AttributeSet, r: AttributeSet): Boolean =
+    c match {
+      case EqualTo(a, b) =>
+        (sideOf(a, l, r), sideOf(b, l, r)) match {
+          case (Some(sa), Some(sb)) => sa != sb
+          case _ => false
+        }
+      case EqualNullSafe(a, b) =>
+        (sideOf(a, l, r), sideOf(b, l, r)) match {
+          case (Some(sa), Some(sb)) => sa != sb
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = width match {
+    case None => plan
+    case Some(w) => plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && {
+            val conj = splitConj(cond)
+            !conj.exists(isEquiConjunct(_, left.outputSet, right.outputSet))
+          } =>
+        val conj = splitConj(cond)
+        val cands = conj.flatMap(candidates(_, left.outputSet, right.outputSet))
+        val pair = (for {
+          lo <- cands.iterator if lo.lower
+          hi <- cands.iterator
+          if !hi.lower && hi.pointOnLeft == lo.pointOnLeft &&
+            lo.point.semanticEquals(hi.point)
+        } yield (lo, hi)).nextOption()
+        pair match {
+          case None => j
+          case Some((lb, ub)) =>
+            val wLit = Literal(w, DoubleType)
+            def bucketOf(e: Expression): Expression =
+              Cast(Floor(Divide(Cast(e, DoubleType), wLit)), LongType)
+            val (pointPlan, intervalPlan) =
+              if (lb.pointOnLeft) (left, right) else (right, left)
+            // point side: one computed bucket column
+            val pAlias = Alias(bucketOf(lb.point), "__bucket")()
+            val pProj = Project(pointPlan.output :+ pAlias, pointPlan)
+            // interval side: explode to every overlapped bucket
+            val bucketAttr =
+              AttributeReference("__bucket", LongType, nullable = false)()
+            // Sequence is TimeZoneAwareExpression: in the optimizer no
+            // analyzer pass will fill the zone in, so resolve it here. An
+            // inverted span (empty interval, lo > hi) must emit NO buckets —
+            // Sequence with an explicit +1 step throws on start > stop, and
+            // without one it would count DOWNWARD (spurious rows).
+            val startB = bucketOf(lb.bound)
+            val stopB = bucketOf(ub.bound)
+            val span = If(
+              LessThanOrEqual(startB, stopB),
+              new Sequence(startB, stopB,
+                Some(Literal(1L, LongType)),
+                Some(SQLConf.get.sessionLocalTimeZone)),
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+            val gen = Generate(
+              Explode(span),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(bucketAttr), child = intervalPlan)
+            val newCond = And(EqualTo(pAlias.toAttribute, bucketAttr), cond)
+            val (nl, nr): (LogicalPlan, LogicalPlan) =
+              if (lb.pointOnLeft) (pProj, gen) else (gen, pProj)
+            Project(left.output ++ right.output,
+              Join(nl, nr, Inner, Some(newCond), hint))
+        }
+    }
+  }
+}
