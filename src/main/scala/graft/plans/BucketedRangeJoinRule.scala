@@ -8,13 +8,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
-/** Catalyst optimizer rule: rewrite a pure range join (point-in-interval
-  * theta join, no equi predicate) into the bucketed equi-join plan that
-  * [[graft.operators.RangeJoin.pointInInterval]] builds by hand — so the
-  * optimization also reaches joins written DIRECTLY against the DataFrame
-  * or SQL API, where Spark would otherwise plan BroadcastNestedLoopJoin:
-  * O(|P|·|I|) pair evaluation, and a broadcast (or worse, cartesian) that
-  * dies once neither side is small.
+/** Catalyst optimizer rule: rewrite a pure range join — point-in-interval
+  * OR interval-overlap theta join, no equi predicate — into the bucketed
+  * equi-join plans that [[graft.operators.RangeJoin]] builds by hand — so
+  * the optimization also reaches joins written DIRECTLY against the
+  * DataFrame or SQL API, where Spark would otherwise plan
+  * BroadcastNestedLoopJoin: O(|P|·|I|) pair evaluation, and a broadcast
+  * (or worse, cartesian) that dies once neither side is small.
   *
   * Fires on `Join(Inner, cond)` where cond's conjuncts contain a lower and
   * an upper bound comparing the SAME numeric point expression from one
@@ -117,60 +117,125 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def bucketOf(e: Expression, w: Double): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType))), LongType)
+
+  /** Sequence is TimeZoneAwareExpression: in the optimizer no analyzer
+    * pass will fill the zone in, so resolve it here. An inverted span
+    * (empty interval, lo > hi) must emit NO buckets — Sequence with an
+    * explicit +1 step throws on start > stop, and without one it would
+    * count DOWNWARD (spurious rows). NULL ends take the else branch (If
+    * on a null predicate) → empty span, matching the theta join where
+    * NULL comparisons are false. */
+  private def spanGen(
+      child: LogicalPlan, start: Expression, end: Expression,
+      w: Double): (Generate, AttributeReference) = {
+    val startB = bucketOf(start, w)
+    val stopB = bucketOf(end, w)
+    val span = If(
+      LessThanOrEqual(startB, stopB),
+      new Sequence(startB, stopB,
+        Some(Literal(1L, LongType)),
+        Some(SQLConf.get.sessionLocalTimeZone)),
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+    val bucketAttr = AttributeReference("__bucket", LongType, nullable = false)()
+    (Generate(Explode(span), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(bucketAttr), child), bucketAttr)
+  }
+
+  /** point-in-interval: one side contributes a single point expression
+    * bounded below and above by the other side. */
+  private def rewritePointInInterval(
+      j: Join, conj: Seq[Expression], w: Double): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val cands = conj.flatMap(candidates(_, left.outputSet, right.outputSet))
+    (for {
+      lo <- cands.iterator if lo.lower
+      hi <- cands.iterator
+      if !hi.lower && hi.pointOnLeft == lo.pointOnLeft &&
+        lo.point.semanticEquals(hi.point)
+    } yield (lo, hi)).nextOption().map { case (lb, ub) =>
+      val (pointPlan, intervalPlan) =
+        if (lb.pointOnLeft) (left, right) else (right, left)
+      // point side: one computed bucket column (a point has ONE bucket, so
+      // no dedup pass is needed on the output)
+      val pAlias = Alias(bucketOf(lb.point, w), "__bucket")()
+      val pProj = Project(pointPlan.output :+ pAlias, pointPlan)
+      val (gen, bucketAttr) = spanGen(intervalPlan, lb.bound, ub.bound, w)
+      val newCond = And(EqualTo(pAlias.toAttribute, bucketAttr), cond)
+      val (nl, nr): (LogicalPlan, LogicalPlan) =
+        if (lb.pointOnLeft) (pProj, gen) else (gen, pProj)
+      Project(left.output ++ right.output,
+        Join(nl, nr, Inner, Some(newCond), hint))
+    }
+  }
+
+  /** interval × interval overlap (`lStart < rEnd && rStart < lEnd`, any
+    * strictness): BOTH sides explode to their bucket spans and a pair is
+    * emitted only from the bucket holding max(lStart, rStart) — the
+    * overlap's left edge, which both spans provably contain — so each
+    * pair appears exactly once with no dedup pass (the same report-once
+    * trick as operators/RangeJoin.intervalOverlap). */
+  private def rewriteOverlap(
+      j: Join, conj: Seq[Expression], w: Double): Option[LogicalPlan] = {
+    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val (l, r) = (left.outputSet, right.outputSet)
+    // a crossing conjunct start < end: (start, end, startOnLeft)
+    def dir(s: Expression, en: Expression): Option[(Expression, Expression, Boolean)] =
+      (sideOf(s, l, r), sideOf(en, l, r)) match {
+        case (Some(ss), Some(es)) if ss != es &&
+            s.dataType.isInstanceOf[NumericType] &&
+            en.dataType.isInstanceOf[NumericType] => Some((s, en, ss))
+        case _ => None
+      }
+    val crossed = conj.flatMap {
+      case LessThan(a, b) => dir(a, b)
+      case LessThanOrEqual(a, b) => dir(a, b)
+      case GreaterThan(a, b) => dir(b, a)
+      case GreaterThanOrEqual(a, b) => dir(b, a)
+      case _ => None
+    }
+    for {
+      (lStart, rEnd, _) <- crossed.find(_._3)
+      (rStart, lEnd, _) <- crossed.find(!_._3)
+    } yield {
+      // Spans are least/greatest-NORMALIZED: the theta join does not carry
+      // the operator API's start<=end contract, and an inverted row (say
+      // lStart=5, lEnd=3 vs r=[0,10]) still satisfies the condition — an
+      // empty span would silently drop it. With normalized spans the
+      // report-once bucket always lies in BOTH: m = max(lStart, rStart);
+      // m <= max(lStart, lEnd) since rStart < lEnd by the matched
+      // condition, and m >= min trivially — symmetrically for the right.
+      def castD(e: Expression) = Cast(e, DoubleType)
+      def norm(a: Expression, b: Expression) =
+        (Least(Seq(castD(a), castD(b))), Greatest(Seq(castD(a), castD(b))))
+      val (ls, le) = norm(lStart, lEnd)
+      val (rs, re) = norm(rStart, rEnd)
+      val (genL, bL) = spanGen(left, ls, le, w)
+      val (genR, bR) = spanGen(right, rs, re, w)
+      // the overlap's left edge; NULL starts never reach this test (the
+      // original condition already rejected the pair)
+      val edge = Greatest(Seq(castD(lStart), castD(rStart)))
+      val newCond = And(EqualTo(bL, bR),
+        And(cond, EqualTo(bL, bucketOf(edge, w))))
+      Project(left.output ++ right.output,
+        Join(genL, genR, Inner, Some(newCond), hint))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
     case Some(w) => plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && {
             val conj = splitConj(cond)
             !conj.exists(isEquiConjunct(_, left.outputSet, right.outputSet))
           } =>
         val conj = splitConj(cond)
-        val cands = conj.flatMap(candidates(_, left.outputSet, right.outputSet))
-        val pair = (for {
-          lo <- cands.iterator if lo.lower
-          hi <- cands.iterator
-          if !hi.lower && hi.pointOnLeft == lo.pointOnLeft &&
-            lo.point.semanticEquals(hi.point)
-        } yield (lo, hi)).nextOption()
-        pair match {
-          case None => j
-          case Some((lb, ub)) =>
-            val wLit = Literal(w, DoubleType)
-            def bucketOf(e: Expression): Expression =
-              Cast(Floor(Divide(Cast(e, DoubleType), wLit)), LongType)
-            val (pointPlan, intervalPlan) =
-              if (lb.pointOnLeft) (left, right) else (right, left)
-            // point side: one computed bucket column
-            val pAlias = Alias(bucketOf(lb.point), "__bucket")()
-            val pProj = Project(pointPlan.output :+ pAlias, pointPlan)
-            // interval side: explode to every overlapped bucket
-            val bucketAttr =
-              AttributeReference("__bucket", LongType, nullable = false)()
-            // Sequence is TimeZoneAwareExpression: in the optimizer no
-            // analyzer pass will fill the zone in, so resolve it here. An
-            // inverted span (empty interval, lo > hi) must emit NO buckets —
-            // Sequence with an explicit +1 step throws on start > stop, and
-            // without one it would count DOWNWARD (spurious rows).
-            val startB = bucketOf(lb.bound)
-            val stopB = bucketOf(ub.bound)
-            val span = If(
-              LessThanOrEqual(startB, stopB),
-              new Sequence(startB, stopB,
-                Some(Literal(1L, LongType)),
-                Some(SQLConf.get.sessionLocalTimeZone)),
-              Literal.create(Array.empty[Long],
-                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
-            val gen = Generate(
-              Explode(span),
-              unrequiredChildIndex = Nil, outer = false, qualifier = None,
-              generatorOutput = Seq(bucketAttr), child = intervalPlan)
-            val newCond = And(EqualTo(pAlias.toAttribute, bucketAttr), cond)
-            val (nl, nr): (LogicalPlan, LogicalPlan) =
-              if (lb.pointOnLeft) (pProj, gen) else (gen, pProj)
-            Project(left.output ++ right.output,
-              Join(nl, nr, Inner, Some(newCond), hint))
-        }
+        rewritePointInInterval(j, conj, w)
+          .orElse(rewriteOverlap(j, conj, w))
+          .getOrElse(j)
     }
   }
 }

@@ -78,4 +78,48 @@ class BucketedRangeJoinRuleSpec extends AnyFunSuite {
     assert(plan.contains("NestedLoop") || plan.contains("Cartesian"),
       "without the conf the rule must be a strict no-op")
   }
+
+  // overlap fixtures: touching, nested, disjoint, inverted (start > end),
+  // null-ended — the rule must match the theta join on ALL of them,
+  // emitting each pair exactly once (multiset compare, not set)
+  private lazy val la = Seq[(Long, java.lang.Double, java.lang.Double)](
+    (1L, 0.0, 10.0), (2L, 10.0, 20.0), (3L, -5.0, -1.0),
+    (4L, 5.0, 3.0), (5L, 7.0, null)).toDF("aid", "as", "ae")
+  private lazy val rb = Seq[(Long, java.lang.Double, java.lang.Double)](
+    (10L, 9.0, 11.0), (11L, 0.0, 100.0), (12L, -10.0, -6.0),
+    (13L, 3.5, 4.0), (14L, null, 50.0)).toDF("bid", "bs", "be")
+
+  private def overlapQ =
+    la.join(rb, col("as") < col("be") && col("bs") < col("ae"))
+
+  test("overlap join: identical multiset of pairs, inverted intervals included") {
+    val want = overlapQ.collect().toSeq.map(_.toString).sorted
+    val got = withWidth("6.0")(overlapQ.collect().toSeq.map(_.toString).sorted)
+    assert(got == want,
+      s"overlap rewrite must emit the theta join's pairs exactly once each\nwant=$want\ngot=$got")
+  }
+
+  test("overlap join plan: both sides explode, no nested loop") {
+    withWidth("6.0") {
+      val p = overlapQ.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"overlap must become an equi join on the bucket:\n$p")
+      assert("Generate explode".r.findAllIn(p).size == 2,
+        s"both interval sides must explode to bucket spans:\n$p")
+    }
+  }
+
+  test("the rewrite reaches SQL-text queries too") {
+    points.createOrReplaceTempView("rj_points")
+    intervals.createOrReplaceTempView("rj_intervals")
+    def q = spark.sql(
+      "SELECT pid, iid FROM rj_points JOIN rj_intervals ON p >= lo AND p < hi")
+    val want = q.collect().toSet
+    withWidth("8.0") {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"the SQL front door gets the same rewrite:\n$p")
+      assert(q.collect().toSet == want)
+    }
+  }
 }
