@@ -200,6 +200,79 @@ object EventStreams {
   case class DayUser(day: String, user_id: Long, ts: Timestamp)
   case class DauUpdate(day: String, dau_estimate: Long)
 
+  case class TouchEv(user_id: Long, event_type: String, event_id: Long, ts: Timestamp)
+  case class FirstTouchState(
+      firstUs: Long, firstEventId: Long, firstType: String,
+      firstPurchaseUs: Long, lastUs: Long)
+  case class FirstTouchUpdate(
+      user_id: Long, first_type: String, first_ts: Timestamp,
+      converted: Boolean, closed: Boolean)
+
+  /** Attribution lookback: state older than this past the watermark retires
+    * (event-time timeout). A user returning AFTER retirement starts a fresh
+    * journey — the standard attribution-window contract, and what keeps
+    * state bounded by (active users in window), not (all users ever). */
+  val AttributionWindowMs: Long = 60 * 60 * 1000L
+
+  /** Streaming twin of e30's per-user stage: the user's FIRST event (min by
+    * (ts, event_id) — the batch tie-break, microsecond-exact) and whether a
+    * purchase has been seen. Update-mode emissions revise a user's row as
+    * earlier-but-in-watermark events or purchases arrive; the timeout
+    * emission marks the journey closed and frees the state (the DAU
+    * operator's retire pattern — never GroupStateTimeout.NoTimeout, which
+    * would leak state linearly in users forever). */
+  def firstTouchStream(events: DataFrame): Dataset[FirstTouchUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp = { // microsecond-exact reconstruction
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .withWatermark("ts", "10 minutes") // required for EventTimeTimeout
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[TouchEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FirstTouchState, FirstTouchUpdate](
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[TouchEv], state: GroupState[FirstTouchState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            FirstTouchUpdate(user, s.firstType, toTs(s.firstUs),
+              converted = s.firstPurchaseUs >= 0, closed = true)
+          } else {
+            var s = state.getOption.getOrElse(
+              FirstTouchState(Long.MaxValue, Long.MaxValue, "", -1L, Long.MinValue))
+            evs.foreach { e =>
+              val us = micros(e.ts)
+              if (us < s.firstUs ||
+                  (us == s.firstUs && e.event_id < s.firstEventId))
+                s = s.copy(firstUs = us, firstEventId = e.event_id,
+                  firstType = e.event_type)
+              if (e.event_type == "purchase" &&
+                  (s.firstPurchaseUs < 0 || us < s.firstPurchaseUs))
+                s = s.copy(firstPurchaseUs = us)
+              if (us > s.lastUs) s = s.copy(lastUs = us)
+            }
+            state.update(s)
+            // Anchor the retire timer on the journey's LAST event (the DAU
+            // operator's end-of-day pattern): getCurrentWatermarkMs() is the
+            // START-of-batch watermark — 0 on the first batch — so anchoring
+            // on it alone would expire fresh journeys immediately; the max()
+            // keeps the timestamp legal for very late in-horizon stragglers.
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(s.lastUs, 1000L) + AttributionWindowMs,
+              state.getCurrentWatermarkMs() + 60000L))
+            FirstTouchUpdate(user, s.firstType, toTs(s.firstUs),
+              converted = s.firstPurchaseUs >= 0, closed = false)
+          }
+      }
+  }
+
   /** Streaming daily-active-users with MERGEABLE sketch state: each day's
     * distinct-user set lives in state as a serialized HLL sketch (~KBs,
     * lgK=12), so per-day state is O(sketch) regardless of user cardinality —

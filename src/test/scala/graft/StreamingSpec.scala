@@ -253,6 +253,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming first-touch == batch e30 per-user stage (tie-break, micros exact)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = EventStreams.firstTouchStream(EventStreams.readEventsStream(spark, dir))
+    val q = out.writeStream.format("memory").queryName("ft_parity_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // timeout re-emits are value-identical by design — distinct collapses
+    // the live row and its closed twin into one journey record
+    val streamed = spark.table("ft_parity_test")
+      .selectExpr("user_id", "first_type", "unix_micros(first_ts) AS us", "converted")
+      .distinct()
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val batch = graft.io.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+        min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .selectExpr("user_id", "first_type", "unix_micros(first_ts) AS us",
+        "fp IS NOT NULL AS converted")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream and batch first-touch must agree exactly (${streamed.size} vs ${batch.size})")
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("first-touch state retires (closed=true) once the watermark clears the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Timestamp)]
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val out = EventStreams.firstTouchStream(
+      mem.toDF().toDF("user_id", "event_type", "event_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("ft_retire_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "click", 10L, ts(0)), (2L, "purchase", 11L, ts(1)))
+      q.processAllAvailable() // batch 1: both journeys open
+      mem.addData((1L, "view", 12L, ts(180))) // +3h pushes the watermark
+      q.processAllAvailable() // batch 2: watermark passes old mark + 1h window
+      mem.addData((1L, "view", 13L, ts(181)))
+      q.processAllAvailable() // batch 3: user 2's timer fires
+      val u2 = spark.table("ft_retire_test").filter(col("user_id") === 2)
+        .select("first_type", "converted", "closed")
+        .collect().map(_.toSeq).toSet
+      assert(u2.contains(Seq("purchase", true, true)),
+        s"user 2's journey must close via event-time timeout: $u2")
+      // user 1 kept receiving data — its state must still be open
+      val u1closed = spark.table("ft_retire_test")
+        .filter(col("user_id") === 1 && col("closed")).count()
+      assert(u1closed == 0, "an active journey must not close")
+    } finally {
+      q.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer splits on 30-min gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
