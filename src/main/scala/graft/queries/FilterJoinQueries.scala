@@ -477,5 +477,49 @@ object FilterJoinQueries {
           |FROM f8_nation n JOIN LATERAL (SELECT c_custkey, c_acctbal FROM f8_customer c
           |  WHERE c.c_nationkey = n.n_nationkey
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin)
+    },
+
+    // Q2: whole-schema referential-integrity audit — the pre-flight QA
+    // gate a production load runs before publishing: every FK relation's
+    // row count and orphan count in one report. Each relation is one scan
+    // plus one LEFT ANTI join on the key (j13's orphan pattern, ×7) —
+    // dimension parents broadcast, the two fact-fact edges (lineitem →
+    // orders/part/supplier) shuffle on their keys under AQE; the unioned
+    // report is 7 rows. On healthy TPC-H-shaped data every orphan count is
+    // 0 — which is exactly what the gate proves before a run is trusted.
+    QueryDef.sql(
+      "q2_referential_integrity", {
+        val rels = Seq(
+          ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ("orders", "o_custkey", "customer", "c_custkey"),
+          ("customer", "c_nationkey", "nation", "n_nationkey"),
+          ("supplier", "s_nationkey", "nation", "n_nationkey"),
+          ("nation", "n_regionkey", "region", "r_regionkey"))
+        rels.map { case (c, k, p, pk) =>
+          s"""SELECT '$c.$k -> $p.$pk' AS relation,
+             |  (SELECT COUNT(*) FROM $c) AS n_rows,
+             |  (SELECT COUNT(*) FROM $c WHERE NOT EXISTS
+             |     (SELECT 1 FROM $p WHERE $pk = $c.$k)) AS n_orphans""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }) { (spark, dir) =>
+      val rels = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"))
+      rels.map { case (c, k, p, pk) =>
+        val child = Tables.load(spark, dir, c)
+        val parent = Tables.load(spark, dir, p).select(col(pk))
+        val orphans = child.join(parent, child(k) === parent(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(s"$c.$k -> $p.$pk").as("relation"),
+            col("n_rows"), col("n_orphans"))
+      }.reduce(_ unionAll _)
     })
 }

@@ -350,6 +350,16 @@ class PlanSpec extends AnyFunSuite {
       s"decorrelation must produce an equi join:\n$p")
   }
 
+  test("q2 integrity audit: orphans via anti joins, never key-list collects or loops") {
+    val p = planOf("q2_referential_integrity")
+    assert("LeftAnti".r.findAllIn(p).size == 7,
+      s"all seven FK relations must audit as LEFT ANTI joins:\n$p")
+    // (the 1-row×1-row count crossJoins legitimately plan as BNLJ — the
+    // scale-relevant property is that every ORPHAN probe is an anti join)
+    assert(!p.contains("CartesianProduct"),
+      s"no fact-scale cartesian anywhere:\n$p")
+  }
+
   test("d30 degree distribution: pair candidates from equi-joins, never all-pairs") {
     val p = planOf("d30_degree_distribution")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
