@@ -365,4 +365,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"the shared d4 pair stage must stay inverted-index equi-joins:\n$p")
   }
+
+  test("m4 quantization: pure scan-level array math, zero shuffles") {
+    val p = planOf("m4_embedding_quantize")
+    assert(!p.contains("Exchange"),
+      s"quantization never changes row count or grouping — no shuffle:\n$p")
+  }
+
+  test("d32 hard negatives: broadcast best-k path, no pair-space shuffle") {
+    val p = planOf("d32_hard_negatives")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the label-filtered top-k must stay on the d5 broadcast contract:\n$p")
+    assert(!p.contains("Window"), s"no all-pairs rank window:\n$p")
+  }
+
+  test("t31 token salience: doc-frequency counts, totals broadcast, no cartesian") {
+    val p = planOf("t31_token_salience")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals must ride a broadcast, never a cartesian:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"one distinct + one token aggregate — at most two keyed shuffles:\n$p")
+  }
+
+  test("t32 byte-median: both windows and the rollup share ONE source-key exchange") {
+    val p = planOf("t32_byte_median_length")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"cum and tot windows plus the final agg reuse the source partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-source slices sort independently — never one task:\n$p")
+  }
+
+  test("d31 k-core: every peel round is hash joins, never all-pairs") {
+    val p = planOf("d31_kcore_members")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"survivor re-induction must stay semi-joins:\n$p")
+  }
 }
