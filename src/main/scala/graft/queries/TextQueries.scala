@@ -984,6 +984,40 @@ object TextQueries {
           count(lit(1)).as("n_docs"))
     },
 
+    // T33: temperature-balanced mixture rates (α = 0.5) — the multilingual
+    // sampling flattener: target share ∝ n^α so small sources are
+    // upsampled and dominant ones damped (α=1 is natural, α=0 uniform).
+    // α is fixed at 1/2 because sqrt is the ONE fractional power IEEE
+    // correctly rounds — pow(x, 0.3) differs across libms and could never
+    // hash-match. Weights are floor(sqrt(n)) pinned to exact int64 so the
+    // normalizing SUM is integer (order-independent); each output is then
+    // a single correctly-rounded multiply/divide (the t31 doctrine).
+    // Plan: one count aggregate, 1-row totals broadcast back.
+    QueryDef.sql(
+      "t33_temperature_mix",
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM s),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+        |        CAST(SUM(n_docs) AS BIGINT) AS total FROM w)
+        |SELECT source, n_docs, w,
+        |  round(CAST(w AS DOUBLE) / wsum, 6) AS target_share,
+        |  round(CAST(n_docs AS DOUBLE) / total, 6) AS natural_share,
+        |  round((CAST(w AS DOUBLE) * total) / (CAST(wsum AS DOUBLE) * n_docs), 6) AS sampling_factor
+        |FROM w CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      val s = Tables.load(spark, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val t = s.agg(sum(col("w")).cast("long").as("wsum"),
+        sum(col("n_docs")).cast("long").as("total"))
+      s.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("w"),
+          round(col("w").cast("double") / col("wsum"), 6).as("target_share"),
+          round(col("n_docs").cast("double") / col("total"), 6).as("natural_share"),
+          round((col("w").cast("double") * col("total")) /
+            (col("wsum").cast("double") * col("n_docs")), 6).as("sampling_factor"))
+    },
+
     // M4: symmetric int8 embedding quantization — the 4× storage/bandwidth
     // compressor every 100 TB vector corpus applies before ANN serving.
     // Pure scan-level array math (transform/zip_with/aggregate — all
