@@ -24,7 +24,16 @@ object Bench {
     "d9_clean_corpus",
     "t2_quality_score",
     "e1_sessionize",
-    "e4_asof_join")
+    "e4_asof_join",
+    // Expensive operator families added in r7 so a regression there is
+    // visible to BENCH (r6 verdict watch item): stats-driven TF-cosine,
+    // inverted-index shingle pairs, iterative PageRank, distributed
+    // quickselect, and the bucketed interval-overlap join.
+    "d22_tf_cosine_pairs",
+    "d4_ngram_jaccard_pairs",
+    "d21_pagerank",
+    "a23_exact_median",
+    "e13_interval_overlap_join")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -1,0 +1,158 @@
+package graft
+
+import graft.engine.GraftSession
+import graft.io.ObjectStore
+import graft.pipeline.{Pipeline, PipelineContext, Runner}
+import graft.pipelines.CorePipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI entry — the reference's `main.py:26-45` module dispatch
+  * (`--modules all|core|poa|cronos|auac` or a comma list) over the DAG
+  * runner instead of a hand-ordered call sequence.
+  *
+  * The bundled registry wires the concrete [[CorePipelines]] to a
+  * parquet-directory io seam so the CLI is runnable end-to-end with no
+  * database: `--in <dir>` holds one parquet per source table named after
+  * the reference's Oracle tables lowercased (`toponimo_templ.parquet`,
+  * `titolare_model.parquet`, …), `--out <dir>` receives one parquet per
+  * target table (the reference's PG tables), and resolution attachments
+  * land under `<out>/_objects/`. A DB-backed deployment swaps the io
+  * functions for `graft.io.Jdbc` reads/appends — the pipeline bodies are
+  * already pure DataFrame → DataFrame.
+  *
+  * Flags: `--modules <list>` (default all), `--list` (print the selected
+  * execution order, run nothing), `--in <dir>` / `--out <dir>` (required
+  * unless --list).
+  */
+object Main {
+
+  final case class Args(
+      modules: Set[String], list: Boolean, in: Option[String], out: Option[String])
+
+  /** `--modules` parses lowercased+trimmed, like the reference
+    * (`main.py:45`); unknown module names fail fast instead of silently
+    * selecting nothing. */
+  def parseArgs(argv: Array[String], known: Set[String]): Args = {
+    var a = Args(Set("all"), list = false, None, None)
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--modules" =>
+          require(i + 1 < argv.length, "--modules needs a value")
+          a = a.copy(modules =
+            argv(i + 1).toLowerCase.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          i += 2
+        case "--list" => a = a.copy(list = true); i += 1
+        case "--in" =>
+          require(i + 1 < argv.length, "--in needs a value")
+          a = a.copy(in = Some(argv(i + 1))); i += 2
+        case "--out" =>
+          require(i + 1 < argv.length, "--out needs a value")
+          a = a.copy(out = Some(argv(i + 1))); i += 2
+        case other => throw new IllegalArgumentException(
+          s"unknown argument '$other' (expected --modules/--list/--in/--out)")
+      }
+    }
+    val unknown = a.modules - "all" -- known
+    require(unknown.isEmpty,
+      s"unknown modules ${unknown.mkString(",")}; known: all,${known.mkString(",")}")
+    a
+  }
+
+  /** The parquet-seam registry over the concrete pipelines. Source reads
+    * are lazy inside run() so --list and module filtering never touch io. */
+  def registry(in: String, out: String): Seq[Pipeline] = {
+    def src(spark: SparkSession, table: String): DataFrame =
+      spark.read.parquet(s"$in/$table.parquet")
+    def sink(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$table.parquet")
+    val load = current_timestamp()
+    // Hoisted OUT of the anonymous Pipeline below: an inline lambda there
+    // would close over the Pipeline instance (which holds a SparkSession-
+    // touching run body) and fail task serialization; this one captures
+    // only the path string.
+    val objRoot = s"$out/_objects"
+    val resolutionClient: () => ObjectStore.Client =
+      () => new ObjectStore.LocalFsClient(objRoot)
+    Seq(
+      new Pipeline {
+        val name = "toponyms"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.toponyms(src(ctx.spark, "toponimo_templ"), load), "toponyms")
+      },
+      new Pipeline {
+        val name = "companies"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.companies(
+            src(ctx.spark, "titolare_model"),
+            src(ctx.spark, "tipologia_richiedente"),
+            src(ctx.spark, "natura_titolare_templ"),
+            src(ctx.spark, "municipalities"), load), "companies")
+      },
+      new Pipeline {
+        val name = "resolutions"
+        def run(ctx: PipelineContext): Unit = {
+          val branches = CorePipelines.resolutionBranches(
+            src(ctx.spark, "delibera_templ"), src(ctx.spark, "tipo_delibera"),
+            src(ctx.spark, "atto_model"), src(ctx.spark, "tipo_atto"), load)
+          val (mapped, release) = CorePipelines.attachMappingWithRelease(
+            branches, "resolutions", resolutionClient)
+          try sink(CorePipelines.disambiguateNames(mapped).drop("attachment"), "resolutions")
+          finally release()
+        }
+      },
+      new Pipeline {
+        val name = "udo_types"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.udoTypes(
+            src(ctx.spark, "tipo_udo_22_templ"),
+            src(ctx.spark, "bind_tipo_22_ambito"),
+            src(ctx.spark, "ambito_templ"),
+            src(ctx.spark, "bind_tipo_22_natura"),
+            src(ctx.spark, "natura_titolare_templ"),
+            src(ctx.spark, "bind_tipo_22_flusso"),
+            src(ctx.spark, "flusso_templ"), load), "udo_types")
+      },
+      new Pipeline {
+        val name = "users"
+        // users joins the already-migrated municipalities dimension
+        // (the reference reads it back from PG, src/core.py:1829); the
+        // parquet seam reads the same seed table, so no DAG edge is
+        // needed — but declare the reference's implied order anyway.
+        override val dependsOn = Seq("companies")
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.users(
+            src(ctx.spark, "utente_model"),
+            src(ctx.spark, "anagrafica_utente_model"),
+            src(ctx.spark, "uo_model"),
+            src(ctx.spark, "municipalities"), load), "users")
+      })
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val knownModules = Set("core", "poa", "cronos", "auac")
+    val args = parseArgs(argv, knownModules)
+    if (args.list) {
+      val pipes = registry(args.in.getOrElse("<in>"), args.out.getOrElse("<out>"))
+      val selected = Runner.order(pipes).filter(p =>
+        args.modules.contains("all") || args.modules.contains(p.module))
+      selected.foreach(p => println(s"${p.module}/${p.name}"))
+      return
+    }
+    val spark = GraftSession.local("graft-etl")
+    try {
+      val results = execute(args, spark)
+      results.foreach(r => println(f"${r.name}%-24s ${r.elapsedMs}%6d ms"))
+      println(s"ETL process completed successfully (${results.size} pipelines)")
+    } finally spark.stop()
+  }
+
+  /** The dispatch body, session-injected so tests (and embedding callers)
+    * reuse their own session instead of main()'s owned one. */
+  def execute(args: Args, spark: SparkSession): Seq[Runner.Result] = {
+    val in = args.in.getOrElse(throw new IllegalArgumentException("--in <dir> is required"))
+    val out = args.out.getOrElse(throw new IllegalArgumentException("--out <dir> is required"))
+    Runner.run(PipelineContext(spark), registry(in, out), args.modules)
+  }
+}

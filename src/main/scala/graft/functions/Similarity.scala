@@ -91,8 +91,23 @@ object Similarity {
     // skipped — hard-NEGATIVE mining for contrastive training: the most
     // similar vectors that are NOT of the query's class. Same broadcast
     // contract, same tie-break; the filter is a per-candidate long compare.
+    // The label must already be integral: a silent cast("long") of a
+    // string/decimal label would null out and then crash the primitive
+    // encoder at collect time with nothing naming the real problem. Null
+    // labels collapse to one "unlabeled" class (sentinel): unlabeled rows
+    // exclude each other, never a labeled row.
+    excludeSameLabel.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = vecs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"excludeSameLabel column '$c' must be an integral type, " +
+        s"got ${vecs.schema(c).dataType}")
+    }
     val labCol = excludeSameLabel
-      .map(c => col(c).cast("long")).getOrElse(lit(0L)).as("lab")
+      .map(c => coalesce(col(c).cast("long"), lit(Long.MinValue)))
+      .getOrElse(lit(0L)).as("lab")
     val prepped = vecs
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"), labCol)

@@ -50,6 +50,21 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Bounded registry of live bucketed caches. Each [[withRunningSum]] call
+    * persists its bucketed frame (see below — two consumers); without a
+    * release hook, repeated calls (Bench's warm+5 iterations of a22/t23/
+    * e29) would stack entries and lean on LRU eviction. Keeping the last
+    * `MaxLivePersists` and non-blocking-unpersisting the eldest bounds the
+    * footprint; an evicted frame that is re-executed later just recomputes
+    * its lineage — semantics are unaffected. */
+  private val MaxLivePersists = 4
+  private val livePersists = new java.util.ArrayDeque[DataFrame]
+  private def registerPersist(df: DataFrame): Unit = synchronized {
+    livePersists.addLast(df)
+    while (livePersists.size > MaxLivePersists)
+      livePersists.removeFirst().unpersist(blocking = false)
+  }
+
   /** Adds `out` = running sum of `value` over the global order
     * (`rangeCol` asc/desc, then `tieBreak`). Output column type matches
     * `sum(value)` widening (+1 decimal step for the cross-bucket add).
@@ -116,11 +131,13 @@ object PrefixSum {
     // collect below) and the final windowed query — without the cache the
     // whole input lineage would execute once per consumer. MEMORY_AND_DISK:
     // the frame is the caller's (usually pre-aggregated) input, and
-    // spilling beats recomputing a fact-scale lineage. The cache lives for
-    // the session (LRU-evicted); there is no post-execution hook to
-    // release it deterministically.
+    // spilling beats recomputing a fact-scale lineage. There is no
+    // post-execution hook to release it deterministically, so the bounded
+    // registry above retires the eldest cache once more than
+    // MaxLivePersists calls are live.
     val parted = df.withColumn(pid, pidExpr).repartition(col(pid))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerPersist(parted)
     val wLocal = Window.partitionBy(col(pid)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn(out, sum(value).over(wLocal))

@@ -32,6 +32,11 @@ object Selection {
       df: DataFrame, valueCol: String, k: Long,
       buckets: Int = 128, localLimit: Long = 100000L): Double = {
     require(k >= 1, s"rank k must be >= 1, got $k")
+    // The local resolve below does limit(rank.toInt); rank <= localLimit at
+    // that point, so bounding localLimit to Int range keeps the narrowing
+    // cast exact instead of letting an oversized argument wrap negative.
+    require(localLimit >= 1 && localLimit <= Int.MaxValue,
+      s"localLimit must be in [1, ${Int.MaxValue}], got $localLimit")
     var cur = df.select(col(valueCol).cast("double").as(valueCol))
     var rank = k
     var rows = -1L // unknown until first count

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.io.ObjectStore
-import graft.transforms.{Audit, EnumMap, Text}
+import graft.transforms.{Arrays, Audit, Casts, EnumMap, Text}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *  - resolutions — branch/union/split/side-effect/join-back/rename
   *    (`src/core.py:750-1046`), decomposed into [[resolutionBranches]],
   *    [[attachMapping]], and [[disambiguateNames]] so the object-store
-  *    side effect sits between plannable stages.
+  *    side effect sits between plannable stages;
+  *  - [[udoTypes]] — arrays + grouped-list bridges + PG text[] literals
+  *    (`src/core.py:1294-1455`), the full column list;
+  *  - [[users]] — alias hygiene (the reference's `CLIENTID_right`) +
+  *    provenance null-out (`src/core.py:1826-1900`), the full column list.
   */
 object CorePipelines {
 
@@ -174,6 +178,186 @@ object CorePipelines {
       .select((withA.columns.map(col) :+ col("objectKey").as("object_key")).toIndexedSeq: _*)
       .unionByName(withoutA)
     (merged, () => { mapping.unpersist(); () })
+  }
+
+  /** Oracle 'S'/'Y' char flag → boolean (`src/core.py:1251-1291` repeats
+    * this when/then ten times per table): lower(trim(c)) ∈ {s,y} → true,
+    * anything else INCLUDING null → false (the reference's `.otherwise(
+    * False)` swallows nulls too). */
+  private def ynFlag(c: Column): Column =
+    coalesce(Text.handleId(c).isin("s", "y"), lit(false))
+
+  /** Company-nature canonicalization (`src/core.py:1337-1350`): exact-match
+    * rewrite, unmapped values pass through VERBATIM (not a default). */
+  val companyNatureMapping: Map[String, String] = Map(
+    "AzSan" -> "AZIENDA_SANITARIA", "Pub" -> "PUBBLICO", "Pri" -> "PRIVATO")
+
+  /** `migrate_udo_types` (`src/core.py:1294-1455`) — the arrays +
+    * grouped-lists + bridge-join shape: a template dimension enriched
+    * through one direct bridge (scope) and two grouped-list bridges
+    * (company natures, ministerial flows), each list element-mapped, then
+    * the wide rename with PG text[] literals.
+    *
+    * Documented divergences from the reference, pinned in
+    * `ReferencePipelineSpec`:
+    *  - grouped lists are CANONICALIZED (`sort_array` on the joined name
+    *    before element mapping) — the reference inherits physical row
+    *    order, which a distributed shuffle does not preserve;
+    *  - `collect_list` drops null elements (an unmatched nature FK), which
+    *    matches what the reference LOADS: its PG-literal join also skips
+    *    `None` items (`src/core.py:1437,1445`), so the null only ever
+    *    existed between two intermediate stages there;
+    *  - ids/FKs normalize through [[Text.handleId]] on both bridge sides
+    *    (the FIXTURES.md §A dirty-id convention every pipeline here uses).
+    *
+    * All five right sides are dimension/bridge-scale → broadcast; the only
+    * shuffles are the two grouped-list aggregations, each keyed on the
+    * 36-byte template id. */
+  def udoTypes(
+      tipoUdo22: DataFrame, bindAmbito: DataFrame, ambito: DataFrame,
+      bindNatura: DataFrame, natura: DataFrame,
+      bindFlusso: DataFrame, flusso: DataFrame, loadTime: Column): DataFrame = {
+    val tipo = tipoUdo22.select(
+      Seq(
+        Text.handleId(col("CLIENTID")).as("tipo_id"),
+        Text.handleText(col("DESCR")).as("name"),
+        trim(col("CODICE_UDO")).as("code"),
+        trim(col("NOME_CODICE_UDO")).as("code_name"),
+        trim(col("SETTING")).as("setting"),
+        trim(col("TARGET")).as("target"),
+        Text.handleId(col("ID_CLASSIFICAZIONE_UDO_FK")).as("udo_type_classification_id"),
+        ynFlag(col("OSPEDALIERO")).as("is_hospital"),
+        ynFlag(col("SALUTE_MENTALE")).as("is_mental_health"),
+        ynFlag(col("POSTI_LETTO")).as("has_beds")) ++ auditCols(loadTime): _*)
+    val amb = ambito.select(
+      Text.handleId(col("CLIENTID")).as("amb_id"),
+      Text.handleText(col("NOME")).as("scope_name"),
+      Text.handleText(col("DESCR")).as("scope_description"),
+      ynFlag(col("AGGIUNGI_DISCIPLINE")).as("has_disciplines"),
+      ynFlag(col("AGGIUNGI_DISCIPLINE_AZ_SAN")).as("has_disciplines_only_healthcare_company"),
+      ynFlag(col("AGGIUNGI_DISCIPLINE_PUB_PRIV")).as("has_disciplines_only_public_or_private_company"),
+      ynFlag(col("AGGIUNGI_BRANCHE")).as("has_branches"),
+      ynFlag(col("AGGIUNGI_BRANCHE_AZ_SAN")).as("has_branches_only_healthcare_company"),
+      ynFlag(col("AGGIUNGI_BRANCHE_PUB_PRIV")).as("has_branches_only_public_or_private_company"),
+      ynFlag(col("AGGIUNGI_PRESTAZIONI")).as("has_services"),
+      ynFlag(col("AGGIUNGI_AMBITO")).as("has_scopes"))
+    val bindA = bindAmbito.select(
+      Text.handleId(col("ID_TIPO_22_FK")).as("ba_tipo"),
+      Text.handleId(col("ID_AMBITO_FK")).as("ba_amb"))
+    val natures = bindNatura
+      .join(broadcast(natura.select(
+        Text.handleId(col("CLIENTID")).as("n_id"),
+        Text.handleText(col("NOME")).as("n_nome"))),
+        Text.handleId(col("ID_NATURA_FK")) === col("n_id"), "left")
+      .groupBy(Text.handleId(col("ID_TIPO_UDO_22_FK")).as("bn_tipo"))
+      .agg(sort_array(collect_list(col("n_nome"))).as("nature_raw"))
+      .select(col("bn_tipo"),
+        Arrays.transformElements(col("nature_raw"), x =>
+          coalesce(element_at(typedLit(companyNatureMapping), x), x))
+          .as("company_natures"))
+    val flows = bindFlusso
+      .join(broadcast(flusso.select(
+        Text.handleId(col("CLIENTID")).as("f_id"),
+        Text.handleText(col("NOME")).as("f_nome"))),
+        Text.handleId(col("ID_FLUSSO_FK")) === col("f_id"), "left")
+      .groupBy(Text.handleId(col("ID_TIPO_UDO_22_FK")).as("bf_tipo"))
+      .agg(sort_array(collect_list(col("f_nome"))).as("flow_raw"))
+      .select(col("bf_tipo"),
+        Arrays.elementCleanup(col("flow_raw")).as("ministerial_flows"))
+    tipo
+      .join(broadcast(bindA), col("tipo_id") === col("ba_tipo"), "left")
+      .join(broadcast(amb), col("ba_amb") === col("amb_id"), "left")
+      .join(broadcast(natures), col("tipo_id") === col("bn_tipo"), "left")
+      .join(broadcast(flows), col("tipo_id") === col("bf_tipo"), "left")
+      .filter(Text.notNullNotEmpty(col("scope_name")))
+      .select(
+        col("tipo_id").as("id"), col("name"), col("code"), col("code_name"),
+        col("setting"), col("target"), col("udo_type_classification_id"),
+        col("is_hospital"), col("is_mental_health"), col("has_beds"),
+        col("scope_name"), col("scope_description"),
+        col("has_disciplines"),
+        col("has_disciplines_only_healthcare_company"),
+        col("has_disciplines_only_public_or_private_company"),
+        col("has_branches"),
+        col("has_branches_only_healthcare_company"),
+        col("has_branches_only_public_or_private_company"),
+        col("has_services"), col("has_scopes"),
+        Arrays.toPgTextArrayLiteral(Arrays.nullToEmpty(col("company_natures")))
+          .as("company_natures"),
+        Arrays.toPgTextArrayLiteral(Arrays.nullToEmpty(col("ministerial_flows")))
+          .as("ministerial_flows"),
+        col("disabled_at"), col("created_at"), col("updated_at"))
+  }
+
+  /** User-role enum (`src/core.py:1807-1810`); unmapped AND null both fall
+    * back to OPERATOR (the reference spells that as default= plus an extra
+    * `.fill_null`, `src/core.py:1863-1868` — one coalesce covers both). */
+  val userRoleMapping: Map[String, String] = Map(
+    "region" -> "REGIONAL_OPERATOR", "amministratore" -> "ADMIN")
+
+  /** `migrate_users` (`src/core.py:1826-1900`) — the alias-hygiene +
+    * provenance-null-out shape.
+    *
+    * The reference joins UTENTE_MODEL into the anagrafica side and then
+    * consumes the collision-suffixed hidden column `CLIENTID_right` for
+    * the target id — its own code carries a TODO admitting the hazard
+    * (`src/core.py:1858-1862`). Here every utente-side column is aliased
+    * BEFORE the join (J12 alias hygiene), so `id` visibly sources from
+    * UTENTE_MODEL and no suffix magic exists to consume. Audit columns
+    * source from the anagrafica side (the reference's unsuffixed
+    * `CREATION`/`LAST_MOD` resolve to the join's left frame); disabled_at
+    * is the DIRECT timestamp `DATA_DISABILITATO` from the utente side,
+    * passed through VERBATIM — the reference's direct_disabled_col path
+    * applies no Rome→UTC normalization (`src/utils.py:384-386`).
+    *
+    * The ORGANIGRAMMA_TREE provenance null-out (P28) runs BEFORE the
+    * operational-unit join, so a tree-sourced uo FK never matches. Both
+    * right sides (municipalities, uo) broadcast. */
+  def users(
+      utente: DataFrame, anagrafica: DataFrame, uo: DataFrame,
+      municipalities: DataFrame, loadTime: Column): DataFrame = {
+    val ut = utente.select(
+      Text.handleId(col("CLIENTID")).as("user_id"),
+      Text.handleId(col("ID_ANAGR_FK")).as("anagr_fk"),
+      Text.handleText(col("USERNAME_CAS")).as("username"),
+      EnumMap.handleEnumMapping(col("RUOLO"), userRoleMapping, "OPERATOR").as("role"),
+      when(trim(col("PROVENIENZA_UO")) === "ORGANIGRAMMA_TREE", lit(null))
+        .otherwise(trim(col("ID_UO"))).as("uo_fk"),
+      col("DATA_DISABILITATO").as("disabled_at"))
+    val mun = municipalities.select(
+      trim(col("istat_code")).as("mun_istat"),
+      col("name").as("birth_place"))
+    val uoTr = uo.select(
+      Text.handleId(col("CLIENTID")).as("operational_unit_id"),
+      trim(col("ID_UO")).as("uo_id"))
+    anagrafica
+      .join(broadcast(mun), trim(col("COD_LUOGO_NASCITA")) === col("mun_istat"), "left")
+      .join(broadcast(ut), Text.handleId(col("CLIENTID")) === col("anagr_fk"), "left")
+      .select(
+        Seq(
+          col("user_id").as("id"),
+          col("username"),
+          col("role"),
+          Text.handleText(col("NOME")).as("first_name"),
+          Text.handleText(col("COGNOME")).as("last_name"),
+          Text.handleText(col("CFISC")).as("tax_code"),
+          coalesce(Text.handleText(col("EMAIL")), lit("-")).as("email"),
+          Casts.handleDatetime(col("DATA_NASCITA")).as("birth_date"),
+          Text.handleText(col("VIA_PIAZZA")).as("street_name"),
+          Text.handleText(col("CIVICO")).as("street_number"),
+          Text.handleText(col("TELEFONO")).as("phone"),
+          Text.handleText(col("CELLULARE")).as("mobile_phone"),
+          Text.handleText(col("CARTA_IDENT_NUM")).as("identity_doc_number"),
+          Casts.handleDatetime(col("CARTA_IDENT_SCAD")).as("identity_doc_expiry_date"),
+          Text.handleText(col("PROFESSIONE")).as("job"),
+          col("birth_place"),
+          col("uo_fk"),
+          col("disabled_at"),
+          Audit.handleCreatedAt(Audit.romeToUtc(col("CREATION")), loadTime).as("created_at"),
+          Audit.handleUpdatedAt(Audit.romeToUtc(col("LAST_MOD")),
+            Audit.romeToUtc(col("CREATION")), loadTime).as("updated_at")): _*)
+      .join(broadcast(uoTr), col("uo_fk") === col("uo_id"), "left")
+      .drop("uo_fk", "uo_id")
   }
 
   /** Resolutions step 3 (`src/core.py:1022-1043`): duplicate-name

@@ -53,6 +53,17 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
 
+  /** Upper bound on buckets one interval may explode to. A bucketWidth far
+    * below the widest interval would otherwise generate floor(hi/w) -
+    * floor(lo/w) + 1 elements per row — past ~2^31 Sequence throws, and
+    * executor memory dies long before — so a misconfigured opt-in would
+    * turn a slow-but-working nested-loop join into a failing one with an
+    * opaque error. The guard raises a named, actionable error instead; no
+    * silent fallback, because dropping the rewrite mid-query would hide
+    * the misconfiguration the error is pointing at. */
+  val MaxBucketsConf = "spark.graft.rangeJoin.maxBucketsPerInterval"
+  val MaxBucketsDefault = 1000000L
+
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
@@ -132,13 +143,26 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
       w: Double): (Generate, AttributeReference) = {
     val startB = bucketOf(start, w)
     val stopB = bucketOf(end, w)
+    val maxBuckets =
+      try Option(SQLConf.get.getConfString(MaxBucketsConf, "")).filter(_.nonEmpty)
+        .map(_.toLong).filter(_ > 0).getOrElse(MaxBucketsDefault)
+      catch { case _: NumberFormatException => MaxBucketsDefault }
+    val arrTy = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    val spanLen = Add(Subtract(stopB, startB), Literal(1L, LongType))
+    val tooWide = Cast(RaiseError(Concat(Seq(
+      Literal(s"graft bucketed range join: an interval spans "),
+      Cast(spanLen, org.apache.spark.sql.types.StringType),
+      Literal(s" buckets (> $MaxBucketsConf=$maxBuckets); raise " +
+        s"$WidthConf toward the typical interval width or unset it to " +
+        "disable the rewrite")))), arrTy)
     val span = If(
       LessThanOrEqual(startB, stopB),
-      new Sequence(startB, stopB,
-        Some(Literal(1L, LongType)),
-        Some(SQLConf.get.sessionLocalTimeZone)),
-      Literal.create(Array.empty[Long],
-        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
+      If(LessThanOrEqual(spanLen, Literal(maxBuckets, LongType)),
+        new Sequence(startB, stopB,
+          Some(Literal(1L, LongType)),
+          Some(SQLConf.get.sessionLocalTimeZone)),
+        tooWide),
+      Literal.create(Array.empty[Long], arrTy))
     val bucketAttr = AttributeReference("__bucket", LongType, nullable = false)()
     (Generate(Explode(span), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(bucketAttr), child), bucketAttr)

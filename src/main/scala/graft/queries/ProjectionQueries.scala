@@ -263,16 +263,22 @@ object ProjectionQueries {
     // P30: array set algebra — intersect/except/sort over per-doc distinct
     // token sets vs a literal vocabulary. Both engines' intersect leaves
     // element ORDER unspecified, so every emitted array goes through an
-    // explicit sort (ASCII corpus → identical binary collation). All
-    // codegen'd array expressions, no explode: the row count never
-    // changes, so there is no shuffle at all.
+    // explicit sort (ASCII corpus → identical binary collation), then is
+    // SERIALIZED to a comma-joined string: the correctness harness
+    // canonicalizes frames through pandas, which cannot hash array cells
+    // (same boundary as the p24 gate). Elements come from the 5-word
+    // stopword vocabulary, so ',' is delimiter-safe. Empty intersect is ''
+    // on both sides (DuckDB array_to_string([]) is NULL → coalesce; Spark
+    // concat_ws never returns NULL). All codegen'd array
+    // expressions, no explode: the row count never changes, so there is
+    // no shuffle at all.
     QueryDef.sql(
       "p30_array_set_ops",
       """WITH t AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS ts
         |  FROM documents)
         |SELECT doc_id,
-        |  list_sort(list_intersect(ts, ['the','a','of','and','is'])) AS stop_hits,
+        |  coalesce(array_to_string(list_sort(list_intersect(ts, ['the','a','of','and','is'])), ','), '') AS stop_hits,
         |  CAST(len(ts) AS INT) AS n_unique,
         |  CAST(len(list_filter(ts, x -> NOT x IN ('the','a','of','and','is'))) AS INT) AS n_nonstop
         |FROM t""".stripMargin) { (spark, dir) =>
@@ -282,7 +288,7 @@ object ProjectionQueries {
           array_distinct(filter(graft.functions.TextTokens.tokens(col("text")),
             t => t =!= "")).as("ts"))
         .select(col("doc_id"),
-          array_sort(array_intersect(col("ts"), stops)).as("stop_hits"),
+          concat_ws(",", array_sort(array_intersect(col("ts"), stops))).as("stop_hits"),
           size(col("ts")).as("n_unique"),
           size(array_except(col("ts"), stops)).as("n_nonstop"))
     })

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** CLI smoke (reference `main.py:26-45`): arg parsing, module dispatch over
+  * the DAG runner, and one end-to-end run of the bundled parquet-seam
+  * registry against Oracle-shaped fixtures — every target table lands. */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseArgs: defaults, module lists, unknown flags/modules fail fast") {
+    val known = Set("core", "poa", "cronos", "auac")
+    assert(Main.parseArgs(Array.empty, known).modules == Set("all"))
+    assert(Main.parseArgs(Array("--modules", "Core, AUAC"), known).modules ==
+      Set("core", "auac"), "lowercased + trimmed, like the reference")
+    assert(Main.parseArgs(Array("--list"), known).list)
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--modules", "nope"), known))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--frobnicate"), known))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--modules"), known))
+  }
+
+  test("registry order is a valid topological order with users after companies") {
+    val names = graft.pipeline.Runner.order(Main.registry("/in", "/out")).map(_.name)
+    assert(names.toSet == Set("toponyms", "companies", "resolutions", "udo_types", "users"))
+    assert(names.indexOf("companies") < names.indexOf("users"))
+  }
+
+  test("end-to-end dispatch: all five pipelines run off parquet fixtures") {
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val in = java.nio.file.Files.createTempDirectory("graft-cli-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cli-out").toString
+    def put(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$in/$name.parquet")
+
+    put("toponimo_templ", Seq(("T1", "Via Roma", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "CREATION", "LAST_MOD", "DISABLED"))
+    put("titolare_model", Seq(
+      ("C1", "Osp. Alfa", "Alfa srl", "spa", "CF1", "IVA1", "TR1", "N1", "027042", t0, t0, "N"))
+      .toDF("CLIENTID", "DENOMINAZIONE", "RAG_SOC", "FORMA_SOCIETARIA", "CFISC",
+        "PIVA", "ID_TIPO_RICH_FK", "ID_NATURA_FK", "COD_COMUNE_ESTESO",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("tipologia_richiedente", Seq(("tr1", "Pubblico")).toDF("CLIENTID", "NOME"))
+    put("natura_titolare_templ", Seq(("n1", "AzSan")).toDF("CLIENTID", "NOME"))
+    put("municipalities", Seq(("027042", 42L, "Venezia")).toDF("istat_code", "id", "name"))
+    put("delibera_templ", Seq(
+      ("D1", "Delibera annuale", "TD1", "payload-1".getBytes, t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "ID_TIPO_FK", "ALLEGATO", "CREATION", "LAST_MOD", "DISABLED"))
+    put("tipo_delibera", Seq(("td1", "Del. Tipo A")).toDF("CLIENTID", "NOME"))
+    put("atto_model", spark.createDataFrame(
+      java.util.Arrays.asList(Row("A1", "2024", "7", "TA1", t0, t0, "N")),
+      StructType(Seq(
+        StructField("CLIENTID", StringType), StructField("ANNO", StringType),
+        StructField("NUMERO", StringType), StructField("ID_TIPO_FK", StringType),
+        StructField("CREATION", TimestampType), StructField("LAST_MOD", TimestampType),
+        StructField("DISABLED", StringType)))))
+    put("tipo_atto", Seq(("ta1", "Atto Tipo B")).toDF("CLIENTID", "DESCR"))
+    put("tipo_udo_22_templ", Seq(
+      ("T1", "Tipo Uno", "C1", "NC1", "SET", "TGT", "K1", "S", "N", "Y", t0, t0, "N"))
+      .toDF("CLIENTID", "DESCR", "CODICE_UDO", "NOME_CODICE_UDO", "SETTING",
+        "TARGET", "ID_CLASSIFICAZIONE_UDO_FK", "OSPEDALIERO", "SALUTE_MENTALE",
+        "POSTI_LETTO", "CREATION", "LAST_MOD", "DISABLED"))
+    put("bind_tipo_22_ambito", Seq(("T1", "A1")).toDF("ID_TIPO_22_FK", "ID_AMBITO_FK"))
+    put("ambito_templ", Seq(
+      ("a1", "Ambito Uno", "Descr", "S", "N", "N", "N", "N", "N", "N", "N"))
+      .toDF("CLIENTID", "NOME", "DESCR", "AGGIUNGI_DISCIPLINE",
+        "AGGIUNGI_DISCIPLINE_AZ_SAN", "AGGIUNGI_DISCIPLINE_PUB_PRIV",
+        "AGGIUNGI_BRANCHE", "AGGIUNGI_BRANCHE_AZ_SAN", "AGGIUNGI_BRANCHE_PUB_PRIV",
+        "AGGIUNGI_PRESTAZIONI", "AGGIUNGI_AMBITO"))
+    put("bind_tipo_22_natura", Seq(("T1", "N1")).toDF("ID_TIPO_UDO_22_FK", "ID_NATURA_FK"))
+    put("bind_tipo_22_flusso", Seq(("T1", "F1")).toDF("ID_TIPO_UDO_22_FK", "ID_FLUSSO_FK"))
+    put("flusso_templ", Seq(("f1", "FLS 21")).toDF("CLIENTID", "NOME"))
+    put("utente_model", spark.createDataFrame(
+      java.util.Arrays.asList(Row("U1", "AN1", "mrossi", "region", "MANUALE", "UO-7", null)),
+      StructType(Seq(
+        StructField("CLIENTID", StringType), StructField("ID_ANAGR_FK", StringType),
+        StructField("USERNAME_CAS", StringType), StructField("RUOLO", StringType),
+        StructField("PROVENIENZA_UO", StringType), StructField("ID_UO", StringType),
+        StructField("DATA_DISABILITATO", TimestampType)))))
+    put("anagrafica_utente_model", Seq(
+      ("AN1", "Mario", "Rossi", "CF-M", "m@x.it", "1980-01-02", "Via A", "3",
+        "041", "333", "ID1", "2030-01-01", "Medico", "027042", t0, t0))
+      .toDF("CLIENTID", "NOME", "COGNOME", "CFISC", "EMAIL", "DATA_NASCITA",
+        "VIA_PIAZZA", "CIVICO", "TELEFONO", "CELLULARE", "CARTA_IDENT_NUM",
+        "CARTA_IDENT_SCAD", "PROFESSIONE", "COD_LUOGO_NASCITA", "CREATION", "LAST_MOD"))
+    put("uo_model", Seq(("OU7", "UO-7")).toDF("CLIENTID", "ID_UO"))
+
+    val results = Main.execute(
+      Main.Args(Set("all"), list = false, Some(in), Some(out)), spark)
+    assert(results.map(_.name).toSet ==
+      Set("toponyms", "companies", "resolutions", "udo_types", "users"))
+
+    def readOut(t: String) = spark.read.parquet(s"$out/$t.parquet")
+    assert(readOut("toponyms").count() == 1)
+    assert(readOut("companies").head().getAs[String]("company_form") == "SPA")
+    val res = readOut("resolutions")
+    assert(res.count() == 2, "delibera + atto branches")
+    assert(res.filter(col("object_key").isNotNull).count() == 1,
+      "the delibera's attachment uploaded")
+    val udo = readOut("udo_types").head()
+    assert(udo.getAs[String]("ministerial_flows") == "{\"FLS_21\"}")
+    assert(readOut("users").head().getAs[String]("role") == "REGIONAL_OPERATOR")
+  }
+}

@@ -90,7 +90,18 @@ def main(sf_dir, out_dir):
         type_diff = {c: (want_types.get(c), got_types.get(c))
                      for c in set(want_types) | set(got_types)
                      if want_types.get(c) != got_types.get(c)}
-        if want_cols != got_cols:
+        # The driver canonicalizes frames through pandas sort_values, which
+        # CRASHES on array/struct/map cells ("unhashable type: numpy.ndarray",
+        # the round-6 p30 defect). The mirror must be strictly stricter than
+        # the driver, so any complex-typed output column is a hard fail here:
+        # serialize it (concat_ws/array_to_string) before gating the query.
+        complex_cols = {c: t for src in (want_types, got_types)
+                        for c, t in src.items()
+                        if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY", "UNION"))}
+        if complex_cols:
+            results[name] = (f"COMPLEX-TYPE driver cannot hash {complex_cols} — "
+                             "serialize to string on both engines")
+        elif want_cols != got_cols:
             results[name] = f"SCHEMA want={want_cols} got={got_cols}"
         elif type_diff:
             results[name] = f"TYPES oracle-vs-spark diff {type_diff}"
