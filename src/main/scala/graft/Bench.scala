@@ -77,7 +77,7 @@ object Bench {
       "\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
     val failed = results.count(!_._5)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"min":$minjson,"max":$maxjson,"iters":$Iters,"status":$sjson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"min":$minjson,"max":$maxjson,"iters":$Iters,"status":$sjson,"failed":$failed,"sf":"$sfDir","note":"headline set widened in r7 (+d22,d4,d21,a23,e13); compare per-query medians, not totals, across rounds"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.engine.GraftSession
 import graft.io.ObjectStore
 import graft.pipeline.{Pipeline, PipelineContext, Runner}
-import graft.pipelines.CorePipelines
+import graft.pipelines.{CorePipelines, ServicePipelines}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,42 @@ object Main {
             src(ctx.spark, "natura_titolare_templ"),
             src(ctx.spark, "bind_tipo_22_flusso"),
             src(ctx.spark, "flusso_templ"), load), "udo_types")
+      },
+      new Pipeline {
+        val name = "specialties"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.specialties(
+            src(ctx.spark, "disciplina_templ"),
+            src(ctx.spark, "branca_templ"),
+            src(ctx.spark, "artic_branca_altro_templ"), load), "specialties")
+      },
+      new Pipeline {
+        val name = "requirements"
+        override val module = "auac"
+        // requirement_taxonomies is a previously-migrated PG table in the
+        // reference (src/auac.py:150); the parquet seam reads it as a
+        // seed input alongside the Oracle-shaped tables.
+        def run(ctx: PipelineContext): Unit = sink(
+          ServicePipelines.requirements(
+            src(ctx.spark, "requisito_templ"),
+            src(ctx.spark, "tipo_risposta"),
+            src(ctx.spark, "requirement_taxonomies"), load), "requirements")
+      },
+      new Pipeline {
+        val name = "procedures"
+        override val module = "auac"
+        def run(ctx: PipelineContext): Unit = sink(
+          ServicePipelines.procedures(
+            src(ctx.spark, "domanda_inst"),
+            src(ctx.spark, "tipo_proc_templ"), load), "procedures")
+      },
+      new Pipeline {
+        val name = "healthcare_companies"
+        override val module = "cronos"
+        def run(ctx: PipelineContext): Unit = sink(
+          ServicePipelines.healthcareCompanies(
+            src(ctx.spark, "azienda_sanitaria"),
+            src(ctx.spark, "ulss")), "healthcare_companies")
       },
       new Pipeline {
         val name = "users"

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape per round: one edge-keyed join to ship ranks to destinations
   * (the only fact-scale shuffle), a groupBy(dst) with map-side partial sums,
-  * and two 1-row aggregates (dangling mass, node count) broadcast back.
+  * and a 1-row dangling-mass aggregate whose scalar folds into the next
+  * round's expression driver-side (like the vertex count — a bounded
+  * build value, not a data collect).
   * Rounds are synchronous and the iteration count is fixed by the caller —
   * the classic bounded-round formulation (Page et al. 1999; the
   * Spark-idiomatic loop mirrors GraphX's staticPageRank contract without
@@ -60,20 +62,28 @@ object PageRank {
     r.count()
 
     for (_ <- 1 to iters) {
-      // Dangling mass: ranks of vertices with no out-edges (1-row aggregate).
+      // Dangling mass: ranks of vertices with no out-edges. A 1-row
+      // aggregate pulled DRIVER-SIDE (same bounded contract as the vertex
+      // count above) and folded into the next round's expression as a
+      // literal. The previous formulation shipped it back as
+      // crossJoin(broadcast(aggregate)) — semantically identical, but the
+      // per-round BroadcastExchange + nested-loop stage cost ~6s/round at
+      // local[32] (measured; ~85% of d21's bench time) for a value the
+      // driver already has to wait on anyway.
       val dang = r.join(deg, r("v") === deg("src"), "left")
         .filter(col("src").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        .head().getLong(0)
       // Each vertex ships r div deg along every out-edge; sum at the dst.
       val contrib = e.join(r, col("src") === col("v"))
         .join(deg, "src")
         .selectExpr("dst", "r div deg AS share")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      val next = vs.crossJoin(broadcast(dang))
+      val next = vs
         .join(contrib, col("v") === col("dst"), "left")
         .selectExpr("v",
           s"(($Scale * 15) div 100) div ${n}L + " +
-            s"(85 * (coalesce(contrib, 0) + dang div ${n}L)) div 100 AS r")
+            s"(85 * (coalesce(contrib, 0) + ${dang}L div ${n}L)) div 100 AS r")
         .persist()
       next.count()
       r.unpersist()

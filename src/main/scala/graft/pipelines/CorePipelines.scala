@@ -289,6 +289,85 @@ object CorePipelines {
         col("disabled_at"), col("created_at"), col("updated_at"))
   }
 
+  /** Specialty-type enum (`src/core.py:537-543`); no default — unmapped
+    * and null both stay null (the reference's mapping-without-default). */
+  val specialtyTypeMapping: Map[String, String] = Map(
+    "alt" -> "ALTRO", "ter" -> "TERRITORIALE", "terr" -> "TERRITORIALE",
+    "nonosp" -> "NON_OSPEDALIERO", "osp" -> "OSPEDALIERO")
+
+  /** `migrate_specialties` (`src/core.py:594-693`) — the three-branch
+    * diagonal-union shape with a driver-side scalar guard:
+    *
+    *  1. every branch row (including the ALTRO one) becomes a BRANCH
+    *     record (the reference's `_not_altro_tr` name is a misnomer — it
+    *     never filters, `src/core.py:614`);
+    *  2. the single branch flagged IS_ALTRO='S' is the parent for all
+    *     "other articulation" records — a 1-row scalar pulled driver-side
+    *     under a cardinality guard exactly like the reference's
+    *     `height != 1` raise (`src/core.py:634-639`; A5 + F5 pattern,
+    *     bounded by construction);
+    *  3. disciplines carry the enum-typed `type` and their own flags.
+    *
+    * All three legs project to the SAME target column list, so the
+    * diagonal-relaxed concat degrades to a plain unionByName here. */
+  def specialties(
+      disciplina: DataFrame, branca: DataFrame, articBrancaAltro: DataFrame,
+      loadTime: Column): DataFrame = {
+    val nullStr = lit(null).cast("string")
+    val nullInt = lit(null).cast("int")
+    val branches = branca.select(
+      Seq(
+        Text.handleId(col("CLIENTID")).as("id"),
+        Text.handleText(col("NOME")).as("name"),
+        nullInt.as("sort_order"),
+        coalesce(Text.handleText(col("DESCR")), lit("-")).as("description"),
+        lit("BRANCH").as("record_type"),
+        nullStr.as("type"),
+        trim(col("CODICE")).as("code"),
+        coalesce(col("PROGRAMMAZIONE") === 1, lit(false)).as("is_used_in_cronos"),
+        lit(true).as("is_used_in_poa"),
+        nullStr.as("grouping_specialty_id"),
+        trim(col("ID_BRANCA").cast("string")).as("old_id"),
+        nullStr.as("parent_specialty_id")) ++ auditCols(loadTime): _*)
+    // The scalar guard: exactly ONE branch may be flagged ALTRO. collect()
+    // here is bounded by that same contract (≤ a handful of rows even when
+    // the invariant is violated — the take(2) caps it).
+    val altro = branca.filter(Text.handleId(col("IS_ALTRO")) === "s")
+      .select(Text.handleId(col("CLIENTID"))).take(2)
+    require(altro.length == 1,
+      s"found ${altro.length} branches marked ALTRO; exactly 1 expected")
+    val parentId = altro(0).getString(0)
+    val artic = articBrancaAltro.select(
+      Seq(
+        Text.handleId(col("CLIENTID")).as("id"),
+        coalesce(Text.handleText(col("DESCR")), lit("-")).as("name"),
+        nullInt.as("sort_order"),
+        Text.handleText(col("SETTING_BRANCA")).as("description"),
+        lit("BRANCH").as("record_type"),
+        nullStr.as("type"),
+        coalesce(Text.handleText(col("DESCR")), lit("-")).as("code"),
+        lit(true).as("is_used_in_cronos"),
+        lit(true).as("is_used_in_poa"),
+        nullStr.as("grouping_specialty_id"),
+        nullStr.as("old_id"),
+        lit(parentId).as("parent_specialty_id")) ++ auditCols(loadTime): _*)
+    val disciplines = disciplina.select(
+      Seq(
+        Text.handleId(col("CLIENTID")).as("id"),
+        Text.handleText(col("NOME")).as("name"),
+        col("ORDINE").cast("int").as("sort_order"),
+        Text.handleText(col("DESCR")).as("description"),
+        lit("DISCIPLINE").as("record_type"),
+        EnumMap.handleEnumMappingOrNull(col("TIPO"), specialtyTypeMapping).as("type"),
+        trim(col("CODICE")).as("code"),
+        coalesce(col("PROGRAMMAZIONE") === 1, lit(false)).as("is_used_in_cronos"),
+        coalesce(col("POA") === 1, lit(false)).as("is_used_in_poa"),
+        Text.handleId(col("ID_RAGG_DISCIPL_TEMPL_FK")).as("grouping_specialty_id"),
+        trim(col("ID_DISCIPLINA").cast("string")).as("old_id"),
+        nullStr.as("parent_specialty_id")) ++ auditCols(loadTime): _*)
+    branches.unionByName(artic).unionByName(disciplines)
+  }
+
   /** User-role enum (`src/core.py:1807-1810`); unmapped AND null both fall
     * back to OPERATOR (the reference spells that as default= plus an extra
     * `.fill_null`, `src/core.py:1863-1868` — one coalesce covers both). */

@@ -25,9 +25,14 @@ class MainSpec extends AnyFunSuite {
   }
 
   test("registry order is a valid topological order with users after companies") {
-    val names = graft.pipeline.Runner.order(Main.registry("/in", "/out")).map(_.name)
-    assert(names.toSet == Set("toponyms", "companies", "resolutions", "udo_types", "users"))
+    val pipes = graft.pipeline.Runner.order(Main.registry("/in", "/out"))
+    val names = pipes.map(_.name)
+    assert(names.toSet == Set("toponyms", "companies", "resolutions", "udo_types",
+      "specialties", "users", "requirements", "procedures", "healthcare_companies"))
     assert(names.indexOf("companies") < names.indexOf("users"))
+    assert(pipes.filter(_.module == "auac").map(_.name).toSet ==
+      Set("requirements", "procedures"))
+    assert(pipes.filter(_.module == "cronos").map(_.name) == Seq("healthcare_companies"))
   }
 
   test("end-to-end dispatch: all five pipelines run off parquet fixtures") {
@@ -88,11 +93,43 @@ class MainSpec extends AnyFunSuite {
         "VIA_PIAZZA", "CIVICO", "TELEFONO", "CELLULARE", "CARTA_IDENT_NUM",
         "CARTA_IDENT_SCAD", "PROFESSIONE", "COD_LUOGO_NASCITA", "CREATION", "LAST_MOD"))
     put("uo_model", Seq(("OU7", "UO-7")).toDF("CLIENTID", "ID_UO"))
+    put("disciplina_templ", Seq(
+      ("D1", "Chirurgia", 3, "dd", "Osp", "C10", 1, 0, "RG1", "77", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "ORDINE", "DESCR", "TIPO", "CODICE",
+        "PROGRAMMAZIONE", "POA", "ID_RAGG_DISCIPL_TEMPL_FK", "ID_DISCIPLINA",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("branca_templ", Seq(
+      ("B1", "Cardiologia", "d", "C01", 1, "10", "N", t0, t0, "N"),
+      ("B2", "Altro", "d", "C99", 0, "99", "S", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "DESCR", "CODICE", "PROGRAMMAZIONE",
+        "ID_BRANCA", "IS_ALTRO", "CREATION", "LAST_MOD", "DISABLED"))
+    put("artic_branca_altro_templ", Seq(("A1", "Artic", "S1", t0, t0, "N"))
+      .toDF("CLIENTID", "DESCR", "SETTING_BRANCA", "CREATION", "LAST_MOD", "DISABLED"))
+    put("requisito_templ", Seq(
+      ("Q1", "Req", "testo", "note", "S", "N", "S", "Generale", "TG1", "TS1", "R1", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "TESTO", "ANNOTATIONS", "VALIDATO", "ANNULLATO",
+        "IRRINUNCIABILE", "TIPO", "ID_TIPO_REQUISITO_FK",
+        "ID_TIPO_SPECIFICO_REQUISITO_FK", "ID_TIPO_RISPOSTA_FK",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("tipo_risposta", Seq(("R1", "Si/No")).toDF("CLIENTID", "NOME"))
+    put("requirement_taxonomies", Seq((9L, "-")).toDF("id", "name"))
+    put("domanda_inst", Seq(
+      ("P1", "D-1", "CU-1", "CO1", "TP1", "IN CORSO", t0, 30, 60, "N-1", t0, t0))
+      .toDF("CLIENTID", "ID_DOMANDA", "CODICE_UNIVOCO_NRECORD", "ID_TITOLARE_FK",
+        "ID_TIPO_PROC_FK", "STATO", "DATA_CONCLUSIONE", "DURATA_PROCEDIMENTO",
+        "MASSIMA_DURATA_PROCEDIMENTO", "NUMERO_PROCEDIMENTO", "CREATION", "LAST_MOD")
+      .withColumn("DATA_INVIO_DOMANDA", col("CREATION"))
+      .withColumn("DATA_SCADENZA", col("CREATION")))
+    put("tipo_proc_templ", Seq(("TP1", "Autorizzazione")).toDF("CLIENTID", "DESCR"))
+    put("azienda_sanitaria", Seq(("HC1", "501", "ULSS Prima"))
+      .toDF("CLIENTID", "CODICE", "DESCRIZIONE"))
+    put("ulss", Seq((7L, "501")).toDF("id", "code"))
 
     val results = Main.execute(
       Main.Args(Set("all"), list = false, Some(in), Some(out)), spark)
     assert(results.map(_.name).toSet ==
-      Set("toponyms", "companies", "resolutions", "udo_types", "users"))
+      Set("toponyms", "companies", "resolutions", "udo_types", "specialties",
+        "users", "requirements", "procedures", "healthcare_companies"))
 
     def readOut(t: String) = spark.read.parquet(s"$out/$t.parquet")
     assert(readOut("toponyms").count() == 1)
@@ -104,5 +141,14 @@ class MainSpec extends AnyFunSuite {
     val udo = readOut("udo_types").head()
     assert(udo.getAs[String]("ministerial_flows") == "{\"FLS_21\"}")
     assert(readOut("users").head().getAs[String]("role") == "REGIONAL_OPERATOR")
+    assert(readOut("specialties").count() == 4, "2 branches + 1 artic + 1 discipline")
+    assert(readOut("requirements").head().getAs[String]("response_type") == "SI_NO")
+    assert(readOut("procedures").head().getAs[String]("procedure_type") == "AUTORIZZAZIONE")
+    assert(readOut("healthcare_companies").head().getAs[Long]("ulss_id") == 7L)
+
+    // module dispatch: auac alone runs exactly its two pipelines
+    val auacOnly = Main.execute(
+      Main.Args(Set("auac"), list = false, Some(in), Some(out)), spark)
+    assert(auacOnly.map(_.name).toSet == Set("requirements", "procedures"))
   }
 }

@@ -46,6 +46,12 @@ class PlanSpec extends AnyFunSuite {
         "only the hinted nation dimension may broadcast at fact scale")
       assert(p.contains("PushedFilters: [IsNotNull"),
         "join-key null filters must reach the parquet scan")
+      // r7 shape: lineitem pre-aggregates PER ORDER below the fact-fact
+      // join — the partial combine shrinks the dominant shuffle ~4x
+      // (TPC-H orders hold ≤7 items). Pin: an aggregate keyed on
+      // l_orderkey must sit under the join.
+      assert(p.contains("HashAggregate(keys=[l_orderkey"),
+        "lineitem must pre-aggregate per orderkey before joining orders")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
