@@ -47,17 +47,20 @@ object Bench {
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains)
     // A failed query must be VISIBLE, not a fast-looking small number:
-    // run() reports success, and the JSON carries per-query status so a
-    // regression can't hide behind a short failure path. (No clearCache():
-    // no HEADLINE query persists anything — the one cache-returning
-    // operator, ConnectedComponents/d13, is not benched — and a global
-    // cache wipe would evict caller-owned caches in a shared session.)
+    // run() reports success and failures are listed by name in the JSON,
+    // so a regression can't hide behind a short failure path.
     def run(name: String): Boolean =
       try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch { case _: Throwable => false }
     val results = names.map { name =>
-      // Warm once (whole-stage-codegen class compilation is a per-plan,
-      // not per-run, cost), then time Iters steady-state runs.
+      // Hygiene between queries: the caching operators benched since r7
+      // (quickselect, PageRank) release their persists on exit, but a
+      // failure path or executor-side stragglers can leave blocks behind;
+      // this is a dedicated bench session, so a global wipe evicts nothing
+      // anyone else owns. Then warm once (whole-stage-codegen class
+      // compilation is a per-plan, not per-run, cost) and time Iters
+      // steady-state runs.
+      spark.catalog.clearCache()
       run(name)
       var ok = true
       val times = Array.fill(Iters) {
@@ -68,16 +71,27 @@ object Bench {
       val median = times(Iters / 2)
       (name, median, times.head, times.last, ok)
     }
+    // Full-precision per-query detail first (for humans and logs) ...
+    results.foreach { case (k, med, mn, mx, ok) =>
+      println(f"BENCH $k%-28s median=$med%.4f min=$mn%.4f max=$mx%.4f ${if (ok) "ok" else "FAILED"}")
+    }
+    // ... then ONE compact machine-readable JSON line LAST. The driver
+    // keeps only the tail of the output, so this line must stay well under
+    // its 2000-char cap even with 18 queries x 3 dicts: seconds are
+    // rounded to 4 decimals (0.1 ms — far below run-to-run noise) and
+    // failures are a (normally empty) name list, not a per-query dict.
+    def r4(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(f: ((String, Double, Double, Double, Boolean)) => String) =
       results.map(f).mkString("{", ",", "}")
-    val qjson = obj { case (k, med, _, _, _) => "\"" + k + "\":" + med }
-    val minjson = obj { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
-    val maxjson = obj { case (k, _, _, mx, _) => "\"" + k + "\":" + mx }
-    val sjson = obj { case (k, _, _, _, ok) =>
-      "\"" + k + "\":\"" + (if (ok) "ok" else "failed") + "\"" }
+    val qjson = obj { case (k, med, _, _, _) => "\"" + k + "\":" + r4(med) }
+    val minjson = obj { case (k, _, mn, _, _) => "\"" + k + "\":" + r4(mn) }
+    val maxjson = obj { case (k, _, _, mx, _) => "\"" + k + "\":" + r4(mx) }
+    val failedNames = results.filter(!_._5).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val failed = results.count(!_._5)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"min":$minjson,"max":$maxjson,"iters":$Iters,"status":$sjson,"failed":$failed,"sf":"$sfDir","note":"headline set widened in r7 (+d22,d4,d21,a23,e13); compare per-query medians, not totals, across rounds"}""")
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qjson,"min":$minjson,"max":$maxjson,"iters":$Iters,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+    require(line.length < 1900, s"bench JSON line too long (${line.length} chars) — would be tail-truncated")
+    println(line)
     spark.stop()
   }
 }

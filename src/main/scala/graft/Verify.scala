@@ -10,13 +10,23 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // A query that errors writes no output and would silently vanish from
+    // the driver's tally (the r7 TIMESTAMP_NTZ drift cost 9 queries this
+    // way) — so the dump ends with an unmissable count line, and
+    // AllQueriesExecuteSpec enforces zero-failures at sbt-test time.
+    println(s"[verify] wrote ${SparkEntry.queries.size - failed.size}/" +
+      s"${SparkEntry.queries.size} query outputs" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

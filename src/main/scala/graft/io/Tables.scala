@@ -25,14 +25,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     lowerNanoTs(spark.read.parquet(s"$dir/$name.parquet"), name)
 
-  /** The ns→µs lowering, shared by the batch loader and the streaming
-    * readers ([[graft.streaming.EventStreams.readTableStream]]) so the two
-    * paths cannot drift apart on the expression. */
+  /** The ts-normalizing lowering, shared by the batch loader and the
+    * streaming readers ([[graft.streaming.EventStreams.readTableStream]]) so
+    * the two paths cannot drift apart on the expression. Handles both
+    * physical layouts the corpus generator has produced over time:
+    *
+    *   - nanosecond epoch longs (read as `LongType` under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`): truncated to µs with
+    *     integer arithmetic (`DIV`), never double division (ns epoch values
+    *     exceed 2^53) — the same thing DuckDB's parquet reader does;
+    *   - microsecond timestamps without a timezone (read as
+    *     `TimestampNTZType`): cast to session-zone `TimestampType`. The
+    *     engine session is pinned to UTC, so the cast preserves the
+    *     wall-clock instant and matches the DuckDB oracle's plain
+    *     TIMESTAMP semantics, while restoring the event-time type that
+    *     `unix_micros`, watermarks, and window() require.
+    */
   def lowerNanoTs(df: DataFrame, name: String): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (name == "events" && f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      else if (name == "events" && f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn("ts", d.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       else d
     }
 

@@ -679,8 +679,10 @@ object AggWindowQueries {
         |SELECT o_totalprice AS median_price, n AS n_rows FROM r WHERE rn = (n + 1) // 2""".stripMargin) { (spark, dir) =>
       val orders = Tables.load(spark, dir, "orders")
         .filter(col("o_totalprice").isNotNull)
-      val n = orders.count()
-      val med = graft.operators.Selection.kthSmallest(orders, "o_totalprice", (n + 1) / 2)
+      // rank derives from the first quickselect round's bucket tallies, so
+      // no separate count() pass over orders is ever scheduled
+      val (med, n) = graft.operators.Selection.kthOfCount(
+        orders, "o_totalprice", n => (n + 1) / 2)
       spark.range(1).select(lit(med).as("median_price"), lit(n).as("n_rows"))
     },
 
