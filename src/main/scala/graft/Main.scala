@@ -3,7 +3,7 @@ package graft
 import graft.engine.GraftSession
 import graft.io.ObjectStore
 import graft.pipeline.{Pipeline, PipelineContext, Runner}
-import graft.pipelines.{CorePipelines, ServicePipelines}
+import graft.pipelines.{CorePipelines, PoaPipelines, ServicePipelines}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,69 @@ object Main {
           ServicePipelines.healthcareCompanies(
             src(ctx.spark, "azienda_sanitaria"),
             src(ctx.spark, "ulss")), "healthcare_companies")
+      },
+      new Pipeline {
+        val name = "operational_offices"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.operationalOffices(
+            src(ctx.spark, "sede_oper_model"),
+            src(ctx.spark, "municipalities"),
+            src(ctx.spark, "tipo_punto_fisico_templ"), load), "operational_offices")
+      },
+      new Pipeline {
+        val name = "udos"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.udos(
+            src(ctx.spark, "udo_model"),
+            src(ctx.spark, "sede_oper_model"),
+            src(ctx.spark, "struttura_model"),
+            src(ctx.spark, "uo_model"), load), "udos")
+      },
+      new Pipeline {
+        val name = "udo_status_history"
+        // The read-back validation consumes the LOADED udos target
+        // (src/core.py:1770-1786) — a genuine DAG edge, not an implied
+        // order. The reference's warn-and-continue on an unreadable
+        // target is modeled by the Option: read failure -> None -> keep
+        // every row, log the warn.
+        override val dependsOn = Seq("udos")
+        def run(ctx: PipelineContext): Unit = {
+          val target =
+            try {
+              val t = ctx.spark.read.parquet(s"$out/udos.parquet")
+              t.schema // force schema resolution inside the try
+              Some(t)
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[udo_status_history] could not read back udos target " +
+                  s"($out/udos.parquet): ${e.getMessage} — continuing unvalidated")
+              None
+            }
+          sink(
+            CorePipelines.udosHistory(
+              src(ctx.spark, "stato_udo"),
+              src(ctx.spark, "udo_model"),
+              src(ctx.spark, "storico_posti_letto"),
+              target), "udo_status_history")
+        }
+      },
+      new Pipeline {
+        val name = "poa_truncate"
+        override val module = "poa"
+        // Parquet-seam analogue of the reference's TRUNCATE-only poa
+        // module (src/poa.py:28-52): remove each target table's output.
+        // A DB-backed deployment calls PoaPipelines.truncate(conn).
+        def run(ctx: PipelineContext): Unit =
+          PoaPipelines.tables.foreach { t =>
+            val dir = new java.io.File(s"$out/$t.parquet")
+            if (dir.exists()) {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete(); ()
+              }
+              rm(dir)
+            }
+          }
       },
       new Pipeline {
         val name = "users"

@@ -439,6 +439,198 @@ object CorePipelines {
       .drop("uo_fk", "uo_id")
   }
 
+  /** Strict 'y'-only flag (`src/core.py:1486,1493-1499`): the UDO-model
+    * flags accept ONLY lowercase-trimmed "y" — unlike [[ynFlag]]'s s-or-y
+    * dimensions — and null → false. */
+  private def yFlag(c: Column): Column =
+    coalesce(Text.handleId(c) === "y", lit(false))
+
+  /** Oracle's "-" placeholder → null after trim (`src/core.py:1481-1482`,
+    * Polars `replace("-", None)`). */
+  private def dashToNull(c: Column): Column =
+    when(trim(c) === "-", lit(null).cast("string")).otherwise(trim(c))
+
+  /** Trim + strip embedded newlines/CRs (`src/core.py:1474` — the UDO
+    * free-text columns remove `\n`/`\r` but do NOT collapse interior
+    * whitespace runs like [[Text.handleText]] does). */
+  private def stripCrLf(c: Column): Column =
+    trim(regexp_replace(c, "[\\n\\r]", ""))
+
+  /** `migrate_sedi_operative` (`src/core.py:408-476`) → the
+    * `operational_offices` table: the J2 shape — two broadcast dimension
+    * joins (municipalities by ISTAT code, physical-point type by FK) into
+    * the wide rename with the audit triple.
+    *
+    * lat/lon carry the reference's two-stage typing in ONE projection: the
+    * transform casts Float64 (`src/core.py:465-466`) and the target DDL is
+    * `numeric(8,2)` (`sql/init_core.sql:117-118`), which PG coerces at
+    * INSERT; here the plan says `try_cast(decimal(8,2))` explicitly —
+    * same HALF_UP rounding PG applies, null on garbage, and the sink needs
+    * no hidden coercion. `physical_point_type` passes the dimension NOME
+    * through verbatim (the reference applies no strip there,
+    * `src/core.py:435-439,464`). */
+  def operationalOffices(
+      sedeOper: DataFrame, municipalities: DataFrame,
+      tipoPuntoFisico: DataFrame, loadTime: Column): DataFrame = {
+    val mun = municipalities.select(
+      col("id").as("municipality_id"),
+      trim(col("istat_code")).as("mun_istat"))
+    val tpf = tipoPuntoFisico.select(
+      Text.handleId(col("CLIENTID")).as("tpf_id"),
+      col("NOME").as("physical_point_type"))
+    sedeOper
+      .join(broadcast(mun), trim(col("ISTAT")) === col("mun_istat"), "left")
+      .join(broadcast(tpf),
+        Text.handleId(col("ID_TIPO_PUNTO_FISICO_FK")) === col("tpf_id"), "left")
+      .select(
+        Seq(
+          Text.handleId(col("CLIENTID")).as("id"),
+          Text.handleText(col("DENOMINAZIONE")).as("name"),
+          Text.handleId(col("ID_STRUTTURA_FK")).as("physical_structure_id"),
+          Text.handleText(col("VIA_PIAZZA")).as("street_name"),
+          trim(col("CIVICO")).as("street_number"),
+          col("CAP").cast("string").as("zip_code"),
+          // exact 'S' compare, no trim/case fold — the reference's one
+          // strict flag here (src/core.py:463)
+          coalesce(col("FLAG_INDIRIZZO_PRINCIPALE") === "S", lit(false))
+            .as("is_main_address"),
+          col("physical_point_type"),
+          col("LATITUDINE").try_cast("decimal(8,2)").as("lat"),
+          col("LONGITUDINE").try_cast("decimal(8,2)").as("lon"),
+          Text.handleId(col("ID_TOPONIMO_FK")).as("toponym_id"),
+          col("municipality_id")) ++ auditCols(loadTime): _*)
+      .drop("mun_istat", "tpf_id")
+  }
+
+  /** `migrate_udos` (`src/core.py:1456-1538`) — the heaviest concrete core
+    * pipeline: the full 24-column UDO projection plus the DERIVED company
+    * map: sede ⋈ struttura resolves each operational office to its owning
+    * company (`src/core.py:1508-1522`), then the stripped-ID_UO join pulls
+    * the operational unit (`src/core.py:1524-1530`).
+    *
+    * The P28 provenance null-out runs in the projection — a
+    * PROVENIENZA_UO='ORGANIGRAMMA_TREE' row nulls its uo FK BEFORE the
+    * join, so a tree-sourced FK can never match (same discipline as
+    * [[users]]). `organigram_node_id` is a typed null: the reference's
+    * open TODO link to the poa service (`src/core.py:1500`).
+    *
+    * Scale shape: udo_model is the fact side; sede/struttura/uo are
+    * office/structure-scale dimensions → every right side broadcasts, the
+    * fact never shuffles. Documented divergence: join keys normalize
+    * through [[Text.handleId]] on BOTH sides (the reference strips only
+    * the dimension side of ID_UO, `src/core.py:1525-1528` — a dirty fact
+    * key silently misses there). */
+  def udos(
+      udoModel: DataFrame, sedeOper: DataFrame, struttura: DataFrame,
+      uo: DataFrame, loadTime: Column): DataFrame = {
+    val base = udoModel.select(
+      Seq(
+        Text.handleId(col("CLIENTID")).as("id"),
+        stripCrLf(col("DESCR")).as("name"),
+        coalesce(upper(trim(col("STATO"))), lit("NUOVA")).as("status"),
+        stripCrLf(col("ID_UNIVOCO")).as("code"),
+        Text.handleId(col("ID_TIPO_UDO_22_FK")).as("udo_type_id"),
+        Text.handleId(col("ID_SEDE_FK")).as("operational_office_id"),
+        Text.handleId(col("ID_EDIFICIO_STR_FK")).as("building_id"),
+        trim(col("PIANO")).as("floor"),
+        dashToNull(col("BLOCCO")).as("block"),
+        dashToNull(col("PROGRESSIVO")).as("progressive"),
+        trim(col("CODICE_FLUSSO_MINISTERIALE")).as("ministerial_code"),
+        trim(col("COD_FAR_FAD")).as("farfad_code"),
+        yFlag(col("SIO")).as("is_sio"),
+        trim(col("STAREP")).as("starep_code"),
+        trim(col("CDC")).as("cost_center"),
+        trim(col("PAROLE_CHIAVE")).as("keywords"),
+        stripCrLf(col("ANNOTATIONS")).as("notes"),
+        yFlag(col("WEEK")).as("is_open_only_on_business_days"),
+        coalesce(col("AUAC") === 1, lit(false)).as("is_auac"),
+        yFlag(col("FLAG_MODULO")).as("is_module"),
+        lit(null).cast("string").as("organigram_node_id"),
+        when(trim(col("PROVENIENZA_UO")) === "ORGANIGRAMMA_TREE", lit(null))
+          .otherwise(trim(col("ID_UO"))).as("uo_fk")) ++ auditCols(loadTime): _*)
+    val sede = sedeOper.select(
+      Text.handleId(col("CLIENTID")).as("oo_id"),
+      Text.handleId(col("ID_STRUTTURA_FK")).as("ps_id"))
+    val str = struttura.select(
+      Text.handleId(col("CLIENTID")).as("ps_id2"),
+      Text.handleId(col("ID_TITOLARE_FK")).as("company_id"))
+    // the derived map: operational office -> owning company
+    val companyMap = sede.join(broadcast(str), col("ps_id") === col("ps_id2"), "left")
+      .select(col("oo_id"), col("company_id"))
+    val uoTr = uo.select(
+      Text.handleId(col("CLIENTID")).as("operational_unit_id"),
+      trim(col("ID_UO")).as("uo_id"))
+    base
+      .join(broadcast(companyMap), col("operational_office_id") === col("oo_id"), "left")
+      .join(broadcast(uoTr), col("uo_fk") === col("uo_id"), "left")
+      .drop("oo_id", "uo_fk", "uo_id")
+  }
+
+  /** `migrate_udos_history` (`src/core.py:1692-1800`) → the
+    * `udo_status_history` table: status timeline + supply flags from the
+    * UDO side + bed counts from the bed history, then the F4 read-back
+    * validation against the already-loaded `udos` target.
+    *
+    * Column semantics pinned from the reference:
+    *  - `AUTORIZZATA/ACCREDITATA` collapses to `AUTORIZZATA`
+    *    (`src/core.py:1729`);
+    *  - created_at/updated_at are the CREATION↔LAST_MOD coalesce chains
+    *    with NO Rome→UTC shift — the reference's replace-tz/strip-tz
+    *    round-trip (`src/core.py:1713-1722`) is a wall-clock no-op, unlike
+    *    its `handle_timestamps` pipelines;
+    *  - bed counts are UInt16-pinned strict-null casts then filled to 0,
+    *    on BOTH sides of the left join (`src/core.py:1750-1752,1768`);
+    *  - the target `id` is dropped — PG generates fresh UUIDs
+    *    (`src/core.py:1790-1792`) — AFTER the bed join that consumes it.
+    *
+    * Read-back validation (`src/core.py:1770-1786`): rows whose udo_id is
+    * missing from the loaded `udos` table are dropped via a LEFT SEMI join
+    * (no driver-side id list — the reference collects every id into a
+    * Python list, which at 100 TB is the exact anti-pattern F4 exists to
+    * kill). `udosTarget = None` models the reference's warn-and-continue:
+    * validation unavailable → keep everything; the CALLER logs the warn. */
+  def udosHistory(
+      statoUdo: DataFrame, udoModel: DataFrame, storicoPostiLetto: DataFrame,
+      udosTarget: Option[DataFrame]): DataFrame = {
+    val statusNorm = upper(trim(col("STATO")))
+    val hist = statoUdo.select(
+      Text.handleId(col("CLIENTID")).as("hist_id"),
+      Text.handleId(col("ID_UDO_FK")).as("udo_id"),
+      when(statusNorm === "AUTORIZZATA/ACCREDITATA", "AUTORIZZATA")
+        .otherwise(statusNorm).as("status"),
+      col("SCADENZA").as("valid_to"),
+      col("DATA_INIZIO").as("valid_from"),
+      coalesce(col("CREATION"), col("LAST_MOD")).as("created_at"),
+      coalesce(col("LAST_MOD"), col("CREATION")).as("updated_at"))
+    val supply = udoModel.select(
+      Text.handleId(col("CLIENTID")).as("s_udo_id"),
+      yFlag(col("EROGAZIONE_DIRETTA")).as("is_direct_supply"),
+      yFlag(col("EROGAZIONE_INDIRETTA")).as("is_indirect_supply"))
+    val beds = storicoPostiLetto.select(
+      Text.handleId(col("ID_STATO_UDO_FK")).as("b_hist_id"),
+      coalesce(Casts.tryToUInt(col("PL")), lit(0)).as("beds"),
+      coalesce(Casts.tryToUInt(col("PLEX")), lit(0)).as("extra_beds"),
+      coalesce(Casts.tryToUInt(col("PLOB")), lit(0)).as("mortuary_beds"))
+    // supply is fact-scale-bounded (one row per UDO) but still dimension
+    // relative to the history; beds keys on the history id, so it is
+    // history-scale — that join shuffles on hist_id, the only shuffle here.
+    val joined = hist
+      .join(broadcast(supply), col("udo_id") === col("s_udo_id"), "left")
+      .join(beds, col("hist_id") === col("b_hist_id"), "left")
+      .withColumn("beds", coalesce(col("beds"), lit(0)))
+      .withColumn("extra_beds", coalesce(col("extra_beds"), lit(0)))
+      .withColumn("mortuary_beds", coalesce(col("mortuary_beds"), lit(0)))
+      .drop("s_udo_id", "b_hist_id")
+    val validated = udosTarget match {
+      case Some(target) =>
+        joined.join(
+          broadcast(target.select(Text.handleId(col("id")).as("id"))),
+          joined("udo_id") === col("id"), "left_semi")
+      case None => joined
+    }
+    validated.drop("hist_id")
+  }
+
   /** Resolutions step 3 (`src/core.py:1022-1043`): duplicate-name
     * disambiguation — first occurrence keeps `name`, later ones get
     * ` (n)`. The reference depends on physical row order; here the keeper

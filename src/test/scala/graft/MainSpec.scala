@@ -28,11 +28,15 @@ class MainSpec extends AnyFunSuite {
     val pipes = graft.pipeline.Runner.order(Main.registry("/in", "/out"))
     val names = pipes.map(_.name)
     assert(names.toSet == Set("toponyms", "companies", "resolutions", "udo_types",
-      "specialties", "users", "requirements", "procedures", "healthcare_companies"))
+      "specialties", "users", "requirements", "procedures", "healthcare_companies",
+      "operational_offices", "udos", "udo_status_history", "poa_truncate"))
     assert(names.indexOf("companies") < names.indexOf("users"))
+    assert(names.indexOf("udos") < names.indexOf("udo_status_history"),
+      "history's read-back validation needs the loaded udos target")
     assert(pipes.filter(_.module == "auac").map(_.name).toSet ==
       Set("requirements", "procedures"))
     assert(pipes.filter(_.module == "cronos").map(_.name) == Seq("healthcare_companies"))
+    assert(pipes.filter(_.module == "poa").map(_.name) == Seq("poa_truncate"))
   }
 
   test("end-to-end dispatch: all five pipelines run off parquet fixtures") {
@@ -124,12 +128,48 @@ class MainSpec extends AnyFunSuite {
     put("azienda_sanitaria", Seq(("HC1", "501", "ULSS Prima"))
       .toDF("CLIENTID", "CODICE", "DESCRIZIONE"))
     put("ulss", Seq((7L, "501")).toDF("id", "code"))
+    put("sede_oper_model", Seq(
+      ("SO1", "ST1", "Sede Uno", "Via C", "9", "30100", "S", "027042", "TPF1",
+        "45.4375", "12.3358", "TOP1", t0, t0, "N"))
+      .toDF("CLIENTID", "ID_STRUTTURA_FK", "DENOMINAZIONE", "VIA_PIAZZA",
+        "CIVICO", "CAP", "FLAG_INDIRIZZO_PRINCIPALE", "ISTAT",
+        "ID_TIPO_PUNTO_FISICO_FK", "LATITUDINE", "LONGITUDINE",
+        "ID_TOPONIMO_FK", "CREATION", "LAST_MOD", "DISABLED"))
+    put("tipo_punto_fisico_templ", Seq(("TPF1", "Sede Operativa"))
+      .toDF("CLIENTID", "NOME"))
+    put("struttura_model", Seq(("ST1", "C1")).toDF("CLIENTID", "ID_TITOLARE_FK"))
+    // 27 columns > Tuple22: build the UDO fixture from a narrow base
+    put("udo_model", Seq(
+      ("UD1", "Udo Uno", "Attiva", "U-1", "T1", "SO1", "ED1", "2"))
+      .toDF("CLIENTID", "DESCR", "STATO", "ID_UNIVOCO", "ID_TIPO_UDO_22_FK",
+        "ID_SEDE_FK", "ID_EDIFICIO_STR_FK", "PIANO")
+      .withColumn("BLOCCO", lit("-")).withColumn("PROGRESSIVO", lit("P1"))
+      .withColumn("CODICE_FLUSSO_MINISTERIALE", lit("F1"))
+      .withColumn("COD_FAR_FAD", lit("FF")).withColumn("SIO", lit("Y"))
+      .withColumn("STAREP", lit("SR")).withColumn("CDC", lit("CC"))
+      .withColumn("PAROLE_CHIAVE", lit("k")).withColumn("ANNOTATIONS", lit("n"))
+      .withColumn("WEEK", lit("N")).withColumn("AUAC", lit(1))
+      .withColumn("FLAG_MODULO", lit("N"))
+      .withColumn("PROVENIENZA_UO", lit("MANUALE"))
+      .withColumn("ID_UO", lit("UO-7"))
+      .withColumn("EROGAZIONE_DIRETTA", lit("Y"))
+      .withColumn("EROGAZIONE_INDIRETTA", lit("N"))
+      .withColumn("CREATION", lit(t0)).withColumn("LAST_MOD", lit(t0))
+      .withColumn("DISABLED", lit("N")))
+    put("stato_udo", Seq(
+      ("SU1", "UD1", "AUTORIZZATA/ACCREDITATA", t0, t0, t0, t0),
+      ("SU2", "GHOST", "NUOVA", t0, t0, t0, t0)) // orphan -> read-back drop
+      .toDF("CLIENTID", "ID_UDO_FK", "STATO", "SCADENZA", "DATA_INIZIO",
+        "CREATION", "LAST_MOD"))
+    put("storico_posti_letto", Seq(("SU1", "12", "2", "0"))
+      .toDF("ID_STATO_UDO_FK", "PL", "PLEX", "PLOB"))
 
     val results = Main.execute(
       Main.Args(Set("all"), list = false, Some(in), Some(out)), spark)
     assert(results.map(_.name).toSet ==
       Set("toponyms", "companies", "resolutions", "udo_types", "specialties",
-        "users", "requirements", "procedures", "healthcare_companies"))
+        "users", "requirements", "procedures", "healthcare_companies",
+        "operational_offices", "udos", "udo_status_history", "poa_truncate"))
 
     def readOut(t: String) = spark.read.parquet(s"$out/$t.parquet")
     assert(readOut("toponyms").count() == 1)
@@ -145,6 +185,23 @@ class MainSpec extends AnyFunSuite {
     assert(readOut("requirements").head().getAs[String]("response_type") == "SI_NO")
     assert(readOut("procedures").head().getAs[String]("procedure_type") == "AUTORIZZAZIONE")
     assert(readOut("healthcare_companies").head().getAs[Long]("ulss_id") == 7L)
+    val oo = readOut("operational_offices").head()
+    assert(oo.getAs[Long]("municipality_id") == 42L
+      && oo.getAs[String]("physical_point_type") == "Sede Operativa")
+    assert(oo.getAs[java.math.BigDecimal]("lat").toPlainString == "45.44",
+      "lat rounds HALF_UP to the target's numeric(8,2)")
+    val udoRow = readOut("udos").head()
+    assert(udoRow.getAs[String]("company_id") == "c1",
+      "the derived sede JOIN struttura company map resolves")
+    assert(udoRow.getAs[String]("operational_unit_id") == "ou7")
+    assert(udoRow.isNullAt(udoRow.fieldIndex("block")), "'-' placeholder nulls")
+    val hist = readOut("udo_status_history")
+    assert(hist.count() == 1, "the orphan history row drops via read-back validation")
+    val h = hist.head()
+    assert(h.getAs[String]("status") == "AUTORIZZATA" && h.getAs[Int]("beds") == 12
+      && h.getAs[Boolean]("is_direct_supply"))
+    assert(!hist.columns.contains("hist_id") && !hist.columns.contains("id"),
+      "target id is dropped — PG generates fresh UUIDs")
 
     // module dispatch: auac alone runs exactly its two pipelines
     val auacOnly = Main.execute(
