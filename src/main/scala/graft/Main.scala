@@ -3,7 +3,7 @@ package graft
 import graft.engine.GraftSession
 import graft.io.ObjectStore
 import graft.pipeline.{Pipeline, PipelineContext, Runner}
-import graft.pipelines.{CorePipelines, PoaPipelines, ServicePipelines}
+import graft.pipelines.{CorePipelines, DimensionPipelines, PoaPipelines, ServicePipelines}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,24 @@ object Main {
     a
   }
 
+  /** Seed-CSV read (S4 shape, `src/core.py:74-120,1898-1915`): header +
+    * inferred schema, with named columns PINNED to string — the reference's
+    * `schema_overrides={"istat_code": pl.String}`, which exists because an
+    * inferred int silently eats ISTAT codes' leading zeros. */
+  def seedCsv(
+      spark: SparkSession, path: String,
+      stringCols: Set[String] = Set.empty): DataFrame = {
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true").csv(path)
+    if (stringCols.isEmpty) inferred
+    else {
+      val schema = org.apache.spark.sql.types.StructType(inferred.schema.map(f =>
+        if (stringCols(f.name)) f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
+      spark.read.option("header", "true").schema(schema).csv(path)
+    }
+  }
+
   /** The parquet-seam registry over the concrete pipelines. Source reads
     * are lazy inside run() so --list and module filtering never touch io. */
   def registry(in: String, out: String): Seq[Pipeline] = {
@@ -68,6 +86,23 @@ object Main {
     def sink(df: DataFrame, table: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$table.parquet")
     val load = current_timestamp()
+    /** CSV-seed passthrough pipelines (regions/provinces/municipalities/
+      * permissions): the reference loads these verbatim from seed files. */
+    def seedPipeline(pname: String, csv: String, stringCols: Set[String] = Set.empty) =
+      new Pipeline {
+        val name = pname
+        def run(ctx: PipelineContext): Unit =
+          sink(seedCsv(ctx.spark, s"$in/seed/$csv", stringCols), pname)
+      }
+    /** One-source one-function pipelines, the dominant registry shape. */
+    def simple(pname: String, table: String, mod: String = "core")(
+        body: (PipelineContext, DataFrame) => DataFrame) =
+      new Pipeline {
+        val name = pname
+        override val module = mod
+        def run(ctx: PipelineContext): Unit =
+          sink(body(ctx, src(ctx.spark, table)), pname)
+      }
     // Hoisted OUT of the anonymous Pipeline below: an inline lambda there
     // would close over the Pipeline instance (which holds a SparkSession-
     // touching run body) and fail task serialization; this one captures
@@ -76,6 +111,76 @@ object Main {
     val resolutionClient: () => ObjectStore.Client =
       () => new ObjectStore.LocalFsClient(objRoot)
     Seq(
+      seedPipeline("regions", "regions.csv"),
+      seedPipeline("provinces", "provinces.csv"),
+      seedPipeline("municipalities", "municipalities.csv", Set("istat_code")),
+      seedPipeline("permissions", "permissions.csv"),
+      simple("ulss", "ulss_territoriale") { (_, d) =>
+        DimensionPipelines.ulss(d) },
+      simple("districts", "distretto_templ") { (_, d) =>
+        DimensionPipelines.districts(d, load) },
+      simple("company_types", "tipo_titolare_templ") { (_, d) =>
+        DimensionPipelines.companyTypes(d, load) },
+      simple("physical_structures", "struttura_model") { (_, d) =>
+        DimensionPipelines.physicalStructures(d, load) },
+      simple("buildings", "edificio_str_templ") { (_, d) =>
+        DimensionPipelines.buildings(d, load) },
+      new Pipeline {
+        val name = "grouping_specialties"
+        def run(ctx: PipelineContext): Unit = sink(
+          DimensionPipelines.groupingSpecialties(
+            src(ctx.spark, "ragg_discpl"),
+            src(ctx.spark, "macroarea_programmazione"), load), "grouping_specialties")
+      },
+      new Pipeline {
+        val name = "resolution_types"
+        def run(ctx: PipelineContext): Unit = sink(
+          DimensionPipelines.resolutionTypes(
+            src(ctx.spark, "tipo_delibera"),
+            src(ctx.spark, "tipo_atto"), load), "resolution_types")
+      },
+      simple("operational_units", "uo_model") { (_, d) =>
+        DimensionPipelines.operationalUnits(d, load) },
+      simple("production_factor_types", "tipo_fattore_prod_templ") { (_, d) =>
+        DimensionPipelines.productionFactorTypes(d, load) },
+      simple("production_factors", "fatt_prod_udo_model") { (_, d) =>
+        DimensionPipelines.productionFactors(d, load) },
+      simple("udo_type_classifications", "classificazione_udo_templ") { (_, d) =>
+        DimensionPipelines.udoTypeClassifications(d, load) },
+      simple("user_companies", "operatore_model") { (_, d) =>
+        DimensionPipelines.userCompanies(d, load) },
+      simple("udo_production_factors", "bind_udo_fatt_prod") { (_, d) =>
+        DimensionPipelines.bindPair(d,
+          "ID_FATTORE_FK", "production_factor_id", "ID_UDO_FK", "udo_id") },
+      simple("udo_type_production_factor_types", "bind_tipo_22_tipo_fatt") { (_, d) =>
+        DimensionPipelines.bindPair(d,
+          "ID_TIPO_UDO_22_FK", "udo_type_id", "ID_TIPO_FATT_FK", "production_factor_type_id") },
+      simple("udo_resolutions", "bind_atto_udo") { (_, d) =>
+        DimensionPipelines.bindPair(d,
+          "ID_UDO_FK", "udo_id", "ID_ATTO_FK", "resolution_id") },
+      new Pipeline {
+        val name = "udo_specialties"
+        def run(ctx: PipelineContext): Unit = sink(
+          CorePipelines.udoSpecialties(
+            src(ctx.spark, "bind_udo_branca"),
+            src(ctx.spark, "bind_udo_branca_altro"),
+            src(ctx.spark, "bind_udo_disciplina"),
+            src(ctx.spark, "uo_model")), "udo_specialties")
+      },
+      new Pipeline {
+        val name = "requirement_taxonomies"
+        override val module = "auac"
+        def run(ctx: PipelineContext): Unit = sink(
+          ServicePipelines.requirementTaxonomies(
+            src(ctx.spark, "tipo_requisito"),
+            src(ctx.spark, "tipo_specifico_requisito"), load), "requirement_taxonomies")
+      },
+      simple("requirement_lists", "lista_requisiti_templ", mod = "auac") { (_, d) =>
+        ServicePipelines.requirementLists(d, load) },
+      simple("cronos_taxonomies", "classificazione_programmazione", mod = "cronos") { (_, d) =>
+        ServicePipelines.cronosTaxonomy(d) },
+      simple("dm70_taxonomies", "classificazione_dm_70", mod = "cronos") { (_, d) =>
+        ServicePipelines.cronosTaxonomy(d) },
       new Pipeline {
         val name = "toponyms"
         def run(ctx: PipelineContext): Unit = sink(
@@ -125,14 +230,16 @@ object Main {
       new Pipeline {
         val name = "requirements"
         override val module = "auac"
-        // requirement_taxonomies is a previously-migrated PG table in the
-        // reference (src/auac.py:150); the parquet seam reads it as a
-        // seed input alongside the Oracle-shaped tables.
+        // requirement_taxonomies is read BACK from the target in the
+        // reference (src/auac.py:150) — a real DAG edge, so the fallback
+        // scalar always finds the '-' row the upstream pipeline minted.
+        override val dependsOn = Seq("requirement_taxonomies")
         def run(ctx: PipelineContext): Unit = sink(
           ServicePipelines.requirements(
             src(ctx.spark, "requisito_templ"),
             src(ctx.spark, "tipo_risposta"),
-            src(ctx.spark, "requirement_taxonomies"), load), "requirements")
+            ctx.spark.read.parquet(s"$out/requirement_taxonomies.parquet"),
+            load), "requirements")
       },
       new Pipeline {
         val name = "procedures"

@@ -566,6 +566,66 @@ object CorePipelines {
       .drop("oo_id", "uo_fk", "uo_id")
   }
 
+  /** `migrate_udo_specialties` (`src/core.py:1576-1656`) — the three-branch
+    * diagonal union over the UDO↔specialty bridges:
+    *
+    *  1. branca rows carry the s-or-y authorized/accredited flags and
+    *     typed-null bed counts;
+    *  2. branca-altro rows are hard false/false (`src/core.py:1621-1633`);
+    *  3. disciplina rows (null-FK rows dropped — the reference's own
+    *     questioning TODO, `src/core.py:1638-1641`) carry the four bed
+    *     counts + HSP12 verbatim and join uo_model on ID_UO for the
+    *     clinical operational unit (`src/core.py:1642-1651`); the selected
+    *     PROVENIENZA_UO is dead weight there — dropped unused, replicated
+    *     faithfully by never selecting it.
+    *
+    * Bed counts cast int (the target's smallint family); uo broadcast. */
+  def udoSpecialties(
+      bindUdoBranca: DataFrame, bindUdoBrancaAltro: DataFrame,
+      bindUdoDisciplina: DataFrame, uo: DataFrame): DataFrame = {
+    val nullInt = lit(null).cast("int")
+    val nullStr = lit(null).cast("string")
+    val branca = bindUdoBranca.select(
+      ynFlag(col("AUTORIZZATA")).as("is_authorized"),
+      ynFlag(col("ACCREDITATA")).as("is_accredited"),
+      nullInt.as("num_beds"), nullInt.as("num_extra_beds"),
+      nullInt.as("num_mortuary_beds"), nullInt.as("num_accredited_beds"),
+      nullStr.as("hsp12"),
+      nullStr.as("clinical_operational_unit_id"),
+      nullStr.as("clinical_poa_node_id"),
+      Text.handleId(col("ID_BRANCA_FK")).as("specialty_id"),
+      Text.handleId(col("ID_UDO_FK")).as("udo_id"))
+    val brancaAltro = bindUdoBrancaAltro.select(
+      lit(false).as("is_authorized"), lit(false).as("is_accredited"),
+      nullInt.as("num_beds"), nullInt.as("num_extra_beds"),
+      nullInt.as("num_mortuary_beds"), nullInt.as("num_accredited_beds"),
+      nullStr.as("hsp12"),
+      nullStr.as("clinical_operational_unit_id"),
+      nullStr.as("clinical_poa_node_id"),
+      Text.handleId(col("ID_ARTIC_BRANCA_ALTRO_FK")).as("specialty_id"),
+      Text.handleId(col("ID_UDO_FK")).as("udo_id"))
+    val uoTr = uo.select(
+      Text.handleId(col("CLIENTID")).as("clinical_operational_unit_id"),
+      trim(col("ID_UO")).as("uo_id"))
+    val disciplines = bindUdoDisciplina
+      .filter(col("ID_DISCIPLINA_FK").isNotNull)
+      .select(
+        lit(false).as("is_authorized"), lit(false).as("is_accredited"),
+        col("POSTI_LETTO").cast("int").as("num_beds"),
+        col("POSTI_LETTO_EXTRA").cast("int").as("num_extra_beds"),
+        col("POSTI_LETTO_OBI").cast("int").as("num_mortuary_beds"),
+        col("POSTI_LETTO_ACC").cast("int").as("num_accredited_beds"),
+        trim(col("HSP12")).as("hsp12"),
+        nullStr.as("clinical_poa_node_id"),
+        Text.handleId(col("ID_DISCIPLINA_FK")).as("specialty_id"),
+        Text.handleId(col("ID_UDO_FK")).as("udo_id"),
+        trim(col("ID_UO")).as("uo_fk"))
+      .join(broadcast(uoTr), col("uo_fk") === col("uo_id"), "left")
+      .drop("uo_fk", "uo_id")
+    branca.unionByName(brancaAltro)
+      .unionByName(disciplines, allowMissingColumns = true)
+  }
+
   /** `migrate_udos_history` (`src/core.py:1692-1800`) → the
     * `udo_status_history` table: status timeline + supply flags from the
     * UDO side + bed counts from the bed history, then the F4 read-back

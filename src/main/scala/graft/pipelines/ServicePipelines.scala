@@ -102,6 +102,69 @@ object ServicePipelines {
       .drop("proc_fk", "tp_id")
   }
 
+  /** `migrate_requirement_taxonomies` (`src/auac.py:42-101`): the general
+    * type (filtered to the single 'generale' row, readonly) + every
+    * specific type + ONE synthetic fallback row named '-'.
+    *
+    * The reference mints the fallback id with `uuid.uuid4()` at run time
+    * (`src/auac.py:86-96`) — a fresh id every run, which breaks re-run
+    * idempotence and any cross-load FK stability. Here the id is the
+    * deterministic name-based UUID of a fixed tag, so re-runs (and the
+    * [[requirements]] fallback scalar that looks it up by name) are
+    * stable; created/updated stamp from the injected loadTime instead of
+    * wall-clock now. */
+  def requirementTaxonomies(
+      tipoRequisito: DataFrame, tipoSpecificoRequisito: DataFrame,
+      loadTime: Column): DataFrame = {
+    def branch(df: DataFrame, readonly: Boolean): DataFrame = df.select(
+      Text.handleId(col("CLIENTID")).as("id"),
+      trim(col("NOME")).as("name"),
+      lit(readonly).as("is_readonly"),
+      lit(null).cast("timestamp").as("disabled_at"),
+      Audit.handleCreatedAt(Audit.romeToUtc(col("CREATION")), loadTime).as("created_at"),
+      Audit.handleUpdatedAt(Audit.romeToUtc(col("LAST_MOD")),
+        Audit.romeToUtc(col("CREATION")), loadTime).as("updated_at"))
+    val generale = branch(
+      tipoRequisito.filter(Text.handleId(col("NOME")) === "generale"),
+      readonly = true)
+    val specifici = branch(tipoSpecificoRequisito, readonly = false)
+    val fallbackId = java.util.UUID
+      .nameUUIDFromBytes("requirement-taxonomy-fallback".getBytes("UTF-8")).toString
+    val fallback = tipoRequisito.sparkSession.range(1).select(
+      lit(fallbackId).as("id"),
+      lit("-").as("name"),
+      lit(false).as("is_readonly"),
+      lit(null).cast("timestamp").as("disabled_at"),
+      loadTime.cast("timestamp").as("created_at"),
+      loadTime.cast("timestamp").as("updated_at"))
+    generale.unionByName(specifici).unionByName(fallback)
+  }
+
+  /** `migrate_requirement_lists` (`src/auac.py:104-132`). */
+  def requirementLists(
+      listaRequisitiTempl: DataFrame, loadTime: Column): DataFrame =
+    listaRequisitiTempl.select(
+      Text.handleId(col("CLIENTID")).as("id"),
+      trim(col("NOME")).as("name"),
+      Text.handleId(col("ID_DELIBERA_TEMPL")).as("resolution_id"),
+      Audit.handleDisabledAt(lower(trim(col("DISABLED"))), "s",
+        Audit.romeToUtc(col("LAST_MOD")),
+        Audit.romeToUtc(col("CREATION"))).as("disabled_at"),
+      Audit.handleCreatedAt(Audit.romeToUtc(col("CREATION")), loadTime).as("created_at"),
+      Audit.handleUpdatedAt(Audit.romeToUtc(col("LAST_MOD")),
+        Audit.romeToUtc(col("CREATION")), loadTime).as("updated_at"))
+
+  /** `migrate_cronos_taxonomies` / `migrate_dm70_taxonomies`
+    * (`src/cronos.py:35-84`): the identical two-column cronos taxonomy
+    * shape over CLASSIFICAZIONE_PROGRAMMAZIONE / CLASSIFICAZIONE_DM_70.
+    * (`migrate_cronos_plans` and `migrate_cronos_plan_grouping_specialties`
+    * are literal `pass` stubs upstream, `src/cronos.py:120-139` — nothing
+    * to re-express until the reference defines them.) */
+  def cronosTaxonomy(classificazione: DataFrame): DataFrame =
+    classificazione.select(
+      Text.handleId(col("CLIENTID")).as("id"),
+      Text.handleText(col("NOME")).as("name"))
+
   /** `migrate_healthcare_companies` (`src/cronos.py:88-118`): the minimal
     * cronos shape — cleaned codes joined back to the already-migrated ulss
     * dimension by CODE (a name-match join, J15 class, not an id FK). */

@@ -24,18 +24,32 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.parseArgs(Array("--modules"), known))
   }
 
-  test("registry order is a valid topological order with users after companies") {
+  /** Every migrate_* in the reference with a body (cronos_plans and
+    * cronos_plan_grouping_specialties are literal `pass` stubs upstream). */
+  private val allPipelineNames = Set(
+    "regions", "provinces", "municipalities", "permissions",
+    "toponyms", "ulss", "districts", "company_types", "companies",
+    "physical_structures", "operational_offices", "buildings",
+    "grouping_specialties", "specialties", "resolution_types", "resolutions",
+    "operational_units", "production_factor_types", "production_factors",
+    "udo_type_classifications", "udo_types", "udos", "udo_production_factors",
+    "udo_type_production_factor_types", "udo_specialties", "udo_resolutions",
+    "udo_status_history", "users", "user_companies",
+    "requirement_taxonomies", "requirement_lists", "requirements", "procedures",
+    "cronos_taxonomies", "dm70_taxonomies", "healthcare_companies",
+    "poa_truncate")
+
+  test("registry covers every reference migration and orders the DAG") {
     val pipes = graft.pipeline.Runner.order(Main.registry("/in", "/out"))
     val names = pipes.map(_.name)
-    assert(names.toSet == Set("toponyms", "companies", "resolutions", "udo_types",
-      "specialties", "users", "requirements", "procedures", "healthcare_companies",
-      "operational_offices", "udos", "udo_status_history", "poa_truncate"))
+    assert(names.toSet == allPipelineNames)
     assert(names.indexOf("companies") < names.indexOf("users"))
     assert(names.indexOf("udos") < names.indexOf("udo_status_history"),
       "history's read-back validation needs the loaded udos target")
     assert(pipes.filter(_.module == "auac").map(_.name).toSet ==
-      Set("requirements", "procedures"))
-    assert(pipes.filter(_.module == "cronos").map(_.name) == Seq("healthcare_companies"))
+      Set("requirement_taxonomies", "requirement_lists", "requirements", "procedures"))
+    assert(pipes.filter(_.module == "cronos").map(_.name).toSet ==
+      Set("cronos_taxonomies", "dm70_taxonomies", "healthcare_companies"))
     assert(pipes.filter(_.module == "poa").map(_.name) == Seq("poa_truncate"))
   }
 
@@ -59,7 +73,8 @@ class MainSpec extends AnyFunSuite {
     put("delibera_templ", Seq(
       ("D1", "Delibera annuale", "TD1", "payload-1".getBytes, t0, t0, "N"))
       .toDF("CLIENTID", "NOME", "ID_TIPO_FK", "ALLEGATO", "CREATION", "LAST_MOD", "DISABLED"))
-    put("tipo_delibera", Seq(("td1", "Del. Tipo A")).toDF("CLIENTID", "NOME"))
+    put("tipo_delibera", Seq(("td1", "Del. Tipo A", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "CREATION", "LAST_MOD", "DISABLED"))
     put("atto_model", spark.createDataFrame(
       java.util.Arrays.asList(Row("A1", "2024", "7", "TA1", t0, t0, "N")),
       StructType(Seq(
@@ -67,7 +82,8 @@ class MainSpec extends AnyFunSuite {
         StructField("NUMERO", StringType), StructField("ID_TIPO_FK", StringType),
         StructField("CREATION", TimestampType), StructField("LAST_MOD", TimestampType),
         StructField("DISABLED", StringType)))))
-    put("tipo_atto", Seq(("ta1", "Atto Tipo B")).toDF("CLIENTID", "DESCR"))
+    put("tipo_atto", Seq(("ta1", "Atto Tipo B", t0, t0, "N"))
+      .toDF("CLIENTID", "DESCR", "CREATION", "LAST_MOD", "DISABLED"))
     put("tipo_udo_22_templ", Seq(
       ("T1", "Tipo Uno", "C1", "NC1", "SET", "TGT", "K1", "S", "N", "Y", t0, t0, "N"))
       .toDF("CLIENTID", "DESCR", "CODICE_UDO", "NOME_CODICE_UDO", "SETTING",
@@ -96,7 +112,9 @@ class MainSpec extends AnyFunSuite {
       .toDF("CLIENTID", "NOME", "COGNOME", "CFISC", "EMAIL", "DATA_NASCITA",
         "VIA_PIAZZA", "CIVICO", "TELEFONO", "CELLULARE", "CARTA_IDENT_NUM",
         "CARTA_IDENT_SCAD", "PROFESSIONE", "COD_LUOGO_NASCITA", "CREATION", "LAST_MOD"))
-    put("uo_model", Seq(("OU7", "UO-7")).toDF("CLIENTID", "ID_UO"))
+    put("uo_model", Seq(("OU7", "UO-7", "CU7", "Unita 7", "descr", "C1", t0, t0, "N"))
+      .toDF("CLIENTID", "ID_UO", "COD_UNIVOCO_UO", "DENOMINAZIONE", "DESCR",
+        "ID_TITOLARE_FK", "CREATION", "LAST_MOD", "DISABLED"))
     put("disciplina_templ", Seq(
       ("D1", "Chirurgia", 3, "dd", "Osp", "C10", 1, 0, "RG1", "77", t0, t0, "N"))
       .toDF("CLIENTID", "NOME", "ORDINE", "DESCR", "TIPO", "CODICE",
@@ -116,7 +134,6 @@ class MainSpec extends AnyFunSuite {
         "ID_TIPO_SPECIFICO_REQUISITO_FK", "ID_TIPO_RISPOSTA_FK",
         "CREATION", "LAST_MOD", "DISABLED"))
     put("tipo_risposta", Seq(("R1", "Si/No")).toDF("CLIENTID", "NOME"))
-    put("requirement_taxonomies", Seq((9L, "-")).toDF("id", "name"))
     put("domanda_inst", Seq(
       ("P1", "D-1", "CU-1", "CO1", "TP1", "IN CORSO", t0, 30, 60, "N-1", t0, t0))
       .toDF("CLIENTID", "ID_DOMANDA", "CODICE_UNIVOCO_NRECORD", "ID_TITOLARE_FK",
@@ -137,7 +154,12 @@ class MainSpec extends AnyFunSuite {
         "ID_TOPONIMO_FK", "CREATION", "LAST_MOD", "DISABLED"))
     put("tipo_punto_fisico_templ", Seq(("TPF1", "Sede Operativa"))
       .toDF("CLIENTID", "NOME"))
-    put("struttura_model", Seq(("ST1", "C1")).toDF("CLIENTID", "ID_TITOLARE_FK"))
+    put("struttura_model", Seq(
+      ("ST1", "Struttura Uno", "PF1", "PF1b", "DI1", "C1", t0, t0, "N",
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("CLIENTID", "DENOMINAZIONE", "CODICE_PF", "CODICE_PF_SECONDARIO",
+        "ID_DISTRETTO_FK", "ID_TITOLARE_FK", "CREATION", "LAST_MOD", "DISABLED",
+        "ID_FASCICOLO_DOCWAY", "ID_COMPRENSORIO_FK"))
     // 27 columns > Tuple22: build the UDO fixture from a narrow base
     put("udo_model", Seq(
       ("UD1", "Udo Uno", "Attiva", "U-1", "T1", "SO1", "ED1", "2"))
@@ -163,13 +185,68 @@ class MainSpec extends AnyFunSuite {
         "CREATION", "LAST_MOD"))
     put("storico_posti_letto", Seq(("SU1", "12", "2", "0"))
       .toDF("ID_STATO_UDO_FK", "PL", "PLEX", "PLOB"))
+    // seed CSVs (regions/provinces/municipalities/permissions)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$in/seed"))
+    def putCsv(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/seed/$name"), text)
+    putCsv("regions.csv", "id,name\n5,Veneto\n")
+    putCsv("provinces.csv", "id,name,region_id\n27,Venezia,5\n")
+    putCsv("municipalities.csv", "id,name,istat_code,province_id\n42,Venezia,027042,27\n")
+    putCsv("permissions.csv", "id,name\n1,read\n")
+    put("ulss_territoriale", Seq((" ULSS Prima ", "501"))
+      .toDF("DESCRIZIONE", "CODICE"))
+    put("distretto_templ", Seq(("DI1", "Az-Zero-", "D1", t0, t0, "N"))
+      .toDF("CLIENTID", "TITOLARE", "DISTRETTO", "CREATION", "LAST_MOD", "DISABLED"))
+    put("tipo_titolare_templ", Seq(("TT1", "Pubblico", "S", "N", t0, t0, "N"))
+      .toDF("CLIENTID", "DESCR", "SHOW_DICHIARAZIONE_DIR_SAN",
+        "ORGANIGRAMMA_ATTIVO", "CREATION", "LAST_MOD", "DISABLED"))
+    put("edificio_str_templ", Seq(
+      ("ED1", "Padiglione A", "PA", "ST1", "CF9", "Verdi", "Ugo", "Verdi snc",
+        "IVA9", 1, t0, t0, "N", "DW7"))
+      .toDF("CLIENTID", "NOME", "CODICE", "ID_STRUTTURA_FK", "CF_DI_PROPRIETA",
+        "COGNOME_DI_PROPRIETA", "NOME_DI_PROPRIETA",
+        "RAGIONE_SOCIALE_DI_PROPRIETA", "PIVA_DI_PROPRIETA", "FLAG_DI_PROPRIETA",
+        "CREATION", "LAST_MOD", "DISABLED", "ID_FASCICOLO_DOCWAY"))
+    put("ragg_discpl", Seq(("RG1", "Area Acuti", 1, "MA1", t0, t0, "N"))
+      .toDF("CLIENTID", "DENOMINAZIONE", "ORDINE", "ID_MACROAREA_FK",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("macroarea_programmazione", Seq(("MA1", "Acuti")).toDF("CLIENTID", "NOME"))
+    put("tipo_fattore_prod_templ", Seq(("TF1", "Posti letto", "PL  area", "STR", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "DESCR", "TIPOLOGIA_FATT_PROD",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("fatt_prod_udo_model", Seq(("FP1", "TF1", "12", "Stanza 1", "?", "RC", t0, t0, "N"))
+      .toDF("CLIENTID", "ID_TIPO_FK", "VALORE", "VALORE2", "VALORE3", "DESCR",
+        "CREATION", "LAST_MOD", "DISABLED"))
+    put("classificazione_udo_templ", Seq(("CU1", "Ospedaliera", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "CREATION", "LAST_MOD", "DISABLED"))
+    put("operatore_model", Seq(("OP1", "U1", "C1", t0, t0, "N"))
+      .toDF("CLIENTID", "ID_UTENTE_FK", "ID_TITOLARE_FK", "CREATION", "LAST_MOD", "DISABLED"))
+    put("bind_udo_fatt_prod", Seq(("FP1", "UD1")).toDF("ID_FATTORE_FK", "ID_UDO_FK"))
+    put("bind_tipo_22_tipo_fatt", Seq(("T1", "TF1")).toDF("ID_TIPO_UDO_22_FK", "ID_TIPO_FATT_FK"))
+    put("bind_atto_udo", Seq(("UD1", "A1")).toDF("ID_UDO_FK", "ID_ATTO_FK"))
+    put("bind_udo_branca", Seq(("S", "N", "B1", "UD1"))
+      .toDF("AUTORIZZATA", "ACCREDITATA", "ID_BRANCA_FK", "ID_UDO_FK"))
+    put("bind_udo_branca_altro", Seq(("A1", "UD1"))
+      .toDF("ID_ARTIC_BRANCA_ALTRO_FK", "ID_UDO_FK"))
+    put("bind_udo_disciplina", Seq(
+      ("D1", "UD1", 4, 1, 0, 2, "H12", "UO-7", "MANUALE"),
+      (null.asInstanceOf[String], "UD1", 0, 0, 0, 0, null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String])) // null FK row drops
+      .toDF("ID_DISCIPLINA_FK", "ID_UDO_FK", "POSTI_LETTO", "POSTI_LETTO_EXTRA",
+        "POSTI_LETTO_OBI", "POSTI_LETTO_ACC", "HSP12", "ID_UO", "PROVENIENZA_UO"))
+    put("tipo_requisito", Seq(
+      ("TG1", "Generale", t0, t0), ("TG2", "Ignorato", t0, t0))
+      .toDF("CLIENTID", "NOME", "CREATION", "LAST_MOD"))
+    put("tipo_specifico_requisito", Seq(("TS1", "Strutturale", t0, t0))
+      .toDF("CLIENTID", "NOME", "CREATION", "LAST_MOD"))
+    put("lista_requisiti_templ", Seq(("LR1", "Lista 1", "D1", t0, t0, "N"))
+      .toDF("CLIENTID", "NOME", "ID_DELIBERA_TEMPL", "CREATION", "LAST_MOD", "DISABLED"))
+    put("classificazione_programmazione", Seq(("CP1", "Cronos  A")).toDF("CLIENTID", "NOME"))
+    put("classificazione_dm_70", Seq(("DM1", "DM Uno")).toDF("CLIENTID", "NOME"))
 
     val results = Main.execute(
       Main.Args(Set("all"), list = false, Some(in), Some(out)), spark)
-    assert(results.map(_.name).toSet ==
-      Set("toponyms", "companies", "resolutions", "udo_types", "specialties",
-        "users", "requirements", "procedures", "healthcare_companies",
-        "operational_offices", "udos", "udo_status_history", "poa_truncate"))
+    assert(results.map(_.name).toSet == allPipelineNames)
 
     def readOut(t: String) = spark.read.parquet(s"$out/$t.parquet")
     assert(readOut("toponyms").count() == 1)
@@ -202,10 +279,47 @@ class MainSpec extends AnyFunSuite {
       && h.getAs[Boolean]("is_direct_supply"))
     assert(!hist.columns.contains("hist_id") && !hist.columns.contains("id"),
       "target id is dropped — PG generates fresh UUIDs")
+    // the new catalog tail: seeds, dimensions, bridges, auac/cronos
+    assert(readOut("municipalities").head().getAs[String]("istat_code") == "027042",
+      "istat_code schema override keeps the leading zero")
+    assert(readOut("regions").count() == 1 && readOut("permissions").count() == 1)
+    assert(readOut("ulss").head().getAs[String]("name") == "ULSS Prima")
+    assert(readOut("districts").head().getAs[String]("name") == "Az - Zero",
+      "strip '-' suffix then first '-' -> ' - '")
+    val ct = readOut("company_types").head()
+    assert(ct.getAs[Boolean]("is_show_health_director_declaration_poa")
+      && !ct.getAs[Boolean]("is_active_poa"))
+    val ps = readOut("physical_structures").head()
+    assert(ps.getAs[String]("extra") == "{}", "all-null docway/area -> {} envelope")
+    val bld = readOut("buildings").head()
+    assert(bld.getAs[Boolean]("is_own_property")
+      && bld.getAs[String]("extra").contains("\"docway_file_id\":\"DW7\""))
+    assert(readOut("grouping_specialties").head().getAs[String]("macroarea") == "ACUTI")
+    assert(readOut("resolution_types").count() == 2, "delibera + atto type names")
+    assert(readOut("operational_units").head().getAs[String]("company_id") == "c1")
+    val pf = readOut("production_factors").head()
+    assert(pf.getAs[Int]("num_beds") == 12 && pf.getAs[Int]("num_hospital_beds") == 0,
+      "'?' placeholder -> 0")
+    assert(readOut("udo_type_classifications").count() == 1)
+    assert(readOut("user_companies").head().getAs[String]("user_id") == "u1")
+    assert(readOut("udo_production_factors").head().getAs[String]("udo_id") == "ud1")
+    assert(readOut("udo_type_production_factor_types").count() == 1)
+    assert(readOut("udo_resolutions").head().getAs[String]("resolution_id") == "a1")
+    val us = readOut("udo_specialties")
+    assert(us.count() == 3, "branca + branca_altro + one disciplina (null FK dropped)")
+    assert(us.filter(col("clinical_operational_unit_id") === "ou7").count() == 1,
+      "the disciplina row resolves its clinical unit")
+    val rt = readOut("requirement_taxonomies")
+    assert(rt.count() == 3, "generale + specifico + '-' fallback")
+    assert(rt.filter(col("name") === "-").count() == 1)
+    assert(readOut("requirement_lists").head().getAs[String]("resolution_id") == "d1")
+    assert(readOut("cronos_taxonomies").head().getAs[String]("name") == "Cronos A")
+    assert(readOut("dm70_taxonomies").count() == 1)
 
-    // module dispatch: auac alone runs exactly its two pipelines
+    // module dispatch: auac alone runs exactly its four pipelines
     val auacOnly = Main.execute(
       Main.Args(Set("auac"), list = false, Some(in), Some(out)), spark)
-    assert(auacOnly.map(_.name).toSet == Set("requirements", "procedures"))
+    assert(auacOnly.map(_.name).toSet ==
+      Set("requirement_taxonomies", "requirement_lists", "requirements", "procedures"))
   }
 }
