@@ -1,0 +1,155 @@
+package graft.io
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+/** S3-compatible object-store client over plain HTTP with AWS Signature
+  * Version 4 request signing — the production counterpart of
+  * [[ObjectStore.LocalFsClient]], wire-compatible with MinIO/S3/Ceph
+  * path-style endpoints (the reference's MinIO client, `src/core.py:899-950`).
+  *
+  * SigV4 is implemented from the public AWS specification ("Signature
+  * Version 4 signing process"): canonical request → string-to-sign →
+  * HMAC-SHA256 key-derivation chain (date → region → service →
+  * aws4_request). The signing math is pure ([[SigV4]]) and pinned in
+  * `S3ClientSpec` against known-answer vectors cross-derived with an
+  * independent implementation, plus a live round-trip against an embedded
+  * HTTP stub server. No AWS SDK: the container's dependency policy allows
+  * only Spark's own jars, and the protocol is small enough to own —
+  * exactly-once semantics come from [[ObjectStore]]'s deterministic keys
+  * (PUT is idempotent), not from client-side retry bookkeeping.
+  */
+object S3 {
+
+  /** Path-style endpoint config (MinIO default). `endpoint` like
+    * `http://minio:9000`; credentials are injected by the deployment —
+    * never hardcoded. */
+  final case class Config(
+      endpoint: String, region: String,
+      accessKey: String, secretKey: String) extends Serializable
+
+  /** Pure SigV4 building blocks, exposed for spec pinning. */
+  object SigV4 {
+
+    def sha256Hex(data: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+
+    def hmac(key: Array[Byte], data: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(data.getBytes(UTF_8))
+    }
+
+    /** kSigning = HMAC(HMAC(HMAC(HMAC("AWS4"+secret, date), region),
+      * service), "aws4_request") — the published derivation chain. */
+    def signingKey(secret: String, date: String, region: String, service: String): Array[Byte] =
+      hmac(hmac(hmac(hmac(("AWS4" + secret).getBytes(UTF_8), date), region), service),
+        "aws4_request")
+
+    /** RFC 3986 unreserved-set encoding of ONE path segment (S3 canonical
+      * URIs encode each segment but preserve the '/' separators; '+' and
+      * space must encode — the classic pre-signed-URL corruption bug). */
+    def encodeSegment(s: String): String =
+      s.getBytes(UTF_8).map { b =>
+        val c = b.toChar
+        if (c.isLetterOrDigit && b >= 0 || "-._~".contains(c)) c.toString
+        else "%%%02X".format(b & 0xff)
+      }.mkString
+
+    def canonicalUri(path: String): String =
+      if (path.isEmpty) "/"
+      else path.split("/", -1).map(encodeSegment).mkString("/")
+
+    /** Canonical request per the spec: method, canonical URI, canonical
+      * query, lowercase-sorted `k:v` header lines, signed-header list,
+      * payload hash. `headers` must already be lowercase-keyed. */
+    def canonicalRequest(
+        method: String, uri: String, query: String,
+        headers: Seq[(String, String)], payloadHash: String): String = {
+      val sorted = headers.sortBy(_._1)
+      (Seq(method, uri, query) ++
+        sorted.map { case (k, v) => s"$k:${v.trim}" } ++
+        Seq("", sorted.map(_._1).mkString(";"), payloadHash)).mkString("\n")
+    }
+
+    def stringToSign(amzDate: String, scope: String, canonicalRequestStr: String): String =
+      Seq("AWS4-HMAC-SHA256", amzDate, scope,
+        sha256Hex(canonicalRequestStr.getBytes(UTF_8))).mkString("\n")
+
+    def signature(
+        secret: String, date: String, region: String, service: String,
+        sts: String): String =
+      hmac(signingKey(secret, date, region, service), sts)
+        .map("%02x".format(_)).mkString
+
+    /** The full Authorization header value for a request. */
+    def authorization(
+        cfg: Config, method: String, uri: String, query: String,
+        headers: Seq[(String, String)], payloadHash: String,
+        amzDate: String): String = {
+      val date = amzDate.take(8)
+      val scope = s"$date/${cfg.region}/s3/aws4_request"
+      val cr = canonicalRequest(method, uri, query, headers, payloadHash)
+      val sig = signature(cfg.secretKey, date, cfg.region, "s3",
+        stringToSign(amzDate, scope, cr))
+      val signed = headers.map(_._1).sorted.mkString(";")
+      s"AWS4-HMAC-SHA256 Credential=${cfg.accessKey}/$scope, " +
+        s"SignedHeaders=$signed, Signature=$sig"
+    }
+  }
+
+  private val AmzDateFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+
+  /** The [[ObjectStore.Client]] over SigV4 HTTP. One instance per
+    * partition (the `mapPartitions` contract); the underlying HttpClient
+    * is created lazily on first use so the instance serializes cleanly
+    * into tasks. */
+  final class S3Client(cfg: Config, clock: () => java.time.Instant = () => java.time.Instant.now())
+      extends ObjectStore.Client {
+
+    @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+    private val host = URI.create(cfg.endpoint).getAuthority
+
+    private def send(
+        method: String, path: String, body: Array[Byte],
+        contentType: Option[String]): HttpResponse[String] = {
+      val amzDate = AmzDateFmt.format(clock())
+      val payloadHash = SigV4.sha256Hex(body)
+      val uri = SigV4.canonicalUri(path)
+      val headers = Seq(
+        "host" -> host,
+        "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> amzDate) ++ contentType.map("content-type" -> _)
+      val auth = SigV4.authorization(cfg, method, uri, "", headers, payloadHash, amzDate)
+      val base = HttpRequest.newBuilder(URI.create(cfg.endpoint + uri))
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+        .header("x-amz-content-sha256", payloadHash)
+        .header("x-amz-date", amzDate)
+        .header("Authorization", auth)
+      contentType.foreach(ct => base.header("Content-Type", ct))
+      http.send(base.build(), HttpResponse.BodyHandlers.ofString())
+    }
+
+    /** PUT the object; deterministic keys make retries overwrite-idempotent
+      * (the [[ObjectStore]] exactly-once contract). */
+    def put(bucket: String, key: String, bytes: Array[Byte], contentType: String): Unit = {
+      val r = send("PUT", s"/$bucket/$key", bytes, Some(contentType))
+      require(r.statusCode / 100 == 2,
+        s"S3 PUT $bucket/$key failed: HTTP ${r.statusCode} ${r.body().take(200)}")
+    }
+
+    /** PUT the bucket; 409 (already exists / already owned) is success —
+      * the reference's make_bucket-if-missing check without the races of
+      * a HEAD-then-PUT. */
+    def ensureBucket(bucket: String): Unit = {
+      val r = send("PUT", s"/$bucket", Array.emptyByteArray, None)
+      require(r.statusCode / 100 == 2 || r.statusCode == 409,
+        s"S3 ensureBucket $bucket failed: HTTP ${r.statusCode} ${r.body().take(200)}")
+    }
+  }
+}

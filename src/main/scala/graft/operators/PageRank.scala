@@ -59,21 +59,27 @@ object PageRank {
     val n = vs.count()
 
     var r = vs.selectExpr("v", s"$Scale div ${n}L AS r").persist()
-    r.count()
 
-    for (_ <- 1 to iters) {
-      // Dangling mass: ranks of vertices with no out-edges. A 1-row
-      // aggregate pulled DRIVER-SIDE (same bounded contract as the vertex
-      // count above) and folded into the next round's expression as a
-      // literal. The previous formulation shipped it back as
-      // crossJoin(broadcast(aggregate)) — semantically identical, but the
-      // per-round BroadcastExchange + nested-loop stage cost ~6s/round at
-      // local[32] (measured; ~85% of d21's bench time) for a value the
-      // driver already has to wait on anyway.
-      val dang = r.join(deg, r("v") === deg("src"), "left")
-        .filter(col("src").isNull)
+    // Dangling mass: ranks of vertices with no out-edges. A 1-row
+    // aggregate pulled DRIVER-SIDE (same bounded contract as the vertex
+    // count) and folded into the next round's expression as a literal.
+    // Two plan economies vs earlier formulations:
+    //  - an earlier version shipped it back as crossJoin(broadcast(agg)) —
+    //    semantically identical, but the per-round BroadcastExchange +
+    //    nested-loop stage cost ~6s/round at local[32];
+    //  - the anti-join aggregate doubles as the CACHE MATERIALIZATION of
+    //    its argument (it consumes every partition), so each round runs
+    //    exactly ONE job — round t's action computes round t's ranks AND
+    //    the dangling scalar round t+1 needs, instead of a count() job
+    //    followed by a separate dangling job re-scanning the cache.
+    def danglingOf(ranks: DataFrame): Long =
+      ranks.join(deg, ranks("v") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
         .head().getLong(0)
+
+    var dang = danglingOf(r) // also materializes r's cache
+
+    for (_ <- 1 to iters) {
       // Each vertex ships r div deg along every out-edge; sum at the dst.
       val contrib = e.join(r, col("src") === col("v"))
         .join(deg, "src")
@@ -85,7 +91,7 @@ object PageRank {
           s"(($Scale * 15) div 100) div ${n}L + " +
             s"(85 * (coalesce(contrib, 0) + ${dang}L div ${n}L)) div 100 AS r")
         .persist()
-      next.count()
+      dang = danglingOf(next) // one job: materializes next + its dangling mass
       r.unpersist()
       r = next
     }
