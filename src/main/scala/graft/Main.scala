@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.GraftSession
-import graft.io.ObjectStore
+import graft.io.{ObjectStore, S3}
 import graft.pipeline.{Pipeline, PipelineContext, Runner}
 import graft.pipelines.{CorePipelines, DimensionPipelines, PoaPipelines, ServicePipelines}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -106,10 +106,8 @@ object Main {
     // Hoisted OUT of the anonymous Pipeline below: an inline lambda there
     // would close over the Pipeline instance (which holds a SparkSession-
     // touching run body) and fail task serialization; this one captures
-    // only the path string.
-    val objRoot = s"$out/_objects"
-    val resolutionClient: () => ObjectStore.Client =
-      () => new ObjectStore.LocalFsClient(objRoot)
+    // only the path string / the serializable S3 config.
+    val resolutionClient = objectClientFactory(s"$out/_objects")
     Seq(
       seedPipeline("regions", "regions.csv"),
       seedPipeline("provinces", "provinces.csv"),
@@ -335,6 +333,30 @@ object Main {
             src(ctx.spark, "municipalities"), load), "users")
       })
   }
+
+  /** Object-store client factory for attachment uploads: a real
+    * S3-compatible store ([[graft.io.S3.S3Client]]) when the deployment
+    * provides `GRAFT_S3_ENDPOINT` (credentials via `GRAFT_S3_ACCESS_KEY` /
+    * `GRAFT_S3_SECRET_KEY`, region via `GRAFT_S3_REGION`) — the
+    * reference's MinIO wiring, `src/utils.py:138-147` — else the local
+    * filesystem under `objRoot`. Env is injected for testability; the
+    * returned thunk captures only serializable state (the per-partition
+    * client contract). */
+  def objectClientFactory(
+      objRoot: String,
+      env: Map[String, String] = sys.env): () => ObjectStore.Client =
+    env.get("GRAFT_S3_ENDPOINT") match {
+      case Some(endpoint) =>
+        val cfg = S3.Config(
+          endpoint,
+          env.getOrElse("GRAFT_S3_REGION", "us-east-1"),
+          env.getOrElse("GRAFT_S3_ACCESS_KEY", ""),
+          env.getOrElse("GRAFT_S3_SECRET_KEY", ""))
+        require(cfg.accessKey.nonEmpty && cfg.secretKey.nonEmpty,
+          "GRAFT_S3_ENDPOINT is set but GRAFT_S3_ACCESS_KEY/GRAFT_S3_SECRET_KEY are not")
+        () => new S3.S3Client(cfg)
+      case None => () => new ObjectStore.LocalFsClient(objRoot)
+    }
 
   def main(argv: Array[String]): Unit = {
     val knownModules = Set("core", "poa", "cronos", "auac")

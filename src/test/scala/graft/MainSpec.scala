@@ -39,6 +39,17 @@ class MainSpec extends AnyFunSuite {
     "cronos_taxonomies", "dm70_taxonomies", "healthcare_companies",
     "poa_truncate")
 
+  test("object-store client factory: S3 from env, local fs otherwise, loud on missing creds") {
+    assert(Main.objectClientFactory("/tmp/o", Map.empty)()
+      .isInstanceOf[graft.io.ObjectStore.LocalFsClient])
+    assert(Main.objectClientFactory("/tmp/o", Map(
+      "GRAFT_S3_ENDPOINT" -> "http://minio:9000",
+      "GRAFT_S3_ACCESS_KEY" -> "ak", "GRAFT_S3_SECRET_KEY" -> "sk"))()
+      .isInstanceOf[graft.io.S3.S3Client])
+    intercept[IllegalArgumentException](
+      Main.objectClientFactory("/tmp/o", Map("GRAFT_S3_ENDPOINT" -> "http://minio:9000")))
+  }
+
   test("registry covers every reference migration and orders the DAG") {
     val pipes = graft.pipeline.Runner.order(Main.registry("/in", "/out"))
     val names = pipes.map(_.name)
