@@ -222,6 +222,46 @@ object DedupQueries {
         (col("label") === col("id")).as("is_keeper"))
     },
 
+    // D33: quality-based keeper ELECTION — the retention policy dedup
+    // actually feeds. d13's min-id keeper is the graph-theoretic default;
+    // real corpora keep the best document per cluster. Here: the most
+    // tokens wins, doc_id breaks ties (deterministic), via one window over
+    // the component key — the rank and the grouping share the partitioning,
+    // so beyond the component assignment itself this adds exactly one
+    // component-keyed shuffle. Cluster sizes are bounded by near-dup
+    // semantics (no component is corpus-scale unless the corpus IS one
+    // near-dup class), so the window never degenerates to SinglePartition.
+    QueryDef.sql(
+      "d33_cluster_canonical",
+      s"""WITH RECURSIVE
+         |$shingleGraphSql,
+         |$jaccardPairsSql,
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e2.dst, r.label FROM reach r JOIN e2 ON r.id = e2.src),
+         |comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_tokens FROM documents),
+         |r AS (SELECT c.doc_id, c.component, q.n_tokens,
+         |        row_number() OVER (PARTITION BY c.component ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+         |      FROM comp c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, component, n_tokens, rn = 1 AS is_canonical FROM r""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val clusters = graft.operators.ConnectedComponents.minLabel(
+        docs.select(col("doc_id")), "doc_id",
+        jaccardPairs(spark, dir), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("component"))
+      val quality = docs.select(col("doc_id").as("q_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      clusters.join(quality, col("doc_id") === col("q_id"))
+        .drop("q_id")
+        .withColumn("is_canonical", row_number().over(w) === 1)
+        .select(col("doc_id"), col("component"), col("n_tokens"), col("is_canonical"))
+    },
+
     // MinHash + banded LSH: the scale path for near-dup detection — the
     // only shuffle is on (band, signature). Candidates are verified with
     // exact Jaccard before reporting. rows-only (xxhash64 family).
