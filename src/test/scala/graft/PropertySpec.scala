@@ -41,6 +41,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kthOfCount: median and count match the local sort for arbitrary multisets") {
+    (1 to Rounds).foreach { round =>
+      val xs = samples(Gen.listOfN(60,
+        Gen.chooseNum(-1000, 1000).map(_.toDouble / 4)), round)
+      val df = xs.toDF("v")
+      val (med, n) = graft.operators.Selection.kthOfCount(
+        df, "v", t => (t + 1) / 2, buckets = 8, localLimit = 10)
+      assert(n == xs.length, "total must come from the round-1 bucket tallies")
+      assert(med == xs.sorted.apply(((xs.length + 1) / 2 - 1).toInt),
+        s"median mismatch on round $round")
+    }
+  }
+
   test("enum mapping is total: output is always a mapped value or the default") {
     val mapping = Map("a" -> "A", "b" -> "B", "weird key" -> "W")
     val allowed = mapping.values.toSet + "DEF"
