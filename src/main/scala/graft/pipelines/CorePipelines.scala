@@ -70,12 +70,12 @@ object CorePipelines {
       Text.handleId(col("CLIENTID")).as("nat_id"),
       Text.handleText(col("NOME")).as("nature"))
     val mun = municipalities.select(
-      trim(col("istat_code")).as("mun_istat"),
+      Text.strip(col("istat_code")).as("mun_istat"),
       col("id").as("municipality_id"))
     titolare
       .join(broadcast(tipo), Text.handleId(col("ID_TIPO_RICH_FK")) === col("tr_id"), "left")
       .join(broadcast(nat), Text.handleId(col("ID_NATURA_FK")) === col("nat_id"), "left")
-      .join(broadcast(mun), trim(col("COD_COMUNE_ESTESO")) === col("mun_istat"), "left")
+      .join(broadcast(mun), Text.strip(col("COD_COMUNE_ESTESO")) === col("mun_istat"), "left")
       .select(
         Seq(
           Text.handleId(col("CLIENTID")).as("id"),
@@ -401,16 +401,16 @@ object CorePipelines {
       Text.handleText(col("USERNAME_CAS")).as("username"),
       EnumMap.handleEnumMapping(col("RUOLO"), userRoleMapping, "OPERATOR").as("role"),
       when(trim(col("PROVENIENZA_UO")) === "ORGANIGRAMMA_TREE", lit(null))
-        .otherwise(trim(col("ID_UO"))).as("uo_fk"),
+        .otherwise(Text.strip(col("ID_UO"))).as("uo_fk"),
       col("DATA_DISABILITATO").as("disabled_at"))
     val mun = municipalities.select(
-      trim(col("istat_code")).as("mun_istat"),
+      Text.strip(col("istat_code")).as("mun_istat"),
       col("name").as("birth_place"))
     val uoTr = uo.select(
       Text.handleId(col("CLIENTID")).as("operational_unit_id"),
-      trim(col("ID_UO")).as("uo_id"))
+      Text.strip(col("ID_UO")).as("uo_id"))
     anagrafica
-      .join(broadcast(mun), trim(col("COD_LUOGO_NASCITA")) === col("mun_istat"), "left")
+      .join(broadcast(mun), Text.strip(col("COD_LUOGO_NASCITA")) === col("mun_istat"), "left")
       .join(broadcast(ut), Text.handleId(col("CLIENTID")) === col("anagr_fk"), "left")
       .select(
         Seq(
@@ -474,12 +474,12 @@ object CorePipelines {
       tipoPuntoFisico: DataFrame, loadTime: Column): DataFrame = {
     val mun = municipalities.select(
       col("id").as("municipality_id"),
-      trim(col("istat_code")).as("mun_istat"))
+      Text.strip(col("istat_code")).as("mun_istat"))
     val tpf = tipoPuntoFisico.select(
       Text.handleId(col("CLIENTID")).as("tpf_id"),
       col("NOME").as("physical_point_type"))
     sedeOper
-      .join(broadcast(mun), trim(col("ISTAT")) === col("mun_istat"), "left")
+      .join(broadcast(mun), Text.strip(col("ISTAT")) === col("mun_istat"), "left")
       .join(broadcast(tpf),
         Text.handleId(col("ID_TIPO_PUNTO_FISICO_FK")) === col("tpf_id"), "left")
       .select(
@@ -547,7 +547,7 @@ object CorePipelines {
         yFlag(col("FLAG_MODULO")).as("is_module"),
         lit(null).cast("string").as("organigram_node_id"),
         when(trim(col("PROVENIENZA_UO")) === "ORGANIGRAMMA_TREE", lit(null))
-          .otherwise(trim(col("ID_UO"))).as("uo_fk")) ++ auditCols(loadTime): _*)
+          .otherwise(Text.strip(col("ID_UO"))).as("uo_fk")) ++ auditCols(loadTime): _*)
     val sede = sedeOper.select(
       Text.handleId(col("CLIENTID")).as("oo_id"),
       Text.handleId(col("ID_STRUTTURA_FK")).as("ps_id"))
@@ -559,7 +559,7 @@ object CorePipelines {
       .select(col("oo_id"), col("company_id"))
     val uoTr = uo.select(
       Text.handleId(col("CLIENTID")).as("operational_unit_id"),
-      trim(col("ID_UO")).as("uo_id"))
+      Text.strip(col("ID_UO")).as("uo_id"))
     base
       .join(broadcast(companyMap), col("operational_office_id") === col("oo_id"), "left")
       .join(broadcast(uoTr), col("uo_fk") === col("uo_id"), "left")
@@ -606,7 +606,7 @@ object CorePipelines {
       Text.handleId(col("ID_UDO_FK")).as("udo_id"))
     val uoTr = uo.select(
       Text.handleId(col("CLIENTID")).as("clinical_operational_unit_id"),
-      trim(col("ID_UO")).as("uo_id"))
+      Text.strip(col("ID_UO")).as("uo_id"))
     val disciplines = bindUdoDisciplina
       .filter(col("ID_DISCIPLINA_FK").isNotNull)
       .select(
@@ -619,7 +619,7 @@ object CorePipelines {
         nullStr.as("clinical_poa_node_id"),
         Text.handleId(col("ID_DISCIPLINA_FK")).as("specialty_id"),
         Text.handleId(col("ID_UDO_FK")).as("udo_id"),
-        trim(col("ID_UO")).as("uo_fk"))
+        Text.strip(col("ID_UO")).as("uo_fk"))
       .join(broadcast(uoTr), col("uo_fk") === col("uo_id"), "left")
       .drop("uo_fk", "uo_id")
     branca.unionByName(brancaAltro)

@@ -171,7 +171,7 @@ object ServicePipelines {
   def healthcareCompanies(
       aziendaSanitaria: DataFrame, ulss: DataFrame): DataFrame = {
     val ulssTr = ulss.select(
-      col("id").as("ulss_id"), trim(col("code")).as("u_code"))
+      col("id").as("ulss_id"), Text.strip(col("code")).as("u_code"))
     aziendaSanitaria.select(
       Text.handleId(col("CLIENTID")).as("id"),
       Text.handleText(col("CODICE")).as("code"),

@@ -17,7 +17,8 @@ object FilterJoinQueries {
     QueryDef.sql(
       "f1_normalized_eq_filter",
       """SELECT l_orderkey, l_linenumber, l_returnflag
-        |FROM lineitem WHERE lower(trim(l_returnflag)) = 'r'""".stripMargin) { (spark, dir) =>
+        |FROM lineitem
+        |WHERE lower(trim(l_returnflag, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 'r'""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "lineitem")
         .filter(Text.handleId(col("l_returnflag")) === "r")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
@@ -96,7 +97,7 @@ object FilterJoinQueries {
       """SELECT r_regionkey, r_name, zone
         |FROM region
         |LEFT JOIN (VALUES ('europe','EMEA'),('africa','EMEA'),('middle east','EMEA'),('america','AMER'),('asia','APAC')) AS z(rname, zone)
-        |ON lower(trim(r_name)) = rname""".stripMargin) { (spark, dir) =>
+        |ON lower(trim(r_name, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = rname""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val zones = Seq(
         ("europe", "EMEA"), ("africa", "EMEA"), ("middle east", "EMEA"),

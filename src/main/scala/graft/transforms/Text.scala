@@ -17,9 +17,19 @@ object Text {
   def handleText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "\\x00", ""), "\\s+", " "))
 
-  /** Canonical id normalization: trim + lowercase.
-    * Reference: `src/utils.py:444-465`. */
-  def handleId(c: Column): Column = lower(trim(c))
+  /** Canonical id normalization: strip + lowercase.
+    * Reference: `src/utils.py:444-465`. The strip must remove ALL edge
+    * whitespace (Polars `strip_chars()` semantics): Spark's default
+    * `trim` strips ONLY ASCII spaces, so a CLIENTID with a trailing
+    * newline/tab would silently miss every join it keys — the explicit
+    * trim set covers the ASCII whitespace class (still whole-stage
+    * codegen, unlike a regexp). */
+  /** Whitespace strip WITHOUT case folding — for case-sensitive codes
+    * (the reference's bare `str.strip_chars()`, same whitespace class as
+    * [[handleId]]). */
+  def strip(c: Column): Column = trim(c, " \t\n\r\u000B\f")
+
+  def handleId(c: Column): Column = lower(strip(c))
 
   /** Replace only the FIRST occurrence of a literal `target`.
     * Polars `str.replace` is first-occurrence (`src/core.py:189`) while
