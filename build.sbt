@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout/stderr, not through sbt's
+// logger: the driver's bench harness keeps only an output tail and parses
+// the final JSON line, and sbt's `[info] ` prefix made that line
+// unparseable as JSON in every round through r8 (BENCH_r*.json
+// `"parsed": null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -186,12 +186,16 @@ object Main {
       },
       new Pipeline {
         val name = "companies"
+        // municipalities out-read: the reference joins the MIGRATED table
+        // (src/core.py:288), same single-source-of-truth edge as
+        // operational_offices/users.
+        override val dependsOn = Seq("municipalities")
         def run(ctx: PipelineContext): Unit = sink(
           CorePipelines.companies(
             src(ctx.spark, "titolare_model"),
             src(ctx.spark, "tipologia_richiedente"),
             src(ctx.spark, "natura_titolare_templ"),
-            src(ctx.spark, "municipalities"), load), "companies")
+            ctx.spark.read.parquet(s"$out/municipalities.parquet"), load), "companies")
       },
       new Pipeline {
         val name = "resolutions"
@@ -250,17 +254,33 @@ object Main {
       new Pipeline {
         val name = "healthcare_companies"
         override val module = "cronos"
+        // The reference joins the MIGRATED ulss target read back from PG
+        // (src/cronos.py:100) — at the parquet seam that target is
+        // $out/ulss.parquet with the surrogate id the ulss pipeline mints.
+        // Reading $in/ulss.parquet here instead would let two independent
+        // ulss sources drift. Consequence of the real edge: cronos cannot
+        // run without core in the same selection (`--modules core,cronos`
+        // or all) — the Runner refuses a severed DAG rather than joining
+        // stale data, which is the fail-fast the reference only gets by
+        // assuming core already populated PG.
+        override val dependsOn = Seq("ulss")
         def run(ctx: PipelineContext): Unit = sink(
           ServicePipelines.healthcareCompanies(
             src(ctx.spark, "azienda_sanitaria"),
-            src(ctx.spark, "ulss")), "healthcare_companies")
+            ctx.spark.read.parquet(s"$out/ulss.parquet")), "healthcare_companies")
       },
       new Pipeline {
         val name = "operational_offices"
+        // municipalities is read BACK from the migrated target
+        // (src/core.py:429 reads the PG table the municipalities seed load
+        // wrote) — same out-read + dependsOn pattern as requirements /
+        // udo_status_history: one municipalities source of truth, not an
+        // $in copy that can drift from the seed the DAG actually loaded.
+        override val dependsOn = Seq("municipalities")
         def run(ctx: PipelineContext): Unit = sink(
           CorePipelines.operationalOffices(
             src(ctx.spark, "sede_oper_model"),
-            src(ctx.spark, "municipalities"),
+            ctx.spark.read.parquet(s"$out/municipalities.parquet"),
             src(ctx.spark, "tipo_punto_fisico_templ"), load), "operational_offices")
       },
       new Pipeline {
@@ -305,32 +325,34 @@ object Main {
         override val module = "poa"
         // Parquet-seam analogue of the reference's TRUNCATE-only poa
         // module (src/poa.py:28-52): remove each target table's output.
-        // A DB-backed deployment calls PoaPipelines.truncate(conn).
-        def run(ctx: PipelineContext): Unit =
+        // Deletion goes through the Hadoop FileSystem resolved FROM the
+        // out path — java.io.File would be a silent no-op on any
+        // non-local URI (hdfs://, s3a://: exists() false, nothing
+        // deleted), leaving stale poa tables exactly where the
+        // reference's TRUNCATE always clears them. A DB-backed
+        // deployment calls PoaPipelines.truncate(conn).
+        def run(ctx: PipelineContext): Unit = {
+          val conf = ctx.spark.sparkContext.hadoopConfiguration
           PoaPipelines.tables.foreach { t =>
-            val dir = new java.io.File(s"$out/$t.parquet")
-            if (dir.exists()) {
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete(); ()
-              }
-              rm(dir)
-            }
+            val p = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+            val fs = p.getFileSystem(conf)
+            if (fs.exists(p)) { fs.delete(p, true); () }
           }
+        }
       },
       new Pipeline {
         val name = "users"
-        // users joins the already-migrated municipalities dimension
-        // (the reference reads it back from PG, src/core.py:1829); the
-        // parquet seam reads the same seed table, so no DAG edge is
-        // needed — but declare the reference's implied order anyway.
-        override val dependsOn = Seq("companies")
+        // users joins the already-migrated municipalities dimension (the
+        // reference reads it back from PG, src/core.py:1829) — read the
+        // $out target the municipalities pipeline wrote, same pattern as
+        // operational_offices, so both consumers see the ONE loaded copy.
+        override val dependsOn = Seq("companies", "municipalities")
         def run(ctx: PipelineContext): Unit = sink(
           CorePipelines.users(
             src(ctx.spark, "utente_model"),
             src(ctx.spark, "anagrafica_utente_model"),
             src(ctx.spark, "uo_model"),
-            src(ctx.spark, "municipalities"), load), "users")
+            ctx.spark.read.parquet(s"$out/municipalities.parquet"), load), "users")
       })
   }
 

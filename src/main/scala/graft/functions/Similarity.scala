@@ -187,13 +187,74 @@ object Similarity {
     java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
-  /** Exact near-duplicate pairs: cosine ≥ threshold, id_a < id_b. */
+  /** Max corpus size the exact all-pairs plan will accept (≈1e8 pairs, the
+    * same pair budget as the d22 stats probe — a few minutes of distributed
+    * dot products). Beyond it [[nearDupPairs]] REFUSES to plan n² and names
+    * the scale routes instead of silently scheduling a year of work. */
+  val ExactNearDupMaxRows: Long = 14142L
+
+  /** Exact near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    *
+    * This is the labeled exact baseline, and it is GUARDED: one count job
+    * probes the corpus, and past [[ExactNearDupMaxRows]] (≈1e8 pairs) the
+    * call fails loudly naming the scale paths — [[semDedup]] (cluster-
+    * partitioned, exact within cells) and [[nearDupPairsLsh]] (bucketed
+    * candidates + exact verify, for high thresholds) — rather than letting
+    * a quadratic plan reach the scheduler where it would look like a hang,
+    * not a design error. */
   def nearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val n = vecs.count()
+    require(n <= ExactNearDupMaxRows,
+      s"nearDupPairs is the exact all-pairs baseline and refuses $n rows " +
+        s"(${n}² pairs > ~1e8 budget). At this scale use semDedup " +
+        "(cluster-partitioned exact) or nearDupPairsLsh (bucketed " +
+        "candidates + exact verify, recall<1) instead.")
     val a = withNorm(vecs, idCol, vecCol, "id_a", "va", "nrm_a")
     val b = withNorm(vecs, idCol, vecCol, "id_b", "vb", "nrm_b")
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Near-duplicate pairs via hyperplane-LSH candidate generation + exact
+    * cosine verify — the bucketed scale route for the HIGH-threshold regime
+    * (θ small, so sign agreement per plane is likely and bucket recall is
+    * high; at moderate thresholds like 0.45 the angles are ~60° and
+    * hyperplane buckets prune nothing — use [[semDedup]] there). Output
+    * schema and the per-pair cosine tree are identical to [[nearDupPairs]];
+    * only RECALL can differ (a true pair whose signatures disagree in every
+    * table is missed — probability (1-p^nPlanes)^tables, vanishing as
+    * cos→1). The candidate join shuffles on (table, signature) 8-byte keys;
+    * per-bucket fan-out replaces the n² pair space. */
+  def nearDupPairsLsh(
+      vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, nPlanes: Int = 12, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val base = withNorm(vecs, idCol, vecCol, "vid", "v", "nrm")
+    val sigs = base.select(
+        col("vid"),
+        posexplode(graft.functions.expr.VectorExpressions
+          .hyperplaneSignatures(col("v"), dim, nPlanes, tables, seed)))
+      .toDF("vid", "tbl", "sig")
+    // shuffle_hash on identical subplans → ReuseExchange computes the
+    // signature map stage once (the lshTopK posture; a corpus-scale frame
+    // could never broadcast).
+    val a = sigs.alias("a").hint("shuffle_hash")
+    val b = sigs.alias("b")
+    val cand = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vid").as("vid_a"), col("v").as("va"), col("nrm").as("nrm_a")),
+        col("id_a") === col("vid_a"))
+      .join(base.select(col("vid").as("vid_b"), col("v").as("vb"), col("nrm").as("nrm_b")),
+        col("id_b") === col("vid_b"))
       .withColumn("cos",
         round(dotNative(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)

@@ -68,10 +68,22 @@ object Jdbc {
     spark.read.format("jdbc").options(conn.options)
       .option("query", query).option("fetchsize", fetchSize).load()
 
-  /** Append write (K1). `pgCastColumns` maps column → PG type for uuid/
-    * jsonb/text[] targets; combined with `stringtype=unspecified` on the
-    * URL this is the complete answer to the reference's PG special types
-    * (SURVEY §4.2) without a custom dialect jar. */
+  /** Append write (K1).
+    *
+    * `pgCastColumns` maps column → DDL type for tables SPARK creates — and
+    * Spark parses that clause with its OWN DDL parser before anything
+    * reaches the database, so only Spark-parseable types (VARCHAR(n),
+    * DECIMAL(p,s), …) are legal here; `JSONB`/`UUID` throw
+    * UNSUPPORTED_DATATYPE client-side (pinned in PgSqlAssemblySpec — a
+    * constraint discovered by executing the path, not in any docs read).
+    *
+    * The actual uuid/jsonb answer for the reference's PG targets
+    * (SURVEY §4.2) is therefore [[pgSpecialTypes]]: the tables are
+    * PRE-CREATED by `sql/init_*.sql` with their uuid/jsonb DDL (Spark
+    * never creates them), Spark INSERTs plain strings, and
+    * `stringtype=unspecified` on the URL ([[pgUrlWithUnspecifiedStrings]])
+    * makes PG coerce each bind to the column's declared type server-side.
+    * No custom dialect jar, no createTableColumnTypes involvement. */
   def append(df: DataFrame, conn: Conn, table: String,
       batchSize: Int = 10000,
       pgCastColumns: Map[String, String] = Map.empty): Unit = {
@@ -79,12 +91,45 @@ object Jdbc {
       .options(conn.options)
       .option("dbtable", table)
       .option("batchsize", batchSize)
-    val withTypes =
-      if (pgCastColumns.isEmpty) writer
-      else writer.option("createTableColumnTypes",
-        pgCastColumns.map { case (c, t) => s"$c $t" }.mkString(", "))
+    val withTypes = pgCastClause(pgCastColumns) match {
+      case None => writer
+      case Some(clause) => writer.option("createTableColumnTypes", clause)
+    }
     withTypes.mode("append").save()
   }
+
+  /** The `createTableColumnTypes` clause [[append]] hands Spark's JDBC
+    * writer — exposed so the exact rendered SQL fragment is spec-pinnable
+    * (deterministic order: sorted by column name). Values MUST be
+    * Spark-parseable DDL types (see [[append]]'s doc). */
+  def pgCastClause(pgCastColumns: Map[String, String]): Option[String] =
+    if (pgCastColumns.isEmpty) None
+    else Some(pgCastColumns.toSeq.sortBy(_._1)
+      .map { case (c, t) => s"$c $t" }.mkString(", "))
+
+  /** The PG special-type columns of the reference targets — the columns
+    * whose PRE-CREATED DDL (reference `sql/init_core.sql`) declares
+    * uuid/jsonb and which Spark therefore ships as plain strings relying
+    * on `stringtype=unspecified` coercion: every id/FK is `UUID DEFAULT
+    * gen_random_uuid()` (e.g. init_core.sql:5) and the envelope/
+    * array-literal columns are `JSONB` (init_core.sql:15 buildings.extra,
+    * :162 physical_structures.extra, :378-379 udo_types.company_natures/
+    * ministerial_flows). This map is the deployment checklist for which
+    * columns depend on that coercion — it must NOT be fed to
+    * `createTableColumnTypes` (Spark's parser rejects these types;
+    * PgSqlAssemblySpec pins both the rejection and the working recipe). */
+  val pgSpecialTypes: Map[String, Map[String, String]] = Map(
+    "buildings" -> Map(
+      "id" -> "UUID", "physical_structure_id" -> "UUID", "extra" -> "JSONB"),
+    "physical_structures" -> Map(
+      "id" -> "UUID", "district_id" -> "UUID", "company_id" -> "UUID",
+      "extra" -> "JSONB"),
+    "resolutions" -> Map(
+      "id" -> "UUID", "resolution_type_id" -> "UUID",
+      "parent_resolution_id" -> "UUID", "company_id" -> "UUID"),
+    "udo_types" -> Map(
+      "id" -> "UUID", "udo_type_classification_id" -> "UUID",
+      "company_natures" -> "JSONB", "ministerial_flows" -> "JSONB"))
 
   /** Truncate prologue (K2): raw statement on the sink connection.
     *

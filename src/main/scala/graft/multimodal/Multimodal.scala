@@ -23,10 +23,62 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, width: Int,
       height: Int, n_bytes: Int, brightness: Double, histogram: Array[Double])
 
-  /** STUB decode boundary: a real implementation would call an image/audio
-    * codec here. The stub reads the deterministic synthetic header
-    * (magic, width, height) and computes byte-level stand-in features. */
-  final class StubDecoder {
+  /** The decode boundary: payload bytes → (width, height, 16-bin
+    * normalized histogram). Implementations are instantiated ONCE per
+    * partition (see [[extractFeatures]]) so expensive codec init
+    * amortizes across the partition's rows. */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double])
+  }
+
+  /** REAL image decode via pure-JVM `javax.imageio` (PNG/GIF/BMP readers
+    * ship with the JDK — no native libraries needed, which is why this is
+    * the one codec that can be real in this container): decoded pixels →
+    * 16-bin integer-luminance histogram (Rec.601 weights in integer
+    * arithmetic, so the features are bit-deterministic across JVMs). */
+  final class ImageIoDecoder extends Decoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Double](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1)
+      (w, h, hist.map(_ / n))
+    }
+  }
+
+  /** Magic-sniffing dispatch: a PNG signature routes to the REAL
+    * [[ImageIoDecoder]]; the synthetic `GM` header stays on the stub
+    * (audio/video codecs are not in this container — that boundary
+    * remains honestly stubbed). Both members are instantiated with the
+    * partition, preserving the one-init-per-partition amortization. */
+  final class SniffingDecoder extends Decoder {
+    private val stub = new StubDecoder
+    private val png = new ImageIoDecoder
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) =
+      if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+        png.decode(payload)
+      else stub.decode(payload)
+  }
+
+  /** STUB decode boundary for the synthetic corpus (and the audio/video
+    * kinds whose codecs aren't in this container): reads the
+    * deterministic synthetic header (magic, width, height) and computes
+    * byte-level stand-in features. */
+  final class StubDecoder extends Decoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
       require(payload.length >= 16 && payload(0) == 'G' && payload(1) == 'M',
         "bad media header")
@@ -73,7 +125,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder // per-partition init, NOT per-row
+      val decoder = new SniffingDecoder // per-partition init, NOT per-row
       rows.map { r =>
         val (w, h, hist) = decoder.decode(r.payload)
         MediaFeatures(r.media_id, r.kind, w, h, r.payload.length,

@@ -20,13 +20,22 @@ object DimensionPipelines {
       lower(trim(col("DISABLED"))), "s",
       loadTime)
 
-  /** `migrate_ulss` (`src/core.py:150-169`): two-column projection —
-    * trimmed name, verbatim code (no CLIENTID: the target ulss table keys
-    * on its own serial id). */
-  def ulss(ulssTerritoriale: DataFrame): DataFrame =
+  /** `migrate_ulss` (`src/core.py:150-169`): trimmed name, verbatim code —
+    * no CLIENTID upstream; the reference target keys on a PG serial. At
+    * the parquet seam no database mints that serial, so a row without an
+    * id could never serve the `healthcare_companies` ulss_id join-back:
+    * a deterministic surrogate is minted here instead — row_number over
+    * (code, name), stable across runs/retries. The single-partition
+    * window is irrelevant at this cardinality (ULSS is a handful of
+    * territorial authorities, bounded by geography, not data volume). */
+  def ulss(ulssTerritoriale: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("code"), col("name"))
     ulssTerritoriale.select(
       trim(col("DESCRIZIONE")).as("name"),
       col("CODICE").as("code"))
+      .withColumn("id", row_number().over(w).cast("long"))
+      .select(col("id"), col("name"), col("code"))
+  }
 
   /** `migrate_districts` (`src/core.py:172-196`): the P5/P6 composition —
     * TITOLARE trims, strips ONE trailing '-', then replaces the FIRST

@@ -19,7 +19,9 @@ object DedupQueries {
     * (Jaccard), d23 (containment) — one implementation so the overlap
     * semantics can never diverge between the symmetric and asymmetric
     * thresholds. */
-  private def shinglePairStats(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def shinglePairStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxDfOverride: Option[Long] = None) = {
     // native single-pass shingling (WordShingleStrings): this stage is
     // evaluated once per join branch by design (recompute beats caching a
     // full-corpus shingle stream), so per-branch scan cost must be a tight
@@ -33,8 +35,30 @@ object DedupQueries {
     // the whole quadratic shingle tree into a pre-projection Filter, twice
     // per self-join branch. The outer variant infers nothing; the null
     // rows it keeps die on the cheap post-Generate attribute filter.
-    val exploded = docs.select(col("doc_id"), explode_outer(col("sh")).as("g"))
+    val explodedRaw = docs.select(col("doc_id"), explode_outer(col("sh")).as("g"))
       .filter(col("g").isNotNull)
+    // SKEW GUARD: a stop-phrase shingle appearing in f documents puts f
+    // rows on ONE shuffle key of the g-keyed self-join below, producing
+    // f²/2 candidate pairs in a single task — the one data-dependent way
+    // this stage degenerates at corpus scale. The guard drops shingles
+    // whose document frequency exceeds `spark.graft.shingle.maxDf`
+    // (a left-semi join against the surviving vocabulary: one extra
+    // g-keyed aggregate, bounding every join key at maxDf rows — per-key
+    // work becomes ≤ maxDf²/2 regardless of corpus size). Semantics: the
+    // cap REDEFINES the shingle universe — intersections AND set sizes
+    // both count only surviving shingles, so Jaccard stays a true Jaccard
+    // over the filtered sets (mirrored in [[shingleGraphSqlWith]]).
+    // Default off (0): stop-phrase frequency is corpus-relative, so the
+    // threshold is deployment conf, not a constant — d34 pins the capped
+    // path against the oracle at a forced threshold.
+    val maxDf = maxDfOverride.getOrElse(
+      spark.conf.get("spark.graft.shingle.maxDf", "0").toLong)
+    val exploded =
+      if (maxDf <= 0L) explodedRaw
+      else explodedRaw.join(
+        explodedRaw.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("g")),
+        Seq("g"), "left_semi")
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -57,10 +81,11 @@ object DedupQueries {
     * (cluster assignment), d21 (ranking) at 0.8 and d24 (triangles) at the
     * looser 0.5. */
   private def jaccardPairs(
-      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double = 0.8) = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Option[Long] = None) = {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
-    shinglePairStats(spark, dir)
+    shinglePairStats(spark, dir, maxDf)
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
@@ -70,12 +95,30 @@ object DedupQueries {
     * twin of [[jaccardPairs]]. ONE copy, composed into the d4/d13/d21
     * oracles, so a threshold or shingling change can never desynchronize
     * some oracles from the shared Spark helper. */
-  private val shingleGraphSql: String =
-    """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-      |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t),
-      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |z AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+  private def shingleGraphSqlWith(maxDf: Option[Long]): String = {
+    val prefix =
+      """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN list_distinct(list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) ELSE [] END AS sh FROM t)""".stripMargin
+    val stream = maxDf match {
+      case None =>
+        """e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |z AS (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+      case Some(cap) =>
+        // document-frequency cap: the shingle universe is the ≤cap-DF
+        // vocabulary, and BOTH p (intersections) and z (set sizes) count
+        // only surviving shingles — the oracle twin of the Spark-side
+        // left-semi guard in [[shinglePairStats]].
+        s"""e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+           |keep AS (SELECT g FROM e0 GROUP BY g HAVING COUNT(*) <= $cap),
+           |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN keep USING (g)),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |z AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id)""".stripMargin
+    }
+    s"$prefix,\n$stream"
+  }
+
+  private val shingleGraphSql: String = shingleGraphSqlWith(None)
 
   /** d22's implementation, parameterized so the spec can force EITHER
     * regime on the same corpus (the stats probe would always pick dense on
@@ -191,6 +234,22 @@ object DedupQueries {
          |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
       jaccardPairs(spark, dir)
+    },
+
+    // D34: d4 under a FORCED document-frequency cap (maxDf = 3) — the
+    // oracled pin of the skew guard's filtered path. In production the cap
+    // arrives via `spark.graft.shingle.maxDf`; here it is forced so the
+    // capped Spark plan (left-semi vocabulary guard) and the capped oracle
+    // CTE (HAVING COUNT(*) <= 3) are hash-compared on real data: every
+    // planted near-dup pair survives but every Jaccard VALUE shifts (the
+    // universe shrank), so a desync between guard and oracle cannot hide.
+    QueryDef.sql(
+      "d34_jaccard_df_capped",
+      s"""WITH ${shingleGraphSqlWith(Some(3L))}
+         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+         |FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.8""".stripMargin) { (spark, dir) =>
+      jaccardPairs(spark, dir, maxDf = Some(3L))
     },
 
     // Duplicate-cluster assignment: connected components over the near-dup

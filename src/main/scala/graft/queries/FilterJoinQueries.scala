@@ -18,7 +18,7 @@ object FilterJoinQueries {
       "f1_normalized_eq_filter",
       """SELECT l_orderkey, l_linenumber, l_returnflag
         |FROM lineitem
-        |WHERE lower(trim(l_returnflag, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 'r'""".stripMargin) { (spark, dir) =>
+        |WHERE lower(regexp_replace(l_returnflag, '^[\t-\r\x{0085}\p{Z}]+|[\t-\r\x{0085}\p{Z}]+$', '', 'g')) = 'r'""".stripMargin) { (spark, dir) =>
       Tables.load(spark, dir, "lineitem")
         .filter(Text.handleId(col("l_returnflag")) === "r")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
@@ -97,7 +97,7 @@ object FilterJoinQueries {
       """SELECT r_regionkey, r_name, zone
         |FROM region
         |LEFT JOIN (VALUES ('europe','EMEA'),('africa','EMEA'),('middle east','EMEA'),('america','AMER'),('asia','APAC')) AS z(rname, zone)
-        |ON lower(trim(r_name, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = rname""".stripMargin) { (spark, dir) =>
+        |ON lower(regexp_replace(r_name, '^[\t-\r\x{0085}\p{Z}]+|[\t-\r\x{0085}\p{Z}]+$', '', 'g')) = rname""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val zones = Seq(
         ("europe", "EMEA"), ("africa", "EMEA"), ("middle east", "EMEA"),
@@ -536,5 +536,130 @@ object FilterJoinQueries {
           .select(lit(s"$c.$k -> $p.$pk").as("relation"),
             col("n_rows"), col("n_orphans"))
       }.reduce(_ unionAll _)
+    },
+
+    // J2: CorePipelines.operationalOffices REUSED VERBATIM (src/core.py:
+    // 415-470 — sede ⋈ municipalities ⋈ tipo_punto_fisico) over
+    // Oracle-shaped frames derived from supplier/nation/region, dirtied
+    // with edge whitespace so every normalization the pipeline applies
+    // (handleId/handleText/strip, try_cast lat-lon, audit triple with
+    // Europe/Rome localization) is exercised against the oracle — the
+    // previously spec-only join site, now hash-gated. Timestamps are
+    // pinned to January 1970 (CET, +01:00 year-round at those instants)
+    // so the oracle can mirror romeToUtc as a plain 1-hour shift without
+    // an ICU timezone dependency.
+    QueryDef.sql(
+      "j2_sede_municipality_join", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        val clean = (c: String) =>
+          s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
+        s"""WITH sede AS (
+           |  SELECT '  S' || CAST(s_suppkey AS VARCHAR) || chr(9) AS clientid,
+           |    ' ' || s_name || '  ' AS denominazione,
+           |    'ST' || CAST(s_suppkey % 7 AS VARCHAR) AS id_struttura,
+           |    '  ' || s_name || ' Street' AS via_str,
+           |    ' ' || CAST(s_suppkey % 90 AS VARCHAR) AS civico,
+           |    s_suppkey * 3 % 100000 AS cap,
+           |    CASE WHEN s_suppkey % 2 = 0 THEN 'S' ELSE 'N' END AS flag_main,
+           |    lpad(CAST(s_nationkey AS VARCHAR), 6, '0') || ' ' AS istat,
+           |    ' R' || CAST(s_suppkey % 5 AS VARCHAR) AS tpf_fk,
+           |    CAST(s_suppkey % 85 AS VARCHAR) || '.25' AS lat_s,
+           |    CASE WHEN s_suppkey % 10 = 0 THEN 'xx'
+           |         ELSE CAST(s_suppkey % 180 AS VARCHAR) || '.5' END AS lon_s,
+           |    'T' || CAST(s_suppkey % 4 AS VARCHAR) AS toponimo,
+           |    CASE WHEN s_suppkey % 10 <> 0
+           |         THEN TIMESTAMP '1970-01-01' + s_suppkey * INTERVAL 1 SECOND END AS creation,
+           |    CASE WHEN s_suppkey % 2 = 0
+           |         THEN TIMESTAMP '1970-01-02' + s_suppkey * INTERVAL 1 SECOND END AS lastmod,
+           |    CASE WHEN s_suppkey % 3 = 0 THEN ' S ' ELSE 'N' END AS disabled
+           |  FROM supplier),
+           |mun AS (SELECT CAST(n_nationkey AS BIGINT) AS municipality_id,
+           |               lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS mun_istat FROM nation),
+           |tpf AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS tpf_id,
+           |               r_name AS physical_point_type FROM region)
+           |SELECT lower(${strip("clientid")}) AS id,
+           |  ${clean("denominazione")} AS name,
+           |  lower(id_struttura) AS physical_structure_id,
+           |  ${clean("via_str")} AS street_name,
+           |  trim(civico) AS street_number,
+           |  CAST(cap AS VARCHAR) AS zip_code,
+           |  coalesce(flag_main = 'S', FALSE) AS is_main_address,
+           |  physical_point_type,
+           |  TRY_CAST(lat_s AS DECIMAL(8,2)) AS lat,
+           |  TRY_CAST(lon_s AS DECIMAL(8,2)) AS lon,
+           |  lower(toponimo) AS toponym_id,
+           |  municipality_id,
+           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
+           |  CASE WHEN lower(trim(disabled)) = 's'
+           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at
+           |FROM sede
+           |LEFT JOIN mun ON ${strip("istat")} = mun_istat
+           |LEFT JOIN tpf ON lower(${strip("tpf_fk")}) = tpf_id""".stripMargin
+      }) { (spark, dir) =>
+      val supplier = Tables.load(spark, dir, "supplier")
+      val k = col("s_suppkey")
+      val sede = supplier.select(
+        concat(lit("  S"), k.cast("string"), lit("\t")).as("CLIENTID"),
+        concat(lit(" "), col("s_name"), lit("  ")).as("DENOMINAZIONE"),
+        concat(lit("ST"), (k % 7).cast("string")).as("ID_STRUTTURA_FK"),
+        concat(lit("  "), col("s_name"), lit(" Street")).as("VIA_PIAZZA"),
+        concat(lit(" "), (k % 90).cast("string")).as("CIVICO"),
+        (k * 3 % 100000).as("CAP"),
+        when(k % 2 === 0, "S").otherwise("N").as("FLAG_INDIRIZZO_PRINCIPALE"),
+        concat(lpad(col("s_nationkey").cast("string"), 6, "0"), lit(" ")).as("ISTAT"),
+        concat(lit(" R"), (k % 5).cast("string")).as("ID_TIPO_PUNTO_FISICO_FK"),
+        concat((k % 85).cast("string"), lit(".25")).as("LATITUDINE"),
+        when(k % 10 === 0, lit("xx"))
+          .otherwise(concat((k % 180).cast("string"), lit(".5"))).as("LONGITUDINE"),
+        concat(lit("T"), (k % 4).cast("string")).as("ID_TOPONIMO_FK"),
+        when(k % 10 =!= 0, timestamp_seconds(k)).as("CREATION"),
+        when(k % 2 === 0, timestamp_seconds(k) + expr("INTERVAL 1 DAY")).as("LAST_MOD"),
+        when(k % 3 === 0, " S ").otherwise("N").as("DISABLED"))
+      val mun = Tables.load(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("id"),
+        lpad(col("n_nationkey").cast("string"), 6, "0").as("istat_code"))
+      val tpf = Tables.load(spark, dir, "region").select(
+        concat(lit("R"), col("r_regionkey").cast("string")).as("CLIENTID"),
+        col("r_name").as("NOME"))
+      graft.pipelines.CorePipelines.operationalOffices(
+        sede, mun, tpf, to_timestamp(lit("2024-06-01 00:00:00")))
+    },
+
+    // J15: ServicePipelines.healthcareCompanies REUSED VERBATIM
+    // (src/cronos.py:88-118 — azienda joined to the migrated ulss
+    // dimension by CLEANED CODE, a name-match join, not an id FK) over
+    // customer/nation-shaped frames with whitespace-dirtied codes: the
+    // previously spec-only J15 site, now hash-gated end to end including
+    // the handleText-vs-strip asymmetry between the two code columns.
+    QueryDef.sql(
+      "j15_code_join", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        val clean = (c: String) =>
+          s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
+        s"""WITH az AS (
+           |  SELECT '  C' || CAST(c_custkey AS VARCHAR) || '  ' AS clientid,
+           |    CAST(c_nationkey AS VARCHAR) || '  ' AS codice,
+           |    c_name AS descrizione
+           |  FROM customer),
+           |u AS (SELECT CAST(n_nationkey AS BIGINT) AS ulss_id,
+           |             ' ' || CAST(n_nationkey AS VARCHAR) AS u_code FROM nation)
+           |SELECT lower(${strip("az.clientid")}) AS id,
+           |  ${clean("az.codice")} AS code,
+           |  ${clean("az.descrizione")} AS name,
+           |  u.ulss_id
+           |FROM az LEFT JOIN u ON ${clean("az.codice")} = ${strip("u.u_code")}""".stripMargin
+      }) { (spark, dir) =>
+      val azienda = Tables.load(spark, dir, "customer").select(
+        concat(lit("  C"), col("c_custkey").cast("string"), lit("  ")).as("CLIENTID"),
+        concat(col("c_nationkey").cast("string"), lit("  ")).as("CODICE"),
+        col("c_name").as("DESCRIZIONE"))
+      val ulss = Tables.load(spark, dir, "nation").select(
+        col("n_nationkey").cast("long").as("id"),
+        concat(lit(" "), col("n_nationkey").cast("string")).as("code"))
+      graft.pipelines.ServicePipelines.healthcareCompanies(azienda, ulss)
     })
 }

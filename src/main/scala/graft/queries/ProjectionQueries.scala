@@ -30,7 +30,7 @@ object ProjectionQueries {
       "p02_text_clean",
       """SELECT c_custkey AS id,
         |  trim(regexp_replace(regexp_replace('  ' || c_name || chr(9) || chr(10) || c_mktsegment || '  ', '\x00', '', 'g'), '\s+', ' ', 'g')) AS cleaned,
-        |  lower(trim(c_mktsegment, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) AS seg_norm,
+        |  lower(regexp_replace(c_mktsegment, '^[\t-\r\x{0085}\p{Z}]+|[\t-\r\x{0085}\p{Z}]+$', '', 'g')) AS seg_norm,
         |  upper(c_name) AS name_upper
         |FROM customer""".stripMargin) { (spark, dir) =>
       val dirty = concat(lit("  "), col("c_name"), lit("\t\n"), col("c_mktsegment"), lit("  "))

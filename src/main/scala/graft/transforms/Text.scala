@@ -19,15 +19,27 @@ object Text {
 
   /** Canonical id normalization: strip + lowercase.
     * Reference: `src/utils.py:444-465`. The strip must remove ALL edge
-    * whitespace (Polars `strip_chars()` semantics): Spark's default
-    * `trim` strips ONLY ASCII spaces, so a CLIENTID with a trailing
-    * newline/tab would silently miss every join it keys — the explicit
-    * trim set covers the ASCII whitespace class (still whole-stage
-    * codegen, unlike a regexp). */
+    * whitespace with Polars `strip_chars()` semantics — and Polars
+    * delegates to Rust `char::is_whitespace`, the full Unicode
+    * White_Space property, NOT just ASCII: a CLIENTID edged with NBSP
+    * (U+00A0), U+2028, or an ideographic space (U+3000) must normalize
+    * identically to the reference or it silently misses every join it
+    * keys. [[WsClass]] IS White_Space written as an explicit class, in
+    * syntax that compiles the same in Java regex (Spark side) and RE2
+    * (DuckDB oracle side). Costs a regexp instead of a trim-charset
+    * loop — still whole-stage codegen, and id normalization is never
+    * the hot loop. */
   /** Whitespace strip WITHOUT case folding — for case-sensitive codes
     * (the reference's bare `str.strip_chars()`, same whitespace class as
     * [[handleId]]). */
-  def strip(c: Column): Column = trim(c, " \t\n\r\u000B\f")
+  def strip(c: Column): Column =
+    regexp_replace(c, s"\\A$WsClass+|$WsClass+\\z", "")
+
+  /** Unicode White_Space as an explicit class: 09-0D (`\t-\r`), NEL
+    * U+0085, and the Z separator category (the ASCII space plus every
+    * exotic blank — NBSP, U+2000-200A, U+2028/29, U+202F, U+205F,
+    * U+3000). */
+  private val WsClass = "[\\t-\\r\\u0085\\p{Z}]"
 
   def handleId(c: Column): Column = lower(strip(c))
 

@@ -116,6 +116,38 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("shingle DF cap kills planted stop-phrase fan-out, keeps real near-dups") {
+    // 20 docs whose ONLY cross-document shingle is one stop 3-gram
+    // (everything else carries a per-doc unique token), plus one genuine
+    // near-dup pair. Uncapped, the stop shingle alone manufactures
+    // C(20,2) = 190 candidate pairs on ONE join key — exactly the skew
+    // shape the guard exists for; capped at maxDf=10 those pairs vanish
+    // while the low-DF near-dup pair survives untouched.
+    val dir = java.nio.file.Files.createTempDirectory("dedup-skew").toString
+    val stopDocs = (0 until 20).map { i =>
+      (i.toLong, s"common stop phrase u${i}a u${i}b u${i}c u${i}d")
+    }
+    val nearDup = Seq(
+      (100L, "near dup body one two three four five"),
+      (101L, "near dup body one two three four six"))
+    (stopDocs ++ nearDup).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = graft.queries.DedupQueries.shinglePairStats(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.queries.DedupQueries
+      .shinglePairStats(spark, dir, Some(10L))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stopPairs = for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (a, b)
+    assert(stopPairs.toSet.subsetOf(uncapped), "uncapped must see the f²/2 fan-out")
+    assert(uncapped.contains((100L, 101L)))
+    assert(capped == Set((100L, 101L)),
+      s"cap must drop every stop-phrase pair and keep the near-dup: $capped")
+  }
+
   test("fingerprints: canonical md5 equates whitespace variants; token-set md5 equates reorderings") {
     val df = Seq(
       ("a", "hello  world"), ("b", "hello world"), ("c", "world hello"))

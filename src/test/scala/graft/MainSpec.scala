@@ -80,7 +80,9 @@ class MainSpec extends AnyFunSuite {
         "CREATION", "LAST_MOD", "DISABLED"))
     put("tipologia_richiedente", Seq(("tr1", "Pubblico")).toDF("CLIENTID", "NOME"))
     put("natura_titolare_templ", Seq(("n1", "AzSan")).toDF("CLIENTID", "NOME"))
-    put("municipalities", Seq(("027042", 42L, "Venezia")).toDF("istat_code", "id", "name"))
+    // NO $in/municipalities.parquet fixture: companies/operational_offices/
+    // users read the MIGRATED $out target (the seed-CSV load) — a second
+    // $in copy here would mask a revert to the drift-prone double-source.
     put("delibera_templ", Seq(
       ("D1", "Delibera annuale", "TD1", "payload-1".getBytes, t0, t0, "N"))
       .toDF("CLIENTID", "NOME", "ID_TIPO_FK", "ALLEGATO", "CREATION", "LAST_MOD", "DISABLED"))
@@ -155,7 +157,8 @@ class MainSpec extends AnyFunSuite {
     put("tipo_proc_templ", Seq(("TP1", "Autorizzazione")).toDF("CLIENTID", "DESCR"))
     put("azienda_sanitaria", Seq(("HC1", "501", "ULSS Prima"))
       .toDF("CLIENTID", "CODICE", "DESCRIZIONE"))
-    put("ulss", Seq((7L, "501")).toDF("id", "code"))
+    // NO $in/ulss.parquet fixture: healthcare_companies joins the $out
+    // target with the surrogate id the ulss pipeline mints.
     put("sede_oper_model", Seq(
       ("SO1", "ST1", "Sede Uno", "Via C", "9", "30100", "S", "027042", "TPF1",
         "45.4375", "12.3358", "TOP1", t0, t0, "N"))
@@ -272,9 +275,12 @@ class MainSpec extends AnyFunSuite {
     assert(readOut("specialties").count() == 4, "2 branches + 1 artic + 1 discipline")
     assert(readOut("requirements").head().getAs[String]("response_type") == "SI_NO")
     assert(readOut("procedures").head().getAs[String]("procedure_type") == "AUTORIZZAZIONE")
-    assert(readOut("healthcare_companies").head().getAs[Long]("ulss_id") == 7L)
+    assert(readOut("healthcare_companies").head().getAs[Long]("ulss_id") == 1L,
+      "joins the minted surrogate id from the migrated $out/ulss target")
     val oo = readOut("operational_offices").head()
-    assert(oo.getAs[Long]("municipality_id") == 42L
+    // municipality_id's type now follows the MIGRATED target (seed-CSV
+    // inferSchema: int), not a hand-made fixture — compare numerically.
+    assert(oo.getAs[Number]("municipality_id").longValue == 42L
       && oo.getAs[String]("physical_point_type") == "Sede Operativa")
     assert(oo.getAs[java.math.BigDecimal]("lat").toPlainString == "45.44",
       "lat rounds HALF_UP to the target's numeric(8,2)")
@@ -294,7 +300,9 @@ class MainSpec extends AnyFunSuite {
     assert(readOut("municipalities").head().getAs[String]("istat_code") == "027042",
       "istat_code schema override keeps the leading zero")
     assert(readOut("regions").count() == 1 && readOut("permissions").count() == 1)
-    assert(readOut("ulss").head().getAs[String]("name") == "ULSS Prima")
+    val ulssRow = readOut("ulss").head()
+    assert(ulssRow.getAs[String]("name") == "ULSS Prima")
+    assert(ulssRow.getAs[Long]("id") == 1L, "deterministic surrogate id minted")
     assert(readOut("districts").head().getAs[String]("name") == "Az - Zero",
       "strip '-' suffix then first '-' -> ' - '")
     val ct = readOut("company_types").head()

@@ -55,4 +55,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.values.sum == 30)
     assert(stats.keySet == Set("image", "audio", "video"))
   }
+
+  test("REAL PNG decode through the partition-batched plumbing (javax.imageio)") {
+    import spark.implicits._
+    // A genuine 2×2 PNG encoded in-memory: black, white, and two grays —
+    // one pixel per luminance regime, so the histogram pins the decode,
+    // not just the dimensions. The corpus mixes the PNG rows with
+    // synthetic GM rows to prove the sniffing dispatch sends each payload
+    // to the right codec inside ONE mapPartitions pass.
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000) // lum 0   -> bin 0
+    img.setRGB(1, 0, 0xFFFFFF) // lum 255 -> bin 15
+    img.setRGB(0, 1, 0x808080) // lum 128 -> bin 8
+    img.setRGB(1, 1, 0x404040) // lum 64  -> bin 4
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer present")
+    val pngBytes = bos.toByteArray
+    val synthetic = Multimodal.synthesizeCorpus(spark, 4).collect().toSeq
+    val mixed = (synthetic :+
+      Multimodal.MediaRow(999L, "image", 2, 2, pngBytes)).toDS()
+    val feats = Multimodal.extractFeatures(mixed).collect()
+      .map(f => f.media_id -> f).toMap
+    val png = feats(999L)
+    assert(png.width == 2 && png.height == 2, "real decoded dims, not metadata")
+    assert(png.n_bytes == pngBytes.length)
+    val expectBins = Seq(0, 15, 8, 4)
+    expectBins.foreach(b =>
+      assert(math.abs(png.histogram(b) - 0.25) < 1e-12,
+        s"luminance bin $b must hold exactly one of four pixels"))
+    assert(math.abs(png.histogram.sum - 1.0) < 1e-12)
+    // the synthetic GM rows still route to the stub and keep their header dims
+    synthetic.foreach(r =>
+      assert(feats(r.media_id).width == r.meta_width &&
+        feats(r.media_id).height == r.meta_height))
+  }
 }

@@ -144,4 +144,42 @@ class SimilaritySpec extends AnyFunSuite {
     val found = (0 until 10).count(i => ann.get(100L + i).contains(i.toLong))
     assert(found >= 8, s"LSH recall on planted near-dups too low: $found/10")
   }
+
+  test("nearDupPairs guard refuses a corpus past the exact pair budget") {
+    // count() fires before any join is planned, so the guard is cheap even
+    // on a frame this size; the message must name the scale routes.
+    val big = spark.range(Similarity.ExactNearDupMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(big, "vec_id", "embedding", 0.95)
+    }
+    assert(e.getMessage.contains("semDedup") &&
+      e.getMessage.contains("nearDupPairsLsh"))
+  }
+
+  test("LSH candidate route == exact crossJoin route on a near-dup corpus") {
+    // The regime nearDupPairsLsh exists for: high threshold, planted
+    // near-identical pairs (exact dups and tiny perturbations) among
+    // unrelated base vectors. Both routes must return the SAME pair set
+    // with the SAME 6-dp cosines — the candidate generator may only add
+    // verification work, never change a surviving pair's value.
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val exactDups = (0 until 5).map(i => (200L + i, vec(i).clone()))
+    val nearDups = (5 until 10).map { i =>
+      val v = vec(i).clone(); v(0) = v(0) + 0.005f; (200L + i, v)
+    }
+    val df = (base ++ exactDups ++ nearDups).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)
+    val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.98)
+      .collect().map(key).toMap
+    val lsh = Similarity
+      .nearDupPairsLsh(df, "vec_id", "embedding", dim = 16, threshold = 0.98)
+      .collect().map(key).toMap
+    assert(exact.nonEmpty, "corpus must actually contain near-dup pairs")
+    assert(lsh == exact,
+      s"LSH route diverged: missing=${exact.keySet -- lsh.keySet} " +
+        s"extra=${lsh.keySet -- exact.keySet}")
+  }
 }
