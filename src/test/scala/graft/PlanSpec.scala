@@ -57,8 +57,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("f1: filter is evaluated at the scan (DataFilters)") {
     val p = planOf("f1_normalized_eq_filter")
-    assert(p.contains("DataFilters: [(lower(trim"),
-      "normalized-equality predicate must be applied at the scan")
+    // handleId is now the Unicode-White_Space regexp strip; the predicate
+    // must still reach the scan's DataFilters (and the not-null derivative
+    // must push all the way into the parquet reader as a PushedFilter).
+    assert(p.contains("DataFilters: [isnotnull(l_returnflag") &&
+      p.contains("lower(regexp_replace(l_returnflag"),
+      s"normalized-equality predicate must be applied at the scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      "derived not-null must push into the parquet reader")
   }
 
   test("d5 broadcast top-k: no pair-space shuffle") {
