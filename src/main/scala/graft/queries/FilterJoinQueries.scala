@@ -661,5 +661,147 @@ object FilterJoinQueries {
         col("n_nationkey").cast("long").as("id"),
         concat(lit(" "), col("n_nationkey").cast("string")).as("code"))
       graft.pipelines.ServicePipelines.healthcareCompanies(azienda, ulss)
+    },
+
+    // J3: DimensionPipelines.groupingSpecialties REUSED VERBATIM
+    // (src/core.py:546-592 — ragg_discpl ⋈ macroarea + the no-default enum
+    // map, where an unmapped macroarea stays NULL instead of defaulting)
+    // over part/region-shaped frames. Region 4 carries an unmapped name so
+    // the null path is in the hashed result; audit timestamps pinned to
+    // the constant-offset month like j2.
+    QueryDef.sql(
+      "j3_macroarea_enum_join", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        s"""WITH ragg AS (
+           |  SELECT ' RG' || CAST(p_partkey AS VARCHAR) AS clientid,
+           |    ' ' || p_name || '  ' AS denominazione,
+           |    p_size AS ordine,
+           |    'MA' || CAST(p_partkey % 5 AS VARCHAR) AS macro_fk,
+           |    CASE WHEN p_partkey % 10 <> 0
+           |         THEN TIMESTAMP '1970-01-01' + p_partkey * INTERVAL 1 SECOND END AS creation,
+           |    CASE WHEN p_partkey % 2 = 0
+           |         THEN TIMESTAMP '1970-01-02' + p_partkey * INTERVAL 1 SECOND END AS lastmod,
+           |    CASE WHEN p_partkey % 3 = 0 THEN 'S' ELSE 'N' END AS disabled
+           |  FROM part),
+           |macro AS (
+           |  SELECT 'ma' || CAST(r_regionkey AS VARCHAR) AS macro_id,
+           |    CASE r_regionkey WHEN 0 THEN 'Acuti' WHEN 1 THEN ' Riabilitazione '
+           |         WHEN 2 THEN 'Intermedie' WHEN 3 THEN 'Territoriale'
+           |         ELSE 'Sconosciuta' END AS nome
+           |  FROM region)
+           |SELECT lower(${strip("clientid")}) AS id,
+           |  trim(denominazione) AS name,
+           |  CAST(ordine AS INT) AS sort_order,
+           |  CASE lower(${strip("nome")})
+           |    WHEN 'acuti' THEN 'ACUTI' WHEN 'riabilitazione' THEN 'RIABILITAZIONE'
+           |    WHEN 'intermedie' THEN 'INTERMEDIE' WHEN 'territoriale' THEN 'TERRITORIALE'
+           |    END AS macroarea,
+           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
+           |  CASE WHEN lower(trim(disabled)) = 's'
+           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at
+           |FROM ragg LEFT JOIN macro ON lower(${strip("macro_fk")}) = macro_id""".stripMargin
+      }) { (spark, dir) =>
+      val k = col("p_partkey")
+      val ragg = Tables.load(spark, dir, "part").select(
+        concat(lit(" RG"), k.cast("string")).as("CLIENTID"),
+        concat(lit(" "), col("p_name"), lit("  ")).as("DENOMINAZIONE"),
+        col("p_size").as("ORDINE"),
+        concat(lit("MA"), (k % 5).cast("string")).as("ID_MACROAREA_FK"),
+        when(k % 10 =!= 0, timestamp_seconds(k)).as("CREATION"),
+        when(k % 2 === 0, timestamp_seconds(k) + expr("INTERVAL 1 DAY")).as("LAST_MOD"),
+        when(k % 3 === 0, "S").otherwise("N").as("DISABLED"))
+      val macroDim = Tables.load(spark, dir, "region").select(
+        concat(lit("ma"), col("r_regionkey").cast("string")).as("CLIENTID"),
+        when(col("r_regionkey") === 0, "Acuti")
+          .when(col("r_regionkey") === 1, " Riabilitazione ")
+          .when(col("r_regionkey") === 2, "Intermedie")
+          .when(col("r_regionkey") === 3, "Territoriale")
+          .otherwise("Sconosciuta").as("NOME"))
+      graft.pipelines.DimensionPipelines.groupingSpecialties(
+        ragg, macroDim, to_timestamp(lit("2024-06-01 00:00:00")))
+    },
+
+    // J14: ServicePipelines.procedures REUSED VERBATIM (src/auac.py:211-266
+    // — domanda ⋈ tipo_proc with enumToken dot-drop, the space→underscore
+    // status normalization, the CESTINATA→BOZZA rewrite, and the
+    // STATO-flagged disabled_at) over orders/region-shaped frames. The
+    // coalesce(ID_DOMANDA, CODICE_UNIVOCO) fallback and the CESTINATA
+    // branch both appear in the hashed result.
+    QueryDef.sql(
+      "j14_proc_type_join", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        s"""WITH dom AS (
+           |  SELECT ' P' || CAST(o_orderkey AS VARCHAR) AS clientid,
+           |    CASE WHEN o_orderkey % 4 <> 0 THEN 'D-' || CAST(o_orderkey AS VARCHAR) END AS id_domanda,
+           |    'CU-' || CAST(o_orderkey AS VARCHAR) AS codice_univoco,
+           |    'CO' || CAST(o_custkey AS VARCHAR) AS company_id,
+           |    ' TP' || CAST(o_orderkey % 3 AS VARCHAR) AS proc_fk,
+           |    CASE o_orderstatus WHEN 'O' THEN 'IN CORSO' WHEN 'F' THEN 'CESTINATA'
+           |         ELSE 'CONCLUSA' END AS stato,
+           |    o_orderdate AS data_conclusione,
+           |    o_orderdate AS data_invio,
+           |    o_orderdate + INTERVAL 30 DAY AS data_scadenza,
+           |    CAST(o_orderkey % 90 AS INT) AS durata,
+           |    CAST(60 AS INT) AS max_durata,
+           |    'N-' || CAST(o_orderkey AS VARCHAR) AS numero,
+           |    CASE WHEN o_orderkey % 10 <> 0
+           |         THEN TIMESTAMP '1970-01-01' + o_orderkey * INTERVAL 1 SECOND END AS creation,
+           |    CASE WHEN o_orderkey % 2 = 0
+           |         THEN TIMESTAMP '1970-01-02' + o_orderkey * INTERVAL 1 SECOND END AS lastmod
+           |  FROM orders),
+           |proc AS (
+           |  SELECT 'tp' || CAST(r_regionkey AS VARCHAR) AS tp_id,
+           |    CASE r_regionkey WHEN 0 THEN 'Autorizzazione'
+           |         WHEN 1 THEN 'Accred. Istituzionale' ELSE 'Revoca Aut.' END AS descr
+           |  FROM region WHERE r_regionkey < 3)
+           |SELECT lower(${strip("clientid")}) AS id,
+           |  coalesce(id_domanda, codice_univoco) AS progressive_code,
+           |  company_id,
+           |  CASE WHEN regexp_replace(trim(stato), ' ', '_', 'g') = 'CESTINATA' THEN 'BOZZA'
+           |       ELSE regexp_replace(trim(stato), ' ', '_', 'g') END AS status,
+           |  data_conclusione AS completion_date,
+           |  data_invio AS sent_date,
+           |  data_scadenza AS expiration_date,
+           |  durata AS procedure_duration,
+           |  max_durata AS max_procedure_duration,
+           |  numero AS procedure_number,
+           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
+           |  CASE WHEN trim(stato) = 'CESTINATA'
+           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at,
+           |  replace(regexp_replace(upper(trim(descr)), ' ', '_', 'g'), '.', '') AS procedure_type
+           |FROM dom LEFT JOIN proc ON lower(${strip("proc_fk")}) = tp_id""".stripMargin
+      }) { (spark, dir) =>
+      val k = col("o_orderkey")
+      val dom = Tables.load(spark, dir, "orders").select(
+        concat(lit(" P"), k.cast("string")).as("CLIENTID"),
+        when(k % 4 =!= 0, concat(lit("D-"), k.cast("string"))).as("ID_DOMANDA"),
+        concat(lit("CU-"), k.cast("string")).as("CODICE_UNIVOCO_NRECORD"),
+        concat(lit("CO"), col("o_custkey").cast("string")).as("ID_TITOLARE_FK"),
+        concat(lit(" TP"), (k % 3).cast("string")).as("ID_TIPO_PROC_FK"),
+        when(col("o_orderstatus") === "O", "IN CORSO")
+          .when(col("o_orderstatus") === "F", "CESTINATA")
+          .otherwise("CONCLUSA").as("STATO"),
+        col("o_orderdate").as("DATA_CONCLUSIONE"),
+        col("o_orderdate").as("DATA_INVIO_DOMANDA"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("DATA_SCADENZA"),
+        (k % 90).cast("int").as("DURATA_PROCEDIMENTO"),
+        lit(60).as("MASSIMA_DURATA_PROCEDIMENTO"),
+        concat(lit("N-"), k.cast("string")).as("NUMERO_PROCEDIMENTO"),
+        when(k % 10 =!= 0, timestamp_seconds(k)).as("CREATION"),
+        when(k % 2 === 0, timestamp_seconds(k) + expr("INTERVAL 1 DAY")).as("LAST_MOD"))
+      val proc = Tables.load(spark, dir, "region")
+        .filter(col("r_regionkey") < 3).select(
+          concat(lit("tp"), col("r_regionkey").cast("string")).as("CLIENTID"),
+          when(col("r_regionkey") === 0, "Autorizzazione")
+            .when(col("r_regionkey") === 1, "Accred. Istituzionale")
+            .otherwise("Revoca Aut.").as("DESCR"))
+      graft.pipelines.ServicePipelines.procedures(
+        dom, proc, to_timestamp(lit("2024-06-01 00:00:00")))
     })
 }
