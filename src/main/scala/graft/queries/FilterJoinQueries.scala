@@ -803,5 +803,349 @@ object FilterJoinQueries {
             .otherwise("Revoca Aut.").as("DESCR"))
       graft.pipelines.ServicePipelines.procedures(
         dom, proc, to_timestamp(lit("2024-06-01 00:00:00")))
+    },
+
+    // J11: CorePipelines.udoSpecialties REUSED VERBATIM (src/core.py:
+    // 1560-1688 — the three-branch diagonal union: branca flags,
+    // branca_altro hard-false, disciplines with bed counts + the
+    // stripped-ID_UO broadcast join to UO) over orders/customer/lineitem/
+    // supplier-shaped frames. Unmatched UO codes leave NULL
+    // clinical_operational_unit_id in the hashed result; the null
+    // ID_DISCIPLINA_FK rows must be filtered before the union.
+    QueryDef.sql(
+      "j11_specialty_bridge_union", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        s"""WITH b AS (
+           |  SELECT coalesce(lower(${strip("aut")}) IN ('s','y'), FALSE) AS is_authorized,
+           |    coalesce(lower(${strip("acc")}) IN ('s','y'), FALSE) AS is_accredited,
+           |    CAST(NULL AS INT) AS num_beds, CAST(NULL AS INT) AS num_extra_beds,
+           |    CAST(NULL AS INT) AS num_mortuary_beds, CAST(NULL AS INT) AS num_accredited_beds,
+           |    CAST(NULL AS VARCHAR) AS hsp12,
+           |    CAST(NULL AS VARCHAR) AS clinical_operational_unit_id,
+           |    CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+           |    lower(${strip("brfk")}) AS specialty_id,
+           |    lower(${strip("udofk")}) AS udo_id
+           |  FROM (SELECT CASE o_orderstatus WHEN 'O' THEN 'S' WHEN 'F' THEN 'n' ELSE ' Y ' END AS aut,
+           |          CASE WHEN o_orderkey % 2 = 0 THEN 'y' ELSE 'N' END AS acc,
+           |          ' BR' || CAST(o_orderkey % 50 AS VARCHAR) AS brfk,
+           |          'U' || CAST(o_orderkey AS VARCHAR) AS udofk FROM orders)),
+           |ba AS (
+           |  SELECT FALSE AS is_authorized, FALSE AS is_accredited,
+           |    CAST(NULL AS INT) AS num_beds, CAST(NULL AS INT) AS num_extra_beds,
+           |    CAST(NULL AS INT) AS num_mortuary_beds, CAST(NULL AS INT) AS num_accredited_beds,
+           |    CAST(NULL AS VARCHAR) AS hsp12,
+           |    CAST(NULL AS VARCHAR) AS clinical_operational_unit_id,
+           |    CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+           |    lower('AB' || CAST(c_custkey % 30 AS VARCHAR)) AS specialty_id,
+           |    lower('U' || CAST(c_custkey AS VARCHAR)) AS udo_id
+           |  FROM customer),
+           |uo AS (SELECT lower(${strip("' UOC' || CAST(s_suppkey AS VARCHAR)")}) AS cuo,
+           |              'UO' || CAST(s_suppkey AS VARCHAR) AS uo_code FROM supplier),
+           |d AS (
+           |  SELECT FALSE AS is_authorized, FALSE AS is_accredited,
+           |    CAST(l_linenumber AS INT) AS num_beds,
+           |    CAST(l_linenumber % 3 AS INT) AS num_extra_beds,
+           |    CAST(l_linenumber % 2 AS INT) AS num_mortuary_beds,
+           |    CAST(l_linenumber % 4 AS INT) AS num_accredited_beds,
+           |    trim(' H' || CAST(l_suppkey % 10 AS VARCHAR)) AS hsp12,
+           |    uo.cuo AS clinical_operational_unit_id,
+           |    CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+           |    lower('D' || CAST(l_partkey % 40 AS VARCHAR)) AS specialty_id,
+           |    lower('U' || CAST(l_orderkey AS VARCHAR)) AS udo_id
+           |  FROM lineitem LEFT JOIN uo
+           |    ON ${strip("' UO' || CAST(l_suppkey % 40 AS VARCHAR) || ' '")} = uo.uo_code
+           |  WHERE l_orderkey % 7 <> 0)
+           |SELECT * FROM b UNION ALL SELECT * FROM ba UNION ALL SELECT * FROM d""".stripMargin
+      }) { (spark, dir) =>
+      val ok = col("o_orderkey")
+      val bindBranca = Tables.load(spark, dir, "orders").select(
+        when(col("o_orderstatus") === "O", "S")
+          .when(col("o_orderstatus") === "F", "n")
+          .otherwise(" Y ").as("AUTORIZZATA"),
+        when(ok % 2 === 0, "y").otherwise("N").as("ACCREDITATA"),
+        concat(lit(" BR"), (ok % 50).cast("string")).as("ID_BRANCA_FK"),
+        concat(lit("U"), ok.cast("string")).as("ID_UDO_FK"))
+      val bindAltro = Tables.load(spark, dir, "customer").select(
+        concat(lit("AB"), (col("c_custkey") % 30).cast("string")).as("ID_ARTIC_BRANCA_ALTRO_FK"),
+        concat(lit("U"), col("c_custkey").cast("string")).as("ID_UDO_FK"))
+      val bindDisc = Tables.load(spark, dir, "lineitem").select(
+        when(col("l_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("D"), (col("l_partkey") % 40).cast("string")))
+          .as("ID_DISCIPLINA_FK"),
+        col("l_linenumber").as("POSTI_LETTO"),
+        (col("l_linenumber") % 3).as("POSTI_LETTO_EXTRA"),
+        (col("l_linenumber") % 2).as("POSTI_LETTO_OBI"),
+        (col("l_linenumber") % 4).as("POSTI_LETTO_ACC"),
+        concat(lit(" H"), (col("l_suppkey") % 10).cast("string")).as("HSP12"),
+        concat(lit(" UO"), (col("l_suppkey") % 40).cast("string"), lit(" ")).as("ID_UO"),
+        concat(lit("U"), col("l_orderkey").cast("string")).as("ID_UDO_FK"))
+      val uo = Tables.load(spark, dir, "supplier").select(
+        concat(lit(" UOC"), col("s_suppkey").cast("string")).as("CLIENTID"),
+        concat(lit("UO"), col("s_suppkey").cast("string")).as("ID_UO"))
+      graft.pipelines.CorePipelines.udoSpecialties(
+        bindBranca, bindAltro, bindDisc, uo)
+    },
+
+    // J13: ServicePipelines.requirements REUSED VERBATIM (src/auac.py:
+    // 135-209 — the fallback-scalar + conditional-FK shape: TIPO picks
+    // which FK feeds requirement_taxonomy_id, nulls fall to the '-'
+    // taxonomy scalar under the reference's own 1-row cardinality guard;
+    // VALIDATO → ANNULLATO → BOZZA precedence; '/'-dropping enumToken on
+    // the response type) over orders/region-shaped frames.
+    QueryDef.sql(
+      "j13_requirement_fallback_join", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        val clean = (c: String) =>
+          s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
+        s"""WITH req AS (
+           |  SELECT ' Q' || CAST(o_orderkey AS VARCHAR) AS clientid,
+           |    ' Req  ' || o_orderpriority || ' ' AS nome,
+           |    'Testo  lungo ' || CAST(o_orderkey AS VARCHAR) AS testo,
+           |    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+           |         ELSE 'nota ' || CAST(o_orderkey AS VARCHAR) END AS annotations,
+           |    CASE WHEN o_orderstatus = 'O' THEN ' S ' ELSE 'N' END AS validato,
+           |    CASE WHEN o_orderstatus = 'F' THEN 's' ELSE 'N' END AS annullato,
+           |    CASE WHEN o_orderkey % 2 = 0 THEN 'S' ELSE 'no' END AS irrinunciabile,
+           |    CASE WHEN o_orderkey % 3 = 0 THEN ' Generale ' ELSE 'Specifico' END AS tipo,
+           |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+           |         ELSE 'TG' || CAST(o_orderkey % 4 AS VARCHAR) END AS tipo_req_fk,
+           |    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+           |         ELSE 'TS' || CAST(o_orderkey % 4 AS VARCHAR) END AS tipo_spec_fk,
+           |    ' R' || CAST(o_orderkey % 5 AS VARCHAR) AS risposta_fk,
+           |    CASE WHEN o_orderkey % 10 <> 0
+           |         THEN TIMESTAMP '1970-01-01' + o_orderkey * INTERVAL 1 SECOND END AS creation,
+           |    CASE WHEN o_orderkey % 2 = 0
+           |         THEN TIMESTAMP '1970-01-02' + o_orderkey * INTERVAL 1 SECOND END AS lastmod,
+           |    CASE WHEN o_orderkey % 3 = 0 THEN 'S' ELSE 'N' END AS disabled
+           |  FROM orders),
+           |risp AS (
+           |  SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS tr_id,
+           |    CASE r_regionkey WHEN 0 THEN 'Si/No' WHEN 1 THEN 'Testo Libero'
+           |         WHEN 2 THEN 'Numero' WHEN 3 THEN 'Data/Ora'
+           |         ELSE 'Percentuale' END AS nome
+           |  FROM region)
+           |SELECT lower(${strip("clientid")}) AS id,
+           |  ${clean("req.nome")} AS name,
+           |  ${clean("testo")} AS text,
+           |  ${clean("annotations")} AS annotations,
+           |  CASE WHEN lower(${strip("validato")}) = 's' THEN 'VALIDATO'
+           |       WHEN lower(${strip("annullato")}) = 's' THEN 'ANNULLATO'
+           |       ELSE 'BOZZA' END AS state,
+           |  coalesce(lower(${strip("irrinunciabile")}) = 's', FALSE) AS is_required,
+           |  coalesce(CASE WHEN lower(${strip("tipo")}) = 'generale' THEN tipo_req_fk
+           |                ELSE tipo_spec_fk END, 'tax4') AS requirement_taxonomy_id,
+           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
+           |  CASE WHEN lower(trim(disabled)) = 's'
+           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at,
+           |  replace(regexp_replace(upper(trim(risp.nome)), ' ', '_', 'g'), '/', '_') AS response_type
+           |FROM req LEFT JOIN risp ON lower(${strip("risposta_fk")}) = risp.tr_id""".stripMargin
+      }) { (spark, dir) =>
+      val k = col("o_orderkey")
+      val requisito = Tables.load(spark, dir, "orders").select(
+        concat(lit(" Q"), k.cast("string")).as("CLIENTID"),
+        concat(lit(" Req  "), col("o_orderpriority"), lit(" ")).as("NOME"),
+        concat(lit("Testo  lungo "), k.cast("string")).as("TESTO"),
+        when(k % 9 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("nota "), k.cast("string"))).as("ANNOTATIONS"),
+        when(col("o_orderstatus") === "O", " S ").otherwise("N").as("VALIDATO"),
+        when(col("o_orderstatus") === "F", "s").otherwise("N").as("ANNULLATO"),
+        when(k % 2 === 0, "S").otherwise("no").as("IRRINUNCIABILE"),
+        when(k % 3 === 0, " Generale ").otherwise("Specifico").as("TIPO"),
+        when(k % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("TG"), (k % 4).cast("string"))).as("ID_TIPO_REQUISITO_FK"),
+        when(k % 6 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("TS"), (k % 4).cast("string"))).as("ID_TIPO_SPECIFICO_REQUISITO_FK"),
+        concat(lit(" R"), (k % 5).cast("string")).as("ID_TIPO_RISPOSTA_FK"),
+        when(k % 10 =!= 0, timestamp_seconds(k)).as("CREATION"),
+        when(k % 2 === 0, timestamp_seconds(k) + expr("INTERVAL 1 DAY")).as("LAST_MOD"),
+        when(k % 3 === 0, "S").otherwise("N").as("DISABLED"))
+      val risposta = Tables.load(spark, dir, "region").select(
+        concat(lit("r"), col("r_regionkey").cast("string")).as("CLIENTID"),
+        when(col("r_regionkey") === 0, "Si/No")
+          .when(col("r_regionkey") === 1, "Testo Libero")
+          .when(col("r_regionkey") === 2, "Numero")
+          .when(col("r_regionkey") === 3, "Data/Ora")
+          .otherwise("Percentuale").as("NOME"))
+      val tax = Tables.load(spark, dir, "region").select(
+        concat(lit("tax"), col("r_regionkey").cast("string")).as("id"),
+        when(col("r_regionkey") === 4, "-")
+          .otherwise(concat(lit("Tax "), col("r_regionkey").cast("string"))).as("name"))
+      graft.pipelines.ServicePipelines.requirements(
+        requisito, risposta, tax, to_timestamp(lit("2024-06-01 00:00:00")))
+    },
+
+    // J6/J7/J8: CorePipelines.udoTypes REUSED VERBATIM (src/core.py:
+    // 749-1004 — the heaviest dimension pipeline: ambito bridge traversal,
+    // grouped natures with the exact-match nature rewrite, grouped
+    // ministerial flows with elementCleanup, PG text[] literal rendering,
+    // and the not-null-not-empty scope gate) over part/region/customer/
+    // orders/nation-shaped frames. Coverage baked into the fixtures:
+    // unbound tipos and an empty-named ambito exercise the scope filter,
+    // an unmatched natura FK exercises collect_list's null-drop, tipos
+    // beyond the bind ranges render '{}' via nullToEmpty, and the
+    // sort-by-RAW-name-then-map order is pinned by mapping 3 of the
+    // natura names.
+    QueryDef.sql(
+      "j6_udo_types_bridge", {
+        val strip = (c: String) =>
+          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+        val clean = (c: String) =>
+          s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
+        val yn = (c: String) => s"coalesce(lower(${strip(c)}) IN ('s','y'), FALSE)"
+        s"""WITH tipo AS (
+           |  SELECT lower(${strip("' T' || CAST(p_partkey AS VARCHAR)")}) AS tipo_id,
+           |    ${clean("'  ' || p_name || ' '")} AS name,
+           |    trim(' C' || CAST(p_partkey % 100 AS VARCHAR)) AS code,
+           |    trim('NC ' || CAST(p_partkey % 100 AS VARCHAR)) AS code_name,
+           |    trim(' S' || CAST(p_partkey % 3 AS VARCHAR)) AS setting,
+           |    trim('Tg' || CAST(p_partkey % 4 AS VARCHAR)) AS target,
+           |    CASE WHEN p_partkey % 11 = 0 THEN NULL
+           |         ELSE lower(${strip("' CL' || CAST(p_partkey % 6 AS VARCHAR)")}) END
+           |      AS udo_type_classification_id,
+           |    ${yn("CASE WHEN p_partkey % 2 = 0 THEN ' s ' ELSE 'N' END")} AS is_hospital,
+           |    ${yn("CASE WHEN p_partkey % 3 = 0 THEN 'Y' ELSE 'x' END")} AS is_mental_health,
+           |    ${yn("CASE WHEN p_partkey % 5 = 0 THEN 'y' ELSE '' END")} AS has_beds,
+           |    CASE WHEN p_partkey % 10 <> 0
+           |         THEN TIMESTAMP '1970-01-01' + p_partkey * INTERVAL 1 SECOND END AS creation,
+           |    CASE WHEN p_partkey % 2 = 0
+           |         THEN TIMESTAMP '1970-01-02' + p_partkey * INTERVAL 1 SECOND END AS lastmod,
+           |    CASE WHEN p_partkey % 3 = 0 THEN 'S' ELSE 'N' END AS disabled
+           |  FROM part),
+           |ba AS (SELECT 't' || CAST(p_partkey AS VARCHAR) AS ba_tipo,
+           |              'a' || CAST(p_partkey % 5 AS VARCHAR) AS ba_amb
+           |       FROM part WHERE p_partkey % 13 <> 0),
+           |amb AS (
+           |  SELECT 'a' || CAST(r_regionkey AS VARCHAR) AS amb_id,
+           |    CASE WHEN r_regionkey = 4 THEN ''
+           |         ELSE ${clean("' Ambito  ' || CAST(r_regionkey AS VARCHAR)")} END AS scope_name,
+           |    ${clean("'Desc ' || CAST(r_regionkey AS VARCHAR)")} AS scope_description,
+           |    ${yn("CASE WHEN r_regionkey % 2 = 0 THEN 'S' ELSE 'n' END")} AS has_disciplines,
+           |    ${yn("CASE WHEN r_regionkey < 2 THEN 'y' ELSE 'N ' END")} AS has_disciplines_only_healthcare_company,
+           |    ${yn("CASE WHEN r_regionkey = 1 THEN ' Y' ELSE 'x' END")} AS has_disciplines_only_public_or_private_company,
+           |    TRUE AS has_branches,
+           |    FALSE AS has_branches_only_healthcare_company,
+           |    ${yn("CASE WHEN r_regionkey % 2 = 1 THEN 'y' ELSE 'q' END")} AS has_branches_only_public_or_private_company,
+           |    ${yn("'s '")} AS has_services,
+           |    ${yn("'no'")} AS has_scopes
+           |  FROM region),
+           |bn AS (
+           |  SELECT 't' || CAST(c_custkey AS VARCHAR) AS bn_tipo,
+           |    CASE WHEN c_custkey % 17 = 0 THEN 'nx'
+           |         ELSE 'n' || CAST(c_custkey % 9 AS VARCHAR) END AS n_fk,
+           |    0 AS ord
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 't' || CAST(c_custkey AS VARCHAR),
+           |    'n' || CAST((c_custkey + 1) % 9 AS VARCHAR), 1
+           |  FROM customer WHERE c_custkey % 3 = 0),
+           |nat AS (
+           |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS n_id,
+           |    CASE n_nationkey WHEN 0 THEN 'AzSan' WHEN 1 THEN 'Pub' WHEN 2 THEN 'Pri'
+           |         ELSE 'Natura ' || CAST(n_nationkey AS VARCHAR) END AS n_nome
+           |  FROM nation),
+           |natg AS (
+           |  SELECT bn_tipo,
+           |    '{' || coalesce(string_agg(
+           |      '"' || CASE n_nome WHEN 'AzSan' THEN 'AZIENDA_SANITARIA'
+           |                         WHEN 'Pub' THEN 'PUBBLICO'
+           |                         WHEN 'Pri' THEN 'PRIVATO' ELSE n_nome END || '"',
+           |      ',' ORDER BY n_nome), '') || '}' AS company_natures
+           |  FROM bn LEFT JOIN nat ON n_fk = n_id GROUP BY bn_tipo),
+           |bf AS (SELECT 't' || CAST(o_orderkey % 1000 AS VARCHAR) AS bf_tipo,
+           |              'f' || CAST(o_orderkey % 6 AS VARCHAR) AS f_fk FROM orders),
+           |fl AS (SELECT 'f' || CAST(n_nationkey AS VARCHAR) AS f_id,
+           |              'FLS ' || CAST(n_nationkey AS VARCHAR) || '.A' AS f_nome
+           |       FROM nation WHERE n_nationkey < 6),
+           |flg AS (
+           |  SELECT bf_tipo,
+           |    '{' || coalesce(string_agg(
+           |      '"' || replace(replace(f_nome, ' ', '_'), '.', '_') || '"',
+           |      ',' ORDER BY f_nome), '') || '}' AS ministerial_flows
+           |  FROM bf LEFT JOIN fl ON f_fk = f_id GROUP BY bf_tipo)
+           |SELECT tipo_id AS id, name, code, code_name, setting, target,
+           |  udo_type_classification_id, is_hospital, is_mental_health, has_beds,
+           |  scope_name, scope_description, has_disciplines,
+           |  has_disciplines_only_healthcare_company,
+           |  has_disciplines_only_public_or_private_company,
+           |  has_branches, has_branches_only_healthcare_company,
+           |  has_branches_only_public_or_private_company,
+           |  has_services, has_scopes,
+           |  coalesce(company_natures, '{}') AS company_natures,
+           |  coalesce(ministerial_flows, '{}') AS ministerial_flows,
+           |  CASE WHEN lower(trim(disabled)) = 's'
+           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at,
+           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at
+           |FROM tipo
+           |LEFT JOIN ba ON tipo_id = ba_tipo
+           |LEFT JOIN amb ON ba_amb = amb_id
+           |LEFT JOIN natg ON tipo_id = bn_tipo
+           |LEFT JOIN flg ON tipo_id = bf_tipo
+           |WHERE scope_name IS NOT NULL AND scope_name <> ''""".stripMargin
+      }) { (spark, dir) =>
+      val pk = col("p_partkey")
+      val tipoUdo22 = Tables.load(spark, dir, "part").select(
+        concat(lit(" T"), pk.cast("string")).as("CLIENTID"),
+        concat(lit("  "), col("p_name"), lit(" ")).as("DESCR"),
+        concat(lit(" C"), (pk % 100).cast("string")).as("CODICE_UDO"),
+        concat(lit("NC "), (pk % 100).cast("string")).as("NOME_CODICE_UDO"),
+        concat(lit(" S"), (pk % 3).cast("string")).as("SETTING"),
+        concat(lit("Tg"), (pk % 4).cast("string")).as("TARGET"),
+        when(pk % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit(" CL"), (pk % 6).cast("string")))
+          .as("ID_CLASSIFICAZIONE_UDO_FK"),
+        when(pk % 2 === 0, " s ").otherwise("N").as("OSPEDALIERO"),
+        when(pk % 3 === 0, "Y").otherwise("x").as("SALUTE_MENTALE"),
+        when(pk % 5 === 0, "y").otherwise("").as("POSTI_LETTO"),
+        when(pk % 10 =!= 0, timestamp_seconds(pk)).as("CREATION"),
+        when(pk % 2 === 0, timestamp_seconds(pk) + expr("INTERVAL 1 DAY")).as("LAST_MOD"),
+        when(pk % 3 === 0, "S").otherwise("N").as("DISABLED"))
+      val bindAmbito = Tables.load(spark, dir, "part")
+        .filter(pk % 13 =!= 0).select(
+          concat(lit("T"), pk.cast("string")).as("ID_TIPO_22_FK"),
+          concat(lit("A"), (pk % 5).cast("string")).as("ID_AMBITO_FK"))
+      val rk = col("r_regionkey")
+      val ambito = Tables.load(spark, dir, "region").select(
+        concat(lit("a"), rk.cast("string")).as("CLIENTID"),
+        when(rk === 4, "").otherwise(
+          concat(lit(" Ambito  "), rk.cast("string"))).as("NOME"),
+        concat(lit("Desc "), rk.cast("string")).as("DESCR"),
+        when(rk % 2 === 0, "S").otherwise("n").as("AGGIUNGI_DISCIPLINE"),
+        when(rk < 2, "y").otherwise("N ").as("AGGIUNGI_DISCIPLINE_AZ_SAN"),
+        when(rk === 1, " Y").otherwise("x").as("AGGIUNGI_DISCIPLINE_PUB_PRIV"),
+        lit("S").as("AGGIUNGI_BRANCHE"),
+        lit("n").as("AGGIUNGI_BRANCHE_AZ_SAN"),
+        when(rk % 2 === 1, "y").otherwise("q").as("AGGIUNGI_BRANCHE_PUB_PRIV"),
+        lit("s ").as("AGGIUNGI_PRESTAZIONI"),
+        lit("no").as("AGGIUNGI_AMBITO"))
+      val ck = col("c_custkey")
+      val bindNatura = Tables.load(spark, dir, "customer").select(
+        concat(lit(" T"), ck.cast("string")).as("ID_TIPO_UDO_22_FK"),
+        when(ck % 17 === 0, "NX")
+          .otherwise(concat(lit(" N"), (ck % 9).cast("string"))).as("ID_NATURA_FK"))
+        .unionAll(Tables.load(spark, dir, "customer")
+          .filter(ck % 3 === 0).select(
+            concat(lit(" T"), ck.cast("string")).as("ID_TIPO_UDO_22_FK"),
+            concat(lit(" N"), ((ck + 1) % 9).cast("string")).as("ID_NATURA_FK")))
+      val nk = col("n_nationkey")
+      val natura = Tables.load(spark, dir, "nation").select(
+        concat(lit("n"), nk.cast("string")).as("CLIENTID"),
+        when(nk === 0, "AzSan").when(nk === 1, "Pub").when(nk === 2, "Pri")
+          .otherwise(concat(lit("Natura "), nk.cast("string"))).as("NOME"))
+      val bindFlusso = Tables.load(spark, dir, "orders").select(
+        concat(lit("T"), (col("o_orderkey") % 1000).cast("string")).as("ID_TIPO_UDO_22_FK"),
+        concat(lit("F"), (col("o_orderkey") % 6).cast("string")).as("ID_FLUSSO_FK"))
+      val flusso = Tables.load(spark, dir, "nation")
+        .filter(nk < 6).select(
+          concat(lit("f"), nk.cast("string")).as("CLIENTID"),
+          concat(lit("FLS "), nk.cast("string"), lit(".A")).as("NOME"))
+      graft.pipelines.CorePipelines.udoTypes(
+        tipoUdo22, bindAmbito, ambito, bindNatura, natura, bindFlusso, flusso,
+        to_timestamp(lit("2024-06-01 00:00:00")))
     })
 }
