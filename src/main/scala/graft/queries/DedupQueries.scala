@@ -321,6 +321,52 @@ object DedupQueries {
         .select(col("doc_id"), col("component"), col("n_tokens"), col("is_canonical"))
     },
 
+    // D35: exact repeated-substring SPANS — the suffix-array dedup flavor
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): find every maximal token span whose 8-token windows ALL
+    // recur in some other document, i.e. the verbatim-copied passages a
+    // substring-level dedup would cut (doc-level Jaccard never sees a
+    // paragraph pasted into an otherwise-unique page). Spark-first shape
+    // instead of a suffix array: one overlapping-window pass (posexplode,
+    // output-proportional), one window-keyed distinct-doc aggregate (the
+    // "does this 8-gram recur elsewhere" set), a left-semi join back to
+    // the positioned stream, and per-doc island merging via the classic
+    // pos - row_number() group key — flagged windows at consecutive
+    // positions fuse into one maximal span. Shuffle keys: the window
+    // string (same stop-phrase skew exposure as the shingle family — the
+    // d34 DF-cap guard composes here identically) and doc_id for the
+    // merge. No pairwise work anywhere: cost is linear in corpus windows.
+    QueryDef.sql(
+      "d35_repeated_spans",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(ts, i, i+7), ' ') AS w
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r),
+        |f AS (SELECT w FROM g GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        |fg AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (w)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM fg)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+        |       CAST(MAX(pos) + 7 AS INT) AS span_end, COUNT(*) AS n_windows
+        |FROM isl GROUP BY doc_id, grp""".stripMargin) { (spark, dir) =>
+      val wins = Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        posexplode(graft.functions.expr.WordShingleStrings(
+          col("text"), 8, distinct = false)).as(Seq("pos", "w")))
+      val recurring = wins.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("w"))
+      val flagged = wins.join(recurring, Seq("w"), "left_semi")
+      val grp = col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+      flagged.withColumn("grp", grp)
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).cast("int").as("span_start"),
+          (max(col("pos")) + 7).cast("int").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+    },
+
     // MinHash + banded LSH: the scale path for near-dup detection — the
     // only shuffle is on (band, signature). Candidates are verified with
     // exact Jaccard before reporting. rows-only (xxhash64 family).

@@ -148,6 +148,31 @@ class DedupSpec extends AnyFunSuite {
       s"cap must drop every stop-phrase pair and keep the near-dup: $capped")
   }
 
+  test("repeated-span islands: a shared passage merges to ONE maximal span per doc") {
+    // Two docs share a verbatim 12-token passage at different offsets;
+    // every other token is doc-unique. 12 tokens → 5 flagged overlapping
+    // 8-windows per doc, consecutive positions → exactly one island,
+    // spanning precisely the passage. A third doc with no sharing must
+    // produce no rows.
+    val dir = java.nio.file.Files.createTempDirectory("dedup-span").toString
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $passage a4 a5"),
+      (2L, s"b1 $passage b2 b3 b4 b5 b6"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.SparkEntry.queries("d35_repeated_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    // doc 1: passage tokens occupy positions 3..14 → windows 3..7 flagged
+    assert(spans(1L) == ((3, 14, 5L)), s"doc1 span wrong: ${spans.get(1L)}")
+    // doc 2: passage at positions 1..12 → windows 1..5
+    assert(spans(2L) == ((1, 12, 5L)), s"doc2 span wrong: ${spans.get(2L)}")
+    assert(!spans.contains(3L), "unshared doc must yield no spans")
+  }
+
   test("fingerprints: canonical md5 equates whitespace variants; token-set md5 equates reorderings") {
     val df = Seq(
       ("a", "hello  world"), ("b", "hello world"), ("c", "world hello"))
