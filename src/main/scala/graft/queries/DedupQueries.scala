@@ -332,10 +332,12 @@ object DedupQueries {
     // "does this 8-gram recur elsewhere" set), a left-semi join back to
     // the positioned stream, and per-doc island merging via the classic
     // pos - row_number() group key — flagged windows at consecutive
-    // positions fuse into one maximal span. Shuffle keys: the window
-    // string (same stop-phrase skew exposure as the shingle family — the
-    // d34 DF-cap guard composes here identically) and doc_id for the
-    // merge. No pairwise work anywhere: cost is linear in corpus windows.
+    // positions fuse into one maximal span. Unlike the shingle pair
+    // family this is skew-safe BY CONSTRUCTION: the window-keyed
+    // aggregate partial-combines map-side (a stop-phrase window collapses
+    // to one row per partition before the shuffle) and the semi join
+    // emits at most the left side — no per-key pair fan-out exists
+    // anywhere. Cost is linear in corpus windows.
     QueryDef.sql(
       "d35_repeated_spans",
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),

@@ -412,4 +412,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"survivor re-induction must stay semi-joins:\n$p")
   }
+
+  test("d35 repeated spans: partial window agg, semi join, no pair fan-out") {
+    val p = planOf("d35_repeated_spans")
+    // skew-safe by construction: the window-frequency aggregate must
+    // partial-combine map-side (a stop-phrase window collapses before the
+    // shuffle), the flag join must be LEFT SEMI (output ≤ left side), and
+    // no pairwise join shape may appear anywhere.
+    assert(p.contains("partial_count(distinct"),
+      s"window distinct-doc agg must partial-combine map-side:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the flagged-position join must be a semi join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"no pair space may materialize:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"island merge partitions by doc_id, never one task:\n$p")
+  }
 }
