@@ -15,8 +15,11 @@ run / fork := true
 // logger: the driver's bench harness keeps only an output tail and parses
 // the final JSON line, and sbt's `[info] ` prefix made that line
 // unparseable as JSON in every round through r8 (BENCH_r*.json
-// `"parsed": null`).
+// `"parsed": null`). showSuccess=false also drops the trailing
+// `[success] Total time …` epilogue, so the LAST line a runMain emits is
+// the program's own final line (Bench's JSON).
 run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
