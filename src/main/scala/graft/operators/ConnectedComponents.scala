@@ -143,11 +143,17 @@ object ConnectedComponents {
     // Persisted for the loop: every round's neighbor-min join reads the
     // edge set, and without the cache each labelSum action would re-run
     // the caller's whole edge-producing subplan (e.g. d13's pair
-    // detection) twice per round via the two union branches.
+    // detection) twice per round via the two union branches. Persisted
+    // ALREADY HASH-PARTITIONED on the probe key: the cache retains the
+    // repartition's output partitioning (InMemoryTableScan reports it),
+    // so at shuffle-join scale each round's neighbor-min join re-shuffles
+    // only the vertex-scale label frame — the edge set, the big side,
+    // shuffles exactly once for the whole iteration instead of per round.
     val undirected = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .repartition(col("src"))
       .persist()
 
     // NULL on an empty frame (sum over zero rows) — handled below.

@@ -54,6 +54,15 @@ object PageRank {
     val e = edges.persist()
     val vs = nodes.persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    // Degree is attached to the edge list ONCE, outside the loop — the
+    // rounds previously joined `deg` per round, an edge-scale shuffle
+    // join × iters that this single persisted frame replaces. The join
+    // output is hash-partitioned by src and the cache RETAINS that
+    // partitioning (InMemoryTableScan reports it), so at shuffle-join
+    // scale each round's e⋈r probe re-shuffles only the vertex-scale
+    // rank frame, never the edges.
+    val eDeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
     // Vertex count once, eagerly: a literal in every round's expression
     // beats re-running even a 1-row aggregate subplan per round.
     val n = vs.count()
@@ -81,8 +90,7 @@ object PageRank {
 
     for (_ <- 1 to iters) {
       // Each vertex ships r div deg along every out-edge; sum at the dst.
-      val contrib = e.join(r, col("src") === col("v"))
-        .join(deg, "src")
+      val contrib = eDeg.join(r, col("src") === col("v"))
         .selectExpr("dst", "r div deg AS share")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
       val next = vs
@@ -95,6 +103,7 @@ object PageRank {
       r.unpersist()
       r = next
     }
+    eDeg.unpersist()
     deg.unpersist()
     e.unpersist()
     vs.unpersist()
