@@ -21,7 +21,8 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       TextQueries.defs ++
-      EventQueries.defs
+      EventQueries.defs ++
+      PackingQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -59,18 +59,74 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode for RIFF/WAVE PCM — a WAV container is a length-
+    * prefixed chunk list over raw PCM, parseable with nothing but byte
+    * arithmetic (the second codec that can be real in this container; no
+    * native libraries). Returns (frames-per-channel, channels, 16-bin
+    * normalized amplitude histogram of the first channel) in the decoder
+    * contract's (width, height, hist) slots. Supports the PCM shapes
+    * that dominate real corpora: format 1 (integer PCM) at 8 or 16 bits.
+    * Integer bucketing only, so features are bit-deterministic. */
+  final class WavDecoder extends Decoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+      require(payload.length >= 44 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+        payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E',
+        "not a RIFF/WAVE payload")
+      // chunk walk: 4-byte id, 4-byte LE size, payload (word-aligned)
+      var off = 12
+      var channels = 0; var bits = 0; var fmt = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val sz = u32(off + 4).toInt
+        if (id == "fmt ") {
+          fmt = u16(off + 8); channels = u16(off + 10); bits = u16(off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8; dataLen = math.min(sz, payload.length - dataOff)
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      require(fmt == 1 && (bits == 8 || bits == 16) && channels > 0 && dataOff >= 0,
+        s"unsupported WAV shape: fmt=$fmt bits=$bits channels=$channels")
+      val bytesPerFrame = channels * (bits / 8)
+      val frames = dataLen / bytesPerFrame
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < frames) {
+        val o = dataOff + i * bytesPerFrame
+        // first channel only; map sample to [0, 15] by its top 4 bits
+        val bucket =
+          if (bits == 8) (payload(o) & 0xff) >> 4 // unsigned by spec
+          else (u16(o) ^ 0x8000) >> 12 // signed LE → biased unsigned
+        hist(bucket) += 1
+        i += 1
+      }
+      val n = math.max(frames, 1)
+      (frames, channels, hist.map(_ / n))
+    }
+  }
+
   /** Magic-sniffing dispatch: a PNG signature routes to the REAL
-    * [[ImageIoDecoder]]; the synthetic `GM` header stays on the stub
-    * (audio/video codecs are not in this container — that boundary
-    * remains honestly stubbed). Both members are instantiated with the
-    * partition, preserving the one-init-per-partition amortization. */
+    * [[ImageIoDecoder]], a RIFF/WAVE signature to the REAL [[WavDecoder]];
+    * the synthetic `GM` header stays on the stub (video codecs are not in
+    * this container — that boundary remains honestly stubbed). All
+    * members are instantiated with the partition, preserving the
+    * one-init-per-partition amortization. */
   final class SniffingDecoder extends Decoder {
     private val stub = new StubDecoder
     private val png = new ImageIoDecoder
+    private val wav = new WavDecoder
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) =
       if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
         png.decode(payload)
+      else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+        payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+        wav.decode(payload)
       else stub.decode(payload)
   }
 

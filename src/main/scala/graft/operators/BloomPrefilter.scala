@@ -41,6 +41,43 @@ object BloomPrefilter {
   def filterMightContain(fact: DataFrame, factKey: String, bloomBytes: Array[Byte]): DataFrame =
     fact.filter(BloomMightContainLong.mightContain(col(factKey), bloomBytes))
 
+  /** Exact LEFT ANTI join with Bloom ROUTING on the probe side:
+    * bit-identical to `fact ▷ dim` (rows of `fact` with no `dim` match),
+    * but only sketch-positive rows reach the join exchange.
+    *
+    * Anti joins invert the semi-join pruning rule: a Bloom "definitely
+    * not present" is a PROOF of anti-membership, so those rows are kept
+    * outright and never shuffle; only "might contain" rows (true matches
+    * + false positives) go through the exact anti join, which clears the
+    * false positives. With an fpp of 0.01 and a mostly-novel probe side
+    * (the incremental-dedup shape: today's crawl vs yesterday's corpus),
+    * ~99% of genuinely-new rows skip the exchange entirely — the build
+    * side is the ONLY full shuffle-scale structure, and it is a sketch,
+    * never the key set. Both branches are one scan (the filter and its
+    * negation read the same cached/columnar source), unioned back.
+    * Integral keys only, same contract as [[semiJoin]]. */
+  def antiJoin(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    requireIntegral(fact, factKey, "fact")
+    requireIntegral(dim, dimKey, "dim")
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey))
+    val bloom = build(keys, dimKey, expectedItems, fpp)
+    val might = BloomMightContainLong.mightContain(col(factKey), bloom)
+    val definitelyNovel = fact.filter(!might)
+    val needsCheck = fact.filter(might)
+    definitelyNovel.unionAll(
+      needsCheck.join(keys, needsCheck(factKey).cast("long") === keys(dimKey), "left_anti"))
+  }
+
+  private def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(key).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"BloomPrefilter needs an integral $side key; '$key' is $dt")
+  }
+
   /** Exact LEFT SEMI join with a Bloom pre-filter on the fact side:
     * bit-identical to `fact ⋉ dim`, but only sketch-surviving rows reach
     * the join exchange. Integral keys only (cast to long both sides). */
@@ -51,12 +88,6 @@ object BloomPrefilter {
     // Enforce the documented "integral keys only" contract: a string or
     // decimal key would silently cast (non-numeric strings → NULL) and
     // change results relative to the plain join this claims to mirror.
-    def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
-      import org.apache.spark.sql.types._
-      val dt = df.schema(key).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"BloomPrefilter.semiJoin needs an integral $side key; '$key' is $dt")
-    }
     requireIntegral(fact, factKey, "fact")
     requireIntegral(dim, dimKey, "dim")
     val keys = dim.select(col(dimKey).cast("long").as(dimKey))

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.functions.TextTokens
+import graft.functions.expr.BloomMightContainLong
+import graft.io.Tables
+import graft.operators.{BloomPrefilter, PrefixSum}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus ASSEMBLY operators — the stage after filtering/dedup
+  * where a 100 TB corpus becomes model input: sequence packing
+  * (concat-and-chunk into fixed-length training sequences), incremental
+  * novelty against a prior corpus snapshot (the daily-crawl dedup shape),
+  * and collocation statistics (bigram PMI) for tokenizer/quality audits.
+  *
+  * All three are pure Catalyst plans. Packing's only global structure is
+  * the token-offset prefix sum, which rides [[PrefixSum]] (bucketed range
+  * partitioning — no SinglePartition window, so the plan holds at any
+  * corpus size). Novelty's only full-corpus structure is a Bloom sketch
+  * of the prior snapshot; the probe side shuffles ONLY its
+  * sketch-positive sliver. PMI is two vocab-scale aggregates joined on
+  * token keys.
+  */
+object PackingQueries {
+
+  /** Training sequence length for the packing queries — small enough that
+    * sf0.01 docs (~10-80 tokens) still cross boundaries, realistic in
+    * shape (production values are 2k-128k; the arithmetic is identical). */
+  private val SeqLen = 512L
+
+  /** Shared per-doc packing frame: token count, exclusive global token
+    * offset (docs concatenated in doc_id order), and the first/last
+    * training-sequence ids the doc lands in. One [[PrefixSum]] pass —
+    * the bucketed distributed prefix sum, NOT `Window.orderBy` with no
+    * partition spec (which plans an Exchange SinglePartition and dies at
+    * corpus scale). */
+  private def packedDocs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(TextTokens.tokens(col("text"))).cast("long").as("n_tok"))
+    // inclusive running sum over doc_id order; exclusive offset = cum - n_tok
+    PrefixSum.withRunningSum(t, "doc_id", descending = false, tieBreak = Seq.empty,
+      value = col("n_tok"), out = "cum")
+      .withColumn("tok_start", col("cum") - col("n_tok"))
+      // integer floor-div (tok_start >= 0, so `div` truncation IS floor);
+      // a double `floor(x / 512)` would go lossy past 2^53 total tokens —
+      // a bound a 100 TB corpus actually crosses
+      .withColumn("seq_first", expr(s"tok_start div ${SeqLen}L"))
+      .withColumn("seq_last", expr(s"(cum - 1) div ${SeqLen}L"))
+  }
+
+  /** The token-offset CTE shared by both packing oracles (DuckDB). The
+    * window SUM is the oracle's job only — single-node DuckDB sorts once;
+    * the Spark side uses the bucketed prefix sum for the same numbers. */
+  private val packedSqlCte: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |w AS (SELECT doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t),
+       |p AS (SELECT doc_id, n_tok, cum, cum - n_tok AS tok_start,
+       |    (cum - n_tok) // $SeqLen AS seq_first,
+       |    (cum - 1) // $SeqLen AS seq_last
+       |  FROM w)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // T34: sequence packing, per-doc view — concat-and-chunk: documents
+    // concatenated in a deterministic global order and cut into
+    // fixed-length training sequences. Each doc's assignment is pure
+    // arithmetic over its exclusive prefix offset, so the ONLY
+    // distributed structure is the prefix sum itself (PrefixSum: one
+    // boundary probe + one bucket-hash shuffle + a broadcast of ≤128
+    // bucket offsets). n_seqs > 1 ⟺ the doc crosses a sequence boundary
+    // (the fragmentation signal packing curricula minimize).
+    QueryDef.sql(
+      "t34_sequence_packing",
+      s"""$packedSqlCte
+         |SELECT doc_id, n_tok, tok_start, seq_first, seq_last,
+         |  seq_last - seq_first + 1 AS n_seqs
+         |FROM p""".stripMargin) { (spark, dir) =>
+      packedDocs(spark, dir)
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+    },
+
+    // T35: sequence packing, per-sequence view — the 1→many inversion:
+    // each doc explodes to the (bounded: n_tok/SeqLen + 1) sequences it
+    // touches, then a seq_id-keyed aggregate yields the sequence
+    // manifest: how many docs compose each sequence, its first doc, and
+    // the tokens it actually holds (= SeqLen everywhere but the tail —
+    // asserted by PackingSpec). The explode factor is per-doc bounded,
+    // so no key or task sees more than a doc's own span.
+    QueryDef.sql(
+      "t35_packed_sequences",
+      s"""$packedSqlCte,
+         |e AS (SELECT doc_id, n_tok, cum, tok_start,
+         |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+         |  FROM p)
+         |SELECT seq_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(SUM(least(cum, (seq_id + 1) * $SeqLen) - greatest(tok_start, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+         |FROM e GROUP BY 1""".stripMargin) { (spark, dir) =>
+      packedDocs(spark, dir)
+        .select(col("doc_id"), col("n_tok"), col("cum"), col("tok_start"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+        .groupBy(col("seq_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(least(col("cum"), (col("seq_id") + 1) * SeqLen) -
+            greatest(col("tok_start"), col("seq_id") * SeqLen)).cast("long").as("n_tokens"))
+    },
+
+    // D36: incremental novelty — the daily-ingest dedup: which docs in
+    // today's batch (doc_id % 10 ∈ {7,8,9}) are NOT already in the prior
+    // corpus snapshot (doc_id % 10 < 7), keyed by exact content
+    // fingerprint md5(lower(trim(text)))? The scale shape: the prior
+    // snapshot — the 100 TB side — is reduced to a Bloom sketch built by
+    // a distributed aggregate (never a key collect); batch rows the
+    // sketch PROVES absent (no false negatives by construction) are kept
+    // without ever entering a shuffle, and only the sketch-positive
+    // sliver (true dups + fpp·novel) reaches the exact anti join that
+    // clears false positives. Routing key is xxhash64 (the sketch is
+    // integral-keyed); the exact join is on the md5 itself, so the result
+    // is bit-identical to a plain anti join (equal norms ⇒ equal k64,
+    // so a k64 sketch miss proves fp-novelty). Within-batch copies then
+    // collapse first-wins. PackingSpec pins bloom-route ≡ plain-anti.
+    QueryDef.sql(
+      "d36_incremental_novelty",
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |prior AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 < 7),
+        |batch AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 >= 7),
+        |novel AS (SELECT b.fp, b.doc_id FROM batch b
+        |          WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.fp = b.fp))
+        |SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+        |FROM novel GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"),
+          xxhash64(lower(trim(col("text")))).as("k64"))
+      val prior = d.filter(col("doc_id") % 10 < 7)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      // capacity from the build side's actual cardinality (one cheap
+      // count over a 2-column projection; in production this is catalog
+      // row-count stats, not a job)
+      val expected = math.max(prior.count(), 1L)
+      val bloom = BloomPrefilter.build(prior.select(col("k64")), "k64", expected, 0.01)
+      val might = BloomMightContainLong.mightContain(col("k64"), bloom)
+      val priorFps = prior.select(col("fp")).distinct()
+      // explicit projection on BOTH branches: the using-column join puts
+      // `fp` first in its output, and unionAll is positional
+      batch.filter(!might).select(col("fp"), col("doc_id"))
+        .unionAll(batch.filter(might).join(priorFps, Seq("fp"), "left_anti")
+          .select(col("fp"), col("doc_id")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // T36: bigram PMI — collocation strength for tokenizer/quality
+    // audits: score(a,b) = P(ab) / (P(a)·P(b)) as the exact count ratio
+    // c_ab·N / (c_a·c_b), surfaced WITHOUT the log (ln is not correctly
+    // rounded across libms and could never hash-match; the monotone
+    // ratio carries the same ranking). Shapes: the bigram stream is a
+    // zip of the token stream with its own shift (slice+zip_with — no
+    // self-join); counts are two vocab-scale aggregates; the two
+    // count-attach joins key on single tokens — the stop-word key is hot
+    // on the LEFT (many distinct bigrams), but the right side is one row
+    // per key, so the hash join streams it. N rides a 1-row broadcast.
+    // min-count ≥ 3 bounds output to the collocation head.
+    QueryDef.sql(
+      "t36_bigram_pmi",
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |u AS (SELECT unnest(ts) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM u),
+        |b AS (SELECT unnest(ts[1:-2]) AS w1, unnest(ts[2:-1]) AS w2 FROM t),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM b GROUP BY 1, 2)
+        |SELECT bc.w1, bc.w2, bc.c_ab,
+        |  round((CAST(bc.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+        |        (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS pmi_ratio
+        |FROM bc CROSS JOIN n
+        |JOIN uc ca ON bc.w1 = ca.w
+        |JOIN uc cb ON bc.w2 = cb.w
+        |WHERE bc.c_ab >= 3""".stripMargin) { (spark, dir) =>
+      val t = Tables.load(spark, dir, "documents")
+        .select(TextTokens.tokens(col("text")).as("ts"))
+      val u = t.select(explode(col("ts")).as("w"))
+      val uc = u.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = u.agg(count(lit(1)).as("n"))
+      val bc = t.select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      bc.crossJoin(broadcast(n))
+        .join(uc.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round((col("c_ab").cast("double") * col("n").cast("double")) /
+            (col("ca").cast("double") * col("cb").cast("double")), 6).as("pmi_ratio"))
+    })
+}

@@ -90,4 +90,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(feats(r.media_id).width == r.meta_width &&
         feats(r.media_id).height == r.meta_height))
   }
+
+  test("REAL WAV decode: RIFF/PCM chunk walk through the sniffing dispatch") {
+    import spark.implicits._
+    // Hand-assembled 16-bit stereo PCM WAV with 4 frames whose FIRST
+    // channel hits four distinct amplitude regimes (min, -1, 0, max →
+    // bins 0, 7, 8, 15); the second channel is all-max and must NOT leak
+    // into the histogram. An extra pre-`data` LIST chunk proves the walk
+    // skips unknown chunks instead of assuming the canonical 44-byte
+    // layout.
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val ch1 = Seq(-32768, -1, 0, 32767)
+    val pcm = ch1.flatMap(s => le16(s & 0xffff) ++ le16(32767)).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(8000 * 4) ++ le16(4) ++ le16(16)
+    val junk = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+    val data = "data".getBytes ++ le32(pcm.length) ++ pcm
+    val body = "WAVE".getBytes ++ fmt ++ junk ++ data
+    val wavBytes = "RIFF".getBytes ++ le32(body.length) ++ body
+
+    val mixed = (Multimodal.synthesizeCorpus(spark, 3).collect().toSeq :+
+      Multimodal.MediaRow(998L, "audio", 0, 0, wavBytes)).toDS()
+    val wav = Multimodal.extractFeatures(mixed).collect()
+      .map(f => f.media_id -> f).toMap.apply(998L)
+    assert(wav.width == 4, "frames per channel from the data chunk")
+    assert(wav.height == 2, "channel count from the fmt chunk")
+    assert(wav.n_bytes == wavBytes.length)
+    Seq(0, 7, 8, 15).foreach(b =>
+      assert(math.abs(wav.histogram(b) - 0.25) < 1e-12,
+        s"amplitude bin $b must hold exactly one of four first-channel frames"))
+    assert(math.abs(wav.histogram.sum - 1.0) < 1e-12)
+  }
 }

@@ -107,6 +107,30 @@ class PipelineIoSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(f.toString).count() == 25)
   }
 
+  test("jsonl export: round-trips values, honors shard count and codec") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = graft.io.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    graft.io.JsonlExport.write(docs, s"$tmp/docs", shards = Some(3))
+    // exactly 3 shards, each a plain text file of JSON lines
+    val parts = new java.io.File(s"$tmp/docs").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 3, "shards pin the part-file count")
+    val firstLine = scala.io.Source.fromFile(parts.head).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.contains("\"doc_id\""))
+    // schema-first read-back is value-identical
+    val back = graft.io.JsonlExport.read(spark, s"$tmp/docs", docs.schema)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+    assert(back.count() == docs.count())
+    // gzip codec: compressed shard names, same read-back
+    graft.io.JsonlExport.write(docs, s"$tmp/docs_gz", codec = Some("gzip"))
+    val gzParts = new java.io.File(s"$tmp/docs_gz").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(gzParts.nonEmpty && gzParts.forall(_.getName.endsWith(".gz")))
+    assert(graft.io.JsonlExport.read(spark, s"$tmp/docs_gz", docs.schema)
+      .count() == docs.count())
+  }
+
   test("schema-evolution read: merged schema, NULL backfill for pre-column batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
