@@ -161,9 +161,14 @@ object PackingQueries {
     // audits: score(a,b) = P(ab) / (P(a)·P(b)) as the exact count ratio
     // c_ab·N / (c_a·c_b), surfaced WITHOUT the log (ln is not correctly
     // rounded across libms and could never hash-match; the monotone
-    // ratio carries the same ranking). Shapes: the bigram stream is a
-    // zip of the token stream with its own shift (slice+zip_with — no
-    // self-join); counts are two vocab-scale aggregates; the two
+    // ratio carries the same ranking). ONE corpus scan: each token
+    // explodes once as (token, successor-or-null) via a zip of the token
+    // array with its own shift (zip_with pads the short side with null —
+    // no self-join, no second explode), and ALL THREE statistics derive
+    // from the single (w, nw) aggregate: c_ab = its non-null rows,
+    // c_w = its w-rollup (every occurrence appears exactly once as `w`),
+    // N = sum of c_w — so unigram/total stats are vocab-scale rollups of
+    // the persisted bigram aggregate, never corpus re-scans. The two
     // count-attach joins key on single tokens — the stop-word key is hot
     // on the LEFT (many distinct bigrams), but the right side is one row
     // per key, so the hash join streams it. N rides a 1-row broadcast.
@@ -185,15 +190,22 @@ object PackingQueries {
         |WHERE bc.c_ab >= 3""".stripMargin) { (spark, dir) =>
       val t = Tables.load(spark, dir, "documents")
         .select(TextTokens.tokens(col("text")).as("ts"))
-      val u = t.select(explode(col("ts")).as("w"))
-      val uc = u.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val n = u.agg(count(lit(1)).as("n"))
-      val bc = t.select(explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      // (token, successor-or-null): zip_with pads the 1-shorter shifted
+      // array with null, so the LAST token of each doc pairs with null
+      // persisted (bounded registry): three consumers below — without the
+      // cache each rollup would re-run the corpus scan + explode; the
+      // cached frame is distinct-bigram scale, far below token scale
+      val pairCounts = graft.engine.BoundedCaches.persist(
+        t.select(explode(zip_with(
+            col("ts"),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w"), b.as("nw")))).as("p"))
+          .groupBy(col("p.w").as("w"), col("p.nw").as("nw"))
+          .agg(count(lit(1)).as("cnt")))
+      val uc = pairCounts.groupBy(col("w")).agg(sum(col("cnt")).as("c"))
+      val n = uc.agg(sum(col("c")).as("n"))
+      val bc = pairCounts.filter(col("nw").isNotNull)
+        .select(col("w").as("w1"), col("nw").as("w2"), col("cnt").as("c_ab"))
         .filter(col("c_ab") >= 3)
       bc.crossJoin(broadcast(n))
         .join(uc.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))

@@ -428,4 +428,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"island merge partitions by doc_id, never one task:\n$p")
   }
+
+  test("t34/t35 global packing: bucketed prefix sum, never a serial global window") {
+    for (q <- Seq("t34_sequence_packing", "t35_packed_sequences")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: the global running sum must ride range buckets, not one task:\n$p")
+      assert(p.contains("Window"), s"$q: per-bucket running-sum window expected:\n$p")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+        s"$q: bucket offsets must attach as a broadcast, not a shuffle join:\n$p")
+    }
+  }
+
+  test("d36 novelty: bloom probe at the scan, anti join only on the sketch-positive branch") {
+    val p = planOf("d36_incremental_novelty")
+    assert(p.contains("bloommightcontainlong"),
+      s"bloom routing probe must appear as a scan-level filter:\n$p")
+    assert(p.contains("LeftAnti"), s"exact clearing join must be ANTI:\n$p")
+    assert(p.contains("Union"),
+      s"definitely-novel rows bypass the join via a union branch:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"novelty must never plan a pair space:\n$p")
+  }
+
+  test("t36 bigram PMI: ONE corpus scan; unigram/total stats are rollups of the cached pair aggregate") {
+    val p = planOf("t36_bigram_pmi")
+    // toString re-prints the cached relation's defining FileScan under
+    // every InMemoryTableScan — so "one corpus scan" pins as: every
+    // FileScan occurrence is the cached relation's definition (counts
+    // match), and all three consumers read through the cache.
+    val fileScans = "FileScan parquet".r.findAllIn(p).size
+    val cachedDefs = "InMemoryRelation".r.findAllIn(p).size
+    assert(fileScans == cachedDefs && fileScans > 0,
+      s"every corpus scan must be the cached pair-aggregate's definition " +
+        s"($fileScans scans vs $cachedDefs cache defs):\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"c_ab, c_w, and N must all read the shared cached frame:\n$p")
+  }
 }
