@@ -49,7 +49,13 @@ object Bench {
     "d25_dedup_savings",
     "d33_cluster_canonical",
     "e30_first_touch_attribution",
-    "t31_token_salience")
+    "t31_token_salience",
+    // r10: the corpus-assembly family — global prefix-sum packing and the
+    // bloom-routed snapshot anti join (both new shuffle shapes), plus the
+    // one-scan bigram aggregate (the widest explode in the catalog).
+    "t34_sequence_packing",
+    "d36_incremental_novelty",
+    "t36_bigram_pmi")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -4,6 +4,7 @@ import graft.functions.TextTokens
 import graft.functions.expr.BloomMightContainLong
 import graft.io.Tables
 import graft.operators.{BloomPrefilter, PrefixSum}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus ASSEMBLY operators — the stage after filtering/dedup
@@ -213,5 +214,70 @@ object PackingQueries {
         .select(col("w1"), col("w2"), col("c_ab"),
           round((col("c_ab").cast("double") * col("n").cast("double")) /
             (col("ca").cast("double") * col("cb").cast("double")), 6).as("pmi_ratio"))
+    },
+
+    // T37: Unicode NFC normalization — the canonical-composition cleanup
+    // (e + U+0301 → é) that keeps dedup fingerprints and equality joins
+    // from splitting on byte-level encoding accidents. Spark has no
+    // built-in; [[graft.functions.expr.NfcNormalize]] wraps the JDK's
+    // Normalizer (same Unicode standard as DuckDB's nfc_normalize, which
+    // is what lets this hash-match) with an isNormalized fast path so
+    // already-NFC rows (all ASCII) pay a scan, not an allocation. The
+    // corpus is ASCII, so a deterministic decomposed suffix (café/niño/Å
+    // in combining-mark form) is appended to exercise real composition;
+    // the md5 fingerprint pins the full normalized STRING, not just
+    // lengths. Scan-only: zero shuffles, row count unchanged.
+    QueryDef.sql(
+      "t37_unicode_nfc",
+      """WITH a AS (SELECT doc_id,
+        |    text || ' caf' || 'e' || chr(769) || ' ni' || 'n' || chr(771) || 'o A' || chr(778) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(nfc_normalize(t)) AS norm_fp,
+        |  CAST(len(t) AS INT) AS raw_chars,
+        |  CAST(len(nfc_normalize(t)) AS INT) AS norm_chars,
+        |  len(nfc_normalize(t)) <> len(t) AS changed
+        |FROM a""".stripMargin) { (spark, dir) =>
+      // the suffix is DECOMPOSED (combining marks): cafe+U+0301,
+      // nin+U+0303+o, A+U+030A — NFC composes them to café / niño / Å
+      val aug = concat(col("text"), lit(" café niño Å"))
+      val norm = graft.functions.expr.NfcNormalize(aug)
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        md5(norm).as("norm_fp"),
+        length(aug).cast("int").as("raw_chars"),
+        length(norm).cast("int").as("norm_chars"),
+        (length(norm) =!= length(aug)).as("changed"))
+    },
+
+    // T38: deterministic corpus shuffle/reshard — the "shuffle the corpus
+    // once, reproducibly" step before training: each doc gets a seeded
+    // content-independent hash key (md5 of id + seed literal — NOT
+    // xxhash64, which DuckDB lacks), a shard from the key's leading
+    // bytes, and a within-shard position by key order. Retry/recompute
+    // yields the identical permutation (no Math.random, no
+    // monotonically_increasing_id — both are partition-layout-
+    // dependent). The window partitions BY SHARD: a shard is the natural
+    // training-file unit, so deployments size shard count (here 8, test
+    // scale) to thousands, keeping each window partition one bounded
+    // file's worth — never a global order-by.
+    QueryDef.sql(
+      "t38_deterministic_shuffle",
+      """WITH a AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM documents),
+        |s AS (SELECT doc_id, k,
+        |    (ascii(substr(k, 1, 1)) * 256 + ascii(substr(k, 2, 1))) % 8 AS shard
+        |  FROM a)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val s = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":seed42"))).as("k"))
+        .withColumn("shard",
+          pmod(ascii(substring(col("k"), 1, 1)) * 256 +
+            ascii(substring(col("k"), 2, 1)), lit(8)))
+      s.select(col("doc_id"), col("shard").cast("int").as("shard"),
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))).as("pos"))
     })
 }

@@ -74,6 +74,38 @@ class PackingSpec extends AnyFunSuite {
     assert(got === (0L to 999L).filter(_ % 3 != 0).toSet)
   }
 
+  test("NfcNormalize: composes decomposed sequences, identity on NFC, idempotent") {
+    import spark.implicits._
+    val decomposed = "café niño Å"   // e+◌́, n+◌̃, A+◌̊
+    val composed = "café niño Å"        // é ñ Å precomposed
+    val rows = Seq(("d", decomposed), ("c", composed), ("a", "plain ascii"))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.expr.NfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("d") === composed, "decomposed input must compose")
+    assert(rows("c") === composed, "already-NFC input unchanged (fast path)")
+    assert(rows("a") === "plain ascii")
+    // idempotence: normalizing twice is the same column
+    val twice = Seq(decomposed).toDF("s")
+      .select(graft.functions.expr.NfcNormalize(
+        graft.functions.expr.NfcNormalize(col("s"))).as("n"))
+      .head().getString(0)
+    assert(twice === composed)
+  }
+
+  test("t38 shuffle is a permutation: shards partition the corpus, positions are gapless") {
+    val rows = SparkEntry.queries("t38_deterministic_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val total = graft.io.Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong === total, "every doc gets exactly one slot")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (shard, xs) =>
+      assert(xs.map(_._3).sorted.toSeq === (1 to xs.length),
+        s"shard $shard positions must be 1..n gapless")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "corpus spreads over shards")
+  }
+
   test("t36 PMI ranks a planted collocation above an anti-collocation") {
     // planted corpus: "new york" always adjacent (inserted as a unit into
     // a seed-shuffled filler stream); fillers pair haphazardly — the
