@@ -944,5 +944,55 @@ object DedupQueries {
           .select(col("id_a").as("src"), col("id_b").as("dst")),
         k = 2, rounds = 4)
         .select(col("id").as("doc_id"), col("core_deg"))
+    },
+
+    // D37: edit-distance near-dup (typo-level title dedup) — the fuzzy
+    // flavor the shingle family can't see: one character edit changes at
+    // most one shingle's worth of Jaccard but IS the whole signal for
+    // short titles/names. levenshtein is built into BOTH engines with the
+    // identical textbook definition, so this oracles exactly. Candidate
+    // generation is PREFIX BLOCKING (docs sharing the title's first 10
+    // chars), one equi-join on the block key — never all-pairs; the O(m·n)
+    // verify runs only inside blocks. Skew guard mirrors the shingle
+    // maxDf pattern: `spark.graft.editblock.maxSize` (default off; the
+    // oracle is the uncapped semantics) drops blocks larger than the cap
+    // — a boilerplate title prefix shared by f docs would otherwise put
+    // f²/2 verifies on one key. DedupSpec pins the capped path.
+    QueryDef.sql(
+      "d37_edit_near_dup",
+      """WITH t AS (SELECT doc_id, substr(lower(trim(text)), 1, 40) AS title FROM documents),
+        |b AS (SELECT doc_id, title, substr(title, 1, 10) AS blk FROM t)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b2.title) AS INT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.title, b2.title) <= 8""".stripMargin) { (spark, dir) =>
+      val maxBlock = spark.conf.get("spark.graft.editblock.maxSize", "0").toLong
+      editNearDupPairs(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 40).as("title")),
+        maxDist = 8, maxBlock = maxBlock)
     })
+
+  /** D37 body on any (doc_id, title) frame: prefix-blocked candidate
+    * generation + in-block levenshtein verify, with the optional
+    * block-size skew cap (`maxBlock` ≤ 0 = off). Shared with DedupSpec's
+    * planted-boilerplate pin. */
+  private[graft] def editNearDupPairs(
+      titled: org.apache.spark.sql.DataFrame,
+      maxDist: Int, maxBlock: Long): org.apache.spark.sql.DataFrame = {
+    val b = titled.withColumn("blk", substring(col("title"), 1, 10))
+    val blocked =
+      if (maxBlock <= 0L) b
+      else b.join(
+        b.groupBy(col("blk")).agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") <= maxBlock).select(col("blk")),
+        Seq("blk"), "left_semi")
+    blocked.select(col("doc_id").as("id_a"), col("title").as("ta"), col("blk"))
+      .join(blocked.select(col("doc_id").as("id_b"), col("title").as("tb"), col("blk")),
+        Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -148,6 +148,28 @@ class DedupSpec extends AnyFunSuite {
       s"cap must drop every stop-phrase pair and keep the near-dup: $capped")
   }
 
+  test("edit-distance blocking: cap kills a boilerplate-prefix block, keeps small-block near-dups") {
+    // 20 titles sharing one 10-char boilerplate prefix (one block →
+    // C(20,2) = 190 levenshtein verifies on ONE join key — the skew shape
+    // the cap exists for) plus a genuine typo pair in its own 2-doc
+    // block. Capped at 10 the boilerplate block vanishes; the typo pair
+    // survives with its true distance.
+    val boiler = (0 until 20).map(i => (i.toLong, f"boilerplate title variant $i%02d"))
+    val typo = Seq((100L, "unique heading alpha"), (101L, "unique heading alphq"))
+    val titled = (boiler ++ typo).toDF("doc_id", "title")
+    val uncapped = graft.queries.DedupQueries
+      .editNearDupPairs(titled, maxDist = 8, maxBlock = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.queries.DedupQueries
+      .editNearDupPairs(titled, maxDist = 8, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert((for { a <- 0L until 20L; b <- (a + 1) until 20L } yield (a, b))
+      .toSet.subsetOf(uncapped), "uncapped must see the boilerplate fan-out")
+    assert(uncapped.contains((100L, 101L)))
+    assert(capped.toSeq == Seq((100L, 101L, 1)),
+      s"cap must drop the boilerplate block, keep the typo pair at distance 1: ${capped.toSeq}")
+  }
+
   test("repeated-span islands: a shared passage merges to ONE maximal span per doc") {
     // Two docs share a verbatim 12-token passage at different offsets;
     // every other token is doc-unique. 12 tokens → 5 flagged overlapping
