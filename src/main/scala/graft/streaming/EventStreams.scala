@@ -189,6 +189,39 @@ object EventStreams {
       .select(col("id").as("doc_id"), col("match_id"), col("band_idx"))
   }
 
+  /** Streaming snapshot-novelty gate — d36's stream twin: each incoming
+    * document is admitted only if its exact content fingerprint
+    * (md5 of lower(trim(text))) is NOT in the static prior-corpus
+    * snapshot. Stream-static LEFT ANTI join: stateless (no watermark, no
+    * join state — each micro-batch probes the static side and forgets),
+    * so corpus scale lives on the static side where the optimizer can
+    * shuffle or broadcast it.
+    *
+    * Same Bloom routing as the batch path: the sketch of the prior
+    * fingerprint keys is built ONCE at query definition (a batch
+    * aggregate over the snapshot — never per micro-batch) and probed as
+    * a scan-level filter on the stream, so rows the sketch proves absent
+    * skip the anti-join work; sketch-positive rows still hit the exact
+    * join, which clears false positives. Bit-identical to the plain anti
+    * join (no false negatives by construction).
+    */
+  def novelAgainstSnapshot(docs: DataFrame, priorDocs: DataFrame): DataFrame = {
+    val fp = md5(lower(trim(col("text"))))
+    val priorKeys = priorDocs.select(
+      xxhash64(lower(trim(col("text")))).as("k64"), fp.as("fp"))
+    val bloom = graft.operators.BloomPrefilter.build(
+      priorKeys.select(col("k64")),
+      "k64", expectedItems = math.max(priorKeys.count(), 1L), fpp = 0.01)
+    val probed = docs.select(col("doc_id"), col("text"), fp.as("fp"),
+      graft.functions.expr.BloomMightContainLong.mightContain(
+        xxhash64(lower(trim(col("text")))), bloom).as("__might"))
+    probed.filter(!col("__might"))
+      .unionAll(probed.filter(col("__might"))
+        .join(priorKeys.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("text"), col("fp"), col("__might")))
+      .select(col("doc_id"), col("fp"))
+  }
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

@@ -121,6 +121,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming snapshot-novelty gate == batch d36 semantics (bloom-routed anti join)") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.io.Tables.load(spark, dir, "documents")
+    val prior = all.filter(col("doc_id") % 10 < 7)
+    // stream side: admit only fingerprints absent from the prior snapshot
+    val gate = EventStreams.novelAgainstSnapshot(
+      EventStreams.readDocumentsStream(spark, dir).filter(col("doc_id") % 10 >= 7),
+      prior)
+    val q = gate.writeStream.format("memory").queryName("novelty_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("novelty_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = all.filter(col("doc_id") % 10 >= 7)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      .join(prior.select(md5(lower(trim(col("text")))).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "sf0.001 batch should contain novel docs")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
