@@ -935,5 +935,53 @@ object AggWindowQueries {
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"),
           ntile(10).over(w).cast("int").as("decile"))
+    },
+
+    // A24: per-group IQR outlier detection (Tukey fences) — the profiling
+    // gate that flags anomalous measurements before they poison training
+    // statistics. Quartiles are EXACT type-1 quantiles via the t32/a23
+    // doctrine: per-group cumulative COUNT over the value order (the
+    // window partitions BY GROUP — never global), boundary = MIN value
+    // where 4·cum crosses tot. Tie-robust without a tiebreak: crossing
+    // can only happen inside a run of equal v, and v is constant there.
+    // Fences q1 − 1.5·IQR / q3 + 1.5·IQR are the identical IEEE double
+    // expression in both engines (parquet doubles in, one subtract and
+    // one multiply — no libm). Group bounds broadcast back (a19 shape);
+    // the fact side shuffles once for the windows and once for the final
+    // rollup.
+    QueryDef.sql(
+      "a24_iqr_outliers",
+      """WITH t AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT g, v,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |    COUNT(*) OVER (PARTITION BY g) AS tot
+        |  FROM t),
+        |q AS (SELECT g,
+        |    MIN(CASE WHEN 4 * cum >= tot THEN v END) AS q1,
+        |    MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS q3
+        |  FROM w GROUP BY 1)
+        |SELECT t.g, COUNT(*) AS n, MIN(q.q1) AS q1, MIN(q.q3) AS q3,
+        |  COUNT(*) FILTER (t.v < q.q1 - 1.5 * (q.q3 - q.q1)
+        |                OR t.v > q.q3 + 1.5 * (q.q3 - q.q1)) AS outliers
+        |FROM t JOIN q ON t.g = q.g GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val t = Tables.load(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("g"), col("value").as("v"))
+      val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      val q = t.select(col("g"), col("v"),
+          count(lit(1)).over(wOrd).as("cum"),
+          count(lit(1)).over(wAll).as("tot"))
+        .groupBy(col("g"))
+        .agg(
+          min(when(lit(4) * col("cum") >= col("tot"), col("v"))).as("q1"),
+          min(when(lit(4) * col("cum") >= lit(3) * col("tot"), col("v"))).as("q3"))
+      val iqr15 = lit(1.5) * (col("q3") - col("q1"))
+      t.join(broadcast(q), Seq("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("q1")).as("q1"), min(col("q3")).as("q3"),
+          count(when(col("v") < col("q1") - iqr15 ||
+            col("v") > col("q3") + iqr15, lit(1))).as("outliers"))
     })
 }
