@@ -481,47 +481,9 @@ object DedupQueries {
     // and the only shuffle is the dedup window on the 16-byte fingerprint.
     QueryDef.sql(
       "d9_clean_corpus",
-      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
-        |c AS (SELECT doc_id, text, ts,
-        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
-        |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
-        |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
-        |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
-        |  FROM t),
-        |q AS (SELECT doc_id, text,
-        |  CAST(len(ts) AS INT) AS n_tokens,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |  FROM c
-        |  WHERE (CASE WHEN en + es + de + fr = 0 THEN 'und'
-        |              WHEN fr > en AND fr > es AND fr > de THEN 'fr'
-        |              WHEN de > en AND de > es THEN 'de'
-        |              WHEN es > en THEN 'es'
-        |              ELSE 'en' END) = 'en'
-        |    AND (len(ts) BETWEEN 10 AND 100000)
-        |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
-        |f AS (SELECT doc_id, fp, n_tokens,
-        |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
-        |SELECT doc_id, fp, n_tokens FROM f WHERE rn = 1""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val enStop = TextAnalysis.enStopwords
-      // Shared-token projection (the t2 pattern): the gate references the
-      // token array 4+ times, so CollapseProject keeps __toks a real column
-      // and the regexp tokenization runs once per row.
-      val quality = TextAnalysis
-        .qualityColumnsFromTokens(col("text"), col("__toks"), enStop).toMap
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-      Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
-        .filter(TextAnalysis.languageIdFromTokens(col("__toks")) === "en" &&
-          quality("quality_ok"))
-        .select(
-          col("doc_id"),
-          TextAnalysis.fingerprintMd5(col("text")).as("fp"),
-          quality("n_tokens").as("n_tokens"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
+      s"""WITH $cleanCorpusSql
+         |SELECT doc_id, fp, n_tokens FROM f WHERE rn = 1""".stripMargin) {
+      (spark, dir) => cleanCorpus(spark, dir)
     },
 
     // Cross-document boilerplate detection: a token 3-gram that recurs in
@@ -972,6 +934,59 @@ object DedupQueries {
           .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 40).as("title")),
         maxDist = 8, maxBlock = maxBlock)
     })
+
+  /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with
+    * the composed packing query t39. Survivor = English, 10..100k tokens,
+    * stopword ratio ≥ 1%, first doc per canonical-whitespace md5. */
+  private[graft] lazy val cleanCorpusSql: String =
+    """t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+      |c AS (SELECT doc_id, text, ts,
+      |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
+      |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
+      |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
+      |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
+      |  FROM t),
+      |q AS (SELECT doc_id, text,
+      |  CAST(len(ts) AS INT) AS n_tokens,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM c
+      |  WHERE (CASE WHEN en + es + de + fr = 0 THEN 'und'
+      |              WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+      |              WHEN de > en AND de > es THEN 'de'
+      |              WHEN es > en THEN 'es'
+      |              ELSE 'en' END) = 'en'
+      |    AND (len(ts) BETWEEN 10 AND 100000)
+      |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
+      |f AS (SELECT doc_id, fp, n_tokens,
+      |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)""".stripMargin
+
+  /** D9 body: the composed language→quality→dedup training-corpus clean,
+    * as one declarative plan (gates are scan-level filters; the only
+    * shuffle is the dedup window on the 16-byte fingerprint). Shared with
+    * t39's packing composition. */
+  private[graft] def cleanCorpus(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enStop = TextAnalysis.enStopwords
+    // Shared-token projection (the t2 pattern): the gate references the
+    // token array 4+ times, so CollapseProject keeps __toks a real column
+    // and the regexp tokenization runs once per row.
+    val quality = TextAnalysis
+      .qualityColumnsFromTokens(col("text"), col("__toks"), enStop).toMap
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+      .filter(TextAnalysis.languageIdFromTokens(col("__toks")) === "en" &&
+        quality("quality_ok"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+        quality("n_tokens").as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
 
   /** D37 body on any (doc_id, title) frame: prefix-blocked candidate
     * generation + in-block levenshtein verify, with the optional

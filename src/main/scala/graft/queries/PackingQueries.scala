@@ -279,5 +279,38 @@ object PackingQueries {
       s.select(col("doc_id"), col("shard").cast("int").as("shard"),
         row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("k"), col("doc_id"))).as("pos"))
+    },
+
+    // T39: the composed training-assembly chain — d9's clean corpus
+    // (language gate → quality gate → exact dedup first-wins) fed
+    // STRAIGHT into t34's concat-and-chunk packing, one declarative plan
+    // end to end: scan-level gates, one fingerprint-window shuffle
+    // (dedup), one bucket shuffle (prefix sum). This is the query a
+    // training pipeline actually runs nightly; it exists to pin that the
+    // engine's stages COMPOSE — the packing arithmetic sees only
+    // survivors, so every offset shifts relative to t34 and the oracle
+    // recomputes the whole chain from scratch.
+    QueryDef.sql(
+      "t39_pack_clean_corpus",
+      s"""WITH ${graft.queries.DedupQueries.cleanCorpusSql},
+         |s AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok FROM f WHERE rn = 1),
+         |w AS (SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM s)
+         |SELECT doc_id, n_tok, cum - n_tok AS tok_start,
+         |  (cum - n_tok) // $SeqLen AS seq_first,
+         |  (cum - 1) // $SeqLen AS seq_last,
+         |  (cum - 1) // $SeqLen - (cum - n_tok) // $SeqLen + 1 AS n_seqs
+         |FROM w""".stripMargin) { (spark, dir) =>
+      val survivors = graft.queries.DedupQueries.cleanCorpus(spark, dir)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"))
+      PrefixSum.withRunningSum(survivors, "doc_id", descending = false,
+        tieBreak = Seq.empty, value = col("n_tok"), out = "cum")
+        .withColumn("tok_start", col("cum") - col("n_tok"))
+        .withColumn("seq_first", expr(s"tok_start div ${SeqLen}L"))
+        .withColumn("seq_last", expr(s"(cum - 1) div ${SeqLen}L"))
+        .select(col("doc_id"), col("n_tok"), col("tok_start"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
     })
 }
