@@ -175,6 +175,31 @@ object Multimodal {
     implicitly[org.apache.spark.sql.Encoder[MediaRow]]
   }
 
+  /** Deterministic synthetic WAV corpus: REAL RIFF/PCM containers (16-bit,
+    * 1-2 channels, LCG sample bytes) that exercise the genuine
+    * [[WavDecoder]] chunk walk through the sniffing dispatch — unlike the
+    * `GM` stub corpus, these are decodable by any standard audio tool. */
+  def synthesizeWavCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      var s = seed + id * 2654435761L
+      def nextByte(): Byte = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40).toByte }
+      val channels = 1 + (id % 2).toInt
+      val frames = 64 + (id % 128).toInt
+      val pcm = Array.fill(frames * channels * 2)(nextByte())
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val byteRate = 8000 * channels * 2
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(8000) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16)
+      val data = "data".getBytes ++ le32(pcm.length) ++ pcm
+      val body = "WAVE".getBytes ++ fmt ++ data
+      MediaRow(id, "audio", frames, channels,
+        "RIFF".getBytes ++ le32(body.length) ++ body)
+    }(newMediaRowEncoder(spark))
+  }
+
   /** Partition-batched decode + feature extraction: ONE decoder per
     * partition (the amortization pattern that matters when decoder startup
     * is expensive — model load, JNI init), rows streamed through it. */

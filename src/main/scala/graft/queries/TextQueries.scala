@@ -247,6 +247,21 @@ object TextQueries {
           col("n_bytes"), round(col("brightness"), 6).as("brightness"))
     },
 
+    // Audio feature pipeline over REAL RIFF/PCM WAV containers (the
+    // deterministic synthetic WAV corpus): the sniffing dispatch routes
+    // each payload to the genuine chunk-walking WavDecoder inside the
+    // partition-batched decode stage. rows-only (binary payloads have no
+    // DuckDB oracle); decode semantics are pinned byte-level in
+    // MultimodalSpec.
+    QueryDef.rowsOnly("m5_wav_features") { (spark, _) =>
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(
+          Multimodal.synthesizeWavCorpus(spark, 200)).toDF()
+        .select(col("media_id"), col("width").as("frames"),
+          col("height").as("channels"), col("n_bytes"),
+          round(col("brightness"), 6).as("amp_center"))
+    },
+
     // TF-IDF top terms per document — the classic distributed text-weighting
     // pipeline: explode terms → per-doc term frequencies (shuffle 1) →
     // document frequencies (shuffle 2) → score join (term-keyed; the DF side

@@ -124,4 +124,20 @@ class MultimodalSpec extends AnyFunSuite {
         s"amplitude bin $b must hold exactly one of four first-channel frames"))
     assert(math.abs(wav.histogram.sum - 1.0) < 1e-12)
   }
+
+  test("synthetic WAV corpus: every container decodes to its declared frame/channel shape") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.synthesizeWavCorpus(spark, 24)).collect()
+    assert(feats.length == 24)
+    feats.foreach { f =>
+      assert(f.kind == "audio")
+      assert(f.width == 64 + (f.media_id % 128).toInt, "frames from the data chunk")
+      assert(f.height == 1 + (f.media_id % 2).toInt, "channels from the fmt chunk")
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    }
+    // determinism: the same seed synthesizes byte-identical payloads
+    val a = Multimodal.synthesizeWavCorpus(spark, 5).collect().map(_.payload.toSeq)
+    val b = Multimodal.synthesizeWavCorpus(spark, 5).collect().map(_.payload.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
