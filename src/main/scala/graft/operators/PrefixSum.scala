@@ -50,20 +50,13 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** Bounded registry of live bucketed caches. Each [[withRunningSum]] call
-    * persists its bucketed frame (see below — two consumers); without a
-    * release hook, repeated calls (Bench's warm+5 iterations of a22/t23/
-    * e29) would stack entries and lean on LRU eviction. Keeping the last
-    * `MaxLivePersists` and non-blocking-unpersisting the eldest bounds the
-    * footprint; an evicted frame that is re-executed later just recomputes
-    * its lineage — semantics are unaffected. */
-  private val MaxLivePersists = 4
-  private val livePersists = new java.util.ArrayDeque[DataFrame]
-  private def registerPersist(df: DataFrame): Unit = synchronized {
-    livePersists.addLast(df)
-    while (livePersists.size > MaxLivePersists)
-      livePersists.removeFirst().unpersist(blocking = false)
-  }
+  // Bucketed frames persist through graft.engine.BoundedCaches (bounded
+  // retire + same-plan dedup): each [[withRunningSum]] call caches its
+  // bucketed frame for two consumers (the eager totals aggregate and the
+  // lazy windowed output); without the registry, repeated calls (Bench's
+  // warm+5 iterations of a22/t23/e29) would stack entries, and without
+  // the dedup, re-invocations of one query would retire the SHARED cache
+  // entry newer invocations still rely on.
 
   /** Adds `out` = running sum of `value` over the global order
     * (`rangeCol` asc/desc, then `tieBreak`). Output column type matches
@@ -133,11 +126,10 @@ object PrefixSum {
     // the frame is the caller's (usually pre-aggregated) input, and
     // spilling beats recomputing a fact-scale lineage. There is no
     // post-execution hook to release it deterministically, so the bounded
-    // registry above retires the eldest cache once more than
-    // MaxLivePersists calls are live.
-    val parted = df.withColumn(pid, pidExpr).repartition(col(pid))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerPersist(parted)
+    // BoundedCaches registry retires the eldest cache once more than
+    // MaxLive distinct plans are live (same-plan re-calls dedup).
+    val parted = graft.engine.BoundedCaches.persist(
+      df.withColumn(pid, pidExpr).repartition(col(pid)))
     val wLocal = Window.partitionBy(col(pid)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn(out, sum(value).over(wLocal))
