@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `graft_zvalue(a, b)`         — Z-order (Morton) clustering key
   *   - `graft_word_shingles(text, n, distinct)` — string word n-grams
   *   - `graft_cms_estimate(key, sketchBytes)` — Count-Min frequency probe
+  *   - `graft_nfc_normalize(text)` — Unicode NFC canonical composition
   *
   * Static parameters (k, seed, dim, …) must be literals — they are baked
   * into the expression at resolution time exactly like the Column API.
@@ -101,6 +102,10 @@ object GraftFunctions {
       BloomMightContainLong(
         org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
         bytes)
+    },
+    "graft_nfc_normalize" -> { args =>
+      require(args.length == 1, "graft_nfc_normalize(text)")
+      NfcNormalize(args(0))
     })
 
   /** Register every graft SQL function on a live session. Idempotent. */

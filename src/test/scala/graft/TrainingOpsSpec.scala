@@ -125,6 +125,11 @@ class TrainingOpsSpec extends AnyFunSuite {
       .head()
     assert(probes.getBoolean(0), "an inserted key must probe true")
     assert(!probes.getBoolean(1), "a distant key should probe false at fpp=0.01")
+    val nfc = spark.sql(
+      "SELECT graft_nfc_normalize('café') AS n, length(graft_nfc_normalize('café')) AS l")
+      .head()
+    assert(nfc.getString(0) == "café" && nfc.getInt(1) == 4,
+      "SQL NFC must compose the combining mark like the Column API")
     val z = spark.sql("SELECT graft_zvalue(3L, 5L) AS z").head().getLong(0)
     assert(z == graft.functions.expr.ZValue.interleave(3L, 5L),
       "SQL zvalue must match the Column/eval path")
