@@ -131,6 +131,21 @@ class PipelineIoSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("orc round-trip: values identical, predicate pushdown reaches the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = graft.io.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").orc(s"$tmp/docs")
+    val back = spark.read.orc(s"$tmp/docs")
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+    // ORC scans carry pushed filters just like parquet — the format is a
+    // drop-in for the layout/pushdown posture, not a slow path
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"ORC scan must receive the pushed predicate:\n$plan")
+  }
+
   test("schema-evolution read: merged schema, NULL backfill for pre-column batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString

@@ -451,6 +451,14 @@ class PlanSpec extends AnyFunSuite {
       s"novelty must never plan a pair space:\n$p")
   }
 
+  test("d37 edit near-dup: candidates from the prefix-block equi-join, never all-pairs") {
+    val p = planOf("d37_edit_near_dup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"blocking must keep the pair space an equi-join:\n$p")
+    assert(p.contains("levenshtein"),
+      s"verify stays in the codegen'd expression layer:\n$p")
+  }
+
   test("t36 bigram PMI: ONE corpus scan; unigram/total stats are rollups of the cached pair aggregate") {
     val p = planOf("t36_bigram_pmi")
     // toString re-prints the cached relation's defining FileScan under
