@@ -262,6 +262,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom anti join == except for arbitrary fact/dim key sets") {
+    val keyGen = Gen.listOfN(300, Gen.chooseNum(-1000L, 1000L))
+    for (round <- 1 to Rounds) {
+      val fact = samples(keyGen, round)
+      val dim = samples(keyGen, round + 100)
+      val got = graft.operators.BloomPrefilter.antiJoin(
+          fact.toDF("k"), "k", dim.toDF("k"), "k",
+          expectedItems = math.max(dim.size, 1).toLong, fpp = 0.05)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val dimSet = dim.toSet
+      val want = fact.filterNot(dimSet).sorted
+      assert(got == want, s"round $round: bloom-routed anti join must equal set difference")
+    }
+  }
+
+  test("packing offsets tile: prefix sum == local scan for arbitrary token counts") {
+    val countGen = Gen.listOfN(200, Gen.chooseNum(0L, 700L))
+    for (round <- 1 to Rounds) {
+      val counts = samples(countGen, round)
+      val df = counts.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val got = graft.operators.PrefixSum
+        .withRunningSum(df, "id", descending = false, tieBreak = Seq.empty,
+          value = col("n"), out = "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      var acc = 0L
+      counts.zipWithIndex.foreach { case (n, i) =>
+        acc += n
+        assert(got(i.toLong) == acc, s"round $round: cum at $i")
+      }
+    }
+  }
+
   test("semDedup is idempotent: survivors contain no pair above threshold") {
     // The lowest-id keeper rule guarantees every survivor has NO lower-id
     // neighbor within threshold — so re-running the pass on survivors must
