@@ -1147,5 +1147,73 @@ object FilterJoinQueries {
       graft.pipelines.CorePipelines.udoTypes(
         tipoUdo22, bindAmbito, ambito, bindNatura, natura, bindFlusso, flusso,
         to_timestamp(lit("2024-06-01 00:00:00")))
+    },
+
+    // Q3: shuffle-key skew profiler — the pre-flight an operator runs
+    // BEFORE keying a 100 TB shuffle on a column: per candidate key, the
+    // cardinality, max/mean per-key row count (the straggler factor), and
+    // how many keys run hotter than 2× the mean. All tie-free exact
+    // aggregates over a per-key count — no global window, no top-k
+    // selection whose tie behavior could diverge between engines. One
+    // count-aggregate per profiled key, 2-row report.
+    QueryDef.sql(
+      "q3_skew_profile", {
+        s"""WITH k_l_suppkey AS (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+           |k_l_partkey AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+           |s1 AS (SELECT COUNT(*) AS nk, CAST(SUM(c) AS BIGINT) AS tot, MAX(c) AS mx FROM k_l_suppkey),
+           |s2 AS (SELECT COUNT(*) AS nk, CAST(SUM(c) AS BIGINT) AS tot, MAX(c) AS mx FROM k_l_partkey),
+           |h1 AS (SELECT COUNT(*) AS hot FROM k_l_suppkey, s1 WHERE c * nk > 2 * tot),
+           |h2 AS (SELECT COUNT(*) AS hot FROM k_l_partkey, s2 WHERE c * nk > 2 * tot)
+           |SELECT 'l_suppkey' AS key_col, nk AS n_keys, tot AS total_rows, mx AS max_cnt,
+           |  round(CAST(mx * nk AS DOUBLE) / tot, 4) AS max_skew, hot AS hot_keys
+           |FROM s1, h1
+           |UNION ALL
+           |SELECT 'l_partkey', nk, tot, mx, round(CAST(mx * nk AS DOUBLE) / tot, 4), hot
+           |FROM s2, h2""".stripMargin
+      }) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      def profile(key: String) = {
+        val k = li.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        val s = k.agg(count(lit(1)).as("nk"), sum(col("c")).cast("long").as("tot"),
+          max(col("c")).as("mx"))
+        val hot = k.crossJoin(broadcast(s))
+          .filter(col("c") * col("nk") > lit(2) * col("tot"))
+          .agg(count(lit(1)).as("hot"))
+        s.crossJoin(broadcast(hot)).select(
+          lit(key).as("key_col"), col("nk").as("n_keys"), col("tot").as("total_rows"),
+          col("mx").as("max_cnt"),
+          round((col("mx") * col("nk")).cast("double") / col("tot"), 4).as("max_skew"),
+          col("hot").as("hot_keys"))
+      }
+      profile("l_suppkey").unionAll(profile("l_partkey"))
+    },
+
+    // Q4: join fan-out estimator — the other pre-flight: BEFORE running a
+    // 100 TB join, predict its output size exactly as Σ_key c_left·c_right
+    // (and Σ c² for a self-join) from per-key counts alone — key-cardinality
+    // work instead of materializing the join. The dimension-side counts
+    // broadcast onto the fact-side counts; exact integer arithmetic.
+    QueryDef.sql(
+      "q4_join_fanout",
+      """WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |lp AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT 'lineitem*orders@orderkey' AS join_id,
+        |  CAST(SUM(lo.c * oo.c) AS BIGINT) AS predicted_rows
+        |FROM lo JOIN oo ON lo.k = oo.k
+        |UNION ALL
+        |SELECT 'lineitem*lineitem@partkey',
+        |  CAST(SUM(c * c) AS BIGINT) FROM lp""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      val lo = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+      val oo = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("co"))
+      val pairPred = lo.join(oo, Seq("k"))
+        .agg(sum(col("cl") * col("co")).cast("long").as("predicted_rows"))
+        .select(lit("lineitem*orders@orderkey").as("join_id"), col("predicted_rows"))
+      val selfPred = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("predicted_rows"))
+        .select(lit("lineitem*lineitem@partkey").as("join_id"), col("predicted_rows"))
+      pairPred.unionAll(selfPred)
     })
 }
