@@ -40,4 +40,22 @@ object JsonlExport {
     * contract-first; schema inference would silently widen or drop). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Streaming JSONL writer: the same one-line-per-record projection over
+    * a STREAMING frame, handed to the exactly-once file sink (per-batch
+    * atomic commit via the checkpoint's write-ahead log — replays after
+    * failure never duplicate a shard). Caller starts it:
+    * `streamWriter(df, path, ckpt).trigger(...).start(path)` — the sink
+    * path stays a normal JSONL directory any batch reader consumes. */
+  def streamWriter(
+      df: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val line = to_json(
+      struct(df.columns.map(col).toIndexedSeq: _*),
+      Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "timeZone" -> "UTC"))
+    df.select(line.as("value")).writeStream
+      .format("text")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+  }
 }

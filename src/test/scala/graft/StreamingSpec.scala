@@ -121,6 +121,24 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming clean→JSONL export: exactly-once file sink, content == batch d9") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_sjsonl").toString
+    val clean = EventStreams.cleanCorpusStream(
+      EventStreams.readDocumentsStream(spark, dir))
+    val q = graft.io.JsonlExport.streamWriter(clean, s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start(s"$out/data")
+    q.awaitTermination(120000)
+    val batch = SparkEntry.queries("d9_clean_corpus")(spark, dir)
+    val back = graft.io.JsonlExport.read(spark, s"$out/data", batch.schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = batch.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(back == want && want.nonEmpty,
+      "JSONL shards must round-trip the streaming clean exactly")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming snapshot-novelty gate == batch d36 semantics (bloom-routed anti join)") {
     val dir = "/root/testdata/sf0.001"
     val all = graft.io.Tables.load(spark, dir, "documents")
