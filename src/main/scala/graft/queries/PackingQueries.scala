@@ -281,6 +281,53 @@ object PackingQueries {
           .orderBy(col("k"), col("doc_id"))).as("pos"))
     },
 
+    // D38: corpus drift — total-variation distance between the token
+    // distributions of the prior snapshot (doc_id % 10 < 7) and today's
+    // batch (% 10 ≥ 7): the distribution-shift monitor that decides
+    // whether a new crawl changed the data mix enough to re-balance.
+    // TV = ½ Σ_t |p_a(t) − p_b(t)| is a SUM OF FLOATS if computed naively
+    // — order-dependent, never hash-matchable. Rewritten over a common
+    // denominator: ½ Σ |c_a·N_b − c_b·N_a| / (N_a·N_b) — the numerator is
+    // an EXACT integer sum (order-independent; accumulated in
+    // decimal/HUGEINT so vocab × N² can't overflow), and only the final
+    // division is floating point, one correctly-rounded op in both
+    // engines. Shapes: two token-count aggregates, full-outer join on the
+    // token (vocab scale), scalars broadcast.
+    QueryDef.sql(
+      "d38_corpus_drift",
+      """WITH tok AS (SELECT doc_id % 10 >= 7 AS is_batch, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |            FROM documents),
+        |ca AS (SELECT w, COUNT(*) AS c FROM tok WHERE NOT is_batch GROUP BY 1),
+        |cb AS (SELECT w, COUNT(*) AS c FROM tok WHERE is_batch GROUP BY 1),
+        |n AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ca) AS na,
+        |             (SELECT CAST(SUM(c) AS BIGINT) FROM cb) AS nb),
+        |j AS (SELECT COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.w = cb.w)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, n.na, n.nb,
+        |  round(CAST(CAST(SUM(abs(c_a * n.nb - c_b * n.na)) AS HUGEINT) AS DOUBLE)
+        |        / (2.0 * CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)), 6) AS tv_distance
+        |FROM j CROSS JOIN n GROUP BY n.na, n.nb""".stripMargin) { (spark, dir) =>
+      val tok = Tables.load(spark, dir, "documents")
+        .select((col("doc_id") % 10 >= 7).as("is_batch"),
+          explode(TextTokens.tokens(col("text"))).as("w"))
+      val ca = tok.filter(!col("is_batch")).groupBy(col("w")).agg(count(lit(1)).as("ca"))
+      val cb = tok.filter(col("is_batch")).groupBy(col("w")).agg(count(lit(1)).as("cb"))
+      val n = ca.agg(sum(col("ca")).cast("long").as("na"))
+        .crossJoin(cb.agg(sum(col("cb")).cast("long").as("nb")))
+      ca.join(cb, Seq("w"), "full_outer")
+        .select(coalesce(col("ca"), lit(0L)).as("c_a"),
+          coalesce(col("cb"), lit(0L)).as("c_b"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(abs(col("c_a") * col("nb") - col("c_b") * col("na"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"))
+        .select(col("n_terms"), col("na"), col("nb"),
+          round(col("num").cast("double") /
+            (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("tv_distance"))
+    },
+
     // T39: the composed training-assembly chain — d9's clean corpus
     // (language gate → quality gate → exact dedup first-wins) fed
     // STRAIGHT into t34's concat-and-chunk packing, one declarative plan
