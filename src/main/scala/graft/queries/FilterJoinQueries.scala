@@ -1149,6 +1149,64 @@ object FilterJoinQueries {
         to_timestamp(lit("2024-06-01 00:00:00")))
     },
 
+    // J21: geospatial grid-blocked neighbor join — the proximity-join
+    // family (nearest facility, dedup-by-location, geo-enrichment) done
+    // the way it survives 100 TB: points land in r-sized grid cells, side
+    // A explodes to its 3×3 neighbor cells, candidates come from ONE
+    // equi-join on the cell id (cell width == r, so no true neighbor can
+    // escape the ±1 ring — boundary-exact even when |Δ| = r), and only
+    // in-cell candidates pay the distance verify. Coordinates are
+    // synthesized deterministically from c_custkey (testdata has no geo
+    // columns); distance is the planar approximation with a FIXED
+    // latitude cosine baked as a literal — sqrt is the one libm op IEEE
+    // correctly rounds, so the math hash-matches; real trig would not.
+    // The oracle is the NAIVE theta join (an independent formulation, so
+    // the grid's no-false-negative property is itself under test).
+    QueryDef.sql(
+      "j21_geo_grid_join",
+      """WITH p AS (SELECT c_custkey AS id,
+        |    36.0 + CAST(c_custkey * 7919 % 900 AS DOUBLE) / 1000.0 AS lat,
+        |    7.0 + CAST(c_custkey * 104729 % 1100 AS DOUBLE) / 1000.0 AS lon
+        |  FROM customer),
+        |n AS (SELECT a.id AS id, count(*) AS n_neighbors,
+        |    round(MIN(sqrt((a.lat-b.lat)*(a.lat-b.lat) + (0.737*(a.lon-b.lon))*(0.737*(a.lon-b.lon))) * 111.0), 6) AS nearest_km
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |    AND (a.lat-b.lat)*(a.lat-b.lat) + (0.737*(a.lon-b.lon))*(0.737*(a.lon-b.lon)) <= 0.0025
+        |  GROUP BY 1)
+        |SELECT p.id, COALESCE(n.n_neighbors, 0) AS n_neighbors, n.nearest_km
+        |FROM p LEFT JOIN n ON p.id = n.id""".stripMargin) { (spark, dir) =>
+      val r = 0.05
+      val pts = Tables.load(spark, dir, "customer").select(
+        col("c_custkey").as("id"),
+        (lit(36.0) + (col("c_custkey") * 7919 % 900).cast("double") / 1000.0).as("lat"),
+        (lit(7.0) + (col("c_custkey") * 104729 % 1100).cast("double") / 1000.0).as("lon"))
+      // grid the METRIC-scaled coordinates: the verify distance scales
+      // lon by the latitude cosine, so a true neighbor can be r/0.737 ≈
+      // 1.36 raw-lon cells away — cells must tile the same space the
+      // distance lives in, or the ±1 ring silently drops neighbors
+      val cells = pts
+        .withColumn("cx", floor(col("lat") / r).cast("int"))
+        .withColumn("cy", floor(col("lon") * 0.737 / r).cast("int"))
+      val offsets = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
+      import spark.implicits._
+      val ringed = cells.crossJoin(
+          broadcast(offsets.toDF("dx", "dy")))
+        .select(col("id").as("id_a"), col("lat").as("la"), col("lon").as("lo"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val d2 = (col("la") - col("lat")) * (col("la") - col("lat")) +
+        (lit(0.737) * (col("lo") - col("lon"))) * (lit(0.737) * (col("lo") - col("lon")))
+      val near = ringed.join(cells, Seq("cx", "cy"))
+        .filter(col("id_a") =!= col("id") && d2 <= r * r)
+        .groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          round(min(sqrt(d2)) * 111.0, 6).as("nearest_km"))
+      pts.select(col("id"))
+        .join(near.select(col("id_a").as("id"), col("n_neighbors"), col("nearest_km")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          col("nearest_km"))
+    },
+
     // Q3: shuffle-key skew profiler — the pre-flight an operator runs
     // BEFORE keying a 100 TB shuffle on a column: per candidate key, the
     // cardinality, max/mean per-key row count (the straggler factor), and
