@@ -55,7 +55,11 @@ object Bench {
     // one-scan bigram aggregate (the widest explode in the catalog).
     "t34_sequence_packing",
     "d36_incremental_novelty",
-    "t36_bigram_pmi")
+    "t36_bigram_pmi",
+    // late r10: the grid-blocked proximity join (candidate count scales
+    // with density²·cells — the heaviest new shape) and snapshot drift.
+    "j21_geo_grid_join",
+    "d38_corpus_drift")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

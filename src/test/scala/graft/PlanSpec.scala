@@ -459,6 +459,16 @@ class PlanSpec extends AnyFunSuite {
       s"verify stays in the codegen'd expression layer:\n$p")
   }
 
+  test("j21 geo join: candidates from the cell equi-join; the only nested loop is the 9-row ring") {
+    val p = planOf("j21_geo_grid_join")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"exactly one nested loop — the constant 3×3 offset ring broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the point-point pair space must never materialize:\n$p")
+    assert(p.contains("cx") && p.contains("cy"),
+      s"candidate generation must join on the grid cell id:\n$p")
+  }
+
   test("t36 bigram PMI: ONE corpus scan; unigram/total stats are rollups of the cached pair aggregate") {
     val p = planOf("t36_bigram_pmi")
     // toString re-prints the cached relation's defining FileScan under
