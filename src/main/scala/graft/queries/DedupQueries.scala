@@ -132,11 +132,16 @@ object DedupQueries {
     // token-stats family (t17/t20/t23/d22) filters them uniformly, unlike
     // the raw length metrics (t2/t3) and the shingle stream (t8/t19/t22)
     // which keep the raw split by documented convention.
-    val f = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
-      .filter(col("g") =!= "")
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted (bounded registry): the tf frame feeds the eager stats
+    // probe, the norms aggregate, and the chosen regime's 1-3 further
+    // consumers — uncached, each re-ran the corpus scan + explode + agg.
+    // The cached frame is (doc, distinct-term) scale, below token scale.
+    val f = graft.engine.BoundedCaches.persist(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextTokens.tokens(col("text"))).as("g"))
+        .filter(col("g") =!= "")
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("tf")))
     val z = f.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
     // stats probe, ONE aggregate job over the pair frame: vocab size AND
     // doc count together (a separate doc-count pass would re-scan the
