@@ -22,7 +22,8 @@ object SparkEntry {
       SimilarityQueries.defs ++
       TextQueries.defs ++
       EventQueries.defs ++
-      PackingQueries.defs
+      PackingQueries.defs ++
+      HierarchyQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

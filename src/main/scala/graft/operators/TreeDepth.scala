@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening by POINTER DOUBLING: every node's depth (distance
+  * to the root) in O(log depth) rounds instead of O(depth).
+  *
+  * The engine has no recursive CTE (Spark SQL doesn't either); the naive
+  * fixed-point climbs one parent edge per round — a depth-1000 chain costs
+  * 1000 shuffles. Doubling keeps, per node, its CURRENT known ancestor and
+  * the exact distance to it, and composes the table with ITSELF each
+  * round: after round i every node knows its 2^i-th ancestor (or the root,
+  * absorbed by the root's (root, root, 0) self-loop, after which the
+  * composed distance stops growing). The state never exceeds one row per
+  * node; each round is ONE equi-join shuffle of vertex-scale frames; a
+  * depth-2^20 hierarchy finishes in 20 rounds.
+  *
+  * Iteration hygiene matches [[PageRank]]/[[ConnectedComponents]]: each
+  * round persists its composed state, materializes it with the SAME action
+  * that evaluates the convergence aggregate (one job per round), and
+  * releases the predecessor — lineage stays one round deep, so the plan at
+  * round 20 is as small as at round 1.
+  *
+  * `edges` must be (v, parent) with exactly one row per non-root node,
+  * parents strictly "above" (acyclic); `root` is its own parent
+  * implicitly. Convergence = every node's ancestor pointer reached the
+  * root; `maxRounds` bounds a malformed (cyclic) input instead of looping
+  * forever.
+  */
+object TreeDepth {
+
+  def depths(edges: DataFrame, root: Long, maxRounds: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val rootRow = spark.range(1).select(
+      lit(root).as("v"), lit(root).as("anc"), lit(0L).as("d"))
+    var reach = edges.select(col("v").cast("long").as("v"),
+        col("parent").cast("long").as("anc"), lit(1L).as("d"))
+      .unionAll(rootRow)
+      .persist(MEMORY_AND_DISK)
+    // materialize + first convergence probe in one action
+    var pending = reach.filter(col("anc") =!= root).count()
+    var round = 0
+    while (pending > 0 && round < maxRounds) {
+      val prev = reach
+      reach = reach.alias("a")
+        .join(reach.select(col("v").as("bv"), col("anc").as("banc"),
+          col("d").as("bd")).alias("b"), col("a.anc") === col("bv"))
+        .select(col("a.v").as("v"), col("banc").as("anc"),
+          (col("a.d") + col("bd")).as("d"))
+        .persist(MEMORY_AND_DISK)
+      pending = reach.filter(col("anc") =!= root).count()
+      prev.unpersist(blocking = false)
+      round += 1
+    }
+    require(pending == 0,
+      s"TreeDepth: $pending nodes unresolved after $maxRounds doubling rounds — cyclic or disconnected input")
+    // The final state STAYS persisted: the returned frame reads it, and
+    // unpersisting here would hand the caller a lineage that is the whole
+    // round-chain of joins. One vertex-scale cache entry per distinct
+    // input plan; Bench's clearCache between queries (and the session's
+    // LRU) retire it — same contract as PageRank's returned ranks.
+    reach.select(col("v"), col("d").as("depth"))
+  }
+}
