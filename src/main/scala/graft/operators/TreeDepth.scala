@@ -64,4 +64,41 @@ object TreeDepth {
     // LRU) retire it — same contract as PageRank's returned ranks.
     reach.select(col("v"), col("d").as("depth"))
   }
+
+  /** Full ancestor closure — every (node, proper ancestor) pair — by
+    * CLOSURE DOUBLING: C₁ = the parent edges, C_{i+1} = C_i ∪ (C_i ∘ C_i),
+    * distinct-ed (a k-step and an m-step pair compose to the same
+    * (k+m)-step pair along several splits). Converges in ⌈log₂ depth⌉
+    * rounds; the state is the closure itself — Σ depth(v) rows, which IS
+    * the requested output, so no asymptotic overhead. Same per-round
+    * persist/materialize/release hygiene as [[depths]]; the convergence
+    * probe (row count stable) shares the materialization action.
+    *
+    * This is the subtree-rollup primitive: aggregate any per-node measure
+    * over `anc` and every node gets its proper-descendant total. */
+  def ancestorClosure(edges: DataFrame, root: Long, maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var c = edges.select(col("v").cast("long").as("v"),
+        col("parent").cast("long").as("anc"))
+      .persist(MEMORY_AND_DISK)
+    var size = c.count()
+    var round = 0
+    var grown = true
+    while (grown && round < maxRounds) {
+      val prev = c
+      c = c.unionAll(
+          c.alias("a").join(c.select(col("v").as("bv"), col("anc").as("banc")).alias("b"),
+            col("a.anc") === col("bv"))
+            .select(col("a.v").as("v"), col("banc").as("anc")))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      val newSize = c.count()
+      prev.unpersist(blocking = false)
+      grown = newSize != size
+      size = newSize
+      round += 1
+    }
+    require(!grown, s"TreeDepth.ancestorClosure: still growing after $maxRounds rounds — cyclic input")
+    c
+  }
 }

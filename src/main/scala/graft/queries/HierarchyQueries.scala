@@ -37,5 +37,39 @@ object HierarchyQueries {
         .filter(col("v") > 1)
         .withColumn("parent", lit(1) + (col("v") * 7919) % (col("v") - 1))
       TreeDepth.depths(edges, root = 1L)
+    },
+
+    // H2: subtree rollup — each node's proper-descendant count and exact
+    // account-balance total, the BOM/org-chart aggregation. Built on
+    // [[TreeDepth.ancestorClosure]] (closure doubling: ⌈log₂ depth⌉
+    // rounds; the Σdepth(v)-row closure IS the aggregation input, so no
+    // asymptotic overhead) + ONE groupBy over the ancestor key. Money in
+    // exact decimal (the Num doctrine) — float sums over an
+    // engine-dependent aggregation order could never hash-match. The
+    // oracle derives the same closure with a recursive CTE.
+    QueryDef.sql(
+      "h2_subtree_rollup",
+      """WITH RECURSIVE k AS (SELECT c_custkey + 1 AS v, CAST(c_acctbal AS DECIMAL(18,2)) AS m FROM customer),
+        |c AS (SELECT v, 1 + (v * 7919) % (v - 1) AS anc FROM k WHERE v > 1
+        |      UNION ALL
+        |      SELECT c.v, 1 + (c.anc * 7919) % (c.anc - 1) FROM c WHERE c.anc > 1)
+        |SELECT k.v, COALESCE(d.n_desc, 0) AS n_desc,
+        |  round(CAST(COALESCE(d.s, 0) AS DOUBLE), 2) AS subtree_bal
+        |FROM k LEFT JOIN (
+        |  SELECT c.anc AS v, COUNT(*) AS n_desc, SUM(km.m) AS s
+        |  FROM c JOIN k km ON c.v = km.v GROUP BY 1) d ON k.v = d.v""".stripMargin) { (spark, dir) =>
+      val k = Tables.load(spark, dir, "customer")
+        .select((col("c_custkey") + 1).as("v"),
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("m"))
+      val edges = k.select(col("v")).filter(col("v") > 1)
+        .withColumn("parent", lit(1) + (col("v") * 7919) % (col("v") - 1))
+      val closure = TreeDepth.ancestorClosure(edges, root = 1L)
+      val rolled = closure.join(k.select(col("v"), col("m")), Seq("v"))
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("m")).as("s"))
+      k.select(col("v"))
+        .join(rolled.select(col("anc").as("v"), col("n_desc"), col("s")), Seq("v"), "left")
+        .select(col("v"), coalesce(col("n_desc"), lit(0L)).as("n_desc"),
+          round(coalesce(col("s"), lit(0)).cast("double"), 2).as("subtree_bal"))
     })
 }

@@ -42,6 +42,24 @@ class TreeDepthSpec extends AnyFunSuite {
     vs.foreach(v => assert(got(v) == localDepth(v), s"node $v"))
   }
 
+  test("ancestor closure == local chain enumeration; subtree counts consistent with depths") {
+    def parent(v: Long): Long = 1 + (v * 7919) % (v - 1)
+    val vs = (2L to 300L)
+    val edges = vs.map(v => (v, parent(v))).toDF("v", "parent")
+    val got = TreeDepth.ancestorClosure(edges, root = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = vs.flatMap { v =>
+      Iterator.iterate(v)(parent).drop(1).takeWhile(_ != 1L).toSeq :+ 1L match {
+        case ancs => ancs.map(a => (v, a))
+      }
+    }.toSet
+    assert(got == want, "closure must be exactly the proper-ancestor pairs")
+    // Σ|ancestors(v)| == Σ depth(v): the closure is the depth mass
+    val depthSum = TreeDepth.depths(edges, root = 1L)
+      .collect().map(_.getLong(1)).sum
+    assert(got.size.toLong == depthSum)
+  }
+
   test("cyclic input fails loudly instead of looping") {
     val edges = Seq((2L, 3L), (3L, 2L)).toDF("v", "parent")
     val e = intercept[IllegalArgumentException] {
