@@ -59,7 +59,9 @@ object Bench {
     // late r10: the grid-blocked proximity join (candidate count scales
     // with density²·cells — the heaviest new shape) and snapshot drift.
     "j21_geo_grid_join",
-    "d38_corpus_drift")
+    "d38_corpus_drift",
+    // the iterative closure-doubling rollup — log-depth self-join rounds
+    "h2_subtree_rollup")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers
