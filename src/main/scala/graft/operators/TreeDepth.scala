@@ -115,4 +115,43 @@ object TreeDepth {
     require(!grown, s"TreeDepth.ancestorClosure: still growing after $maxRounds rounds — cyclic input")
     c
   }
+
+  /** Materialized path to the root ("anc₁/anc₂/…/root" climbing upward) by
+    * the same doubling loop as [[depths]], but composing a NON-commutative
+    * monoid: state (v, anc, trail) where `trail` lists the ancestors
+    * strictly between v (exclusive) and anc (inclusive) in climb order;
+    * composition is `trailₐ ++ "/" ++ trail_b` — order matters, which is
+    * exactly what doubling (unlike a commutative aggregate) supports. The
+    * root's self-loop composes with an EMPTY trail so paths stop growing
+    * once resolved. Output: (v, path) with the root-LAST climb order —
+    * callers wanting root-first prefix keys reverse the split array. */
+  def rootPaths(edges: DataFrame, root: Long, maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rootRow = edges.sparkSession.range(1).select(
+      lit(root).as("v"), lit(root).as("anc"), lit("").as("trail"))
+    var reach = edges.select(col("v").cast("long").as("v"),
+        col("parent").cast("long").as("anc"),
+        col("parent").cast("long").cast("string").as("trail"))
+      .unionAll(rootRow)
+      .persist(MEMORY_AND_DISK)
+    var pending = reach.filter(col("anc") =!= root).count()
+    var round = 0
+    while (pending > 0 && round < maxRounds) {
+      val prev = reach
+      reach = truncateLineage(reach).alias("a")
+        .join(truncateLineage(reach).select(col("v").as("bv"), col("anc").as("banc"),
+          col("trail").as("btrail")).alias("b"), col("a.anc") === col("bv"))
+        .select(col("a.v").as("v"), col("banc").as("anc"),
+          when(col("btrail") === "", col("a.trail"))
+            .otherwise(concat(col("a.trail"), lit("/"), col("btrail"))).as("trail"))
+        .persist(MEMORY_AND_DISK)
+      pending = reach.filter(col("anc") =!= root).count()
+      prev.unpersist(blocking = false)
+      round += 1
+    }
+    require(pending == 0,
+      s"TreeDepth.rootPaths: $pending nodes unresolved after $maxRounds rounds — cyclic input")
+    reach.select(col("v"),
+      when(col("v") === root, lit("")).otherwise(col("trail")).as("path"))
+  }
 }

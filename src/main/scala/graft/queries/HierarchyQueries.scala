@@ -71,5 +71,31 @@ object HierarchyQueries {
         .join(rolled.select(col("anc").as("v"), col("n_desc"), col("s")), Seq("v"), "left")
         .select(col("v"), coalesce(col("n_desc"), lit(0L)).as("n_desc"),
           round(coalesce(col("s"), lit(0)).cast("double"), 2).as("subtree_bal"))
+    },
+
+    // H3: materialized root path — the adjacency→path conversion behind
+    // prefix-keyed subtree queries ("give every node a sortable key so a
+    // subtree is a LIKE range"). Same doubling loop as h1, but the
+    // composed state is a NON-commutative monoid (the ancestor trail in
+    // climb order, root last) — the thing doubling supports and a
+    // commutative aggregate cannot express. The oracle climbs one edge
+    // per recursion step; matching its exact string proves the doubled
+    // compositions land in identical order.
+    QueryDef.sql(
+      "h3_root_paths",
+      """WITH RECURSIVE k AS (SELECT c_custkey + 1 AS v FROM customer),
+        |e AS (SELECT v, 1 + (v * 7919) % (v - 1) AS p FROM k WHERE v > 1),
+        |r AS (SELECT v, p AS anc, CAST(p AS VARCHAR) AS path FROM e
+        |      UNION ALL
+        |      SELECT r.v, 1 + (r.anc * 7919) % (r.anc - 1),
+        |             r.path || '/' || CAST(1 + (r.anc * 7919) % (r.anc - 1) AS VARCHAR)
+        |      FROM r WHERE r.anc > 1)
+        |SELECT v, path FROM r WHERE anc = 1
+        |UNION ALL SELECT 1 AS v, '' AS path""".stripMargin) { (spark, dir) =>
+      val edges = Tables.load(spark, dir, "customer")
+        .select((col("c_custkey") + 1).as("v"))
+        .filter(col("v") > 1)
+        .withColumn("parent", lit(1) + (col("v") * 7919) % (col("v") - 1))
+      TreeDepth.rootPaths(edges, root = 1L)
     })
 }

@@ -60,6 +60,20 @@ class TreeDepthSpec extends AnyFunSuite {
     assert(got.size.toLong == depthSum)
   }
 
+  test("root paths: doubled non-commutative composition == local climb order") {
+    def parent(v: Long): Long = 1 + (v * 7919) % (v - 1)
+    val vs = (2L to 200L)
+    val edges = vs.map(v => (v, parent(v))).toDF("v", "parent")
+    val got = TreeDepth.rootPaths(edges, root = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "")
+    vs.foreach { v =>
+      val want = Iterator.iterate(parent(v))(parent)
+        .takeWhile(_ != 1L).toSeq :+ 1L
+      assert(got(v) == want.mkString("/"), s"node $v climb order")
+    }
+  }
+
   test("cyclic input fails loudly instead of looping") {
     val edges = Seq((2L, 3L), (3L, 2L)).toDF("v", "parent")
     val e = intercept[IllegalArgumentException] {
