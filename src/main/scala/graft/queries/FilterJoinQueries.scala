@@ -1207,6 +1207,38 @@ object FilterJoinQueries {
           col("nearest_km"))
     },
 
+    // Q5: functional-dependency audit — schema profiling's other classic:
+    // does column A determine column B? Reported per candidate FD as the
+    // count of LHS values bound to >1 distinct RHS (0 ⟺ the dependency
+    // holds). One distinct-count aggregate per FD (map-side partial,
+    // lhs-keyed shuffle); the 3-row report unions. Candidates chosen so
+    // both outcomes appear: the PK dependency holds, the two fact-side
+    // ones genuinely fail on TPC-H-shaped data.
+    QueryDef.sql(
+      "q5_functional_dependency", {
+        def side(name: String, table: String, lhs: String, rhs: String) =
+          s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
+             |  COUNT(*) FILTER (d > 1) AS n_violating,
+             |  COUNT(*) FILTER (d > 1) = 0 AS holds
+             |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS d FROM $table GROUP BY 1)""".stripMargin
+        Seq(
+          side("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+          side("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+          side("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+          .mkString("\nUNION ALL\n")
+      }) { (spark, dir) =>
+      def side(name: String, table: String, lhs: String, rhs: String) =
+        Tables.load(spark, dir, table)
+          .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+          .agg(count(lit(1)).as("n_lhs"),
+            count(when(col("d") > 1, lit(1))).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      side("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey")
+        .unionAll(side("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"))
+        .unionAll(side("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+    },
+
     // Q3: shuffle-key skew profiler — the pre-flight an operator runs
     // BEFORE keying a 100 TB shuffle on a column: per candidate key, the
     // cardinality, max/mean per-key row count (the straggler factor), and
