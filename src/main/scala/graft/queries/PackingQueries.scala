@@ -328,6 +328,43 @@ object PackingQueries {
             .as("tv_distance"))
     },
 
+    // D39: out-of-vocabulary rate — the per-source companion to d38's
+    // corpus-level drift: what fraction of each source's NEW tokens
+    // (batch = doc_id % 10 ≥ 7) fall outside the prior snapshot's
+    // working vocabulary (tokens seen ≥ 5 times before)? The signal that
+    // flags which ingest source shifted domain. Exact integer sums
+    // (OOV occurrences / total occurrences per source) with one final
+    // rounded division; shapes: one vocab-build aggregate on the prior
+    // slice, one token-keyed membership join (left join against the
+    // vocabulary — token-keyed shuffle, vocab side one row per term),
+    // one source-keyed rollup.
+    QueryDef.sql(
+      "d39_oov_rate",
+      """WITH vocab AS (SELECT w FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE doc_id % 10 < 7) GROUP BY 1 HAVING COUNT(*) >= 5),
+        |bt AS (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |       FROM documents WHERE doc_id % 10 >= 7)
+        |SELECT bt.source, COUNT(*) AS n_tokens,
+        |  COUNT(*) FILTER (vocab.w IS NULL) AS n_oov,
+        |  round(CAST(COUNT(*) FILTER (vocab.w IS NULL) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM bt LEFT JOIN vocab ON bt.w = vocab.w
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val vocab = docs.filter(col("doc_id") % 10 < 7)
+        .select(explode(TextTokens.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5).select(col("w"), lit(1).as("__in"))
+      docs.filter(col("doc_id") % 10 >= 7)
+        .select(col("source"), explode(TextTokens.tokens(col("text"))).as("w"))
+        .join(vocab, Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__in").isNull, lit(1))).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+    },
+
     // T39: the composed training-assembly chain — d9's clean corpus
     // (language gate → quality gate → exact dedup first-wins) fed
     // STRAIGHT into t34's concat-and-chunk packing, one declarative plan
