@@ -40,4 +40,53 @@ object CountMin {
   /** Estimated stream frequency of `key` under a built sketch. */
   def estimate(key: Column, cmsBytes: Array[Byte]): Column =
     CmsEstimateString.estimate(key, cmsBytes)
+
+  /** CMS inner product — the classic sketch JOIN-SIZE estimator
+    * (AGMS/CMS): for sketches of streams A and B built with the SAME
+    * (eps, confidence, seed) — same depth/width/hash family, enforced —
+    * `min_i Σ_j tableA[i][j]·tableB[i][j]` estimates
+    * Σ_key f_A(key)·f_B(key), which IS |A ⋈ B| on that key. One-sided
+    * like the point estimate: every cell product carries the true
+    * colliding mass plus non-negative cross terms, so estimate ≥ exact
+    * always, and ≤ exact + ε·N_A·N_B with probability 1−δ. Lets an
+    * operator price a 100 TB join from two fixed-memory sketches without
+    * touching per-key counts (q4's exact estimator is key-cardinality
+    * work; this is O(sketch)).
+    *
+    * Parses Spark's versioned CMS serialization (version 1:
+    * int version, long totalCount, int depth, int width, long hashA[depth],
+    * long table[depth][width], big-endian — the stable cross-version
+    * interchange format `CountMinSketch.readFrom` documents). */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Double = {
+    case class Parsed(total: Long, depth: Int, width: Int,
+        hashA: Array[Long], rows: Array[Array[Long]])
+    def parse(bytes: Array[Byte]): Parsed = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val version = in.readInt()
+      require(version == 1, s"unsupported CMS serialization version $version")
+      val total = in.readLong()
+      val depth = in.readInt()
+      val width = in.readInt()
+      val hashA = Array.fill(depth)(in.readLong())
+      val rows = Array.fill(depth)(Array.fill(width)(in.readLong()))
+      Parsed(total, depth, width, hashA, rows)
+    }
+    val (pa, pb) = (parse(a), parse(b))
+    require(pa.depth == pb.depth && pa.width == pb.width &&
+      java.util.Arrays.equals(pa.hashA, pb.hashA),
+      "join-size inner product needs sketches built with the same eps/confidence/seed")
+    var best = Double.PositiveInfinity
+    var i = 0
+    while (i < pa.depth) {
+      var acc = BigInt(0)
+      var j = 0
+      while (j < pa.width) {
+        acc += BigInt(pa.rows(i)(j)) * pb.rows(i)(j)
+        j += 1
+      }
+      best = math.min(best, acc.toDouble)
+      i += 1
+    }
+    best
+  }
 }

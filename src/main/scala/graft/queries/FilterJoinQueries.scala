@@ -1305,5 +1305,28 @@ object FilterJoinQueries {
         .agg(sum(col("c") * col("c")).cast("long").as("predicted_rows"))
         .select(lit("lineitem*lineitem@partkey").as("join_id"), col("predicted_rows"))
       pairPred.unionAll(selfPred)
+    },
+
+    // Q6: sketch-based join-size estimate — q4 priced the join from
+    // per-key counts (key-cardinality work); this prices it from two
+    // FIXED-MEMORY Count-Min sketches via the classic CMS inner product
+    // (min over rows of the counter-table dot product). O(sketch) instead
+    // of O(distinct keys) — the estimator an operator can afford to keep
+    // ALWAYS-ON for every candidate join. rows-only (DuckDB has no CMS);
+    // the one-sided ≥-exact contract and the tightness bound are pinned
+    // in AggSketchSpec, and this query carries the exact value alongside
+    // so the driver's row check still sees the cross-validation surface.
+    QueryDef.rowsOnly("q6_join_size_sketch") { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables.load(spark, dir, "lineitem")
+      val oo = Tables.load(spark, dir, "orders")
+      val sa = graft.operators.CountMin.build(li, "l_orderkey", eps = 1e-4)
+      val sb = graft.operators.CountMin.build(oo, "o_orderkey", eps = 1e-4)
+      val estimate = graft.operators.CountMin.innerProduct(sa, sb)
+      val exact = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+        .join(oo.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("co")), Seq("k"))
+        .agg(sum(col("cl") * col("co")).cast("long")).head().getLong(0)
+      Seq(("lineitem*orders@orderkey", exact, estimate, estimate / exact.toDouble))
+        .toDF("join_id", "exact_rows", "cms_estimate", "overestimate_ratio")
     })
 }

@@ -93,4 +93,25 @@ class AggSketchSpec extends AnyFunSuite {
         s"w$i: merged halves must estimate identically to the one-pass sketch")
     }
   }
+
+  test("cms inner product: join-size estimate is one-sided and tight at small eps") {
+    import spark.implicits._
+    // known multisets: key k appears (k%7)+1 times in A, (k%5)+1 in B
+    val a = (0L until 400L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k)).toDF("k")
+    val b = (0L until 400L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k)).toDF("k")
+    val exact = (0L until 400L).map(k => ((k % 7) + 1) * ((k % 5) + 1)).sum.toDouble
+    val sa = graft.operators.CountMin.build(a, "k", eps = 1e-4)
+    val sb = graft.operators.CountMin.build(b, "k", eps = 1e-4)
+    val est = graft.operators.CountMin.innerProduct(sa, sb)
+    assert(est >= exact, "CMS inner product must never underestimate")
+    assert(est <= exact * 1.01 + 1.0,
+      s"at eps=1e-4 over ~1.6k/1.2k items the estimate should be tight: est=$est exact=$exact")
+    // mismatched sketch geometry is a loud error, not a silent wrong number
+    val wrongSeed = spark.range(10).toDF("k")
+    val sc = graft.operators.CountMin.build(wrongSeed, "k", eps = 1e-4, seed = 7)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.CountMin.innerProduct(sa, sc)
+    }
+    assert(e.getMessage.contains("same eps/confidence/seed"))
+  }
 }
