@@ -294,6 +294,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tree depths == local climb for arbitrary random parent functions") {
+    // parents drawn uniformly below each node — arbitrary tree shapes,
+    // including long chains and wide fans
+    val n = 120
+    for (round <- 1 to Rounds) {
+      val parentChoice = samples(Gen.listOfN(n, Gen.chooseNum(0, 1 << 20)), round)
+      def parent(v: Long): Long =
+        1L + parentChoice((v - 2).toInt) % (v - 1)
+      val vs = (2L to n.toLong)
+      val edges = vs.map(v => (v, parent(v))).toDF("v", "parent")
+      val got = graft.operators.TreeDepth.depths(edges, root = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def localDepth(v: Long): Long = {
+        var (cur, d) = (v, 0L)
+        while (cur != 1L) { cur = parent(cur); d += 1 }
+        d
+      }
+      assert(got(1L) == 0L)
+      vs.foreach(v => assert(got(v) == localDepth(v), s"round $round node $v"))
+    }
+  }
+
   test("semDedup is idempotent: survivors contain no pair above threshold") {
     // The lowest-id keeper rule guarantees every survivor has NO lower-id
     // neighbor within threshold — so re-running the pass on survivors must

@@ -137,6 +137,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == want && want.nonEmpty,
       "JSONL shards must round-trip the streaming clean exactly")
     spark.streams.active.foreach(_.stop())
+
+    // exactly-once under restart: re-running the SAME query against the
+    // SAME checkpoint re-delivers nothing — the sink's WAL already marks
+    // the source files committed, so the output directory is unchanged
+    val q2 = graft.io.JsonlExport.streamWriter(
+        EventStreams.cleanCorpusStream(EventStreams.readDocumentsStream(spark, dir)),
+        s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start(s"$out/data")
+    q2.awaitTermination(120000)
+    val after = graft.io.JsonlExport.read(spark, s"$out/data", batch.schema).count()
+    assert(after == want.size.toLong,
+      "restart against the same checkpoint must not duplicate shards")
+    spark.streams.active.foreach(_.stop())
   }
 
   test("streaming snapshot-novelty gate == batch d36 semantics (bloom-routed anti join)") {
