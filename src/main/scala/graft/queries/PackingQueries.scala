@@ -365,6 +365,36 @@ object PackingQueries {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
     },
 
+    // T40: BPE pair statistics — the seed step of byte-pair-encoding
+    // tokenizer training: corpus-weighted counts of adjacent character
+    // pairs. The scale shape BPE trainers actually use: aggregate the
+    // token VOCABULARY with occurrence counts first, then explode char
+    // pairs over DISTINCT tokens only, each pair row carrying the
+    // token's corpus count — pair generation is vocab-scale, never
+    // token-stream-scale (a raw-stream explode would be |corpus tokens| ×
+    // |chars| rows). `sequence(1, len-1)` DESCENDS when len < 2, so
+    // 1-char tokens must short-circuit to an empty array (the shingle
+    // guard). min-count 50 bounds output to the merge-candidate head.
+    QueryDef.sql(
+      "t40_bpe_pair_counts",
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |uc AS (SELECT w, COUNT(*) AS n FROM tok WHERE w <> '' GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, n FROM uc)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 HAVING SUM(n) >= 50""".stripMargin) { (spark, dir) =>
+      val uc = Tables.load(spark, dir, "documents")
+        .select(explode(TextTokens.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      uc.select(explode(
+          when(length(col("w")) >= 2,
+            transform(sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2))))
+            .otherwise(array().cast("array<string>"))).as("pair"), col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("cnt"))
+        .filter(col("cnt") >= 50)
+    },
+
     // T39: the composed training-assembly chain — d9's clean corpus
     // (language gate → quality gate → exact dedup first-wins) fed
     // STRAIGHT into t34's concat-and-chunk packing, one declarative plan
