@@ -418,6 +418,37 @@ object AggWindowQueries {
         .union(a.except(b).withColumn("op", lit("except")))
     },
 
+    // U5: BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITIES (min / saturated difference of per-value counts),
+    // which is what reconciliation workloads actually need ("how many
+    // copies survive in both feeds"). Both engines implement the
+    // identical SQL-standard bag algebra; Spark plans them as count
+    // aggregates + generate, one value-keyed shuffle per side. The
+    // result is aggregated to (value, multiplicity) rows so the gate
+    // hashes a deterministic frame rather than row repeats.
+    QueryDef.sql(
+      "u5_bag_set_ops",
+      """SELECT nid, 'intersect_all' AS op, COUNT(*) AS mult FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t1
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT nid, 'except_all' AS op, COUNT(*) AS mult FROM (
+        |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY') t2
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val customer = Tables.load(spark, dir, "customer")
+      val a = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey").as("nid"))
+      val b = customer.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey").as("nid"))
+      a.intersectAll(b).groupBy(col("nid"))
+        .agg(count(lit(1)).as("mult")).withColumn("op", lit("intersect_all"))
+        .unionAll(a.exceptAll(b).groupBy(col("nid"))
+          .agg(count(lit(1)).as("mult")).withColumn("op", lit("except_all")))
+        .select(col("nid"), col("op"), col("mult"))
+    },
+
     // A16: winsorized stats — clip each group's values to its [p05, p95]
     // order statistics before averaging, the standard outlier-robust
     // aggregate for skewed telemetry/quality metrics. Bounds are DISCRETE
