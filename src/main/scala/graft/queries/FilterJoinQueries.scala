@@ -545,9 +545,12 @@ object FilterJoinQueries {
     // (handleId/handleText/strip, try_cast lat-lon, audit triple with
     // Europe/Rome localization) is exercised against the oracle — the
     // previously spec-only join site, now hash-gated. Timestamps are
-    // pinned to January 1970 (CET, +01:00 year-round at those instants)
-    // so the oracle can mirror romeToUtc as a plain 1-hour shift without
-    // an ICU timezone dependency.
+    // pinned to January 2024 (CET, +01:00 at those instants — the same
+    // constant offset January 1970 had) so the oracle can mirror
+    // romeToUtc as a plain 1-hour shift without an ICU timezone
+    // dependency; the base is post-epoch because pre-epoch (negative
+    // int64-micro) instants diverge in the driver's value
+    // canonicalization even when every value compares equal.
     QueryDef.sql(
       "j2_sede_municipality_join", {
         val strip = (c: String) =>
@@ -569,9 +572,9 @@ object FilterJoinQueries {
            |         ELSE CAST(s_suppkey % 180 AS VARCHAR) || '.5' END AS lon_s,
            |    'T' || CAST(s_suppkey % 4 AS VARCHAR) AS toponimo,
            |    CASE WHEN s_suppkey % 10 <> 0
-           |         THEN TIMESTAMP '1970-01-01' + s_suppkey * INTERVAL 1 SECOND END AS creation,
+           |         THEN TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND END AS creation,
            |    CASE WHEN s_suppkey % 2 = 0
-           |         THEN TIMESTAMP '1970-01-02' + s_suppkey * INTERVAL 1 SECOND END AS lastmod,
+           |         THEN TIMESTAMP '2024-01-02' + s_suppkey * INTERVAL 1 SECOND END AS lastmod,
            |    CASE WHEN s_suppkey % 3 = 0 THEN ' S ' ELSE 'N' END AS disabled
            |  FROM supplier),
            |mun AS (SELECT CAST(n_nationkey AS BIGINT) AS municipality_id,
@@ -615,8 +618,9 @@ object FilterJoinQueries {
         when(k % 10 === 0, lit("xx"))
           .otherwise(concat((k % 180).cast("string"), lit(".5"))).as("LONGITUDINE"),
         concat(lit("T"), (k % 4).cast("string")).as("ID_TOPONIMO_FK"),
-        when(k % 10 =!= 0, timestamp_seconds(k)).as("CREATION"),
-        when(k % 2 === 0, timestamp_seconds(k) + expr("INTERVAL 1 DAY")).as("LAST_MOD"),
+        when(k % 10 =!= 0, timestamp_seconds(k + lit(1704067200L))).as("CREATION"),
+        when(k % 2 === 0, timestamp_seconds(k + lit(1704067200L)) + expr("INTERVAL 1 DAY"))
+          .as("LAST_MOD"),
         when(k % 3 === 0, " S ").otherwise("N").as("DISABLED"))
       val mun = Tables.load(spark, dir, "nation").select(
         col("n_nationkey").cast("long").as("id"),
