@@ -45,7 +45,7 @@ object JsonlExport {
     * a STREAMING frame, handed to the exactly-once file sink (per-batch
     * atomic commit via the checkpoint's write-ahead log — replays after
     * failure never duplicate a shard). Caller starts it:
-    * `streamWriter(df, path, ckpt).trigger(...).start(path)` — the sink
+    * `streamWriter(df, ckpt).trigger(...).start(path)` — the sink
     * path stays a normal JSONL directory any batch reader consumes. */
   def streamWriter(
       df: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -82,12 +82,19 @@ object Multimodal {
       while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
         val id = new String(payload, off, 4, "US-ASCII")
         val sz = u32(off + 4).toInt
+        // A crafted/corrupt declared size (u32 → negative Int, or one that
+        // fails to advance the cursor) must fail the decode, not hang the
+        // executor task in an infinite walk — decode runs over arbitrary
+        // corpus payloads that merely matched the 12-byte sniff.
+        require(sz >= 0, s"corrupt WAV chunk '$id': declared size out of range")
         if (id == "fmt ") {
           fmt = u16(off + 8); channels = u16(off + 10); bits = u16(off + 22)
         } else if (id == "data") {
           dataOff = off + 8; dataLen = math.min(sz, payload.length - dataOff)
         }
-        off += 8 + sz + (sz & 1)
+        val next = off + 8 + sz + (sz & 1)
+        require(next > off, s"corrupt WAV chunk '$id': walk does not advance")
+        off = next
       }
       require(fmt == 1 && (bits == 8 || bits == 16) && channels > 0 && dataOff >= 0,
         s"unsupported WAV shape: fmt=$fmt bits=$bits channels=$channels")

@@ -65,8 +65,13 @@ object BloomPrefilter {
     val keys = dim.select(col(dimKey).cast("long").as(dimKey))
     val bloom = build(keys, dimKey, expectedItems, fpp)
     val might = BloomMightContainLong.mightContain(col(factKey), bloom)
-    val definitelyNovel = fact.filter(!might)
-    val needsCheck = fact.filter(might)
+    // A NULL probe key makes `might` NULL, which both `filter(!might)` and
+    // `filter(might)` would drop — but the plain anti join this mirrors
+    // KEEPS null-key rows (a null key never equals any dim key). Route
+    // nulls to the kept branch so the bit-identical contract holds for
+    // nullable keys.
+    val definitelyNovel = fact.filter(coalesce(!might, lit(true)))
+    val needsCheck = fact.filter(coalesce(might, lit(false)))
     definitelyNovel.unionAll(
       needsCheck.join(keys, needsCheck(factKey).cast("long") === keys(dimKey), "left_anti"))
   }

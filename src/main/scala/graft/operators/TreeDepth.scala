@@ -40,6 +40,18 @@ object TreeDepth {
   private def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** One action per round: (unresolved-pointer count, total row count).
+    * The total detects SILENT node loss — a node whose parent is neither
+    * the root nor a listed vertex joins nothing in the doubling self-join
+    * and simply vanishes, which would otherwise drive `pending` to 0 and
+    * return an incomplete result without tripping any guard. */
+  private def probe(reach: DataFrame, root: Long): (Long, Long) = {
+    val r = reach.agg(
+      sum(when(col("anc") =!= root, 1L).otherwise(0L)).as("pending"),
+      count(lit(1)).as("total")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
   def depths(edges: DataFrame, root: Long, maxRounds: Int = 40): DataFrame = {
     val spark = edges.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -51,7 +63,8 @@ object TreeDepth {
       .unionAll(rootRow)
       .persist(MEMORY_AND_DISK)
     // materialize + first convergence probe in one action
-    var pending = reach.filter(col("anc") =!= root).count()
+    var (pending, total) = probe(reach, root)
+    val expected = total
     var round = 0
     while (pending > 0 && round < maxRounds) {
       val prev = reach
@@ -61,12 +74,14 @@ object TreeDepth {
         .select(col("a.v").as("v"), col("banc").as("anc"),
           (col("a.d") + col("bd")).as("d"))
         .persist(MEMORY_AND_DISK)
-      pending = reach.filter(col("anc") =!= root).count()
+      val p = probe(reach, root); pending = p._1; total = p._2
       prev.unpersist(blocking = false)
       round += 1
     }
+    require(total == expected,
+      s"TreeDepth: ${expected - total} node(s) dropped — their parent is neither the root nor a listed vertex (disconnected input)")
     require(pending == 0,
-      s"TreeDepth: $pending nodes unresolved after $maxRounds doubling rounds — cyclic or disconnected input")
+      s"TreeDepth: $pending nodes unresolved after $maxRounds doubling rounds — cyclic input")
     // The final state STAYS persisted: the returned frame reads it, and
     // unpersisting here would hand the caller a lineage that is the whole
     // round-chain of joins. One vertex-scale cache entry per distinct
@@ -134,7 +149,8 @@ object TreeDepth {
         col("parent").cast("long").cast("string").as("trail"))
       .unionAll(rootRow)
       .persist(MEMORY_AND_DISK)
-    var pending = reach.filter(col("anc") =!= root).count()
+    var (pending, total) = probe(reach, root)
+    val expected = total
     var round = 0
     while (pending > 0 && round < maxRounds) {
       val prev = reach
@@ -145,10 +161,12 @@ object TreeDepth {
           when(col("btrail") === "", col("a.trail"))
             .otherwise(concat(col("a.trail"), lit("/"), col("btrail"))).as("trail"))
         .persist(MEMORY_AND_DISK)
-      pending = reach.filter(col("anc") =!= root).count()
+      val p = probe(reach, root); pending = p._1; total = p._2
       prev.unpersist(blocking = false)
       round += 1
     }
+    require(total == expected,
+      s"TreeDepth.rootPaths: ${expected - total} node(s) dropped — their parent is neither the root nor a listed vertex (disconnected input)")
     require(pending == 0,
       s"TreeDepth.rootPaths: $pending nodes unresolved after $maxRounds rounds — cyclic input")
     reach.select(col("v"),

@@ -105,7 +105,14 @@ object PackingQueries {
          |FROM e GROUP BY 1""".stripMargin) { (spark, dir) =>
       packedDocs(spark, dir)
         .select(col("doc_id"), col("n_tok"), col("cum"), col("tok_start"),
-          explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+          // A zero-token doc would make seq_last < seq_first, and Spark's
+          // sequence(start, stop) DESCENDS when stop < start (phantom
+          // negative-contribution rows) while DuckDB's generate_series
+          // returns empty. Unreachable today (whitespace split yields ≥ 1
+          // token) but guarded like t40's short-token path.
+          explode(when(col("seq_last") >= col("seq_first"),
+              sequence(col("seq_first"), col("seq_last")))
+            .otherwise(array().cast("array<bigint>"))).as("seq_id"))
         .groupBy(col("seq_id"))
         .agg(
           count(lit(1)).as("n_docs"),

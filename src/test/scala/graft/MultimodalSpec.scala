@@ -140,4 +140,22 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.synthesizeWavCorpus(spark, 5).collect().map(_.payload.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("corrupt WAV chunk sizes fail the decode instead of hanging the walk") {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dec = new Multimodal.WavDecoder
+    // declared size 0xFFFFFFFF → negative Int after truncation
+    val negSz = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(-1) ++ new Array[Byte](24)
+    val e = intercept[IllegalArgumentException](dec.decode(negSz))
+    assert(e.getMessage.contains("corrupt WAV"))
+    // declared size -8 would make the offset not advance (off += 0): an
+    // infinite loop before the guard, a loud failure now
+    val stuck = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(-8) ++ new Array[Byte](24)
+    val e2 = intercept[IllegalArgumentException](dec.decode(stuck))
+    assert(e2.getMessage.contains("corrupt WAV"))
+  }
 }

@@ -74,6 +74,17 @@ class PackingSpec extends AnyFunSuite {
     assert(got === (0L to 999L).filter(_ % 3 != 0).toSet)
   }
 
+  test("bloom anti join keeps null-key probe rows, like the plain anti join") {
+    val fact = Seq[java.lang.Long](1L, 2L, 3L, null, null).toDF("k")
+    val dim = Seq(2L, 4L).toDF("k")
+    val plain = fact.join(dim, fact("k") === dim("k"), "left_anti")
+      .collect().map(r => Option(r.get(0))).toSeq.sortBy(_.map(_.toString))
+    val routed = BloomPrefilter.antiJoin(fact, "k", dim, "k", 16, 0.01)
+      .collect().map(r => Option(r.get(0))).toSeq.sortBy(_.map(_.toString))
+    assert(routed === plain, "null probe keys must survive the Bloom routing")
+    assert(routed.count(_.isEmpty) === 2, "both null-key rows kept")
+  }
+
   test("NfcNormalize: composes decomposed sequences, identity on NFC, idempotent") {
     import spark.implicits._
     val decomposed = "café niño Å"   // e+◌́, n+◌̃, A+◌̊

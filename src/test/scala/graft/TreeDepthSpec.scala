@@ -81,4 +81,18 @@ class TreeDepthSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unresolved"))
   }
+
+  test("orphan parent (neither root nor listed vertex) fails loudly, not silently dropped") {
+    // node 4 points at 99, which is not a vertex: the doubling self-join
+    // would silently delete it and return a 2-node "complete" result.
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 99L)).toDF("v", "parent")
+    val e = intercept[IllegalArgumentException] {
+      TreeDepth.depths(edges, root = 1L)
+    }
+    assert(e.getMessage.contains("dropped"))
+    val e2 = intercept[IllegalArgumentException] {
+      TreeDepth.rootPaths(edges, root = 1L)
+    }
+    assert(e2.getMessage.contains("dropped"))
+  }
 }
