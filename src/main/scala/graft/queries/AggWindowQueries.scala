@@ -749,7 +749,7 @@ object AggWindowQueries {
     // set-semantics pair. Spark's intersectAll/exceptAll plan this as a
     // count-aggregate + generate, no join explosion.
     QueryDef.sql(
-      "u5_setops_all",
+      "u6_setops_all",
       """SELECT nid, 'intersect_all' AS op FROM (
         |  SELECT c_nationkey AS nid FROM customer WHERE c_mktsegment = 'BUILDING'
         |  INTERSECT ALL
@@ -981,7 +981,7 @@ object AggWindowQueries {
     // the fact side shuffles once for the windows and once for the final
     // rollup.
     QueryDef.sql(
-      "a24_iqr_outliers",
+      "a29_iqr_outliers",
       """WITH t AS (SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL),
         |w AS (SELECT g, v,
         |    COUNT(*) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,

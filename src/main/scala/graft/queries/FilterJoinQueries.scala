@@ -182,7 +182,7 @@ object FilterJoinQueries {
     // semi join (rows with NO match). Same scale posture: a broadcast-able
     // anti join, never a collected key list or a null-filtered outer join.
     QueryDef.sql(
-      "j13_anti_join_orphans",
+      "j22_anti_join_orphans",
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (spark, dir) =>
       val customer = Tables.load(spark, dir, "customer")
@@ -198,7 +198,7 @@ object FilterJoinQueries {
     // enter the exchange; the exact semi join then removes the false
     // positives, making the result bit-identical to the plain join.
     QueryDef.sql(
-      "j14_bloom_prefiltered_join",
+      "j23_bloom_prefiltered_join",
       """SELECT l_orderkey, COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
@@ -240,7 +240,7 @@ object FilterJoinQueries {
     // levenshtein ≤ 1 on TPC-H-style numbered names links ids that differ
     // in one digit — a stand-in for real-world typo/transposition linkage.
     QueryDef.sql(
-      "j15_fuzzy_blocked_match",
+      "j24_fuzzy_blocked_match",
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b

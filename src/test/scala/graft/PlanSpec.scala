@@ -107,7 +107,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("j13: orphan detection is an anti JOIN, never a key-list collect") {
-    val p = planOf("j13_anti_join_orphans")
+    val p = planOf("j22_anti_join_orphans")
     assert(p.contains("LeftAnti"), "must plan as a left anti join")
     assert(!p.contains("NestedLoop"), "anti join must stay hash-based")
   }
@@ -176,7 +176,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("j15/d17 blocked pairing: candidate pairs come from equi-joins, never nested loops") {
-    for (q <- Seq("j15_fuzzy_blocked_match", "d17_semdedup")) {
+    for (q <- Seq("j24_fuzzy_blocked_match", "d17_semdedup")) {
       val p = planOf(q)
       assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
         s"$q must block on an equi key — all-pairs shapes do not survive scale")

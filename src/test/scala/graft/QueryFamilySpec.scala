@@ -23,7 +23,7 @@ class QueryFamilySpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getAs[Number](0).longValue, r.getString(1)) -> r.getLong(2)).toMap
     val nations = countsBySeg.keys.map(_._1).toSeq.distinct
-    val out = SparkEntry.queries("u5_setops_all")(spark, dir)
+    val out = SparkEntry.queries("u6_setops_all")(spark, dir)
       .groupBy(col("nid"), col("op")).count()
       .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1)) -> r.getLong(2)).toMap
     nations.foreach { n =>
