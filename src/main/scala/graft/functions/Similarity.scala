@@ -112,6 +112,21 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"), labCol)
       .as[(Long, Array[Double], Long)]
+    // Self-enforcing "fits in memory" contract (the nearDupPairs probe
+    // pattern): measure the index side with one aggregate BEFORE pulling
+    // it to the driver, and refuse loudly past a conf-gated ceiling —
+    // a silent OOM at collect() names nothing and takes the driver down.
+    val maxBytes = spark.conf.getOption("spark.graft.ann.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val sz = prepped.toDF().agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("v")).cast("long")), lit(0L)).as("dims")).head()
+    val estBytes = sz.getLong(0) * 24L + sz.getLong(1) * 8L
+    require(estBytes <= maxBytes,
+      s"bruteForceTopKBroadcast: index side is ~$estBytes bytes " +
+        s"(${sz.getLong(0)} vectors), over spark.graft.ann.broadcastMaxBytes=" +
+        s"$maxBytes — use bruteForceTopK (blocked pair join), lshTopK, or " +
+        "ivfTopK, which never collect the index")
     val index = prepped.collect()
     val n = index.length
     val ids = new Array[Long](n)

@@ -158,6 +158,25 @@ class SimilaritySpec extends AnyFunSuite {
       e.getMessage.contains("nearDupPairsLsh"))
   }
 
+  test("broadcast-index top-k refuses an over-ceiling index, naming the scale routes") {
+    // Lower the ceiling instead of building a >1 GiB frame: the probe
+    // measures with an aggregate before collect(), so the refusal happens
+    // without the driver ever pulling a row.
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.fill(8)(i.toDouble + 1))).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.ann.broadcastMaxBytes", "64")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.bruteForceTopKBroadcast(vecs, "vec_id", "embedding", k = 2)
+      }
+      assert(e.getMessage.contains("lshTopK") && e.getMessage.contains("ivfTopK") &&
+        e.getMessage.contains("bruteForceTopK"))
+    } finally spark.conf.unset("spark.graft.ann.broadcastMaxBytes")
+    // and under the default ceiling the same frame still runs
+    val ok = Similarity.bruteForceTopKBroadcast(vecs, "vec_id", "embedding", k = 2)
+    assert(ok.count() > 0)
+  }
+
   test("LSH candidate route == exact crossJoin route on a near-dup corpus") {
     // The regime nearDupPairsLsh exists for: high threshold, planted
     // near-identical pairs (exact dups and tiny perturbations) among
