@@ -1311,26 +1311,41 @@ object FilterJoinQueries {
       pairPred.unionAll(selfPred)
     },
 
-    // Q6: sketch-based join-size estimate — q4 priced the join from
-    // per-key counts (key-cardinality work); this prices it from two
-    // FIXED-MEMORY Count-Min sketches via the classic CMS inner product
-    // (min over rows of the counter-table dot product). O(sketch) instead
-    // of O(distinct keys) — the estimator an operator can afford to keep
-    // ALWAYS-ON for every candidate join. rows-only (DuckDB has no CMS);
-    // the one-sided ≥-exact contract and the tightness bound are pinned
-    // in AggSketchSpec, and this query carries the exact value alongside
-    // so the driver's row check still sees the cross-validation surface.
-    QueryDef.rowsOnly("q6_join_size_sketch") { (spark, dir) =>
+    // Q7 (absorbs the former rows-only q6): sketch-based join-size
+    // estimation — q4 priced the join from per-key counts (key-cardinality
+    // work); this prices it from two FIXED-MEMORY Count-Min sketches via
+    // the classic CMS inner product (min over rows of the counter-table
+    // dot product). O(sketch) instead of O(distinct keys) — the estimator
+    // an operator can afford to keep ALWAYS-ON for every candidate join.
+    // DuckDB can't build the sketch, but it CAN state what the sketch must
+    // satisfy: the inner-product estimate is one-sided (≥ exact, a
+    // theorem) and eps-tight (≤ exact + eps·N_a·N_b — deterministic here
+    // because the sketch seed is pinned; the w.h.p. version is pinned in
+    // AggSketchSpec). The oracle computes the exact join size in SQL and
+    // asserts both bounds as TRUE literals, so the driver's hash gate
+    // cross-validates the sketch against the exact aggregation.
+    QueryDef.sql(
+      "q7_sketch_bound_audit",
+      """WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |oo AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+        |SELECT 'lineitem*orders@orderkey' AS join_id,
+        |  CAST(SUM(lo.c * oo.c) AS BIGINT) AS exact_rows,
+        |  TRUE AS cms_one_sided, TRUE AS cms_eps_tight
+        |FROM lo JOIN oo ON lo.k = oo.k""".stripMargin) { (spark, dir) =>
       import spark.implicits._
+      val eps = 1e-4
       val li = Tables.load(spark, dir, "lineitem")
       val oo = Tables.load(spark, dir, "orders")
-      val sa = graft.operators.CountMin.build(li, "l_orderkey", eps = 1e-4)
-      val sb = graft.operators.CountMin.build(oo, "o_orderkey", eps = 1e-4)
+      val sa = graft.operators.CountMin.build(li, "l_orderkey", eps = eps)
+      val sb = graft.operators.CountMin.build(oo, "o_orderkey", eps = eps)
       val estimate = graft.operators.CountMin.innerProduct(sa, sb)
+      val na = li.count(); val nb = oo.count()
       val exact = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
         .join(oo.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("co")), Seq("k"))
         .agg(sum(col("cl") * col("co")).cast("long")).head().getLong(0)
-      Seq(("lineitem*orders@orderkey", exact, estimate, estimate / exact.toDouble))
-        .toDF("join_id", "exact_rows", "cms_estimate", "overestimate_ratio")
+      Seq(("lineitem*orders@orderkey", exact,
+          estimate >= exact.toDouble,
+          estimate <= exact.toDouble + eps * na.toDouble * nb.toDouble))
+        .toDF("join_id", "exact_rows", "cms_one_sided", "cms_eps_tight")
     })
 }
