@@ -262,6 +262,25 @@ object TextQueries {
           round(col("brightness"), 6).as("amp_center"))
     },
 
+    // Video feature pipeline over REAL MJPEG/AVI containers (the
+    // deterministic synthetic AVI corpus, solid-color JPEG frames at
+    // histogram-bucket centers): the sniffing dispatch demuxes the RIFF
+    // container and decodes every 00dc frame with the JDK's JPEG reader
+    // inside the partition-batched decode stage; the frame count joins in
+    // from the REAL demux path (sampleAviFrames, everyN=1). rows-only
+    // (binary payloads have no DuckDB oracle); demux/decode semantics are
+    // pinned byte-level in MultimodalSpec.
+    QueryDef.rowsOnly("m6_video_features") { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.synthesizeAviCorpus(spark, 120)
+      val feats = Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_bytes"), round(col("brightness"), 6).as("brightness"))
+      val frames = Multimodal.sampleAviFrames(media, everyN = 1).toDF()
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      feats.join(frames, "media_id")
+    },
+
     // TF-IDF top terms per document — the classic distributed text-weighting
     // pipeline: explode terms → per-doc term frequencies (shuffle 1) →
     // document frequencies (shuffle 2) → score join (term-keyed; the DF side

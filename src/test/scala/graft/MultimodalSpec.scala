@@ -141,6 +141,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("REAL MJPEG/AVI decode: demux + JDK JPEG reader through the sniffing dispatch") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.synthesizeAviCorpus(spark, 12)).collect()
+    assert(feats.length == 12)
+    feats.foreach { f =>
+      assert(f.kind == "video")
+      assert(f.width == 16 + (f.media_id % 3).toInt * 8, "width from the avih header")
+      assert(f.height == 16 + (f.media_id % 2).toInt * 8, "height from the avih header")
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+      // solid frames at bucket centers: every histogram mass must sit in
+      // whole per-frame fractions (k / nFrames for some k), because a
+      // frame's pixels all land in one bucket and frames are equal-sized
+      val nFrames = 2 + (f.media_id % 4).toInt
+      f.histogram.foreach { v =>
+        val k = v * nFrames
+        assert(math.abs(k - math.round(k)) < 1e-9,
+          s"media ${f.media_id}: bucket mass $v is not a whole frame fraction of 1/$nFrames")
+      }
+    }
+  }
+
+  test("AVI demux: sampleAviFrames emits every Nth standalone JPEG, deterministically") {
+    val media = Multimodal.synthesizeAviCorpus(spark, 8)
+    val all = Multimodal.sampleAviFrames(media, everyN = 1).collect()
+    val byId = all.groupBy(_.media_id)
+    (0L until 8L).foreach { id =>
+      assert(byId(id).length == 2 + (id % 4).toInt, s"frame count for media $id")
+      byId(id).foreach { fr =>
+        // each demuxed frame is a standalone JPEG (SOI marker) the JDK can read
+        assert((fr.frame(0) & 0xff) == 0xff && (fr.frame(1) & 0xff) == 0xd8)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame))
+        assert(img != null && img.getWidth == 16 + (id % 3).toInt * 8)
+      }
+    }
+    val every2 = Multimodal.sampleAviFrames(media, everyN = 2).collect()
+      .groupBy(_.media_id)
+    (0L until 8L).foreach { id =>
+      val n = 2 + (id % 4).toInt
+      assert(every2(id).length == (n + 1) / 2)
+      assert(every2(id).forall(_.frame_idx % 2 == 0))
+    }
+    // determinism: same seed → byte-identical containers
+    val a = Multimodal.synthesizeAviCorpus(spark, 4).collect().map(_.payload.toSeq)
+    val b = Multimodal.synthesizeAviCorpus(spark, 4).collect().map(_.payload.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("corrupt AVI chunk sizes fail the decode instead of hanging the walk") {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dec = new Multimodal.AviMjpegDecoder
+    val negSz = "RIFF".getBytes ++ le32(36) ++ "AVI ".getBytes ++
+      "avih".getBytes ++ le32(-8) ++ new Array[Byte](24)
+    val e = intercept[IllegalArgumentException](dec.decode(negSz))
+    assert(e.getMessage.contains("corrupt AVI"))
+    // structurally valid but frameless AVI → loud unsupported-shape error
+    val empty = "RIFF".getBytes ++ le32(4) ++ "AVI ".getBytes ++ new Array[Byte](12)
+    val e2 = intercept[IllegalArgumentException](dec.decode(empty))
+    assert(e2.getMessage.contains("unsupported AVI shape"))
+  }
+
   test("corrupt WAV chunk sizes fail the decode instead of hanging the walk") {
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
