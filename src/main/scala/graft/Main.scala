@@ -391,18 +391,22 @@ object Main {
       return
     }
     val spark = GraftSession.local("graft-etl")
+    // The reference's setup_logging (src/utils.py:48-67): every run gets a
+    // timestamped file under logs/ mirroring the console lines.
+    val log = graft.pipeline.RunLog.timestamped("logs")
     try {
-      val results = execute(args, spark)
+      val results = execute(args, spark, Some(log))
       results.foreach(r => println(f"${r.name}%-24s ${r.elapsedMs}%6d ms"))
-      println(s"ETL process completed successfully (${results.size} pipelines)")
-    } finally spark.stop()
+      log.info(s"ETL process completed successfully (${results.size} pipelines)")
+    } finally { log.close(); spark.stop() }
   }
 
   /** The dispatch body, session-injected so tests (and embedding callers)
     * reuse their own session instead of main()'s owned one. */
-  def execute(args: Args, spark: SparkSession): Seq[Runner.Result] = {
+  def execute(args: Args, spark: SparkSession,
+      log: Option[graft.pipeline.RunLog] = None): Seq[Runner.Result] = {
     val in = args.in.getOrElse(throw new IllegalArgumentException("--in <dir> is required"))
     val out = args.out.getOrElse(throw new IllegalArgumentException("--out <dir> is required"))
-    Runner.run(PipelineContext(spark), registry(in, out), args.modules)
+    Runner.run(PipelineContext(spark), registry(in, out), args.modules, log)
   }
 }

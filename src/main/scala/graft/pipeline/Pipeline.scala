@@ -45,11 +45,15 @@ object Runner {
   }
 
   /** Run the selected modules ("all" or a set), fail-fast (first error
-    * aborts, matching main.py:65-71), logging elapsed per pipeline. */
+    * aborts, matching main.py:65-71), logging elapsed per pipeline —
+    * through the timestamped [[RunLog]] when one is supplied (the
+    * reference's console+file dual sink), else silently (callers print
+    * the returned results). */
   def run(
       ctx: PipelineContext,
       pipelines: Seq[Pipeline],
-      modules: Set[String] = Set("all")): Seq[Result] = {
+      modules: Set[String] = Set("all"),
+      log: Option[RunLog] = None): Seq[Result] = {
     val selected = order(pipelines).filter(p =>
       modules.contains("all") || modules.contains(p.module))
     // Module selection must not sever the DAG: a selected pipeline whose
@@ -63,14 +67,17 @@ object Runner {
     selected.map { p =>
       val t0 = System.nanoTime()
       ctx.spark.sparkContext.setJobDescription(s"pipeline:${p.name}")
+      log.foreach(_.info(s"Starting pipeline '${p.name}' (module ${p.module})"))
       try {
         p.run(ctx)
         val ms = (System.nanoTime() - t0) / 1000000
         ctx.spark.sparkContext.setJobDescription(null)
+        log.foreach(_.info(s"Completed pipeline '${p.name}' in ${ms} ms"))
         Result(p.name, ms)
       } catch {
         case e: Throwable =>
           val ms = (System.nanoTime() - t0) / 1000000
+          log.foreach(_.error(s"Pipeline '${p.name}' failed after ${ms} ms: ${e.getMessage}"))
           throw new RuntimeException(
             s"pipeline '${p.name}' failed after ${ms}ms: ${e.getMessage}", e)
       }
