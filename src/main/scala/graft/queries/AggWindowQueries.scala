@@ -1014,5 +1014,34 @@ object AggWindowQueries {
         .agg(count(lit(1)).as("n"), min(col("q1")).as("q1"), min(col("q3")).as("q3"),
           count(when(col("v") < col("q1") - iqr15 ||
             col("v") > col("q3") + iqr15, lit(1))).as("outliers"))
+    },
+
+    // A30: k-anonymity audit — the training-data governance gate: group
+    // rows by their quasi-identifier tuple and flag every equivalence
+    // class smaller than k (those records are re-identifiable by the QI
+    // combination alone; the dataset's k-anonymity level is the smallest
+    // class). One hash-aggregate at QI cardinality plus a broadcast 1-row
+    // total — the same shape at 100 TB, since the shuffle carries one row
+    // per distinct QI tuple, never per record. k = 5, the conventional
+    // release threshold.
+    QueryDef.sql(
+      "a30_k_anonymity",
+      """WITH cls AS (SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+        |    COUNT(*) AS class_size FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM customer),
+        |ka AS (SELECT MIN(class_size) AS k_anonymity FROM cls)
+        |SELECT nationkey, mktsegment, class_size,
+        |  class_size < 5 AS at_risk, total_rows, k_anonymity
+        |FROM cls CROSS JOIN tot CROSS JOIN ka""".stripMargin) { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      val cls = cust.groupBy(col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("class_size"))
+      cls.crossJoin(broadcast(
+          cls.agg(min(col("class_size")).as("k_anonymity"))))
+        .crossJoin(broadcast(
+          cust.agg(count(lit(1)).as("total_rows"))))
+        .select(col("nationkey"), col("mktsegment"), col("class_size"),
+          (col("class_size") < 5).as("at_risk"), col("total_rows"), col("k_anonymity"))
     })
 }

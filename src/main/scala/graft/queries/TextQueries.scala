@@ -281,6 +281,50 @@ object TextQueries {
       feats.join(frames, "media_id")
     },
 
+    // T41: inter-annotator agreement — Cohen's kappa per source over two
+    // deterministic binary "annotators" (a char-length rule and a
+    // token-count rule standing in for two labeling passes; on real data
+    // these are two raters' label columns). The whole statistic reduces
+    // to ONE aggregate over four exact counts per group, and kappa is a
+    // SINGLE division of exact integers — kappa = (n·agree − chance) /
+    // (n² − chance) with chance = a1·b1 + a0·b0 — so both engines round
+    // identically (the repo's oracle-safe-math rule: one correctly-rounded
+    // IEEE op over exact integers). Group-count shuffle only; label
+    // derivation rides the scan.
+    QueryDef.sql(
+      "t41_annotator_agreement",
+      """WITH t AS (SELECT source,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 40
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS a1, CAST(SUM(b) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM t GROUP BY 1)
+        |SELECT source, n, agree, a1 AS rater_a_pos, b1 AS rater_b_pos,
+        |  CASE WHEN n * n <> a1 * b1 + (n - a1) * (n - b1)
+        |    THEN round(CAST(n * agree - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) /
+        |               (n * n - (a1 * b1 + (n - a1) * (n - b1))), 6) END AS kappa
+        |FROM c""".stripMargin) { (spark, dir) =>
+      val t = Tables.load(spark, dir, "documents").select(
+        col("source"),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("a"),
+        when(TextAnalysis.tokenCountWs(col("text")) >= 40, 1L).otherwise(0L).as("b"))
+      val c = t.groupBy(col("source")).agg(
+        count(lit(1)).as("n"), sum(col("a")).as("a1"), sum(col("b")).as("b1"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      val chance = col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1"))
+      c.select(col("source"), col("n"), col("agree"),
+        col("a1").as("rater_a_pos"), col("b1").as("rater_b_pos"),
+        // a group where chance agreement is certain (pe = 1) has no
+        // defined kappa — emit NULL instead of a cross-engine-divergent
+        // division by zero
+        when(col("n") * col("n") =!= chance,
+          round((col("n") * col("agree") - chance).cast("double") /
+            (col("n") * col("n") - chance), 6)).as("kappa"))
+    },
+
     // TF-IDF top terms per document — the classic distributed text-weighting
     // pipeline: explode terms → per-doc term frequencies (shuffle 1) →
     // document frequencies (shuffle 2) → score join (term-keyed; the DF side
