@@ -1347,5 +1347,40 @@ object FilterJoinQueries {
           estimate >= exact.toDouble,
           estimate <= exact.toDouble + eps * na.toDouble * nb.toDouble))
         .toDF("join_id", "exact_rows", "cms_one_sided", "cms_eps_tight")
+    },
+
+    // Q8: incremental rollup maintenance — the daily-delta shape: the
+    // per-priority revenue rollup is maintained as a mergeable STATE
+    // (counts + exact decimal sums), a delta batch (here orders with
+    // o_orderkey % 10 >= 8, plus a RETRACTION of the '5-LOW' slice as
+    // negative-delta rows) is aggregated at delta scale and merged in —
+    // |delta| + |keys| work, the base is never re-scanned. The oracle is
+    // the full recompute over the equivalent final row set, so the gate
+    // proves maintained-state == recompute bit-for-bit (decimal sums
+    // merge associatively; only the final value lowers to double).
+    QueryDef.sql(
+      "q8_incremental_rollup",
+      """WITH fin AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey % 10 < 8 AND o_orderpriority = '5-LOW'))
+        |SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM fin GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import graft.operators.IncrementalAgg
+      val orders = Tables.load(spark, dir, "orders")
+      def agged(df: org.apache.spark.sql.DataFrame, sign: Int) =
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg((count(lit(1)) * sign).as("n"),
+            (sum(Num.dec2(col("o_totalprice"))) * sign).as("revenue_dec"))
+      val base = orders.filter(col("o_orderkey") % 10 < 8)
+      val state = agged(base, 1)
+      val delta = agged(orders.filter(col("o_orderkey") % 10 >= 8), 1)
+      // CDC retraction: the base's 5-LOW slice is deleted — negative rows
+      val retract = agged(base.filter(col("o_orderpriority") === "5-LOW"), -1)
+      val merged = IncrementalAgg.merge(
+        state, delta.unionByName(retract),
+        keys = Seq("priority"), measures = Seq("n", "revenue_dec"), countCol = "n")
+      merged.select(col("priority"), col("n"),
+        col("revenue_dec").cast("double").as("revenue"))
     })
 }
