@@ -1043,5 +1043,54 @@ object AggWindowQueries {
           cust.agg(count(lit(1)).as("total_rows"))))
         .select(col("nationkey"), col("mktsegment"), col("class_size"),
           (col("class_size") < 5).as("at_risk"), col("total_rows"), col("k_anonymity"))
+    },
+
+    // A31: the HASHED half of a11 (the q7 bound-audit pattern): DuckDB
+    // can't build the HLL sketch, but the exact distinct count is SQL and
+    // the sketch's ±5% accuracy contract is assertable as a TRUE literal —
+    // so the driver's hash gate cross-validates every group's estimate
+    // against the exact count. The exact COUNT(DISTINCT) here is audit
+    // machinery, not the scale path (the sketch exists precisely to avoid
+    // that shuffle in production); the comparison is exact-integer
+    // (|approx − exact|·20 ≤ exact), no IEEE division.
+    QueryDef.sql(
+      "a31_hll_bound_audit",
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
+            .as("within_5pct"))
+    },
+
+    // A32: the HASHED half of a13 — the GK sketch's rank guarantee as an
+    // oracled boolean: with accuracy 10000 (eps = 1e-4), the value
+    // percentile_approx returns for q=0.5 must cover a rank within
+    // (0.5 ± eps)·n, i.e. count(v < ap)·10000 ≤ 5001·n AND
+    // count(v ≤ ap)·10000 ≥ 4999·n — exact integer arithmetic on both
+    // sides of each inequality, so the audit hashes deterministically.
+    QueryDef.sql(
+      "a32_gk_bound_audit",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val ap = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap"))
+      ev.join(broadcast(ap), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("ap"), 1)).as("below"),
+          count(when(col("value") <= col("ap"), 1)).as("at_or_below"))
+        .select(col("event_type"), col("n"),
+          (col("below") * 10000 <= col("n") * 5001 &&
+            col("at_or_below") * 10000 >= col("n") * 4999).as("rank_ok"))
     })
 }

@@ -938,6 +938,41 @@ object DedupQueries {
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 40).as("title")),
         maxDist = 8, maxBlock = maxBlock)
+    },
+
+    // D41: the HASHED half of d2 (the q7/a31 bound-audit pattern) — the
+    // MinHash recall THEOREM oracled: identical content hashes to an
+    // identical shingle set, hence an identical 64-perm signature, hence
+    // every band collides — an exact duplicate can NEVER be missed by the
+    // LSH route. The corpus can't supply exact dups (all 500 sf0.01 docs
+    // are distinct), so the pair fixture is constructed in-query from
+    // doc_id < 100 copies — SQL-expressible, so the pair list itself
+    // hashes against the oracle and the two theorem booleans hash as TRUE
+    // literals. This pins the seeded hash family's determinism ACROSS
+    // ROWS (same text → same signature regardless of which task computes
+    // it), which the rows-only d2 gate could only count.
+    QueryDef.sql(
+      "d41_minhash_exactdup_audit",
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+        |  TRUE AS sig_equal, TRUE AS all_bands_collide
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (spark, dir) =>
+      val base = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val union = base.unionAll(
+        base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sigs = union.select(
+        col("doc_id"),
+        MinHashLSH.minhashes(
+          array_distinct(HashedWordShingles(col("text"), 3)), k = 64).as("sig"))
+      val withBands = sigs.withColumn(
+        "bands", MinHashLSH.bandSignatures(col("sig"), bands = 16, rowsPerBand = 4))
+      withBands.select(col("doc_id").as("id_a"), col("sig").as("sa"), col("bands").as("ba"))
+        .join(withBands.select((col("doc_id") - 10000).as("id_a"),
+          col("sig").as("sb"), col("bands").as("bb"), col("doc_id").as("id_b")),
+          Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          (col("sa") === col("sb")).as("sig_equal"),
+          (col("ba") === col("bb")).as("all_bands_collide"))
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with
