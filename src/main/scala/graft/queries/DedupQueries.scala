@@ -973,6 +973,33 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"),
           (col("sa") === col("sb")).as("sig_equal"),
           (col("ba") === col("bb")).as("all_bands_collide"))
+    },
+
+    // D42: the SimHash twin of d41 — identical text folds to an identical
+    // 64-bit simhash, so the exact-dup pair's Hamming distance is
+    // provably 0 and the banded route can never miss it. The Hamming
+    // value itself hashes (as the integer 0), not just a boolean, so a
+    // drifting signature implementation fails the gate on a value, not a
+    // flag.
+    QueryDef.sql(
+      "d42_simhash_exactdup_audit",
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+        |  TRUE AS sig_equal, CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (spark, dir) =>
+      val base = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val union = base.unionAll(
+        base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val sigs = union.select(
+        col("doc_id"),
+        SimHash.simhash64(
+          transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("sim"))
+      sigs.select(col("doc_id").as("id_a"), col("sim").as("sa"))
+        .join(sigs.select((col("doc_id") - 10000).as("id_a"),
+          col("sim").as("sb"), col("doc_id").as("id_b")), Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          (col("sa") === col("sb")).as("sig_equal"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with

@@ -71,6 +71,37 @@ object SimilarityQueries {
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", k = 3)
     },
 
+    // D43: the ANN twin of d41/d42 — both approximate routes' exact-copy
+    // recall THEOREMS, driver-hashed: an identical vector has an identical
+    // hyperplane signature (same bucket in every LSH table) and the same
+    // nearest IVF centroid (same probed cell), so a planted exact copy
+    // can never be missed, and at cosine 1.0 it outranks every genuine
+    // neighbor — top-1 of each original MUST be its twin on both routes.
+    // The twin-id arithmetic is SQL, so the assignment itself hashes, not
+    // just a count.
+    QueryDef.sql(
+      "d43_ann_exactdup_audit",
+      """SELECT vec_id, vec_id + 1000000 AS twin_id,
+        |  TRUE AS lsh_top1_is_twin, TRUE AS ivf_top1_is_twin
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (spark, dir) =>
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val twins = vecs.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val aug = vecs.unionAll(twins)
+      def top1(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("rk") === 1 && col("vec_id") < 100)
+        .select(col("vec_id"), col("neighbor_id"))
+      val lsh = top1(Similarity.lshTopK(aug, "vec_id", "embedding", dim = DIM, k = 1))
+        .withColumnRenamed("neighbor_id", "lsh_n")
+      val ivf = top1(Similarity.ivfTopK(aug, "vec_id", "embedding", k = 1))
+        .withColumnRenamed("neighbor_id", "ivf_n")
+      lsh.join(ivf, Seq("vec_id"))
+        .select(col("vec_id"), (col("vec_id") + 1000000).as("twin_id"),
+          (col("lsh_n") === col("vec_id") + 1000000).as("lsh_top1_is_twin"),
+          (col("ivf_n") === col("vec_id") + 1000000).as("ivf_top1_is_twin"))
+    },
+
     // Embedding-cosine near-dup pairs (the dedup flavor): exact, symmetric
     // output (id_a < id_b), high threshold.
     QueryDef.sql(

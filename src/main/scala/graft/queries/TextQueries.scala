@@ -281,6 +281,79 @@ object TextQueries {
       feats.join(frames, "media_id")
     },
 
+    // T43: the sampler laws (t6/t21's hashed audit): the deterministic
+    // hash-threshold design makes three properties THEOREMS — rate 1.0
+    // keeps everything and an absent stratum keeps nothing (threshold
+    // compare against 1.0 / 0.0), nested rates nest their samples
+    // (hash < 0.2 ⟹ hash < 0.5, so the 20% sample is a subset of the
+    // 50% one — the reproducible-curriculum property), and re-evaluation
+    // returns the identical set (pure function of id+seed). Each hashes
+    // as a per-source boolean next to the oracled stratum size.
+    QueryDef.sql(
+      "t43_sampler_invariants",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  TRUE AS full_rate_keeps_all, TRUE AS absent_stratum_empty,
+        |  TRUE AS nested_rates_nest, TRUE AS rerun_identical
+        |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import graft.functions.Sampling
+      val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
+      val full = Sampling.sample(docs, 1.0, seed = 7, col("doc_id"))
+      val absent = Sampling.stratifiedSample(
+        docs, col("source"), Map("no_such_source" -> 1.0), seed = 7, col("doc_id"))
+      val s20 = Sampling.sample(docs, 0.2, seed = 7, col("doc_id"))
+      val s50 = Sampling.sample(docs, 0.5, seed = 7, col("doc_id"))
+      val s20b = Sampling.sample(docs, 0.2, seed = 7, col("doc_id"))
+      def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(as))
+      val tot = cnt(docs, "n_total")
+      val esc20 = s20.join(s50, Seq("doc_id"), "left_anti") // rows of s20 not in s50
+      val diff = s20.select(col("doc_id")).exceptAll(s20b.select(col("doc_id")))
+      tot
+        .join(cnt(full, "n_full"), Seq("source"), "left")
+        .join(cnt(absent, "n_absent"), Seq("source"), "left")
+        .join(cnt(esc20, "n_escape"), Seq("source"), "left")
+        .join(cnt(diff.join(docs, Seq("doc_id")), "n_diff"), Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          (coalesce(col("n_full"), lit(0L)) === col("n_total")).as("full_rate_keeps_all"),
+          (coalesce(col("n_absent"), lit(0L)) === 0L).as("absent_stratum_empty"),
+          (coalesce(col("n_escape"), lit(0L)) === 0L).as("nested_rates_nest"),
+          (coalesce(col("n_diff"), lit(0L)) === 0L).as("rerun_identical"))
+    },
+
+    // M7: the media-decode VALUE gate (the bound-audit pattern crossing
+    // into binary payloads): the synthetic WAV/AVI corpora declare their
+    // shapes by closed-form arithmetic over the media id, which DuckDB
+    // can generate from range() — so the REAL chunk-walk/JPEG decode's
+    // outputs (frames, channels, width, height, demuxed frame count)
+    // hash against the formulas value-for-value. A decoder that drifts
+    // by one frame or swaps a dimension now fails the driver gate, not
+    // just a local spec.
+    QueryDef.sql(
+      "m7_container_metadata_audit",
+      """SELECT CAST(id AS BIGINT) AS media_id, 'audio' AS kind,
+        |  CAST(64 + id % 128 AS INT) AS dim1, CAST(1 + id % 2 AS INT) AS dim2,
+        |  CAST(NULL AS INT) AS n_frames
+        |FROM range(24) t(id)
+        |UNION ALL
+        |SELECT CAST(id + 1000 AS BIGINT), 'video',
+        |  CAST(16 + (id % 3) * 8 AS INT), CAST(16 + (id % 2) * 8 AS INT),
+        |  CAST(2 + id % 4 AS INT)
+        |FROM range(24) t(id)""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.extractFeatures(Multimodal.synthesizeWavCorpus(spark, 24))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width").as("dim1"),
+          col("height").as("dim2"), lit(null).cast("int").as("n_frames"))
+      val aviMedia = Multimodal.synthesizeAviCorpus(spark, 24)
+      val aviFrames = Multimodal.sampleAviFrames(aviMedia, everyN = 1).toDF()
+        .groupBy(col("media_id")).agg(count(lit(1)).cast("int").as("n_frames"))
+      val avi = Multimodal.extractFeatures(aviMedia).toDF()
+        .join(aviFrames, Seq("media_id"))
+        .select((col("media_id") + 1000).as("media_id"), col("kind"),
+          col("width").as("dim1"), col("height").as("dim2"), col("n_frames"))
+      wav.unionAll(avi)
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
