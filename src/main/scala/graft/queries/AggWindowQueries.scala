@@ -1045,6 +1045,30 @@ object AggWindowQueries {
           (col("class_size") < 5).as("at_risk"), col("total_rows"), col("k_anonymity"))
     },
 
+    // A33: l-diversity — k-anonymity's stronger sibling: a class that is
+    // large enough (k-anonymous) can still leak if every member shares
+    // the same SENSITIVE value, so the gate also requires ≥ l distinct
+    // sensitive values per quasi-identifier class. Same scale shape as
+    // a30: one aggregate at QI cardinality (count + distinct-sensitive
+    // per class), record rows never shuffle beyond their map-side
+    // combine. l = 3.
+    QueryDef.sql(
+      "a33_l_diversity",
+      """SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+        |  COUNT(*) AS class_size,
+        |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) AS BIGINT) AS l_distinct,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) < 3 AS below_l
+        |FROM customer GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val sensitive = floor(col("c_acctbal") / 1000).cast("int")
+      Tables.load(spark, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("class_size"),
+          count_distinct(sensitive).as("l_distinct"))
+        .select(col("nationkey"), col("mktsegment"), col("class_size"),
+          col("l_distinct"), (col("l_distinct") < 3).as("below_l"))
+    },
+
     // A31: the HASHED half of a11 (the q7 bound-audit pattern): DuckDB
     // can't build the HLL sketch, but the exact distinct count is SQL and
     // the sketch's ±5% accuracy contract is assertable as a TRUE literal —

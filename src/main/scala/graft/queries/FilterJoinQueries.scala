@@ -1382,5 +1382,50 @@ object FilterJoinQueries {
         keys = Seq("priority"), measures = Seq("n", "revenue_dec"), countCol = "n")
       merged.select(col("priority"), col("n"),
         col("revenue_dec").cast("double").as("revenue"))
+    },
+
+    // Q9: column profile — the schema-profiling complement to q5's FD
+    // audit: per column, row count, null count, exact distinct count, and
+    // min/max (serialized to strings so one report schema covers integer
+    // and text columns; ASCII-only values keep binary order == DuckDB
+    // collation). ONE scan computes every measure in a single aggregate
+    // row which then unpivots to the per-column report — profiling N
+    // columns costs one pass, not N.
+    QueryDef.sql(
+      "q9_column_profile",
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        |  COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+        |  COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+        |    MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+        |  COUNT(o_orderpriority) AS c4, COUNT(DISTINCT o_orderpriority) AS d4,
+        |    MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n, n - c1 AS n_null, d1 AS n_distinct,
+        |       mn1 AS min_value, mx1 AS max_value FROM a
+        |UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'o_orderpriority', n, n - c4, d4, mn4, mx4 FROM a""".stripMargin) { (spark, dir) =>
+      val o = Tables.load(spark, dir, "orders")
+      val a = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("c1"), count_distinct(col("o_orderkey")).as("d1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("c2"), count_distinct(col("o_custkey")).as("d2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderstatus")).as("c3"), count_distinct(col("o_orderstatus")).as("d3"),
+        min(col("o_orderstatus")).as("mn3"), max(col("o_orderstatus")).as("mx3"),
+        count(col("o_orderpriority")).as("c4"), count_distinct(col("o_orderpriority")).as("d4"),
+        min(col("o_orderpriority")).as("mn4"), max(col("o_orderpriority")).as("mx4"))
+      def row(name: String, i: Int) = a.select(
+        lit(name).as("column_name"), col("n"),
+        (col("n") - col(s"c$i")).as("n_null"), col(s"d$i").as("n_distinct"),
+        col(s"mn$i").as("min_value"), col(s"mx$i").as("max_value"))
+      row("o_orderkey", 1).unionAll(row("o_custkey", 2))
+        .unionAll(row("o_orderstatus", 3)).unionAll(row("o_orderpriority", 4))
     })
 }
