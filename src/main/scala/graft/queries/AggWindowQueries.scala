@@ -1037,12 +1037,16 @@ object AggWindowQueries {
       val cls = cust.groupBy(col("c_nationkey").as("nationkey"),
           col("c_mktsegment").as("mktsegment"))
         .agg(count(lit(1)).as("class_size"))
-      cls.crossJoin(broadcast(
-          cls.agg(min(col("class_size")).as("k_anonymity"))))
-        .crossJoin(broadcast(
-          cust.agg(count(lit(1)).as("total_rows"))))
-        .select(col("nationkey"), col("mktsegment"), col("class_size"),
-          (col("class_size") < 5).as("at_risk"), col("total_rows"), col("k_anonymity"))
+      // total_rows and the k-anonymity level both DERIVE from the class
+      // frame (Σ class_size and min class_size), so one global window
+      // over QI-cardinality rows replaces two extra source scans — the
+      // SinglePartition exchange it plans is bounded by the number of
+      // distinct QI classes, never by record count.
+      val wAll = Window.partitionBy()
+      cls.select(col("nationkey"), col("mktsegment"), col("class_size"),
+        (col("class_size") < 5).as("at_risk"),
+        sum(col("class_size")).over(wAll).as("total_rows"),
+        min(col("class_size")).over(wAll).as("k_anonymity"))
     },
 
     // A33: l-diversity — k-anonymity's stronger sibling: a class that is

@@ -1421,11 +1421,17 @@ object FilterJoinQueries {
         min(col("o_orderstatus")).as("mn3"), max(col("o_orderstatus")).as("mx3"),
         count(col("o_orderpriority")).as("c4"), count_distinct(col("o_orderpriority")).as("d4"),
         min(col("o_orderpriority")).as("mn4"), max(col("o_orderpriority")).as("mx4"))
-      def row(name: String, i: Int) = a.select(
-        lit(name).as("column_name"), col("n"),
+      // Unpivot by EXPLODING structs over the single aggregate row — a
+      // union of per-column selects would reference the agg subtree once
+      // per column and Spark re-executes it each time (4 scans, measured);
+      // this keeps exactly one scan + one aggregate in the plan.
+      def entry(name: String, i: Int) = struct(
+        lit(name).as("column_name"), col("n").as("n"),
         (col("n") - col(s"c$i")).as("n_null"), col(s"d$i").as("n_distinct"),
         col(s"mn$i").as("min_value"), col(s"mx$i").as("max_value"))
-      row("o_orderkey", 1).unionAll(row("o_custkey", 2))
-        .unionAll(row("o_orderstatus", 3)).unionAll(row("o_orderpriority", 4))
+      a.select(explode(array(
+          entry("o_orderkey", 1), entry("o_custkey", 2),
+          entry("o_orderstatus", 3), entry("o_orderpriority", 4))).as("r"))
+        .select(col("r.*"))
     })
 }
