@@ -61,7 +61,16 @@ object Bench {
     "j21_geo_grid_join",
     "d38_corpus_drift",
     // the iterative closure-doubling rollup — log-depth self-join rounds
-    "h2_subtree_rollup")
+    "h2_subtree_rollup",
+    // r11: the round's new shapes — delta-merge rollup maintenance, the
+    // QI-window privacy audit, the real JPEG-decode multimodal lane
+    // (CPU-bound codec work inside mapPartitions, a profile no other
+    // bench query has), and the double-ANN twin audit (LSH + IVF in one
+    // plan).
+    "q8_incremental_rollup",
+    "a30_k_anonymity",
+    "m7_container_metadata_audit",
+    "d43_ann_exactdup_audit")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers
