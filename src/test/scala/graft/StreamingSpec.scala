@@ -386,4 +386,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(1).user_id == 2L && closed(1).n_events == 1L && closed(1).session_start == ts(0))
     spark.streams.active.foreach(_.stop())
   }
+
+  test("streaming maintained rollup == IncrementalAgg delta chain == full recompute") {
+    // Three formulations of the same maintained aggregate must agree
+    // exactly: Structured Streaming's own incremental state (complete
+    // mode), the batch IncrementalAgg.merge of the per-batch deltas (the
+    // q8 operator), and a full recompute over everything — the
+    // batch/stream coherence contract for rollup maintenance.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val batch1 = Seq(("a", 1.25), ("b", 2.50), ("a", 3.75))
+    val batch2 = Seq(("b", 10.00), ("c", 0.25), ("a", 4.00))
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val rolled = mem.toDF().toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("s"))
+    val q = rolled.writeStream.format("memory").queryName("rollup_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("n").cast("long"), col("s").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = snap(spark.table("rollup_test"))
+    def agged(rows: Seq[(String, Double)]) = rows.toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("s"))
+    val maintained = graft.operators.IncrementalAgg.merge(
+      agged(batch1), agged(batch2), keys = Seq("k"), measures = Seq("n", "s"),
+      countCol = "n")
+    val recompute = agged(batch1 ++ batch2)
+    assert(streamed == snap(maintained) && streamed == snap(recompute))
+    assert(streamed == Set(("a", 3L, 9.0), ("b", 2L, 12.5), ("c", 1L, 0.25)))
+    spark.streams.active.foreach(_.stop())
+  }
 }
