@@ -12,8 +12,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // stderr timing line per query: the cheap way to spot a
+        // pathological non-headline query at any SF (the driver parses
+        // stdout only)
+        System.err.println(f"[verify-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -123,7 +123,12 @@ object TextAnalysis {
   def rollingHash(text: Column): Column = {
     val canon = regexp_replace(
       regexp_replace(lower(trim(text)), "\\s+", " "), "[^\\x00-\\x7F]", "?")
-    val codes = transform(sequence(lit(1), length(canon)), i => ascii(canon.substr(i, lit(1))))
-    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L)))
+    // Native one-pass fold (expr.PolynomialHash). The HOF formulation —
+    // transform(sequence(1, length), i => ascii(substr(i, 1))) reduced by
+    // aggregate — re-runs its interpreted lambda per CHARACTER with an
+    // O(position) substr: O(len²)/doc, 16 s of the sf0.1 verify pass.
+    // Identical values (TextAnalysisSpec pins native == HOF): canon is
+    // ASCII-folded, where the byte loop equals the code-point loop.
+    graft.functions.expr.PolynomialHash(canon)
   }
 }

@@ -116,6 +116,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("native polynomial hash == the HOF aggregate formulation it replaced") {
+    // The O(len²) transform/aggregate chain the native expression
+    // replaced stays here as the cross-check, including the non-ASCII
+    // fold path ('é' → '?') and an all-whitespace edge.
+    val texts = Seq("Some  Text\nwith   Whitespace", "café crème ÉTÉ",
+      "   ", "a", "the same phrase the same phrase")
+    val df = texts.toDF("t")
+    val canon = regexp_replace(
+      regexp_replace(lower(trim(col("t"))), "\\s+", " "), "[^\\x00-\\x7F]", "?")
+    val codes = transform(sequence(lit(1), length(canon)), i => ascii(canon.substr(i, lit(1))))
+    val hof = df.select(
+      aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L))))
+      .collect().map(_.getLong(0)).toSeq
+    val native = df.select(TextAnalysis.rollingHash(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+  }
+
+  test("polynomial hash refuses non-ASCII-folded input loudly") {
+    val e = intercept[Exception] {
+      Seq("naïve").toDF("t")
+        .select(graft.functions.expr.PolynomialHash(col("t"))).head()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("ASCII-folded"))
+  }
+
   test("shingle DF cap kills planted stop-phrase fan-out, keeps real near-dups") {
     // 20 docs whose ONLY cross-document shingle is one stop 3-gram
     // (everything else carries a per-doc unique token), plus one genuine
