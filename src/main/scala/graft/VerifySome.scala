@@ -16,8 +16,10 @@ object VerifySome {
     val spark = graft.engine.GraftSession.local("graft-verify-some")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
+      val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
         .mode("overwrite").parquet(s"$outDir/$name")
+      System.err.println(f"[verify-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

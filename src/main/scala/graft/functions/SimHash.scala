@@ -4,15 +4,24 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** 64-bit SimHash over hashed tokens/shingles, plus Hamming distance —
-  * all native expressions (single-pass `aggregate` with a 64-slot counter
-  * array), no shuffle, no UDF.
+  * no shuffle, no UDF. The signature itself is the codegen-adjacent
+  * native expression [[graft.functions.expr.SimHash64]] (one tight loop
+  * per row); the original HOF fold stays as [[simhash64Hof]] for the
+  * bit-equality pin in DedupSpec.
   */
 object SimHash {
 
   /** SimHash of an array<long> of feature hashes: for each of the 64 bits,
     * sum +1/-1 across features by bit value; the sign vector is the hash.
     * Returned as a signed 64-bit long. */
-  def simhash64(hashed: Column): Column = {
+  def simhash64(hashed: Column): Column =
+    graft.functions.expr.SimHash64(hashed)
+
+  /** The HOF formulation simhash64 replaced — O(features × 64) interpreted
+    * dispatches per row, ~4 s of the sf0.1 d3 pass. Kept (test scope) so
+    * the native loop stays pinned bit-identical to the declarative
+    * definition. */
+  private[graft] def simhash64Hof(hashed: Column): Column = {
     // counters[i] += (feature >> i) & 1 == 1 ? 1 : -1, one pass over
     // features; bit positions unrolled statically (shiftright needs a
     // literal shift amount).

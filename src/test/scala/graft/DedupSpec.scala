@@ -134,6 +134,24 @@ class DedupSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("native simhash64 == the HOF fold it replaced, bit for bit (nulls included)") {
+    val rows = Seq(
+      Seq[java.lang.Long](1L, 2L, 3L, -7L),
+      Seq[java.lang.Long](Long.MaxValue, Long.MinValue, 0L),
+      Seq[java.lang.Long](5L, null, 5L), // null feature: -1 to every counter
+      Seq[java.lang.Long]())
+    val df = rows.toDF("hs")
+    val native = df.select(SimHash.simhash64(col("hs"))).collect().map(_.getLong(0)).toSeq
+    val hof = df.select(SimHash.simhash64Hof(col("hs"))).collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+    // and over real tokenized text
+    val texty = docs.select(
+      SimHash.simhash64(transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("a"),
+      SimHash.simhash64Hof(transform(TextTokens.tokens(col("text")), t => xxhash64(t))).as("b"))
+      .collect()
+    texty.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("polynomial hash refuses non-ASCII-folded input loudly") {
     val e = intercept[Exception] {
       Seq("naïve").toDF("t")
