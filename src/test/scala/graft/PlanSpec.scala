@@ -483,4 +483,19 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
       s"c_ab, c_w, and N must all read the shared cached frame:\n$p")
   }
+
+  test("t4/d3 run their native one-pass expressions, not the HOF folds they replaced") {
+    // The HOF formulations are O(len²)/O(features×64) interpreted loops
+    // (16 s and 4 s of the sf0.1 verify pass respectively); a refactor
+    // that silently reverts to transform/aggregate shows up here as the
+    // native expression vanishing from the executed plan.
+    val t4 = planOf("t4_fingerprint")
+    assert(t4.contains("graft_polynomial_hash"),
+      s"t4 must fingerprint via the native PolynomialHash expression:\n$t4")
+    assert(!t4.contains("aggregate(transform(sequence"),
+      "t4 must not re-introduce the per-character HOF fold")
+    val d3 = planOf("d3_simhash_pairs")
+    assert(d3.contains("graft_simhash64"),
+      s"d3 must sign via the native SimHash64 expression:\n$d3")
+  }
 }
