@@ -617,6 +617,10 @@ object DedupQueries {
         }.mkString(",\n")
         s"$pairGraph,\n$rounds\nSELECT v AS doc_id, r AS rank_fp FROM r5"
       }) { (spark, dir) =>
+      // NOT cached (measured): PageRank's edges.persist() materializes
+      // the union once, and ReuseExchange already dedupes the shingle
+      // self-join exchange across the two branches — inserting an
+      // InMemoryRelation boundary here measured 7 s → 23 s at sf0.1.
       val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -789,7 +793,10 @@ object DedupQueries {
          |FROM cl JOIN ed ON cl.component = ed.component
          |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val pairs = jaccardPairs(spark, dir)
+      // cached: consumed by BOTH the component contraction and the ed
+      // join-back — uncached, the shingle-pair stage ran twice (6.6 s →
+      // the stage cost once; post-threshold pairs are output-proportional)
+      val pairs = graft.engine.BoundedCaches.persist(jaccardPairs(spark, dir))
       val comp = graft.operators.ConnectedComponents.minLabel(
         docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("label").as("component"))
@@ -876,7 +883,7 @@ object DedupQueries {
          |        GROUP BY 1)
          |SELECT degree, COUNT(*) AS n_nodes, MIN(id) AS example_node
          |FROM deg GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val pairs = jaccardPairs(spark, dir)
+      val pairs = graft.engine.BoundedCaches.persist(jaccardPairs(spark, dir))
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
