@@ -402,6 +402,85 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize for decodable payloads (PNG/GIF/BMP in, PNG out):
+    * decode with `javax.imageio`, rescale with an area-averaging
+    * `Graphics2D` draw, re-encode as PNG — an actually-resized image any
+    * downstream tool reads, not a header rewrite. Same per-partition
+    * amortization and `MediaRow` in/out chaining as [[resize]] (which
+    * remains the synthetic-`GM`-corpus path). PNG encode is lossless, so
+    * a solid-color input stays that color pixel-for-pixel through the
+    * round trip — pinned in MultimodalSpec. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"media ${r.media_id}: undecodable image payload")
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(r.media_id, r.kind, targetW, targetH, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio downsample for RIFF/PCM WAV: keep every `factor`-th frame
+    * (all channels of it), rewrite the fmt/data chunks with the new rate
+    * and sizes — pure byte arithmetic on the same chunk walk the decoder
+    * uses. Output frames = ⌈frames / factor⌉ (frame 0 always kept), a
+    * closed form the m8 audit oracles. */
+  def resampleWav(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.mapPartitions { rows =>
+      val dec = new WavDecoder
+      rows.map { r =>
+        val (frames, channels, _) = dec.decode(r.payload)
+        // re-walk for the raw data chunk + sample rate
+        def u16(o: Int): Int = (r.payload(o) & 0xff) | ((r.payload(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+        var off = 12; var dataOff = -1; var dataLen = 0; var rate = 8000
+        var bits = 16
+        while (off + 8 <= r.payload.length && dataOff < 0) {
+          val id = new String(r.payload, off, 4, "US-ASCII")
+          val sz = u32(off + 4).toInt
+          if (id == "fmt ") { rate = u32(off + 12).toInt; bits = u16(off + 22) }
+          else if (id == "data") {
+            dataOff = off + 8; dataLen = math.min(sz, r.payload.length - dataOff)
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        val bytesPerFrame = channels * (bits / 8)
+        val outFrames = (frames + factor - 1) / factor
+        val pcm = new Array[Byte](outFrames * bytesPerFrame)
+        var i = 0
+        while (i < outFrames) {
+          System.arraycopy(r.payload, dataOff + i * factor * bytesPerFrame,
+            pcm, i * bytesPerFrame, bytesPerFrame)
+          i += 1
+        }
+        def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        val newRate = math.max(1, rate / factor)
+        val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+          le32(newRate) ++ le32(newRate * bytesPerFrame) ++
+          le16(bytesPerFrame) ++ le16(bits)
+        val data = "data".getBytes ++ le32(pcm.length) ++ pcm
+        val body = "WAVE".getBytes ++ fmt ++ data
+        MediaRow(r.media_id, r.kind, outFrames, channels,
+          "RIFF".getBytes ++ le32(body.length) ++ body)
+      }
+    }
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: one video row explodes to every `everyN`-th frame —

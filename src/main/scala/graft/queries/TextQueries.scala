@@ -362,6 +362,40 @@ object TextQueries {
       wav.unionAll(avi)
     },
 
+    // M8: the transform half of the media audit — REAL resample/resize
+    // outputs re-DECODED and hashed against closed-form expectations:
+    // every 3rd-frame WAV decimation must decode to ⌈frames/3⌉ frames with
+    // channels preserved (the rewritten RIFF container goes back through
+    // the genuine chunk walk), and the AVI corpora's demuxed first frames,
+    // bilinear-rescaled and re-encoded as PNG, must decode to exactly the
+    // target dims via javax.imageio. A transform that corrupts its
+    // container or fudges a dimension fails the driver gate on values.
+    QueryDef.sql(
+      "m8_media_transform_audit",
+      """SELECT CAST(id AS BIGINT) AS media_id, 'audio' AS kind,
+        |  CAST((64 + id % 128 + 2) // 3 AS INT) AS dim1,
+        |  CAST(1 + id % 2 AS INT) AS dim2
+        |FROM range(24) t(id)
+        |UNION ALL
+        |SELECT CAST(id + 1000 AS BIGINT), 'image', CAST(8 AS INT), CAST(8 AS INT)
+        |FROM range(24) t(id)""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val wav = Multimodal.extractFeatures(
+          Multimodal.resampleWav(Multimodal.synthesizeWavCorpus(spark, 24), factor = 3))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").as("dim1"), col("height").as("dim2"))
+      import spark.implicits._
+      val firstFrames = Multimodal.sampleAviFrames(
+          Multimodal.synthesizeAviCorpus(spark, 24), everyN = 100)
+        .map(f => Multimodal.MediaRow(f.media_id + 1000, "image", 0, 0, f.frame))
+      val resized = Multimodal.extractFeatures(
+          Multimodal.resizeImages(firstFrames, 8, 8)).toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").as("dim1"), col("height").as("dim2"))
+      wav.unionAll(resized)
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data

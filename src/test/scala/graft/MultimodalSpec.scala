@@ -188,6 +188,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("REAL image resize: pixels actually rescale; solid color survives the PNG round trip") {
+    import spark.implicits._
+    // 32×16 solid gray (g=120, bucket 7) PNG, resized to 8×8
+    val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics(); g2.setColor(new java.awt.Color(120, 120, 120))
+    g2.fillRect(0, 0, 32, 16); g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRow(7L, "image", 32, 16, bos.toByteArray)).toDS()
+    val out = Multimodal.resizeImages(media, 8, 8).collect().head
+    assert(out.meta_width == 8 && out.meta_height == 8)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(decoded.getWidth == 8 && decoded.getHeight == 8)
+    // bilinear over a solid field is the same solid field, and PNG is
+    // lossless — every pixel must still be exactly (120,120,120)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((decoded.getRGB(x, y) & 0xffffff) == 0x787878, s"pixel ($x,$y)")
+  }
+
+  test("REAL WAV resample: ceil(frames/factor) kept, container re-decodes, rate rewritten") {
+    val media = Multimodal.synthesizeWavCorpus(spark, 6)
+    val out = Multimodal.resampleWav(media, factor = 3).collect().sortBy(_.media_id)
+    val dec = new Multimodal.WavDecoder
+    out.foreach { m =>
+      val origFrames = 64 + (m.media_id % 128).toInt
+      val (frames, channels, hist) = dec.decode(m.payload)
+      assert(frames == (origFrames + 2) / 3, s"media ${m.media_id}")
+      assert(channels == 1 + (m.media_id % 2).toInt)
+      assert(math.abs(hist.sum - 1.0) < 1e-9)
+      // sample rate field rewritten to rate/factor (8000 → 2666)
+      def u32(o: Int): Long = ((m.payload(o) & 0xffL)) | ((m.payload(o + 1) & 0xffL) << 8) |
+        ((m.payload(o + 2) & 0xffL) << 16) | ((m.payload(o + 3) & 0xffL) << 24)
+      assert(u32(24) == 8000 / 3, "fmt chunk sample rate")
+    }
+    // factor 1 is the identity on frames/channels
+    val id1 = Multimodal.resampleWav(media, factor = 1).collect().sortBy(_.media_id)
+    id1.foreach { m =>
+      val (frames, channels, _) = dec.decode(m.payload)
+      assert(frames == 64 + (m.media_id % 128).toInt && channels == 1 + (m.media_id % 2).toInt)
+    }
+  }
+
   test("corrupt AVI chunk sizes fail the decode instead of hanging the walk") {
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
