@@ -328,6 +328,46 @@ object TextQueries {
           (coalesce(col("n_diff"), lit(0L)) === 0L).as("rerun_identical"))
     },
 
+    // T44: the weighted sampler's laws (t21's hashed audit, completing the
+    // sampler family beside t43): Efraimidis–Spirakis A-ES keys are a pure
+    // function of (id, seed, weight), so re-evaluation returns the
+    // identical set; the key map u^(1/w) is monotone under weight scaling
+    // (w → c·w applies x → x^(1/c) to every key), so the selected set is
+    // weight-SCALE-invariant; and the sampler returns exactly k rows with
+    // every weight positive. Each law hashes as a boolean beside the
+    // oracled k and corpus size.
+    QueryDef.sql(
+      "t44_weighted_sampler_laws",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus, CAST(50 AS BIGINT) AS k,
+        |  TRUE AS exactly_k, TRUE AS scale_invariant, TRUE AS rerun_identical,
+        |  TRUE AS weights_positive
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.Sampling
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("w"))
+      def pick(weight: org.apache.spark.sql.Column) =
+        Sampling.weightedSample(docs, k = 50, seed = 11, weight, col("doc_id"))
+          .select(col("doc_id"))
+      val a = pick(col("w"))
+      val b = pick(col("w") * 1000.0) // scaled weights
+      val c = pick(col("w"))          // genuine re-evaluation
+      def sameSet(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        x.exceptAll(y).unionAll(y.exceptAll(x))
+          .agg(count(lit(1)).as("n"))
+      val kA = a.agg(count(lit(1)).as("ka"))
+      val wMin = docs.agg((min(col("w")) > 0).as("pos"))
+      docs.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(broadcast(kA))
+        .crossJoin(broadcast(sameSet(a, b).withColumnRenamed("n", "d_ab")))
+        .crossJoin(broadcast(sameSet(a, c).withColumnRenamed("n", "d_ac")))
+        .crossJoin(broadcast(wMin))
+        .select(col("n_corpus"), lit(50L).as("k"),
+          (col("ka") === least(lit(50L), col("n_corpus"))).as("exactly_k"),
+          (col("d_ab") === 0L).as("scale_invariant"),
+          (col("d_ac") === 0L).as("rerun_identical"),
+          col("pos").as("weights_positive"))
+    },
+
     // M7: the media-decode VALUE gate (the bound-audit pattern crossing
     // into binary payloads): the synthetic WAV/AVI corpora declare their
     // shapes by closed-form arithmetic over the media id, which DuckDB
