@@ -947,6 +947,43 @@ object DedupQueries {
         maxDist = 8, maxBlock = maxBlock)
     },
 
+    // D44: label-propagation communities over the 0.5-Jaccard near-dup
+    // graph — the density-based complement to d13's connected components
+    // (CC merges ANY connectivity into one component; LPA lets
+    // weakly-bridged dense regions keep distinct communities, the shape
+    // that matters when boilerplate bridges unrelated dup clusters).
+    // Deterministic variant: most-frequent neighbor label, ties to the
+    // SMALLEST label, 3 synchronous rounds, labels seeded with doc_id.
+    // The oracle unrolls the identical rounds as CTEs (the d21/d31
+    // truncated-iteration doctrine) — both engines compute the exact same
+    // recursion, hashed bit for bit.
+    QueryDef.sql(
+      "d44_label_propagation", {
+        val prefix =
+          s"""WITH $shingleGraphSql,
+             |pairs05 AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+             |            WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |e0 AS (SELECT id_a AS a, id_b AS b FROM pairs05 UNION ALL SELECT id_b, id_a FROM pairs05),
+             |lab0 AS (SELECT doc_id AS v, doc_id AS label FROM documents)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""cnt$i AS (SELECT e.b AS v, l.label, COUNT(*) AS c
+             |         FROM e0 e JOIN lab${i - 1} l ON l.v = e.a GROUP BY 1, 2),
+             |best$i AS (SELECT v, label FROM (
+             |           SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+             |           FROM cnt$i) WHERE rn = 1),
+             |lab$i AS (SELECT l.v, COALESCE(b.label, l.label) AS label
+             |         FROM lab${i - 1} l LEFT JOIN best$i b ON b.v = l.v)""".stripMargin
+        }.mkString(",\n")
+        s"$prefix,\n$rounds\nSELECT v AS doc_id, label AS community FROM lab3"
+      }) { (spark, dir) =>
+      graft.operators.LabelPropagation.run(
+        Tables.load(spark, dir, "documents").select(col("doc_id").as("v")),
+        jaccardPairs(spark, dir, threshold = 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst")),
+        rounds = 3)
+        .select(col("v").as("doc_id"), col("label").as("community"))
+    },
+
     // D41: the HASHED half of d2 (the q7/a31 bound-audit pattern) — the
     // MinHash recall THEOREM oracled: identical content hashes to an
     // identical shingle set, hence an identical 64-perm signature, hence
