@@ -49,8 +49,9 @@ class CoverageDocSpec extends AnyFunSuite {
     assert(ro.exists(_.group(1).toInt == nO),
       s"README oracled tally ${ro.map(_.group(1))} != $nO")
     val survey = read("SURVEY.md")
-    val sq = "ROUND-11 TOTALS so far: (\\d+) gated queries — (\\d+) oracled"
-      .r.findFirstMatchIn(survey)
+    // round-agnostic: the LAST "ROUND-N TOTALS so far" line is the live one
+    val sq = "ROUND-\\d+ TOTALS so far: (\\d+) gated queries — (\\d+) oracled"
+      .r.findAllMatchIn(survey).toSeq.lastOption
     assert(sq.exists(m => m.group(1).toInt == nQ && m.group(2).toInt == nO),
       s"SURVEY round tally ${sq.map(m => (m.group(1), m.group(2)))} != ($nQ, $nO)")
   }
