@@ -984,6 +984,95 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("label").as("community"))
     },
 
+    // D45: community QUALITY metrics over the d44 labeling — modularity
+    // terms and conductance per community, all in EXACT INTEGER algebra
+    // so the hashes cross engines: with m undirected edges, community
+    // internal-edge count e_c and degree sum d_c, the modularity term is
+    // (4·m·e_c − d_c²)/(4·m²) and conductance is cut_c/min(d_c, 2m−d_c)
+    // — each a SINGLE division of exact integers (the t41 kappa rule),
+    // plus the raw integers themselves so the gate hashes the algebra's
+    // inputs, not just its quotients. This is the measurement that
+    // justifies LPA next to CC: communities with high modularity / low
+    // conductance are the dense dup regions CC would have merged across
+    // boilerplate bridges.
+    QueryDef.sql(
+      "d45_community_modularity", {
+        val prefix =
+          s"""WITH $shingleGraphSql,
+             |pairs05 AS (SELECT id_a, id_b FROM p JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+             |            WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5),
+             |e0 AS (SELECT id_a AS a, id_b AS b FROM pairs05 UNION ALL SELECT id_b, id_a FROM pairs05),
+             |lab0 AS (SELECT doc_id AS v, doc_id AS label FROM documents)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""cnt$i AS (SELECT e.b AS v, l.label, COUNT(*) AS c
+             |         FROM e0 e JOIN lab${i - 1} l ON l.v = e.a GROUP BY 1, 2),
+             |best$i AS (SELECT v, label FROM (
+             |           SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+             |           FROM cnt$i) WHERE rn = 1),
+             |lab$i AS (SELECT l.v, COALESCE(b.label, l.label) AS label
+             |         FROM lab${i - 1} l LEFT JOIN best$i b ON b.v = l.v)""".stripMargin
+        }.mkString(",\n")
+        s"""$prefix,
+           |$rounds,
+           |mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM e0),
+           |le AS (SELECT la.label AS ca, lb.label AS cb
+           |       FROM e0 e JOIN lab3 la ON la.v = e.a JOIN lab3 lb ON lb.v = e.b),
+           |cs AS (SELECT ca AS community,
+           |         CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) / 2 AS BIGINT) AS internal_edges,
+           |         CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+           |         CAST(COUNT(*) AS BIGINT) AS degree_sum
+           |       FROM le GROUP BY 1),
+           |nm AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+           |       FROM lab3 GROUP BY 1)
+           |SELECT nm.community, nm.n_members,
+           |  COALESCE(cs.internal_edges, 0) AS internal_edges,
+           |  COALESCE(cs.cut_edges, 0) AS cut_edges,
+           |  COALESCE(cs.degree_sum, 0) AS degree_sum,
+           |  CASE WHEN m > 0 THEN round(
+           |    CAST(4 * m * COALESCE(cs.internal_edges, 0)
+           |         - COALESCE(cs.degree_sum, 0) * COALESCE(cs.degree_sum, 0) AS DOUBLE)
+           |    / (4 * m * m), 6) END AS modularity_term,
+           |  CASE WHEN COALESCE(cs.degree_sum, 0) > 0
+           |            AND least(cs.degree_sum, 2 * m - cs.degree_sum) > 0
+           |       THEN round(CAST(cs.cut_edges AS DOUBLE)
+           |                  / least(cs.degree_sum, 2 * m - cs.degree_sum), 6) END AS conductance
+           |FROM nm LEFT JOIN cs ON nm.community = cs.community CROSS JOIN mm
+           |WHERE nm.n_members > 1 OR cs.degree_sum IS NOT NULL""".stripMargin
+      }) { (spark, dir) =>
+      val pairs = graft.engine.BoundedCaches.persist(
+        jaccardPairs(spark, dir, threshold = 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val lab = graft.operators.LabelPropagation.run(
+        Tables.load(spark, dir, "documents").select(col("doc_id").as("v")),
+        pairs, rounds = 3)
+      val e0 = pairs.select(col("src").as("a"), col("dst").as("b"))
+        .unionAll(pairs.select(col("dst").as("a"), col("src").as("b")))
+      val m = e0.count() / 2
+      val le = e0
+        .join(lab.select(col("v").as("va"), col("label").as("ca")), col("a") === col("va"))
+        .join(lab.select(col("v").as("vb"), col("label").as("cb")), col("b") === col("vb"))
+        .select(col("ca"), col("cb"))
+      val cs = le.groupBy(col("ca").as("community"))
+        .agg(
+          (sum(when(col("ca") === col("cb"), 1L).otherwise(0L)) / 2).cast("long").as("internal_edges"),
+          sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("cut_edges"),
+          count(lit(1)).as("degree_sum"))
+      val nm = lab.groupBy(col("label").as("community")).agg(count(lit(1)).as("n_members"))
+      val dsum = coalesce(col("degree_sum"), lit(0L))
+      val ie = coalesce(col("internal_edges"), lit(0L))
+      val cut = coalesce(col("cut_edges"), lit(0L))
+      val minSide = least(col("degree_sum"), lit(2L * m) - col("degree_sum"))
+      nm.join(cs, Seq("community"), "left")
+        .filter(col("n_members") > 1 || col("degree_sum").isNotNull)
+        .select(col("community"), col("n_members"),
+          ie.as("internal_edges"), cut.as("cut_edges"), dsum.as("degree_sum"),
+          (if (m > 0)
+            round((lit(4L * m) * ie - dsum * dsum).cast("double") / (4L * m * m), 6)
+          else lit(null).cast("double")).as("modularity_term"),
+          when(col("degree_sum") > 0 && minSide > 0,
+            round(cut.cast("double") / minSide, 6)).as("conductance"))
+    },
+
     // D41: the HASHED half of d2 (the q7/a31 bound-audit pattern) — the
     // MinHash recall THEOREM oracled: identical content hashes to an
     // identical shingle set, hence an identical 64-perm signature, hence
