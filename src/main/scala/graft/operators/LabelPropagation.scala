@@ -36,6 +36,16 @@ object LabelPropagation {
     * @param rounds fixed synchronous rounds
     * @return (v, label) — vertices sharing a label form a community
     */
+  /** Re-root a persisted, materialized frame as a leaf over its RDD (the
+    * TreeDepth/ConnectedComponents truncateLineage pattern): each round
+    * references its predecessor TWICE (message join + keep-label
+    * join-back), so without truncation the LOGICAL plan doubles per round
+    * and Catalyst re-analysis alone grows exponentially with rounds even
+    * though execution reads the caches (measured on d45: the returned
+    * plan text carried 1592 nested scans before truncation). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def run(vertices: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -45,10 +55,11 @@ object LabelPropagation {
       .persist(MEMORY_AND_DISK)
     var lab = vertices.select(col("v").cast("long").as("v"), col("v").cast("long").as("label"))
       .persist(MEMORY_AND_DISK)
-    lab.count() // materialize round-0 labels (also materializes e via nothing — e materializes below)
+    lab.count() // materialize round-0 labels
     val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
-      val prev = lab
+      val prevHandle = lab
+      val prev = truncateLineage(lab)
       val best = e.join(prev.select(col("v").as("src_v"), col("label")),
           col("a") === col("src_v"))
         .groupBy(col("b").as("v"), col("label"))
@@ -60,10 +71,14 @@ object LabelPropagation {
         .select(col("v"), coalesce(col("best_label"), col("label")).as("label"))
         .persist(MEMORY_AND_DISK)
       lab.count() // materialize before releasing the predecessor
-      prev.unpersist(blocking = false)
+      prevHandle.unpersist(blocking = false)
     }
     e.unpersist(blocking = false)
-    // returned labels stay persisted — same contract as PageRank's ranks
-    lab
+    // Returned labels stay persisted (same contract as PageRank's ranks),
+    // but hand back the TRUNCATED view: the RDD leaf still reads the
+    // cached blocks, and a caller that references the result more than
+    // once (d45 joins it onto both edge endpoints) would otherwise nest
+    // the whole round-chain text once per reference.
+    truncateLineage(lab)
   }
 }
