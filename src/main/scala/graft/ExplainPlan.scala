@@ -8,9 +8,12 @@ package graft
   */
 object ExplainPlan {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ExplainPlan <sfDir> <query> [query…]")
+    require(args.length >= 2, "usage: ExplainPlan <sfDir> <query|ALL> [query…]")
     val spark = graft.engine.GraftSession.local("graft-explain")
-    try args.drop(1).foreach { name =>
+    val names =
+      if (args.lift(1).contains("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
+    try names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, args(0))
       val plan = df.queryExecution.executedPlan.toString
       println(s"=== $name ===")

@@ -43,6 +43,22 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Re-root a persisted, materialized frame as a leaf over its RDD (the
+    * shared iterative-operator pattern): each peel references `live`
+    * THREE times (degree agg + both semi-joins), so the un-truncated
+    * plan tripled per round — d31's plan text carried 2376 nested scans
+    * before truncation, re-analyzed every round. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** One survivor re-induction: both endpoints must survive — two hash
+    * SEMI-joins on node ids, never a nested loop (KCoreSpec pins this
+    * plan shape here directly, since peel's returned plan is a truncated
+    * cached leaf that no longer shows the round internals). */
+  private[graft] def induce(live: DataFrame, survivors: DataFrame): DataFrame =
+    live.join(survivors, Seq("a"), "left_semi")
+      .join(survivors.select(col("a").as("b")), Seq("b"), "left_semi")
+
   /** Peel for `rounds` rounds at threshold `k`; returns (id, core_deg). */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -50,23 +66,22 @@ object KCore {
     import org.apache.spark.storage.StorageLevel
 
     // Symmetrize once: each edge contributes to both endpoints' degrees.
-    var live = edges.select(col("src").as("a"), col("dst").as("b"))
+    var liveHandle = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    live.count()
+    liveHandle.count()
+    var live = truncateLineage(liveHandle)
 
     var deg: DataFrame = null
     for (i <- 1 to rounds) {
       deg = live.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
       if (i < rounds) { // the last round only needs degrees, not re-induction
         val survivors = deg.filter(col("core_deg") >= k).select(col("a"))
-        val next = live
-          .join(survivors, Seq("a"), "left_semi")
-          .join(survivors.select(col("a").as("b")), Seq("b"), "left_semi")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val next = induce(live, survivors).persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the parent
-        live.unpersist()
-        live = next
+        liveHandle.unpersist()
+        liveHandle = next
+        live = truncateLineage(next)
       }
     }
     val out = deg.filter(col("core_deg") >= k)

@@ -33,6 +33,16 @@ object PageRank {
   /** 1e12 — rank mass is tracked in trillionths. */
   val Scale: Long = 1000000000000L
 
+  /** Re-root a persisted, materialized frame as a leaf over its RDD (the
+    * TreeDepth/ConnectedComponents/LabelPropagation pattern). PageRank's
+    * round plan nests eDeg (which embeds the caller's whole edge
+    * pipeline, itself often a self-join) plus the previous round — the
+    * catalog's d21 plan text carried 4186 nested scans before truncation,
+    * and Catalyst re-analysis of that tree is paid EVERY round even
+    * though execution reads the caches. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Hook-less form for one-shot processes; see [[runWithRelease]]. */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =
     runWithRelease(nodes, edges, iters)._1
@@ -61,13 +71,23 @@ object PageRank {
     // partitioning (InMemoryTableScan reports it), so at shuffle-join
     // scale each round's e⋈r probe re-shuffles only the vertex-scale
     // rank frame, never the edges.
-    val eDeg = e.join(deg, "src")
+    val eDegHandle = e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")).persist()
     // Vertex count once, eagerly: a literal in every round's expression
     // beats re-running even a 1-row aggregate subplan per round.
     val n = vs.count()
+    // Materialize eDeg explicitly, then iterate over its RDD leaf: every
+    // round references eDeg, and the un-truncated text embeds the whole
+    // upstream edge pipeline per round.
+    eDegHandle.count()
+    val eDeg = truncateLineage(eDegHandle)
+    val vsLeaf = truncateLineage(vs) // materialized by the count above
+    // deg's cache is materialized by the count above (it feeds eDeg);
+    // the dangling probe then reads its RDD leaf so the per-round agg
+    // plan doesn't re-embed the caller's edge pipeline via deg's lineage
+    val degLeaf = truncateLineage(deg)
 
-    var r = vs.selectExpr("v", s"$Scale div ${n}L AS r").persist()
+    var rHandle = vsLeaf.selectExpr("v", s"$Scale div ${n}L AS r").persist()
 
     // Dangling mass: ranks of vertices with no out-edges. A 1-row
     // aggregate pulled DRIVER-SIDE (same bounded contract as the vertex
@@ -82,32 +102,36 @@ object PageRank {
     //    the dangling scalar round t+1 needs, instead of a count() job
     //    followed by a separate dangling job re-scanning the cache.
     def danglingOf(ranks: DataFrame): Long =
-      ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+      ranks.join(degLeaf, ranks("v") === degLeaf("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
         .head().getLong(0)
 
-    var dang = danglingOf(r) // also materializes r's cache
+    var dang = danglingOf(rHandle) // also materializes r's cache
+    var r = truncateLineage(rHandle)
 
     for (_ <- 1 to iters) {
       // Each vertex ships r div deg along every out-edge; sum at the dst.
       val contrib = eDeg.join(r, col("src") === col("v"))
         .selectExpr("dst", "r div deg AS share")
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      val next = vs
+      val next = vsLeaf
         .join(contrib, col("v") === col("dst"), "left")
         .selectExpr("v",
           s"(($Scale * 15) div 100) div ${n}L + " +
             s"(85 * (coalesce(contrib, 0) + ${dang}L div ${n}L)) div 100 AS r")
         .persist()
       dang = danglingOf(next) // one job: materializes next + its dangling mass
-      r.unpersist()
-      r = next
+      rHandle.unpersist()
+      rHandle = next
+      r = truncateLineage(next)
     }
-    eDeg.unpersist()
+    eDegHandle.unpersist()
     deg.unpersist()
     e.unpersist()
     vs.unpersist()
-    val out = r
-    (out, () => { out.unpersist(); () })
+    // truncated view over the still-persisted final round (multi-reference
+    // callers don't re-nest the round chain); release via the handle
+    val handle = rHandle
+    (r, () => { handle.unpersist(); () })
   }
 }

@@ -50,8 +50,14 @@ class KCoreSpec extends AnyFunSuite {
   }
 
   test("plan: induced-subgraph rounds are hash semi-joins, never nested loops") {
-    val p = KCore.peel(fixture, k = 2, rounds = 2)
-      .queryExecution.executedPlan.toString
+    // peel's returned plan is a truncated cached leaf (lineage re-rooted
+    // per round), so the pin targets the round's own induce() step — the
+    // exact frame each peel persists.
+    import spark.implicits._
+    val live = fixture.select(col("src").as("a"), col("dst").as("b"))
+      .union(fixture.select(col("dst").as("a"), col("src").as("b")))
+    val survivors = Seq(1L, 2L, 3L, 4L).toDF("a")
+    val p = KCore.induce(live, survivors).queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), s"survivor re-induction must be semi-joins:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"no all-pairs anywhere in the peel:\n$p")
