@@ -155,6 +155,13 @@ object ConnectedComponents {
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .repartition(col("src"))
       .persist()
+    // Materialize + re-root the edge cache as an RDD leaf too: each
+    // round's neighbor-min join would otherwise re-embed the caller's
+    // whole edge-producing subplan in the round's plan text (the d21
+    // lesson — Catalyst re-analysis is paid per round even though
+    // execution reads the cache).
+    undirected.count()
+    val undirectedLeaf = truncateLineage(undirected)
 
     // NULL on an empty frame (sum over zero rows) — handled below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -176,7 +183,7 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = undirected.join(labels, col("src") === col("id"))
+      val nbrMin = undirectedLeaf.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_label"))
       val nextHandle = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
@@ -198,7 +205,9 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIters rounds " +
           "(long-chain graph: use starContractionWithRelease)")
     }
+    // truncated view over the still-persisted final labels, so a caller
+    // referencing the result more than once doesn't re-nest the rounds
     val done = labelsHandle
-    (done, () => { done.unpersist(); () })
+    (truncateLineage(done), () => { done.unpersist(); () })
   }
 }
