@@ -111,5 +111,25 @@ object ScanQueries {
       val tmp = "/tmp/graft_orc/orders"
       orders.write.mode("overwrite").orc(tmp)
       spark.read.schema(orders.schema).orc(tmp)
+    },
+
+    // S10: webdataset TAR shard ingestion — the multimodal-corpus
+    // container: binaryFile reads each shard whole (one task per shard),
+    // the pure-JVM ustar walk demuxes entries executor-side, and samples
+    // group by the basename key. The synthetic directory's entry sizes
+    // are closed-form in (shard, sample), so the REAL read path's counts
+    // and byte totals hash against range() arithmetic (the m7 pattern):
+    // jpg = 100+i bytes, json/txt = 16 bytes each for these keys.
+    QueryDef.sql(
+      "s10_tar_shard_scan",
+      """SELECT 'shard-000' || CAST(s AS VARCHAR) || '.tar' AS shard,
+        |  's0' || CAST(s AS VARCHAR) || '_000' || CAST(i AS VARCHAR) AS key,
+        |  CAST(3 AS BIGINT) AS n_parts,
+        |  CAST(132 + i AS BIGINT) AS total_bytes
+        |FROM range(1, 4) t(s) CROSS JOIN range(4) u(i)""".stripMargin) { (spark, _) =>
+      import graft.io.TarShards
+      val dir = TarShards.synthesizeShards(nShards = 3, samplesPerShard = 4)
+      TarShards.samples(TarShards.readEntries(spark, dir + "/*.tar"))
+        .select(col("shard"), col("key"), col("n_parts"), col("total_bytes"))
     })
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.io.TarShards
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.io.TarShards: byte-exact round trip through the writer/parser
+  * pair, external-tool compatibility of the written archive (java's own
+  * tar-reading is not in the JDK, so the pin is structural: header
+  * checksum + ustar magic + 512 alignment), the webdataset sample
+  * grouping, and loud failure on hostile input.
+  */
+class TarShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def entriesFor(shard: Int): Seq[(String, Array[Byte])] =
+    (0 until 4).flatMap { i =>
+      val key = f"s$shard%02d_$i%04d"
+      Seq(
+        s"$key.jpg" -> Array.fill(100 + i)((i + shard).toByte),
+        s"$key.json" -> s"""{"k":"$key"}""".getBytes("UTF-8"),
+        s"$key.txt" -> s"caption $key".getBytes("UTF-8"))
+    }
+
+  test("writer/parser round trip is byte-exact, padding and terminator correct") {
+    val entries = entriesFor(1)
+    val tar = TarShards.tarBytes(entries)
+    assert(tar.length % 512 == 0, "archive must be 512-aligned")
+    assert(tar.takeRight(1024).forall(_ == 0), "two zero blocks terminate")
+    val back = TarShards.parseTar(tar)
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((n, d), (en, ed)) =>
+      assert(n == en && d.toSeq == ed.toSeq, s"entry $n")
+    }
+    // ustar magic + checksum sanity on the first header
+    assert(new String(tar, 257, 5, "US-ASCII") == "ustar")
+    val stored = java.lang.Long.parseLong(
+      new String(tar, 148, 6, "US-ASCII"), 8)
+    val recomputed = (0 until 512).map { i =>
+      if (i >= 148 && i < 156) ' '.toInt else tar(i) & 0xff
+    }.sum
+    assert(stored == recomputed, "header checksum must verify")
+  }
+
+  test("directory of shards reads one row per entry, samples group by key") {
+    val dir = java.nio.file.Files.createTempDirectory("tarshards")
+    (1 to 3).foreach { s =>
+      java.nio.file.Files.write(
+        dir.resolve(f"shard-$s%04d.tar"), TarShards.tarBytes(entriesFor(s)))
+    }
+    val entries = TarShards.readEntries(spark, dir.toString + "/*.tar")
+    assert(entries.count() == 3 * 4 * 3, "3 shards x 4 samples x 3 modalities")
+    val samples = TarShards.samples(entries)
+    assert(samples.count() == 12)
+    val row = samples.filter(col("key") === "s01_0002").head()
+    assert(row.getAs[Long]("n_parts") == 3)
+    assert(row.getAs[scala.collection.Seq[String]]("exts").toSeq == Seq("jpg", "json", "txt"))
+    val mods = row.getAs[Map[String, Array[Byte]]]("modalities")
+    assert(new String(mods("txt"), "UTF-8") == "caption s01_0002")
+    assert(mods("jpg").length == 102)
+    // payload bytes survive the whole distributed path unmodified
+    assert(mods("jpg").toSeq == Array.fill(102)(3.toByte).toSeq)
+  }
+
+  test("hostile input fails loudly: bad size field, overrun, non-advancing walk") {
+    val good = TarShards.tarBytes(Seq("a.txt" -> "hello".getBytes))
+    // corrupt the size field with non-octal garbage
+    val badSize = good.clone(); badSize(124) = 'Z'.toByte
+    val e1 = intercept[IllegalArgumentException](TarShards.parseTar(badSize))
+    assert(e1.getMessage.contains("bad size field"))
+    // declare a size that overruns the archive
+    val overrun = good.clone()
+    "77777777777".getBytes.copyToArray(overrun, 124)
+    val e2 = intercept[IllegalArgumentException](TarShards.parseTar(overrun))
+    assert(e2.getMessage.contains("overruns"))
+  }
+}
