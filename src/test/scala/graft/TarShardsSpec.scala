@@ -63,6 +63,21 @@ class TarShardsSpec extends AnyFunSuite {
     assert(mods("jpg").toSeq == Array.fill(102)(3.toByte).toSeq)
   }
 
+  test("gzipped shards (.tar.gz) read transparently through the same path") {
+    val dir = java.nio.file.Files.createTempDirectory("targz")
+    val tar = TarShards.tarBytes(entriesFor(5))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(tar); gz.close()
+    java.nio.file.Files.write(dir.resolve("shard-0005.tar.gz"), bos.toByteArray)
+    val entries = TarShards.readEntries(spark, dir.toString + "/*.tar.gz")
+    assert(entries.count() == 12)
+    val samples = TarShards.samples(entries)
+    assert(samples.count() == 4)
+    assert(new String(samples.filter(col("key") === "s05_0001").head()
+      .getAs[Map[String, Array[Byte]]]("modalities")("txt"), "UTF-8") == "caption s05_0001")
+  }
+
   test("hostile input fails loudly: bad size field, overrun, non-advancing walk") {
     val good = TarShards.tarBytes(Seq("a.txt" -> "hello".getBytes))
     // corrupt the size field with non-octal garbage
