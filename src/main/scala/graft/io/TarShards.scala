@@ -134,6 +134,40 @@ object TarShards {
       .toDF("shard", "name", "n_bytes", "payload")
   }
 
+  /** Re-shard: pack entries into NEW tar shards of `samplesPerShard`
+    * samples each, assigned by global key rank (deterministic — a re-run
+    * produces byte-identical shards). Returns one row per output shard:
+    * (shard_idx, n_samples, n_entries, payload) — tar bytes ready for
+    * `ObjectStore.upload` or a binary file sink.
+    *
+    * Scale shape: the rank is a vertex-scale window over DISTINCT keys
+    * (never the payload rows), the heavy bytes shuffle exactly once on
+    * their target shard id, and each shard assembles in one task via the
+    * deterministic writer. Entries within a shard are laid out sorted by
+    * name, keeping each sample's modalities adjacent — the webdataset
+    * sequential-read contract. */
+  def packShards(entries: DataFrame, samplesPerShard: Int): DataFrame = {
+    require(samplesPerShard >= 1)
+    import entries.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyed = entries.withColumn("key", regexp_extract(col("name"), "^([^.]+)", 1))
+    // global key rank: ordered window over the distinct-key frame only
+    val keyRank = keyed.select(col("key")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy(col("key"))) - 1)
+      .withColumn("shard_idx", (col("rk") / samplesPerShard).cast("long"))
+      .select(col("key"), col("shard_idx"))
+    keyed.join(keyRank, Seq("key"))
+      .select(col("shard_idx"), col("key"), col("name"), col("payload"))
+      .as[(Long, String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shardIdx: Long, it: Iterator[(Long, String, String, Array[Byte])]) =>
+        val rows = it.toSeq.sortBy(_._3)
+        val tar = tarBytes(rows.map(r => r._3 -> r._4))
+        (shardIdx, rows.map(_._2).distinct.size.toLong, rows.size.toLong, tar)
+      }
+      .toDF("shard_idx", "n_samples", "n_entries", "payload")
+  }
+
   /** Group entries into SAMPLES by the webdataset key convention
     * (basename before the first dot): one row per (shard, key) with the
     * modality map ext → payload and the total byte size. */

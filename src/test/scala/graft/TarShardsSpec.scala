@@ -78,6 +78,29 @@ class TarShardsSpec extends AnyFunSuite {
       .getAs[Map[String, Array[Byte]]]("modalities")("txt"), "UTF-8") == "caption s05_0001")
   }
 
+  test("re-sharding packs deterministically and round-trips every byte") {
+    val dir = java.nio.file.Files.createTempDirectory("reshard")
+    (1 to 2).foreach { s =>
+      java.nio.file.Files.write(
+        dir.resolve(f"shard-$s%04d.tar"), TarShards.tarBytes(entriesFor(s)))
+    }
+    val entries = TarShards.readEntries(spark, dir.toString + "/*.tar")
+    val packed = TarShards.packShards(entries, samplesPerShard = 3).collect()
+      .sortBy(_.getLong(0))
+    assert(packed.length == 3, "8 samples at 3/shard -> 3 shards")
+    assert(packed.map(_.getAs[Long]("n_samples")).toSeq == Seq(3L, 3L, 2L))
+    assert(packed.map(_.getAs[Long]("n_entries")).toSeq == Seq(9L, 9L, 6L))
+    // every original entry survives, byte-identical, exactly once
+    val reread = packed.flatMap(r => TarShards.parseTar(r.getAs[Array[Byte]]("payload")))
+      .map { case (n, d) => n -> d.toSeq }.toMap
+    val original = (1 to 2).flatMap(entriesFor).map { case (n, d) => n -> d.toSeq }.toMap
+    assert(reread == original)
+    // determinism: a second pack is byte-identical per shard
+    val again = TarShards.packShards(entries, samplesPerShard = 3).collect()
+      .sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(again.toSeq == packed.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
+  }
+
   test("hostile input fails loudly: bad size field, overrun, non-advancing walk") {
     val good = TarShards.tarBytes(Seq("a.txt" -> "hello".getBytes))
     // corrupt the size field with non-octal garbage
