@@ -33,7 +33,12 @@ object TarShards {
     while (!done && off + 512 <= bytes.length) {
       if (bytes(off) == 0) { done = true } // zero block: end of archive
       else {
-        val name = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != 0.toChar)
+        val base = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != 0.toChar)
+        // ustar prefix field (offset 345): external tools split long
+        // paths as prefix + '/' + name — honor it on read (the writer
+        // enforces <= 100 and never needs it)
+        val prefix = new String(bytes, off + 345, 155, "US-ASCII").takeWhile(_ != 0.toChar)
+        val name = if (prefix.nonEmpty) s"$prefix/$base" else base
         val sizeField = new String(bytes, off + 124, 12, "US-ASCII")
           .takeWhile(c => c != 0.toChar && c != ' ')
         require(sizeField.nonEmpty && sizeField.forall(c => c >= '0' && c <= '7'),

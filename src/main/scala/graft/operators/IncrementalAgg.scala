@@ -34,7 +34,13 @@ object IncrementalAgg {
     * key cardinality, one hash-agg summing each measure. Groups whose
     * merged count reaches 0 (fully retracted) drop out of the state, so
     * repeated maintenance never accretes dead keys. `countCol` names the
-    * measure holding the group's row count. */
+    * measure holding the group's row count.
+    *
+    * OVER-retraction (deleting a row twice) is NOT absorbed: the group's
+    * count goes negative and stays visibly negative in the state rather
+    * than being silently clamped — callers that need the invariant add a
+    * `state.filter(col(countCol) < 0)`-is-empty assertion at their sink,
+    * where one aggregate action is already being paid. */
   def merge(
       state: DataFrame, deltaAgg: DataFrame,
       keys: Seq[String], measures: Seq[String], countCol: String): DataFrame = {

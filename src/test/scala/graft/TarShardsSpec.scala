@@ -101,6 +101,23 @@ class TarShardsSpec extends AnyFunSuite {
     assert(again.toSeq == packed.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
   }
 
+  test("ustar prefix field (long external paths) honored on read") {
+    // hand-build a header using the prefix split, as external tools do
+    val data = "deep".getBytes
+    val tar = TarShards.tarBytes(Seq("leaf.txt" -> data))
+    val withPrefix = tar.clone()
+    val p = "some/deep/dir".getBytes("US-ASCII")
+    System.arraycopy(p, 0, withPrefix, 345, p.length)
+    // fix the checksum after mutating the header
+    java.util.Arrays.fill(withPrefix, 148, 156, ' '.toByte)
+    val sum = (0 until 512).map(i => withPrefix(i) & 0xff).sum
+    val cs = ("%06o".format(sum) + 0.toChar + " ").getBytes("US-ASCII")
+    System.arraycopy(cs, 0, withPrefix, 148, 8)
+    val back = TarShards.parseTar(withPrefix)
+    assert(back.map(_._1) == Seq("some/deep/dir/leaf.txt"))
+    assert(back.head._2.toSeq == data.toSeq)
+  }
+
   test("hostile input fails loudly: bad size field, overrun, non-advancing walk") {
     val good = TarShards.tarBytes(Seq("a.txt" -> "hello".getBytes))
     // corrupt the size field with non-octal garbage
