@@ -11,6 +11,100 @@ import org.apache.spark.sql.functions._
   */
 object FilterJoinQueries {
 
+  /** Shared J2 fixture: Oracle-shaped sede/municipality/tpf frames built
+    * from supplier/nation/region, pushed through
+    * [[graft.pipelines.CorePipelines.operationalOffices]] VERBATIM
+    * (src/core.py:415-470). Factored out so the hash gate and the four
+    * j2_audit_* column-family probes exercise the identical pipeline run.
+    */
+  private def j2Pipeline(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val k = col("s_suppkey")
+    val sede = supplier.select(
+      concat(lit("  S"), k.cast("string"), lit("\t")).as("CLIENTID"),
+      concat(lit(" "), col("s_name"), lit("  ")).as("DENOMINAZIONE"),
+      concat(lit("ST"), (k % 7).cast("string")).as("ID_STRUTTURA_FK"),
+      concat(lit("  "), col("s_name"), lit(" Street")).as("VIA_PIAZZA"),
+      concat(lit(" "), (k % 90).cast("string")).as("CIVICO"),
+      (k * 3 % 100000).as("CAP"),
+      when(k % 2 === 0, "S").otherwise("N").as("FLAG_INDIRIZZO_PRINCIPALE"),
+      concat(lpad(col("s_nationkey").cast("string"), 6, "0"), lit(" ")).as("ISTAT"),
+      concat(lit(" R"), (k % 5).cast("string")).as("ID_TIPO_PUNTO_FISICO_FK"),
+      concat((k % 85).cast("string"), lit(".25")).as("LATITUDINE"),
+      when(k % 10 === 0, lit("xx"))
+        .otherwise(concat((k % 180).cast("string"), lit(".5"))).as("LONGITUDINE"),
+      concat(lit("T"), (k % 4).cast("string")).as("ID_TOPONIMO_FK"),
+      when(k % 10 =!= 0, timestamp_seconds(k + lit(1704067200L))).as("CREATION"),
+      when(k % 2 === 0, timestamp_seconds(k + lit(1704067200L)) + expr("INTERVAL 1 DAY"))
+        .as("LAST_MOD"),
+      when(k % 3 === 0, " S ").otherwise("N").as("DISABLED"))
+    val mun = Tables.load(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("id"),
+      lpad(col("n_nationkey").cast("string"), 6, "0").as("istat_code"))
+    val tpf = Tables.load(spark, dir, "region").select(
+      concat(lit("R"), col("r_regionkey").cast("string")).as("CLIENTID"),
+      col("r_name").as("NOME"))
+    graft.pipelines.CorePipelines.operationalOffices(
+      sede, mun, tpf, to_timestamp(lit("2024-06-01 00:00:00")))
+  }
+
+  /** DuckDB mirror of [[j2Pipeline]] with lat/lon in their raw pipeline
+    * type (nullable DECIMAL(8,2)); the gate and each probe wrap this and
+    * pick their own serialization of the decimal family.
+    */
+  private val j2OracleRawSql: String = {
+    val strip = (c: String) =>
+      s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
+    val clean = (c: String) =>
+      s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH sede AS (
+       |  SELECT '  S' || CAST(s_suppkey AS VARCHAR) || chr(9) AS clientid,
+       |    ' ' || s_name || '  ' AS denominazione,
+       |    'ST' || CAST(s_suppkey % 7 AS VARCHAR) AS id_struttura,
+       |    '  ' || s_name || ' Street' AS via_str,
+       |    ' ' || CAST(s_suppkey % 90 AS VARCHAR) AS civico,
+       |    s_suppkey * 3 % 100000 AS cap,
+       |    CASE WHEN s_suppkey % 2 = 0 THEN 'S' ELSE 'N' END AS flag_main,
+       |    lpad(CAST(s_nationkey AS VARCHAR), 6, '0') || ' ' AS istat,
+       |    ' R' || CAST(s_suppkey % 5 AS VARCHAR) AS tpf_fk,
+       |    CAST(s_suppkey % 85 AS VARCHAR) || '.25' AS lat_s,
+       |    CASE WHEN s_suppkey % 10 = 0 THEN 'xx'
+       |         ELSE CAST(s_suppkey % 180 AS VARCHAR) || '.5' END AS lon_s,
+       |    'T' || CAST(s_suppkey % 4 AS VARCHAR) AS toponimo,
+       |    CASE WHEN s_suppkey % 10 <> 0
+       |         THEN TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND END AS creation,
+       |    CASE WHEN s_suppkey % 2 = 0
+       |         THEN TIMESTAMP '2024-01-02' + s_suppkey * INTERVAL 1 SECOND END AS lastmod,
+       |    CASE WHEN s_suppkey % 3 = 0 THEN ' S ' ELSE 'N' END AS disabled
+       |  FROM supplier),
+       |mun AS (SELECT CAST(n_nationkey AS BIGINT) AS municipality_id,
+       |               lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS mun_istat FROM nation),
+       |tpf AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS tpf_id,
+       |               r_name AS physical_point_type FROM region)
+       |SELECT lower(${strip("clientid")}) AS id,
+       |  ${clean("denominazione")} AS name,
+       |  lower(id_struttura) AS physical_structure_id,
+       |  ${clean("via_str")} AS street_name,
+       |  trim(civico) AS street_number,
+       |  CAST(cap AS VARCHAR) AS zip_code,
+       |  coalesce(flag_main = 'S', FALSE) AS is_main_address,
+       |  physical_point_type,
+       |  TRY_CAST(lat_s AS DECIMAL(8,2)) AS lat,
+       |  TRY_CAST(lon_s AS DECIMAL(8,2)) AS lon,
+       |  lower(toponimo) AS toponym_id,
+       |  municipality_id,
+       |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
+       |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
+       |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
+       |  CASE WHEN lower(trim(disabled)) = 's'
+       |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at
+       |FROM sede
+       |LEFT JOIN mun ON ${strip("istat")} = mun_istat
+       |LEFT JOIN tpf ON lower(${strip("tpf_fk")}) = tpf_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // F1: equality on normalized string (src/core.py:633).
@@ -559,85 +653,64 @@ object FilterJoinQueries {
     // dependency; the base is post-epoch because pre-epoch (negative
     // int64-micro) instants diverge in the driver's value
     // canonicalization even when every value compares equal.
+    //
+    // GATE RE-PIN (round 12): lat/lon leave the pipeline as nullable
+    // DECIMAL(8,2) — the only small-precision nullable decimal in the
+    // whole gated catalog — and that column family failed the DRIVER's
+    // hash two rounds running while rows/schema/values matched and the
+    // local fetchall-based mirror stayed green. Reproduced mechanism:
+    // a pandas conversion of a DuckDB DECIMAL(8,2) result renders 17.50
+    // as float '17.5' while a pyarrow read of Spark's decimal parquet
+    // yields Decimal('17.50') — a pure representation split. The GATE
+    // projection therefore serializes lat/lon as canonical VARCHAR on
+    // BOTH engines ('17.50' either way, NULL stays a typed string null —
+    // the same shape every green left-join string column exercises).
+    // The pipeline body (CorePipelines.operationalOffices) is untouched;
+    // the four j2_audit_* probes below bisect the remaining families.
     QueryDef.sql(
-      "j2_sede_municipality_join", {
-        val strip = (c: String) =>
-          s"regexp_replace($c, '^[\\t-\\r\\x{0085}\\p{Z}]+|[\\t-\\r\\x{0085}\\p{Z}]+$$', '', 'g')"
-        val clean = (c: String) =>
-          s"trim(regexp_replace(regexp_replace($c, '\\x00', '', 'g'), '\\s+', ' ', 'g'))"
-        s"""WITH sede AS (
-           |  SELECT '  S' || CAST(s_suppkey AS VARCHAR) || chr(9) AS clientid,
-           |    ' ' || s_name || '  ' AS denominazione,
-           |    'ST' || CAST(s_suppkey % 7 AS VARCHAR) AS id_struttura,
-           |    '  ' || s_name || ' Street' AS via_str,
-           |    ' ' || CAST(s_suppkey % 90 AS VARCHAR) AS civico,
-           |    s_suppkey * 3 % 100000 AS cap,
-           |    CASE WHEN s_suppkey % 2 = 0 THEN 'S' ELSE 'N' END AS flag_main,
-           |    lpad(CAST(s_nationkey AS VARCHAR), 6, '0') || ' ' AS istat,
-           |    ' R' || CAST(s_suppkey % 5 AS VARCHAR) AS tpf_fk,
-           |    CAST(s_suppkey % 85 AS VARCHAR) || '.25' AS lat_s,
-           |    CASE WHEN s_suppkey % 10 = 0 THEN 'xx'
-           |         ELSE CAST(s_suppkey % 180 AS VARCHAR) || '.5' END AS lon_s,
-           |    'T' || CAST(s_suppkey % 4 AS VARCHAR) AS toponimo,
-           |    CASE WHEN s_suppkey % 10 <> 0
-           |         THEN TIMESTAMP '2024-01-01' + s_suppkey * INTERVAL 1 SECOND END AS creation,
-           |    CASE WHEN s_suppkey % 2 = 0
-           |         THEN TIMESTAMP '2024-01-02' + s_suppkey * INTERVAL 1 SECOND END AS lastmod,
-           |    CASE WHEN s_suppkey % 3 = 0 THEN ' S ' ELSE 'N' END AS disabled
-           |  FROM supplier),
-           |mun AS (SELECT CAST(n_nationkey AS BIGINT) AS municipality_id,
-           |               lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS mun_istat FROM nation),
-           |tpf AS (SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS tpf_id,
-           |               r_name AS physical_point_type FROM region)
-           |SELECT lower(${strip("clientid")}) AS id,
-           |  ${clean("denominazione")} AS name,
-           |  lower(id_struttura) AS physical_structure_id,
-           |  ${clean("via_str")} AS street_name,
-           |  trim(civico) AS street_number,
-           |  CAST(cap AS VARCHAR) AS zip_code,
-           |  coalesce(flag_main = 'S', FALSE) AS is_main_address,
-           |  physical_point_type,
-           |  TRY_CAST(lat_s AS DECIMAL(8,2)) AS lat,
-           |  TRY_CAST(lon_s AS DECIMAL(8,2)) AS lon,
-           |  lower(toponimo) AS toponym_id,
-           |  municipality_id,
-           |  coalesce(creation - INTERVAL 1 HOUR, TIMESTAMP '2024-06-01 00:00:00') AS created_at,
-           |  coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR,
-           |           TIMESTAMP '2024-06-01 00:00:00') AS updated_at,
-           |  CASE WHEN lower(trim(disabled)) = 's'
-           |       THEN coalesce(lastmod - INTERVAL 1 HOUR, creation - INTERVAL 1 HOUR) END AS disabled_at
-           |FROM sede
-           |LEFT JOIN mun ON ${strip("istat")} = mun_istat
-           |LEFT JOIN tpf ON lower(${strip("tpf_fk")}) = tpf_id""".stripMargin
-      }) { (spark, dir) =>
-      val supplier = Tables.load(spark, dir, "supplier")
-      val k = col("s_suppkey")
-      val sede = supplier.select(
-        concat(lit("  S"), k.cast("string"), lit("\t")).as("CLIENTID"),
-        concat(lit(" "), col("s_name"), lit("  ")).as("DENOMINAZIONE"),
-        concat(lit("ST"), (k % 7).cast("string")).as("ID_STRUTTURA_FK"),
-        concat(lit("  "), col("s_name"), lit(" Street")).as("VIA_PIAZZA"),
-        concat(lit(" "), (k % 90).cast("string")).as("CIVICO"),
-        (k * 3 % 100000).as("CAP"),
-        when(k % 2 === 0, "S").otherwise("N").as("FLAG_INDIRIZZO_PRINCIPALE"),
-        concat(lpad(col("s_nationkey").cast("string"), 6, "0"), lit(" ")).as("ISTAT"),
-        concat(lit(" R"), (k % 5).cast("string")).as("ID_TIPO_PUNTO_FISICO_FK"),
-        concat((k % 85).cast("string"), lit(".25")).as("LATITUDINE"),
-        when(k % 10 === 0, lit("xx"))
-          .otherwise(concat((k % 180).cast("string"), lit(".5"))).as("LONGITUDINE"),
-        concat(lit("T"), (k % 4).cast("string")).as("ID_TOPONIMO_FK"),
-        when(k % 10 =!= 0, timestamp_seconds(k + lit(1704067200L))).as("CREATION"),
-        when(k % 2 === 0, timestamp_seconds(k + lit(1704067200L)) + expr("INTERVAL 1 DAY"))
-          .as("LAST_MOD"),
-        when(k % 3 === 0, " S ").otherwise("N").as("DISABLED"))
-      val mun = Tables.load(spark, dir, "nation").select(
-        col("n_nationkey").cast("long").as("id"),
-        lpad(col("n_nationkey").cast("string"), 6, "0").as("istat_code"))
-      val tpf = Tables.load(spark, dir, "region").select(
-        concat(lit("R"), col("r_regionkey").cast("string")).as("CLIENTID"),
-        col("r_name").as("NOME"))
-      graft.pipelines.CorePipelines.operationalOffices(
-        sede, mun, tpf, to_timestamp(lit("2024-06-01 00:00:00")))
+      "j2_sede_municipality_join",
+      s"""SELECT * REPLACE (CAST(lat AS VARCHAR) AS lat,
+         |                  CAST(lon AS VARCHAR) AS lon)
+         |FROM (${j2OracleRawSql})""".stripMargin) { (spark, dir) =>
+      j2Pipeline(spark, dir)
+        .withColumn("lat", col("lat").cast("string"))
+        .withColumn("lon", col("lon").cast("string"))
+    },
+
+    // J2 column-family bisect audits (VERDICT r11 item 1): the driver's
+    // hash disagreed with the local mirror on j2 alone, so each output
+    // column family gets its own hashed row to localize any residual
+    // divergence. strings/bools/timestamps are expected green; the
+    // decimal_raw probe intentionally keeps the pipeline's nullable
+    // DECIMAL(8,2) verbatim — it is the DIAGNOSTIC: red here + green
+    // everywhere else confirms the decimal-representation split and
+    // pins the canonicalizer class for good.
+    QueryDef.sql(
+      "j2_audit_strings",
+      s"""SELECT id, name, physical_structure_id, street_name,
+         |  street_number, zip_code, physical_point_type, toponym_id,
+         |  municipality_id
+         |FROM (${j2OracleRawSql})""".stripMargin) { (spark, dir) =>
+      j2Pipeline(spark, dir).select(
+        "id", "name", "physical_structure_id", "street_name",
+        "street_number", "zip_code", "physical_point_type", "toponym_id",
+        "municipality_id")
+    },
+    QueryDef.sql(
+      "j2_audit_bools",
+      s"SELECT id, is_main_address FROM (${j2OracleRawSql})") { (spark, dir) =>
+      j2Pipeline(spark, dir).select("id", "is_main_address")
+    },
+    QueryDef.sql(
+      "j2_audit_timestamps",
+      s"""SELECT id, created_at, updated_at, disabled_at
+         |FROM (${j2OracleRawSql})""".stripMargin) { (spark, dir) =>
+      j2Pipeline(spark, dir).select("id", "created_at", "updated_at", "disabled_at")
+    },
+    QueryDef.sql(
+      "j2_audit_decimal_raw",
+      s"SELECT id, lat, lon FROM (${j2OracleRawSql})") { (spark, dir) =>
+      j2Pipeline(spark, dir).select("id", "lat", "lon")
     },
 
     // J15: ServicePipelines.healthcareCompanies REUSED VERBATIM
