@@ -45,6 +45,15 @@ object Similarity {
   def bruteForceTopK(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       roundTo: Int = 6): DataFrame = {
+    // Same probe+refuse as nearDupPairs: this is the exact all-pairs
+    // baseline — the documented fallback for exactly the regime where an
+    // unguarded n² would reach the scheduler and read as a hang. Past the
+    // ~1e8-pair budget the scale routes are lshTopK / ivfTopK.
+    val n = vecs.count()
+    require(n <= ExactNearDupMaxRows,
+      s"bruteForceTopK is the exact all-pairs baseline and refuses $n rows " +
+        s"(${n}² pairs > ~1e8 budget). At this scale use lshTopK " +
+        "(hyperplane-bucketed) or ivfTopK (coarse-quantized cells) instead.")
     val a = withNorm(vecs, idCol, vecCol, "vec_id", "va", "nrm_a")
     val b = withNorm(vecs, idCol, vecCol, "neighbor_id", "vb", "nrm_b")
     a.crossJoin(b)

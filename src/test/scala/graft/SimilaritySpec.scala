@@ -158,6 +158,19 @@ class SimilaritySpec extends AnyFunSuite {
       e.getMessage.contains("nearDupPairsLsh"))
   }
 
+  test("blocked exact top-k refuses an over-budget corpus, naming the scale routes") {
+    // The blocked path is documented as the fallback for exactly the
+    // index-too-big regime, so it carries the same probe+refuse as
+    // nearDupPairs: never let an n² crossJoin reach the scheduler.
+    val big = spark.range(Similarity.ExactNearDupMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("lshTopK") && e.getMessage.contains("ivfTopK"))
+  }
+
   test("broadcast-index top-k refuses an over-ceiling index, naming the scale routes") {
     // Lower the ceiling instead of building a >1 GiB frame: the probe
     // measures with an aggregate before collect(), so the refusal happens
