@@ -131,5 +131,30 @@ object ScanQueries {
       val dir = TarShards.synthesizeShards(nShards = 3, samplesPerShard = 4)
       TarShards.samples(TarShards.readEntries(spark, dir + "/*.tar"))
         .select(col("shard"), col("key"), col("n_parts"), col("total_bytes"))
+    },
+
+    // S11: deterministic TAR re-sharding — the write half of the
+    // webdataset path (read 3×4 shards, re-pack at 5 samples/shard).
+    // Assignment is by global key rank, so shard populations are pure
+    // arithmetic: 12 keys / 5 per shard → 5,5,2. And because the writer
+    // is deterministic (fixed mtime/uid/gid, 512-byte blocks, names
+    // sorted within a shard), the OUTPUT TAR's byte size is closed-form
+    // too: every modality payload here is ≤512 bytes, so each entry costs
+    // exactly 1024 bytes (header + one padded block), each sample 3072,
+    // plus the 1024-byte terminator — the driver hashes the re-shard's
+    // real output bytes against range() arithmetic, not just its row
+    // counts.
+    QueryDef.sql(
+      "s11_tar_reshard",
+      """SELECT CAST(x AS BIGINT) AS shard_idx,
+        |  CAST(CASE WHEN x < 2 THEN 5 ELSE 2 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN x < 2 THEN 15 ELSE 6 END AS BIGINT) AS n_entries,
+        |  CAST(CASE WHEN x < 2 THEN 5 ELSE 2 END * 3072 + 1024 AS BIGINT) AS tar_bytes
+        |FROM range(3) t(x)""".stripMargin) { (spark, _) =>
+      import graft.io.TarShards
+      val dir = TarShards.synthesizeShards(nShards = 3, samplesPerShard = 4)
+      TarShards.packShards(TarShards.readEntries(spark, dir + "/*.tar"), 5)
+        .select(col("shard_idx"), col("n_samples"), col("n_entries"),
+          length(col("payload")).cast("long").as("tar_bytes"))
     })
 }
