@@ -19,7 +19,8 @@ object ExplainPlan {
       println(s"=== $name ===")
       println("scans=" + "Scan parquet".r.findAllIn(plan).length +
         " exchanges=" + "Exchange".r.findAllIn(plan).length +
-        " singlePartition=" + "Exchange SinglePartition".r.findAllIn(plan).length)
+        " singlePartition=" + "Exchange SinglePartition".r.findAllIn(plan).length +
+        " bnlj=" + "BroadcastNestedLoopJoin".r.findAllIn(plan).length)
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(plan)
     } finally spark.stop()
   }

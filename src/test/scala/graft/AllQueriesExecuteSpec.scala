@@ -10,14 +10,70 @@ import org.scalatest.funsuite.AnyFunSuite
   * executes EVERY SparkEntry.queries entry end-to-end at the smoke SF and
   * fails loudly with the full casualty list, so |verify outputs| ==
   * |queries| is enforced at `sbt test` time, before the driver ever runs.
+  *
+  * The same pass doubles as the CATALOG-WIDE PLAN AUDIT (the ritual that
+  * found the r11 lineage-truncation win): each query's executed-plan text
+  * is scanned for the two shapes that silently kill a 100 TB run —
+  * `Exchange SinglePartition` (all data through one task) and
+  * `BroadcastNestedLoopJoin` (quadratic fallback). Every occurrence must
+  * be in [[PlanBudget.allowed]] with its per-query budget; a NEW query
+  * acquiring either op, or an allowed query's count growing, turns the
+  * suite red with the diff. Shrinking counts fail too — the budget is a
+  * pin, not a ceiling — so the allowlist can never drift stale.
   */
+object PlanBudget {
+  /** query → (singlePartitionCount, bnljCount), audited per entry:
+    * every SinglePartition here is a GLOBAL-SCALAR fold (a final
+    * aggregate over ≤ #partitions partial rows, or a ≤-k-row driver-side
+    * frame like q2's per-relation counts), and every BNLJ carries a
+    * 1-row broadcast side (corpus totals / thresholds joined back) — the
+    * two shapes that are BOUNDED by construction and therefore survive
+    * 100×. Anything data-scale would not be in this list.
+    */
+  val allowed: Map[String, (Int, Int)] = Map(
+    "a25_benford_digits" -> (1, 0),
+    "a28_column_profile" -> (1, 0),
+    "a30_k_anonymity" -> (1, 0),
+    "d22_tf_cosine_pairs" -> (0, 1),
+    "d27_split_contamination" -> (0, 1),
+    "d38_corpus_drift" -> (2, 2),
+    "d7_embedding_near_dup" -> (0, 1),
+    "e16_daily_active" -> (1, 0),
+    "e29_activity_gini" -> (1, 0),
+    "f7_scalar_subquery_sql" -> (1, 0),
+    "j21_geo_grid_join" -> (0, 1),
+    "q2_referential_integrity" -> (14, 7),
+    "q3_skew_profile" -> (6, 4),
+    "q4_join_fanout" -> (2, 0),
+    "q5_functional_dependency" -> (3, 0),
+    "q9_column_profile" -> (1, 0),
+    "s11_tar_reshard" -> (1, 0),
+    "s1_full_scan" -> (1, 0),
+    "t11_tfidf_top_terms" -> (1, 1),
+    "t14_rare_token_fraction" -> (1, 1),
+    "t15_mixture_plan" -> (1, 1),
+    "t25_source_divergence" -> (1, 1),
+    "t31_token_salience" -> (1, 1),
+    "t33_temperature_mix" -> (1, 1),
+    "t36_bigram_pmi" -> (1, 1),
+    "t44_weighted_sampler_laws" -> (2, 4))
+}
+
 class AllQueriesExecuteSpec extends AnyFunSuite {
 
   test("every SparkEntry.queries entry executes at sf0.001 (none may vanish from the gate)") {
     val spark = TestSpark.spark
+    val planDrift = scala.collection.mutable.ListBuffer.empty[String]
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        fn(spark, TestSpark.sfDir).write.mode("overwrite").format("noop").save()
+        val df = fn(spark, TestSpark.sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val sp = "Exchange SinglePartition".r.findAllIn(plan).length
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        val (aSp, aBnlj) = PlanBudget.allowed.getOrElse(name, (0, 0))
+        if ((sp, bnlj) != (aSp, aBnlj))
+          planDrift += s"$name: singlePartition=$sp (budget $aSp), bnlj=$bnlj (budget $aBnlj)"
+        df.write.mode("overwrite").format("noop").save()
         None
       } catch {
         case e: Throwable =>
@@ -28,5 +84,11 @@ class AllQueriesExecuteSpec extends AnyFunSuite {
       s"${failures.size}/${SparkEntry.queries.size} queries failed to execute — " +
         s"these would SILENTLY drop out of the correctness tally:\n  " +
         failures.mkString("\n  "))
+    assert(planDrift.isEmpty,
+      s"${planDrift.size} queries drifted from their SinglePartition/BNLJ plan " +
+        "budget (PlanBudget.allowed) — every occurrence must be a bounded " +
+        "scalar fold, audited and pinned:\n  " + planDrift.mkString("\n  "))
+    val stale = PlanBudget.allowed.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"PlanBudget.allowed names unknown queries: $stale")
   }
 }
