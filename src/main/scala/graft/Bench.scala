@@ -79,6 +79,18 @@ object Bench {
     * can be told apart from a wide run distribution. */
   val Iters: Int = 5
 
+  /** Sub-second queries get extra samples: with only 5 iterations, two
+    * interference-inflated runs move the MEDIAN, and the r11 driver round
+    * showed exactly that signature — every sub-second query "+15-50%"
+    * while idle re-measures reproduced the prior round (t31 0.51 s on the
+    * driver vs 0.33 s idle, same commit). A query whose base-5 median is
+    * under [[ShortQuerySec]] is re-measured with [[ExtraIters]] more runs
+    * and reports the 11-sample median — now 6 of 11 samples must be
+    * inflated before the median moves. Costs ~6 × <1 s on only the short
+    * queries, a bounded add to the bench wall-time. */
+  val ShortQuerySec: Double = 1.0
+  val ExtraIters: Int = 6
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_BENCH_ROUNDS > 1 repeats the whole headline pass in ONE
@@ -108,12 +120,17 @@ object Bench {
         spark.catalog.clearCache()
         run(name)
         var ok = true
-        val times = Array.fill(Iters) {
+        def timed(): Double = {
           val t0 = System.nanoTime()
           ok &= run(name)
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val median = times(Iters / 2)
+        }
+        val base = Array.fill(Iters)(timed())
+        val times =
+          (if (base.sorted.apply(Iters / 2) < ShortQuerySec)
+            base ++ Array.fill(ExtraIters)(timed())
+          else base).sorted
+        val median = times(times.length / 2)
         (name, median, times.head, times.last, ok)
       }
       def r4(v: Double): String =

@@ -26,10 +26,19 @@ object S3 {
 
   /** Path-style endpoint config (MinIO default). `endpoint` like
     * `http://minio:9000`; credentials are injected by the deployment —
-    * never hardcoded. */
+    * never hardcoded.
+    *
+    * `multipartThreshold`/`partSize` mirror the reference's MinIO client
+    * settings (16 MB parts, `src/core.py:947`): a PUT whose payload
+    * exceeds the threshold is sent as a multipart upload transparently.
+    * AWS requires every part except the last to be ≥ 5 MiB — kept
+    * configurable (not clamped) so specs can exercise the protocol with
+    * small parts against the embedded stub. */
   final case class Config(
       endpoint: String, region: String,
-      accessKey: String, secretKey: String) extends Serializable
+      accessKey: String, secretKey: String,
+      multipartThreshold: Int = 16 * 1024 * 1024,
+      partSize: Int = 16 * 1024 * 1024) extends Serializable
 
   /** Pure SigV4 building blocks, exposed for spec pinning. */
   object SigV4 {
@@ -63,6 +72,14 @@ object S3 {
     def canonicalUri(path: String): String =
       if (path.isEmpty) "/"
       else path.split("/", -1).map(encodeSegment).mkString("/")
+
+    /** Canonical query string: each name and value RFC3986-encoded (the
+      * same unreserved set as path segments), pairs sorted by encoded
+      * name then value, joined `k=v&k=v`. A valueless param (`uploads`)
+      * keeps its trailing `=` per the SigV4 spec. */
+    def canonicalQuery(params: Seq[(String, String)]): String =
+      params.map { case (k, v) => (encodeSegment(k), encodeSegment(v)) }
+        .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
 
     /** Canonical request per the spec: method, canonical URI, canonical
       * query, lowercase-sorted `k:v` header lines, signed-header list,
@@ -115,32 +132,108 @@ object S3 {
     @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
     private val host = URI.create(cfg.endpoint).getAuthority
 
-    private def send(
-        method: String, path: String, body: Array[Byte],
-        contentType: Option[String]): HttpResponse[String] = {
+    private def request(
+        method: String, path: String, query: Seq[(String, String)],
+        body: Array[Byte], contentType: Option[String]): HttpRequest = {
       val amzDate = AmzDateFmt.format(clock())
       val payloadHash = SigV4.sha256Hex(body)
       val uri = SigV4.canonicalUri(path)
+      val cq = SigV4.canonicalQuery(query)
       val headers = Seq(
         "host" -> host,
         "x-amz-content-sha256" -> payloadHash,
         "x-amz-date" -> amzDate) ++ contentType.map("content-type" -> _)
-      val auth = SigV4.authorization(cfg, method, uri, "", headers, payloadHash, amzDate)
-      val base = HttpRequest.newBuilder(URI.create(cfg.endpoint + uri))
+      val auth = SigV4.authorization(cfg, method, uri, cq, headers, payloadHash, amzDate)
+      // the wire URI uses the CANONICAL query verbatim — what is signed is
+      // exactly what is sent, so no re-encoding step can diverge
+      val full = cfg.endpoint + uri + (if (cq.isEmpty) "" else "?" + cq)
+      val base = HttpRequest.newBuilder(URI.create(full))
         .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
         .header("x-amz-content-sha256", payloadHash)
         .header("x-amz-date", amzDate)
         .header("Authorization", auth)
       contentType.foreach(ct => base.header("Content-Type", ct))
-      http.send(base.build(), HttpResponse.BodyHandlers.ofString())
+      base.build()
     }
 
+    private def send(
+        method: String, path: String, body: Array[Byte],
+        contentType: Option[String],
+        query: Seq[(String, String)] = Nil): HttpResponse[String] =
+      http.send(request(method, path, query, body, contentType),
+        HttpResponse.BodyHandlers.ofString())
+
     /** PUT the object; deterministic keys make retries overwrite-idempotent
-      * (the [[ObjectStore]] exactly-once contract). */
-    def put(bucket: String, key: String, bytes: Array[Byte], contentType: String): Unit = {
-      val r = send("PUT", s"/$bucket/$key", bytes, Some(contentType))
+      * (the [[ObjectStore]] exactly-once contract). Payloads over
+      * `cfg.multipartThreshold` route through [[putMultipart]]
+      * transparently — same behavior as the reference's MinIO client with
+      * its 16 MB `part_size` (`src/core.py:947`). */
+    def put(bucket: String, key: String, bytes: Array[Byte], contentType: String): Unit =
+      if (bytes.length > cfg.multipartThreshold) {
+        putMultipart(bucket, key, bytes, contentType)
+      } else {
+        val r = send("PUT", s"/$bucket/$key", bytes, Some(contentType))
+        require(r.statusCode / 100 == 2,
+          s"S3 PUT $bucket/$key failed: HTTP ${r.statusCode} ${r.body().take(200)}")
+      }
+
+    /** Multipart upload (InitiateMultipartUpload → UploadPart* →
+      * CompleteMultipartUpload), from the public S3 REST API: parts are
+      * `cfg.partSize` slices uploaded in order with their returned ETags
+      * echoed into the completion XML. Any failure aborts the upload
+      * server-side (AbortMultipartUpload) before rethrowing, so no orphan
+      * part storage accrues billing on retries — the retry story stays
+      * [[ObjectStore]]'s deterministic-key overwrite. */
+    def putMultipart(
+        bucket: String, key: String, bytes: Array[Byte],
+        contentType: String): Unit = {
+      val path = s"/$bucket/$key"
+      val init = send("POST", path, Array.emptyByteArray, Some(contentType),
+        query = Seq("uploads" -> ""))
+      require(init.statusCode / 100 == 2,
+        s"S3 initiate multipart $path failed: HTTP ${init.statusCode} ${init.body().take(200)}")
+      val uploadId = "<UploadId>(.*?)</UploadId>".r
+        .findFirstMatchIn(init.body()).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"S3 initiate multipart $path: no UploadId in ${init.body().take(200)}"))
+      try {
+        val etags = bytes.grouped(cfg.partSize).zipWithIndex.map { case (part, i) =>
+          val n = i + 1
+          val r = send("PUT", path, part, None,
+            query = Seq("partNumber" -> n.toString, "uploadId" -> uploadId))
+          require(r.statusCode / 100 == 2,
+            s"S3 upload part $n of $path failed: HTTP ${r.statusCode} ${r.body().take(200)}")
+          val etag = r.headers().firstValue("ETag")
+            .orElse(r.headers().firstValue("Etag").orElse(""))
+          require(etag.nonEmpty, s"S3 upload part $n of $path: no ETag header")
+          n -> etag
+        }.toSeq
+        val xml = etags.map { case (n, etag) =>
+          s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+        }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+        val done = send("POST", path, xml.getBytes(UTF_8), Some("application/xml"),
+          query = Seq("uploadId" -> uploadId))
+        // S3 can answer 200 with an <Error> body on completion — status
+        // alone is not success.
+        require(done.statusCode / 100 == 2 && !done.body().contains("<Error>"),
+          s"S3 complete multipart $path failed: HTTP ${done.statusCode} ${done.body().take(200)}")
+      } catch {
+        case e: Throwable =>
+          try send("DELETE", path, Array.emptyByteArray, None,
+            query = Seq("uploadId" -> uploadId))
+          catch { case abortFailure: Throwable => e.addSuppressed(abortFailure) }
+          throw e
+      }
+    }
+
+    /** GET the object bytes (verification/read-back path). */
+    def get(bucket: String, key: String): Array[Byte] = {
+      val r = http.send(
+        request("GET", s"/$bucket/$key", Nil, Array.emptyByteArray, None),
+        HttpResponse.BodyHandlers.ofByteArray())
       require(r.statusCode / 100 == 2,
-        s"S3 PUT $bucket/$key failed: HTTP ${r.statusCode} ${r.body().take(200)}")
+        s"S3 GET $bucket/$key failed: HTTP ${r.statusCode}")
+      r.body()
     }
 
     /** PUT the bucket; 409 (already exists / already owned) is success —

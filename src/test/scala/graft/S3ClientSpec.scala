@@ -103,6 +103,101 @@ class S3ClientSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  /** In-memory multipart-protocol stub: initiate returns an UploadId,
+    * parts are stored by number with ETag echoes, complete verifies the
+    * manifest and assembles the object; abort records itself. */
+  private class MultipartStub {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val parts = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+    @volatile var assembled: Array[Byte] = _
+    @volatile var completeXml: String = _
+    @volatile var aborted = false
+    @volatile var failPart: Int = -1
+    val server: HttpServer =
+      HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = ex.getRequestBody.readAllBytes()
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        def respond(status: Int, resp: Array[Byte]): Unit = {
+          ex.sendResponseHeaders(status, if (resp.isEmpty) -1 else resp.length.toLong)
+          if (resp.nonEmpty) ex.getResponseBody.write(resp)
+          ex.close()
+        }
+        (ex.getRequestMethod, q) match {
+          case ("POST", "uploads=") =>
+            respond(200,
+              "<InitiateMultipartUploadResult><UploadId>uid-77</UploadId></InitiateMultipartUploadResult>"
+                .getBytes(UTF_8))
+          case ("PUT", pq) if pq.contains("partNumber=") =>
+            val n = "partNumber=(\\d+)".r.findFirstMatchIn(pq).get.group(1).toInt
+            assert(pq == s"partNumber=$n&uploadId=uid-77", s"canonical query order: $pq")
+            if (n == failPart) respond(500, Array.emptyByteArray)
+            else {
+              parts.put(n, body)
+              ex.getResponseHeaders.add("ETag", "\"etag-" + n + "\"")
+              respond(200, Array.emptyByteArray)
+            }
+          case ("POST", "uploadId=uid-77") =>
+            completeXml = new String(body, UTF_8)
+            import scala.jdk.CollectionConverters._
+            assembled = parts.asScala.toSeq.sortBy(_._1).flatMap(_._2).toArray
+            respond(200,
+              "<CompleteMultipartUploadResult/>".getBytes(UTF_8))
+          case ("DELETE", "uploadId=uid-77") =>
+            aborted = true
+            respond(204, Array.emptyByteArray)
+          case other =>
+            fail(s"unexpected request: $other")
+        }
+      }
+    })
+    server.start()
+    def cfg(threshold: Int, partSize: Int): S3.Config =
+      S3.Config(s"http://127.0.0.1:${server.getAddress.getPort}", "us-east-1",
+        "ak", "sk", multipartThreshold = threshold, partSize = partSize)
+  }
+
+  test("multipart upload: threshold routing, part slicing, ETag manifest, byte-exact assembly") {
+    val stub = new MultipartStub
+    try {
+      val client = new S3.S3Client(stub.cfg(threshold = 8, partSize = 4))
+      val payload = (0 until 10).map(_.toByte).toArray
+      // over the threshold → put() transparently multiparts
+      client.put("bkt", "big/obj.bin", payload, "application/octet-stream")
+      assert(stub.parts.size == 3, "10 bytes at partSize 4 → parts of 4,4,2")
+      assert(stub.parts.get(1).length == 4 && stub.parts.get(3).length == 2)
+      assert(stub.assembled.toSeq == payload.toSeq, "byte-exact reassembly")
+      // the completion manifest echoes every ETag in part order
+      assert(stub.completeXml ==
+        "<CompleteMultipartUpload>" +
+          "<Part><PartNumber>1</PartNumber><ETag>\"etag-1\"</ETag></Part>" +
+          "<Part><PartNumber>2</PartNumber><ETag>\"etag-2\"</ETag></Part>" +
+          "<Part><PartNumber>3</PartNumber><ETag>\"etag-3\"</ETag></Part>" +
+          "</CompleteMultipartUpload>")
+      assert(!stub.aborted)
+    } finally stub.server.stop(0)
+  }
+
+  test("multipart upload: a failed part aborts the upload server-side, then rethrows") {
+    val stub = new MultipartStub
+    stub.failPart = 2
+    try {
+      val client = new S3.S3Client(stub.cfg(threshold = 1, partSize = 4))
+      val e = intercept[IllegalArgumentException](
+        client.put("bkt", "big/obj.bin", new Array[Byte](10), "application/octet-stream"))
+      assert(e.getMessage.contains("part 2"))
+      assert(stub.aborted, "AbortMultipartUpload must fire before rethrow")
+    } finally stub.server.stop(0)
+  }
+
+  test("canonical query encoding: sorted pairs, RFC3986 values, valueless params keep '='") {
+    assert(SigV4.canonicalQuery(Seq("uploads" -> "")) == "uploads=")
+    assert(SigV4.canonicalQuery(
+      Seq("uploadId" -> "a+b/c=", "partNumber" -> "2")) ==
+      "partNumber=2&uploadId=a%2Bb%2Fc%3D")
+  }
+
   test("put on a non-2xx response fails loudly") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
