@@ -43,6 +43,11 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // Managed-table warehouse for BUCKETED layouts (io/Bucketed): kept
+      // out of the repo tree; on a cluster this is the shared warehouse
+      // path instead.
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
   }
 
   /** Local session for tests / CLI mains. */

@@ -1514,5 +1514,36 @@ object FilterJoinQueries {
           entry("o_orderkey", 1), entry("o_custkey", 2),
           entry("o_orderstatus", 3), entry("o_orderpriority", 4))).as("r"))
         .select(col("r.*"))
+    },
+
+    // J25: BUCKETED CO-LOCATED JOIN — the one-time-layout-cost recipe
+    // that removes the recurring fact⋈fact shuffle at 100 TB: both sides
+    // are written through io/Bucketed.writeBucketed (8 buckets on the
+    // join key), then joined via the table catalog, where matching keys
+    // already live in matching buckets. The ORACLE is a plain join on the
+    // raw parquet — layout must never change values, only the plan
+    // (BucketedLayoutSpec pins the zero-Exchange physical shape with
+    // broadcast disabled; under the gate's default session a small build
+    // side may still broadcast, which is equally shuffle-free).
+    QueryDef.sql(
+      "j25_bucketed_colocated_join",
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_custkey", "o_totalprice")
+      val cust = Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      graft.io.Bucketed.writeBucketed(orders, "graft_bkt_orders", 8, Seq("o_custkey"))
+      graft.io.Bucketed.writeBucketed(cust, "graft_bkt_customer", 8, Seq("c_custkey"))
+      graft.io.Bucketed
+        .colocatedJoin(spark, "graft_bkt_orders", "graft_bkt_customer",
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Num.sumMoney(col("o_totalprice")).as("total_price"))
     })
 }
