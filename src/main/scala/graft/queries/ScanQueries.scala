@@ -156,5 +156,34 @@ object ScanQueries {
       TarShards.packShards(TarShards.readEntries(spark, dir + "/*.tar"), 5)
         .select(col("shard_idx"), col("n_samples"), col("n_entries"),
           length(col("payload")).cast("long").as("tar_bytes"))
+    },
+
+    // S12: Z-ORDER interleave — the multi-column data-skipping layout's
+    // bit math (functions/ZOrder.zValue), hash-gated against the same
+    // Morton interleave written out as explicit DuckDB bit arithmetic.
+    // The layout/pruning effect itself is pinned in ZOrderSpec (a box
+    // predicate over the z-ordered layout scans a fraction of the rows
+    // the identical predicate scans in a random layout); the gate proves
+    // both engines agree on every interleaved value, so the layout sorts
+    // by exactly the curve it claims.
+    QueryDef.sql(
+      "s12_zorder_interleave", {
+        val terms = (0 until 8).flatMap(b => Seq(
+          s"(((x >> $b) & 1) << ${2 * b})",
+          s"(((y >> $b) & 1) << ${2 * b + 1})"))
+        s"""WITH g AS (
+           |  SELECT s_suppkey, s_suppkey % 256 AS x, (s_suppkey * 7) % 256 AS y
+           |  FROM supplier)
+           |SELECT s_suppkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+           |FROM g""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ZOrder
+      Tables.load(spark, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          (col("s_suppkey") % 256).cast("long").as("x"),
+          (col("s_suppkey") * 7 % 256).cast("long").as("y"))
+        .withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 8))
     })
 }
