@@ -79,4 +79,38 @@ object ZValue {
     GraftBridge.column(ZValue(
       GraftBridge.expression(a.cast("long")),
       GraftBridge.expression(b.cast("long"))))
+
+  /** k-column generalization of [[zValue]] as composed bit arithmetic
+    * (`shiftright`/`&`/`shiftleft`/`|` — plain codegen'd functions, no
+    * custom expression needed): column i's bit b lands at output position
+    * `b * k + i`, keeping bit significance balanced across dimensions.
+    * The 2-column magic-mask fast path above stays the hot-path choice;
+    * this form exists for 3+ dimensions (2 × 31 or 3 × 20 bits fit a
+    * signed long) and is hash-gated against explicit DuckDB bit
+    * arithmetic by `s12_zorder_interleave`. Values ≥ 2^bits are masked. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val k = cols.size
+    require(k >= 2, "z-ordering one column is just sorting it")
+    require(bits >= 1 && bits * k <= 62, s"bits=$bits × $k columns overflows a long")
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Linear map of a numeric column from [min, max] onto the z-grid
+    * [0, 2^bits), clamping outliers — the normalization step for
+    * non-integer or wide-range dimensions. min/max come from stats the
+    * caller already has (a 100 TB layout job reads table metadata, not a
+    * scan). */
+  def normalizeToBits(c: Column, minV: Double, maxV: Double, bits: Int): Column = {
+    import org.apache.spark.sql.functions.{floor, greatest, least, lit}
+    require(maxV > minV)
+    val cells = (1L << bits) - 1
+    least(lit(cells), greatest(lit(0L),
+      floor((c.cast("double") - lit(minV)) / lit(maxV - minV) * lit(cells + 1))
+        .cast("long")))
+  }
 }

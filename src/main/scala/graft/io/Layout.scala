@@ -30,14 +30,40 @@ object Layout {
 
   /** Bucketed (and optionally per-bucket sorted) table in the session
     * catalog. Bucketed layout requires the table path (`saveAsTable`);
-    * plain `.parquet(path)` cannot carry bucket metadata. */
+    * plain `.parquet(path)` cannot carry bucket metadata.
+    *
+    * Replaces BOTH halves of any previous layout first: the catalog entry
+    * (a same-session re-run) and the managed warehouse directory — a
+    * FRESH session's in-memory catalog no longer knows the table, but the
+    * location survives the JVM and `saveAsTable` rejects it with
+    * LOCATION_ALREADY_EXISTS (found when the j25 gate's second Verify
+    * invocation crashed on the first run's leftovers). */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
       sortCol: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
+  /** The co-located read side of [[writeBucketed]]: both tables written
+    * with the SAME bucket count on their join keys join with NO Exchange
+    * (each task zips bucket i of both sides — LayoutSpec pins the plan);
+    * mismatched bucket counts degrade to a correct shuffling join. */
+  def colocatedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey), joinType)
   }
 
   /** Z-order clustered write: range-partition then sort by the Morton key
@@ -54,6 +80,25 @@ object Layout {
     val keyed = df.withColumn("__z",
       graft.functions.expr.ZValue.zValue(col(colA), col(colB)))
     keyed
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** k-dimensional companion to [[writeZOrdered]]: clusters on
+    * [[graft.functions.expr.ZValue.zValueN]] (the composed bit-arithmetic
+    * interleave that generalizes the codegen'd 2-column fast path) so
+    * box predicates over ANY subset of `cols` prune at both the file
+    * level ([[statsIndex]]) and the parquet row-group level (reader
+    * min/max stats — measured in ZOrderSpec). */
+  def writeZOrderedN(
+      df: DataFrame, path: String, cols: Seq[String], bits: Int,
+      numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!df.columns.contains("__z"),
+      "writeZOrderedN reserves the column name __z; rename it before writing")
+    val z = graft.functions.expr.ZValue.zValueN(cols.map(col), bits)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -1518,13 +1518,15 @@ object FilterJoinQueries {
 
     // J25: BUCKETED CO-LOCATED JOIN — the one-time-layout-cost recipe
     // that removes the recurring fact⋈fact shuffle at 100 TB: both sides
-    // are written through io/Bucketed.writeBucketed (8 buckets on the
-    // join key), then joined via the table catalog, where matching keys
+    // are written through io/Layout.writeBucketed (8 buckets on the join
+    // key), then joined via the table catalog, where matching keys
     // already live in matching buckets. The ORACLE is a plain join on the
     // raw parquet — layout must never change values, only the plan
-    // (BucketedLayoutSpec pins the zero-Exchange physical shape with
-    // broadcast disabled; under the gate's default session a small build
-    // side may still broadcast, which is equally shuffle-free).
+    // (LayoutSpec pins the zero-Exchange physical shape with broadcast
+    // disabled; under the gate's default session a small build side may
+    // still broadcast, which is equally shuffle-free). This is the one
+    // DRIVER-hashed row over the bucketed read path — the local plan pins
+    // alone would never catch a value-corrupting layout bug.
     QueryDef.sql(
       "j25_bucketed_colocated_join",
       """SELECT c_mktsegment,
@@ -1536,9 +1538,11 @@ object FilterJoinQueries {
         .select("o_custkey", "o_totalprice")
       val cust = Tables.load(spark, dir, "customer")
         .select("c_custkey", "c_mktsegment")
-      graft.io.Bucketed.writeBucketed(orders, "graft_bkt_orders", 8, Seq("o_custkey"))
-      graft.io.Bucketed.writeBucketed(cust, "graft_bkt_customer", 8, Seq("c_custkey"))
-      graft.io.Bucketed
+      graft.io.Layout.writeBucketed(
+        orders, "graft_bkt_orders", "o_custkey", 8, sortCol = Some("o_custkey"))
+      graft.io.Layout.writeBucketed(
+        cust, "graft_bkt_customer", "c_custkey", 8, sortCol = Some("c_custkey"))
+      graft.io.Layout
         .colocatedJoin(spark, "graft_bkt_orders", "graft_bkt_customer",
           "o_custkey", "c_custkey")
         .groupBy(col("c_mktsegment"))

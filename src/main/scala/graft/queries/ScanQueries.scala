@@ -158,14 +158,14 @@ object ScanQueries {
           length(col("payload")).cast("long").as("tar_bytes"))
     },
 
-    // S12: Z-ORDER interleave — the multi-column data-skipping layout's
-    // bit math (functions/ZOrder.zValue), hash-gated against the same
-    // Morton interleave written out as explicit DuckDB bit arithmetic.
-    // The layout/pruning effect itself is pinned in ZOrderSpec (a box
-    // predicate over the z-ordered layout scans a fraction of the rows
-    // the identical predicate scans in a random layout); the gate proves
-    // both engines agree on every interleaved value, so the layout sorts
-    // by exactly the curve it claims.
+    // S12: k-COLUMN Z-ORDER interleave (expr.ZValue.zValueN — the
+    // composed-bit-arithmetic generalization of o2's codegen'd 2-column
+    // spread chain), hash-gated against the same Morton interleave
+    // written out as explicit DuckDB bit arithmetic. The row-group
+    // pruning effect of the layout built on this key is measured in
+    // ZOrderSpec; the gate proves both engines agree on every
+    // interleaved value, so the layout sorts by exactly the curve it
+    // claims.
     QueryDef.sql(
       "s12_zorder_interleave", {
         val terms = (0 until 8).flatMap(b => Seq(
@@ -178,12 +178,12 @@ object ScanQueries {
            |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
            |FROM g""".stripMargin
       }) { (spark, dir) =>
-      import graft.functions.ZOrder
+      import graft.functions.expr.ZValue
       Tables.load(spark, dir, "supplier")
         .select(
           col("s_suppkey"),
           (col("s_suppkey") % 256).cast("long").as("x"),
           (col("s_suppkey") * 7 % 256).cast("long").as("y"))
-        .withColumn("z", ZOrder.zValue(Seq(col("x"), col("y")), 8))
+        .withColumn("z", ZValue.zValueN(Seq(col("x"), col("y")), 8))
     })
 }

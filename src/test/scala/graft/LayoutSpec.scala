@@ -36,6 +36,24 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("colocatedJoin: mismatched bucket counts fall back to a correct (shuffling) join") {
+    val facts = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val dims = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    // writeBucketed now clears the stale catalog entry AND the surviving
+    // warehouse location itself (the j25 fresh-JVM crash), so no manual
+    // cleanup here — this test doubles as the re-run-safety check.
+    Layout.writeBucketed(facts, "graft_bucket_f16", "k", 16, sortCol = Some("k"))
+    Layout.writeBucketed(dims, "graft_bucket_d4", "dk", 4, sortCol = Some("dk"))
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = Layout.colocatedJoin(spark,
+        "graft_bucket_f16", "graft_bucket_d4", "k", "dk")
+      assert(j.count() == 200, "bucket-count mismatch must degrade, never corrupt")
+    }
+    // and a same-session re-write over the existing layout succeeds
+    Layout.writeBucketed(facts, "graft_bucket_f16", "k", 16, sortCol = Some("k"))
+    assert(spark.table("graft_bucket_f16").count() == 1000)
+  }
+
   test("s8 gate query: source filter resolves as PartitionFilters, not a data filter") {
     val df = SparkEntry.queries("s8_partition_pruned_scan")(spark, TestSpark.sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -1,17 +1,20 @@
 package graft
 
-import graft.functions.ZOrder
+import graft.functions.expr.ZValue
+import graft.io.Layout
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Z-order layout contracts: the interleave is invertible (bit-exact
-  * round trip), the normalization clamps onto the grid, and — the point
-  * of the whole exercise — a multi-column box predicate over a z-ordered
-  * parquet layout scans a small fraction of the rows the SAME predicate
-  * scans over a randomly-laid-out copy of the SAME data, purely from
-  * row-group min/max statistics. */
+/** The k-column z-order generalization (expr.ZValue.zValueN /
+  * Layout.writeZOrderedN) — complements LayoutSpec, which pins the
+  * 2-column codegen'd ZValue and PLANNING-time pruning via the file
+  * stats index. Here: interleave inversion for 2 and 3 dimensions, the
+  * grid-normalization clamp law, and READER-level pruning measured from
+  * the scan's own metrics — parquet row-group min/max statistics alone
+  * (no stats index, no planner help) cut a box predicate's scanned rows
+  * to a fraction of the identical scan over a random layout. */
 class ZOrderSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -21,17 +24,17 @@ class ZOrderSpec extends AnyFunSuite {
       (0 until bits).map(b => ((z >> (b * n + i)) & 1L) << b).sum
     }
 
-  test("zValue interleave is invertible for 2 and 3 columns") {
+  test("zValueN interleave is invertible for 2 and 3 columns") {
     val df = spark.range(2000).select(
       (col("id") * 2654435761L % 1024).as("a"),
       (col("id") * 40503 % 1024).as("b"),
       (col("id") % 1024).as("c"))
-    val rows2 = df.withColumn("z", ZOrder.zValue(Seq(col("a"), col("b")), 10))
+    val rows2 = df.withColumn("z", ZValue.zValueN(Seq(col("a"), col("b")), 10))
       .collect()
     rows2.foreach { r =>
       assert(deinterleave(r.getLong(3), 2, 10) == Seq(r.getLong(0), r.getLong(1)))
     }
-    val rows3 = df.withColumn("z", ZOrder.zValue(Seq(col("a"), col("b"), col("c")), 10))
+    val rows3 = df.withColumn("z", ZValue.zValueN(Seq(col("a"), col("b"), col("c")), 10))
       .collect()
     rows3.foreach { r =>
       assert(deinterleave(r.getLong(3), 3, 10) ==
@@ -39,9 +42,19 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zValueN (2 cols, 31 bits) agrees with the codegen'd magic-mask ZValue fast path") {
+    val df = spark.range(5000).select(
+      (col("id") * 2654435761L % 2147483647L).as("a"),
+      (col("id") * 40503 % 2147483647L).as("b"))
+    val n = df.filter(
+      ZValue.zValueN(Seq(col("a"), col("b")), 31) =!=
+        ZValue.zValue(col("a"), col("b"))).count()
+    assert(n == 0, "the two formulations must be bit-identical")
+  }
+
   test("normalizeToBits maps [min,max] onto the grid and clamps outliers") {
     val df = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
-    val got = df.select(ZOrder.normalizeToBits(col("v"), 0.0, 100.0, 4).as("g"))
+    val got = df.select(ZValue.normalizeToBits(col("v"), 0.0, 100.0, 4).as("g"))
       .as[Long].collect().toSeq
     assert(got == Seq(0L, 0L, 8L, 15L, 15L))
   }
@@ -54,8 +67,7 @@ class ZOrderSpec extends AnyFunSuite {
       (col("id") * 40503 % 1024).cast("long").as("y"))
     val zPath = "/tmp/graft_zorder/clustered"
     val rPath = "/tmp/graft_zorder/random"
-    ZOrder.layout(data, Seq(col("x"), col("y")), bits = 10, nFiles = 32)
-      .write.mode("overwrite").parquet(zPath)
+    Layout.writeZOrderedN(data, zPath, Seq("x", "y"), bits = 10, numFiles = 32)
     // counterfactual: same rows, random order, same file count
     data.repartition(32, col("x") * 0 + rand(seed = 7) * 32)
       .write.mode("overwrite").parquet(rPath)
@@ -64,8 +76,7 @@ class ZOrderSpec extends AnyFunSuite {
       val q = spark.read.parquet(path)
         .filter(col("x") >= 100 && col("x") < 164 && col("y") >= 200 && col("y") < 264)
       q.collect()
-      val plan = q.queryExecution.executedPlan
-      val exec = plan match {
+      val exec = q.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
