@@ -433,5 +433,33 @@ object PackingQueries {
         .select(col("doc_id"), col("n_tok"), col("tok_start"),
           col("seq_first"), col("seq_last"),
           (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+    },
+
+    // T45: iterative BPE MERGE TRAINING (operators/BpeTrain — t40 gates
+    // one round's pair counts; this gates the LOOP: count → argmax with
+    // deterministic tie-break → greedy merge pass → repeat). The corpus
+    // is constructed so every round's winner and count are CLOSED-FORM
+    // in k = suppkey%5+1 (the m7 fixture pattern): doc_k = (a b)^k c.
+    // Hand-derived trace the oracle replays: r1 (a,b)=Σk beats (b,a)=Σk−N
+    // strictly; r2 (ab,ab)=Σ(k−1); r3 (ab,c)=Σ[k odd]=3N/5 beats the
+    // three 2N/5 candidates; r4 is a THREE-WAY TIE at Σ[k≥4] broken by
+    // right-token order 'abab'<'abc'<'c' → (abab,abab) — the tie-break
+    // rule is load-bearing and the driver hash would catch any drift.
+    QueryDef.sql(
+      "t45_bpe_merge_training",
+      """WITH k AS (SELECT (s_suppkey % 5) + 1 AS k FROM supplier)
+        |SELECT CAST(1 AS BIGINT) AS round, 'a' AS merge_left, 'b' AS merge_right,
+        |       CAST(SUM(k) AS BIGINT) AS pair_count FROM k
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'ab', 'ab', CAST(SUM(k - 1) AS BIGINT) FROM k
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'ab', 'c', CAST(SUM(k % 2) AS BIGINT) FROM k
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'abab', 'abab',
+        |       CAST(SUM(CASE WHEN k >= 4 THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin) { (spark, dir) =>
+      val k = (col("s_suppkey") % 5 + 1).cast("int")
+      val docs = Tables.load(spark, dir, "supplier").select(
+        concat(flatten(array_repeat(array(lit("a"), lit("b")), k)),
+          array(lit("c"))).as("toks"))
+      graft.operators.BpeTrain.train(docs, "toks", rounds = 4)
+        .select(col("round"), col("left").as("merge_left"),
+          col("right").as("merge_right"), col("pair_count"))
     })
 }
