@@ -370,4 +370,38 @@ class PropertySpec extends AnyFunSuite {
       } finally spark.conf.unset(BucketedRangeJoinRule.WidthConf)
     }
   }
+
+  test("BPE merge pass preserves the character stream and shrinks by the merge count") {
+    // The merge law every tokenizer relies on: concatenating the output
+    // tokens reproduces the input character stream exactly (merging only
+    // ever JOINS adjacent tokens), and the length drop equals the number
+    // of merges applied. Checked against a local greedy reference on
+    // random token arrays over a tiny alphabet (maximizing adjacency
+    // collisions, including l == r self-merge runs).
+    val tok = Gen.oneOf("a", "b", "ab", "c")
+    val arrGen = Gen.listOfN(40, Gen.listOf(tok).map(_.toSeq))
+    def localPass(ts: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    (1 to Rounds).foreach { round =>
+      val docs = samples(arrGen, round)
+      for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a"))) {
+        val got = docs.toDF("toks")
+          .select(graft.functions.expr.BpeMergePass(col("toks"), l, r).as("m"))
+          .as[Seq[String]].collect().toSeq
+        docs.zip(got).foreach { case (in, out) =>
+          val want = localPass(in, l, r)
+          assert(out == want, s"round $round merge ($l,$r): $in")
+          assert(out.mkString == in.mkString, "character stream must be preserved")
+        }
+      }
+    }
+  }
 }
