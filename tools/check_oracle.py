@@ -59,6 +59,41 @@ def frame_rows(con, sql):
     return sorted(cols), sorted(out)
 
 
+def pandas_path_check(con, oracle_sql, spark_files):
+    """Second-opinion comparison through the driver's pandas conversion
+    path; returns "OK" or a PANDAS-PATH failure string."""
+    import pandas as pd  # noqa: F401 (duckdb .df() needs it importable)
+    import pyarrow.parquet as pq
+    try:
+        odf = con.execute(oracle_sql).df()
+        sdf = pq.ParquetDataset(spark_files).read().to_pandas()
+    except Exception as e:
+        return f"PANDAS-PATH-ERROR {e}"
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        return f"PANDAS-PATH SCHEMA want={ocols} got={scols}"
+
+    def canon2(v):
+        # DATE columns arrive as datetime.date from pyarrow but as
+        # midnight datetime64 from duckdb .df(); driver-green queries
+        # (e8/e17/p22/s5/w8 in r11) prove the driver tolerates exactly
+        # this gap, so mirror that one tolerance — and nothing else
+        # (NaN-vs-NULL stays a failure: that was the j2 driver red).
+        s = canon(v)
+        return s[:-9] if s.endswith(" 00:00:00") else s
+
+    orows = sorted(tuple(canon2(v) for v in row)
+                   for row in odf[ocols].itertuples(index=False, name=None))
+    srows = sorted(tuple(canon2(v) for v in row)
+                   for row in sdf[scols].itertuples(index=False, name=None))
+    if orows != srows:
+        bad = next(i for i, (a, b) in enumerate(zip(orows, srows)) if a != b)
+        return (f"PANDAS-PATH VALUES first-diff row {bad}: "
+                f"oracle={orows[bad][:6]} spark={srows[bad][:6]} — green on "
+                "fetchall but red through pandas = will be red on the DRIVER")
+    return "OK"
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -111,7 +146,16 @@ def main(sf_dir, out_dir):
             bad = next(i for i, (a, b) in enumerate(zip(want, got)) if a != b)
             results[name] = f"VALUES first-diff row {bad}: want={want[bad][:6]} got={got[bad][:6]}"
         else:
-            results[name] = "OK"
+            # The fetchall comparison above passed — now replay the
+            # PANDAS-path canonicalization the driver demonstrably uses
+            # (the two-round j2 red): the oracle side through duckdb
+            # `.df()` (DECIMAL → float64, NULL → NaN, 17.50 → '17.5') and
+            # the Spark side through a pyarrow read (Decimal/None
+            # preserved). A query green on fetchall but red here WILL be
+            # red on the driver — typically a nullable small-precision
+            # DECIMAL output; serialize it as canonical VARCHAR on both
+            # engines in the gate projection.
+            results[name] = pandas_path_check(con, sql, files)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f" :: {v}"))
