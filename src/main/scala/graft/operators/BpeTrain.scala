@@ -2,8 +2,8 @@ package graft.operators
 
 import scala.collection.mutable.ListBuffer
 
-import graft.functions.expr.BpeMergePass
-import org.apache.spark.sql.DataFrame
+import graft.functions.expr.{BpeApply, BpeMergePass}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative BPE merge training — the tokenizer-vocabulary loop (Sennrich
@@ -81,5 +81,57 @@ object BpeTrain {
     } finally handles.foreach(_.unpersist(blocking = false))
     merges.toSeq.toDF("round", "left", "right", "pair_count")
       .withColumn("round", col("round").cast("long"))
+  }
+}
+
+/** BPE ENCODING — applying a trained merge table ([[BpeTrain.train]]'s
+  * output, collected to a `Seq` — merge tables are vocabulary-scale, a
+  * bounded driver-side object like a broadcast dimension, never
+  * data-scale). Two entry points with very different scale shapes:
+  *
+  *   - [[encode]]: the raw symbol-sequence encoder, one native
+  *     [[BpeApply]] per row — O(merges × tokens) per row. Right for
+  *     short symbol sequences (single words, gate fixtures).
+  *   - [[tokenizeCorpus]]: corpus-scale text tokenization. BPE merges
+  *     never cross word boundaries, and corpus word frequency is Zipfian
+  *     — so the expensive merge loop runs once per DISTINCT word
+  *     (vocab-scale, sublinear in corpus size), and a word→subtokens
+  *     join fans the result back out to the token stream. At 100 TB the
+  *     encode stage is a rounding error next to the join; the join
+  *     itself shuffles on the word key, whose head ("the", "di", …) is
+  *     exactly the skew AQE's skew-join splitting exists for (the vocab
+  *     side of a hot key is ONE row, so a split fact partition
+  *     replicates almost nothing).
+  */
+object BpeEncode {
+
+  /** Apply the merge table, in training order, to a token-array column. */
+  def encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    BpeApply(tokens, merges)
+
+  /** Tokenize a text column into BPE subtokens: lowercased whitespace
+    * words, each char-split and encoded ONCE per distinct word, then
+    * joined back and reassembled in document order.
+    *
+    * @return (idCol, toks array<string>, n_tokens) — one row per input
+    *         row; empty-text rows keep an empty array, not a dropped row
+    */
+  def tokenizeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextTokens.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    // the merge loop runs here — once per distinct word, not per token
+    val vocab = words.select(col("w")).distinct()
+      .select(col("w"), BpeApply(split(col("w"), ""), merges).as("subtoks"))
+    val assembled = words.join(vocab, "w")
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subtoks"))))
+        .getField("subtoks")).as("toks"))
+    docs.select(col(idCol).as("id"))
+      .join(assembled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("toks"), array().cast("array<string>")).as("toks"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"))
   }
 }

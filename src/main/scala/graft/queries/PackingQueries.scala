@@ -454,12 +454,91 @@ object PackingQueries {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'ab', 'c', CAST(SUM(k % 2) AS BIGINT) FROM k
         |UNION ALL SELECT CAST(4 AS BIGINT), 'abab', 'abab',
         |       CAST(SUM(CASE WHEN k >= 4 THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin) { (spark, dir) =>
-      val k = (col("s_suppkey") % 5 + 1).cast("int")
-      val docs = Tables.load(spark, dir, "supplier").select(
-        concat(flatten(array_repeat(array(lit("a"), lit("b")), k)),
-          array(lit("c"))).as("toks"))
-      graft.operators.BpeTrain.train(docs, "toks", rounds = 4)
+      graft.operators.BpeTrain.train(bpeFixtureDocs(spark, dir), "toks", rounds = 4)
         .select(col("round"), col("left").as("merge_left"),
           col("right").as("merge_right"), col("pair_count"))
+    },
+
+    // T46: BPE ENCODE — the trained merge table APPLIED back to the
+    // corpus via the native whole-table BpeApply expression (train →
+    // collect the vocab-scale table → encode is the production shape:
+    // the table travels like a broadcast dim). On the t45 fixture
+    // doc_k = (a b)^k c every encoding is closed-form: m1 → [ab]^k c,
+    // m2 pairs the ab run left-to-right, m3 fuses a trailing odd ab
+    // with c, m4 pairs abab — 1 token for k=1, 2 tokens otherwise.
+    // `detok` re-concatenates the ENCODED stream: the oracle's
+    // repeat('ab',k)||'c' makes lossless-roundtrip part of the hash.
+    QueryDef.sql(
+      "t46_bpe_encode",
+      """WITH k AS (SELECT s_suppkey AS id, (s_suppkey % 5) + 1 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(CASE WHEN k = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_tokens,
+        |  CASE k WHEN 1 THEN 'abc' WHEN 2 THEN 'abab|c' WHEN 3 THEN 'abab|abc'
+        |         WHEN 4 THEN 'abababab|c' ELSE 'abababab|abc' END AS toks_joined,
+        |  repeat('ab', k) || 'c' AS detok
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val docs = bpeFixtureDocs(spark, dir)
+      val enc = graft.functions.expr.BpeApply(col("toks"), bpeFixtureMerges(spark, dir))
+      docs.select(col("id"), enc.as("enc"))
+        .select(col("id"),
+          size(col("enc")).cast("long").as("n_tokens"),
+          array_join(col("enc"), "|").as("toks_joined"),
+          concat_ws("", col("enc")).as("detok"))
+    },
+
+    // T47: corpus-scale TOKENIZATION (BpeEncode.tokenizeCorpus) — the
+    // distinct-word memoization path: posexplode words, encode each
+    // DISTINCT word once (vocab-scale merge work), join back on the word
+    // key, reassemble in document order via sort_array(struct(pos, …)).
+    // Text doc_k = the words (ab)^j c for j = 1..k, so each word's
+    // subtokens follow t46's closed form and the doc stream is their
+    // in-order concatenation — n_tokens = 2k-1 and the joined stream is
+    // a CASE in k. The word-ORDER reassembly is load-bearing: an
+    // unsorted collect_list would pass counts and fail the hash.
+    QueryDef.sql(
+      "t47_corpus_tokenize",
+      """WITH k AS (SELECT s_suppkey AS id, (s_suppkey % 5) + 1 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(2 * k - 1 AS BIGINT) AS n_tokens,
+        |  CASE k WHEN 1 THEN 'abc'
+        |         WHEN 2 THEN 'abc|abab|c'
+        |         WHEN 3 THEN 'abc|abab|c|abab|abc'
+        |         WHEN 4 THEN 'abc|abab|c|abab|abc|abababab|c'
+        |         ELSE 'abc|abab|c|abab|abc|abababab|c|abababab|abc'
+        |  END AS toks_joined
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val texts = Tables.load(spark, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("id"),
+        expr("concat_ws(' ', transform(sequence(1, CAST(s_suppkey % 5 + 1 AS INT)), " +
+          "j -> concat(repeat('ab', j), 'c')))").as("text"))
+      graft.operators.BpeEncode
+        .tokenizeCorpus(texts, "id", "text", bpeFixtureMerges(spark, dir))
+        .select(col("id"), col("n_tokens"),
+          array_join(col("toks"), "|").as("toks_joined"))
     })
+
+  /** The t45/t46/t47 training fixture: doc_k = (a b)^k c, k = suppkey%5+1
+    * — every round's argmax, count, and encoding is closed-form in k
+    * (trace in the t45 comment). */
+  private def bpeFixtureDocs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val k = (col("s_suppkey") % 5 + 1).cast("int")
+    Tables.load(spark, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("id"),
+      concat(flatten(array_repeat(array(lit("a"), lit("b")), k)),
+        array(lit("c"))).as("toks"))
+  }
+
+  /** Merge table learned from the fixture — collected like a production
+    * tokenizer ships it (vocab-scale rows, never data-scale). Memoized
+    * per data dir: t46 and t47 share one training run per gate sweep. */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeFixtureMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    mergeMemo.computeIfAbsent(dir, _ =>
+      graft.operators.BpeTrain.train(bpeFixtureDocs(spark, dir), "toks", rounds = 4)
+        .orderBy(col("round"))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq)
 }

@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.expr.BpeMergePass
-import graft.operators.BpeTrain
+import graft.functions.expr.{BpeApply, BpeMergePass}
+import graft.operators.{BpeEncode, BpeTrain}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,5 +58,55 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(got == Seq((1L, "a", "b", 2L)),
       "after merging (a,b) no pair repeats; training must stop, not loop")
+  }
+
+  test("BpeApply(table) equals the chain of per-merge passes, and preserves the stream") {
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"), ("abab", "abab"))
+    // 32 pseudo-random docs over the {a,b,c} alphabet (deterministic LCG)
+    val docs = (1 to 32).map { seed =>
+      var s = seed * 2654435761L
+      (0 until (seed % 11 + 1)).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        Seq("a", "b", "c")((math.abs(s) % 3).toInt)
+      }
+    }.toDF("toks")
+    val viaTable = docs.select(BpeApply(col("toks"), merges).as("m"))
+      .as[Seq[String]].collect().toSeq
+    val viaChain = docs.select(
+        merges.foldLeft(col("toks")) { case (c, (l, r)) => BpeMergePass(c, l, r) }.as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(viaTable == viaChain)
+    val original = docs.as[Seq[String]].collect().toSeq
+    assert(viaTable.map(_.mkString) == original.map(_.mkString),
+      "encoding must be lossless: concatenated subtokens == concatenated input")
+  }
+
+  test("tokenizeCorpus: distinct-word memoization equals direct per-doc encode, in word order") {
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"))
+    val texts = Seq(
+      (1L, "ab ababc ab"), (2L, "abc abab"), (3L, ""), (4L, "   "),
+      (5L, "ababab c ab ababab")).toDF("id", "text")
+    val got = BpeEncode.tokenizeCorpus(texts, "id", "text", merges)
+      .orderBy("id")
+      .select(col("id"), col("toks"), col("n_tokens"))
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    // direct path: per-doc char-split each word, encode, concatenate
+    val direct = texts.select(col("id"),
+        flatten(transform(split(lower(trim(col("text"))), "\\s+"),
+          w => BpeApply(split(w, ""), merges))).as("toks"))
+      .orderBy("id")
+      .as[(Long, Seq[String])].collect().toSeq
+    got.zip(direct).foreach { case ((id, toks, n), (id2, dToks)) =>
+      assert(id == id2)
+      // the direct path maps empty text to [""]-split debris; real docs only
+      if (dToks.nonEmpty && dToks.forall(_.nonEmpty)) {
+        assert(toks == dToks, s"doc $id: memoized path diverged")
+        assert(n == toks.size)
+      }
+    }
+    // empty/whitespace docs keep a row with an empty token array
+    assert(got.find(_._1 == 3L).get._2.isEmpty)
+    assert(got.find(_._1 == 4L).get._2.isEmpty)
+    assert(got.find(_._1 == 4L).get._3 == 0L)
   }
 }
