@@ -308,5 +308,39 @@ object SimilarityQueries {
         .groupBy(least(col("sa"), col("sb")).as("split_a"),
           greatest(col("sa"), col("sb")).as("split_b"))
         .agg(count(lit(1)).as("cross_pairs"), max(col("cos")).as("worst_cos"))
+    },
+
+    // D46: BM25 lexical more-like-this retrieval (functions/Bm25) — the
+    // term-statistics complement to d5/d32's embedding neighbors. Query
+    // docs = doc_id % 101 == 0; every other doc is scored over shared
+    // terms via the inverted tf index and ranked top-3 per query. Scores
+    // are exact BIGINT micro-units (per-term round(·,1e-6) then integer
+    // sum — commutes under any partitioning), so the driver hash pins the
+    // whole idf/length-normalization arithmetic, not just the ranking.
+    QueryDef.sql(
+      "d46_bm25_topk",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM t),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS cnt FROM e WHERE term <> '' GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS sum_dl FROM t),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 101 = 0),
+        |w AS (SELECT q.q_id, tf.doc_id AS d_id,
+        |    CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.cnt * 2.2) /
+        |      (tf.cnt + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE)))) *
+        |      1000000.0) AS BIGINT) AS w
+        |  FROM q JOIN tf USING (term) JOIN df USING (term) CROSS JOIN st
+        |  WHERE tf.doc_id <> q.q_id),
+        |s AS (SELECT q_id, d_id, SUM(w) AS score_fp6 FROM w GROUP BY 1, 2),
+        |r AS (SELECT q_id, d_id AS doc_id, CAST(score_fp6 AS BIGINT) AS score_fp6,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score_fp6 DESC, d_id) AS rk
+        |      FROM s)
+        |SELECT q_id, doc_id, score_fp6, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.Bm25.topK(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
+        k = 3, excludeSelf = true)
     })
 }

@@ -216,4 +216,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out == expect,
       "distributed fixed-point accumulation must equal the sequential fold exactly")
   }
+
+  test("Bm25.topK: ranking laws, self-exclusion, and the stop-term df cap") {
+    import graft.functions.Bm25
+    val docs = Seq(
+      (1L, "rare shared common common"),
+      (2L, "rare common"),
+      (3L, "shared common common common"),
+      (4L, "common common"),
+      (5L, "unrelated only here")).toDF("id", "text")
+    val out = Bm25.topK(docs, "id", "text", docs.filter(col("id") === 1L),
+        "id", "text", k = 10, excludeSelf = true)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.forall(_._1 == 1L) && out.forall(_._2 != 1L), "self must be excluded")
+    assert(out.map(_._4).toSeq == (1 to out.length), "ranks are contiguous from 1")
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sorted.reverse, "scores descend")
+    // doc 2 shares the RARE term (df 2) and must outrank doc 4, which
+    // shares only the ubiquitous one; doc 5 shares nothing → absent
+    val byDoc = out.map(t => t._2 -> t._4).toMap
+    assert(byDoc(2L) < byDoc(4L), "rare-term overlap must outrank stop-term-only overlap")
+    assert(!byDoc.contains(5L), "no shared term → no candidate row")
+    // df cap 2 keeps only 'rare'/'shared' (df 2 each): doc 4 (stop-term
+    // overlap only) drops out entirely, the rare-term neighbors survive
+    val capped = Bm25.topK(docs, "id", "text", docs.filter(col("id") === 1L),
+        "id", "text", k = 10, maxDf = 2L, excludeSelf = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(capped == Set(2L, 3L), s"df cap should prune to rare-term neighbors, got $capped")
+    // rerun is bit-identical (integer micro-unit scores commute)
+    val again = Bm25.topK(docs, "id", "text", docs.filter(col("id") === 1L),
+        "id", "text", k = 10, excludeSelf = true)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == again.toSeq)
+  }
 }
