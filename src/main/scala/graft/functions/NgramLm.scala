@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * filter (Wenzek et al. 2020: rank crawl documents by the perplexity of
+  * a LM trained on a trusted reference corpus; the low-perplexity head is
+  * the training-data keep set). Here the LM is a bigram model with
+  * add-one (Laplace) smoothing: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+  *
+  * Distributed shape: training is two streaming aggregates over the
+  * reference token stream (bigram counts and context counts — bigram
+  * keys shuffle once, map-side combined) plus a 1-row vocab-size
+  * aggregate; scoring joins the target bigram stream against the two
+  * count frames on their n-gram keys (observed-bigram-scale and
+  * vocab-scale — at web scale both stay shuffle joins under AQE; the
+  * high-frequency context keys are one row on the model side, the
+  * skew-join-friendly shape) and reduces per document. Nothing is ever
+  * driver-side: the model lives in frames, not a collected map.
+  *
+  * Determinism: each transition's ln p is rounded to 1e-6 fixed point
+  * and summed as BIGINT micro-nats — integer addition commutes, so the
+  * per-document score is independent of partitioning and join order
+  * (the engine's oracle-safe-sum pattern). Unseen bigrams and unseen
+  * contexts are exactly the smoothing's 1/(c+V) path, so OOV scoring is
+  * part of the pinned arithmetic, not a special case.
+  */
+object NgramLm {
+
+  /** Score `target` docs under a bigram LM trained on `reference`.
+    *
+    * @return (idCol, n_scored, logprob_fp6) — `n_scored` is the number
+    *         of scored transitions (tokens − 1), `logprob_fp6` the sum
+    *         of per-transition ln-probabilities in 1e-6 fixed point
+    *         (micro-nats, BIGINT; more negative = higher perplexity).
+    *         Docs with fewer than 2 tokens carry n_scored = 0.
+    */
+  def scoreBigram(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String): DataFrame = {
+
+    def bigrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column], textCol: String) = {
+      val ts = TextTokens.tokens(col(textCol))
+      df.select(cols :+ when(size(ts) >= 2,
+          zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"): _*)
+    }
+
+    val refBg = bigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("bg")).as("p"))
+    val c2 = refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // context counts and vocab are rollups of frames already built — the
+    // reference stream is tokenized once for bigrams, once for vocab
+    val c1 = c2.groupBy(col("w1").as("ctx")).agg(sum(col("c2")).as("c1"))
+    val vocab = reference
+      .select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(count_distinct(col("w")).as("v"))
+
+    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("bg")).as("p"))
+    val scored = tgt
+      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
+      .join(c1, tgt("p.w1") === c1("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("p"),
+        // identical shape on both engines: ln((c2+1)/(c1+V)) as one
+        // integer-add, one double division, one ln — then micro-nats.
+        // NULL (not 0) for the no-bigram explode_outer row, so short
+        // docs keep a row without a phantom transition in the sum
+        when(col("p").isNotNull,
+          round(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
+            .cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+}

@@ -1293,5 +1293,35 @@ object TextQueries {
         array_max(col("qv")).as("q_max"),
         round(array_max(zip_with(col("qv"), col("v"),
           (qi, xi) => abs(qi * col("scale") - xi))), 6).as("max_abs_err"))
+    },
+
+    // T48: n-gram LM PERPLEXITY scoring (functions/NgramLm) — the CCNet
+    // quality-filter shape: a bigram LM with add-one smoothing trained on
+    // the even-doc reference split scores every odd doc. Context counts
+    // are the ROLLUP of the bigram counts (c1 = Σ_w2 c2), which makes the
+    // smoothed model a PROPER distribution (Σ_w2 (c2+1)/(c1+V) = 1) and
+    // costs no second corpus scan. Per-transition ln p lands as BIGINT
+    // micro-nats (round ·1e6) before the per-doc sum, so the hash pins
+    // the whole smoothing arithmetic — including the unseen-bigram and
+    // unseen-context paths — independent of partitioning.
+    QueryDef.sql(
+      "t48_lm_perplexity",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+        |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |        (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> ''),
+        |tg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg WHERE doc_id % 2 = 1),
+        |s AS (SELECT tg.doc_id,
+        |        CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+        |          (COALESCE(c1.c1, 0) + v.v)) * 1000000.0) AS BIGINT) AS lp
+        |      FROM tg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_scored, CAST(SUM(lp) AS BIGINT) AS logprob_fp6
+        |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.NgramLm.scoreBigram(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     })
 }

@@ -35,6 +35,8 @@ object PlanBudget {
     "a28_column_profile" -> (1, 0),
     "a30_k_anonymity" -> (1, 0),
     "d22_tf_cosine_pairs" -> (0, 1),
+    "d46_bm25_topk" -> (1, 1),       // 1-row (N, avgdl) corpus-stats fold
+    "t48_lm_perplexity" -> (1, 1),   // 1-row vocab-size fold
     "d27_split_contamination" -> (0, 1),
     "d38_corpus_drift" -> (2, 2),
     "d7_embedding_near_dup" -> (0, 1),

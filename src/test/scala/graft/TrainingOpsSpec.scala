@@ -250,4 +250,30 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("NgramLm.scoreBigram: hand-traced smoothing incl. OOV and short-doc rows") {
+    import graft.functions.NgramLm
+    // reference counts: c2(a,b)=2, c2(b,a)=2; c1(a)=2, c1(b)=2; V=2
+    val ref = Seq("a b a b", "b a").toDF("text")
+    val tgt = Seq(
+      (1L, "a b"),   // seen bigram: ln(3/4)
+      (2L, "z z"),   // unseen context AND bigram: ln(1/(0+2))
+      (3L, "a"),     // no transition — row kept with zeros
+      (4L, "b a b")  // two seen transitions
+    ).toDF("id", "text")
+    val got = NgramLm.scoreBigram(ref, "text", tgt, "id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val ln34 = math.round(math.log(3.0 / 4.0) * 1e6) // -287682
+    val ln12 = math.round(math.log(1.0 / 2.0) * 1e6) // -693147
+    assert(got == Seq(
+      (1L, 1L, ln34),
+      (2L, 1L, ln12),
+      (3L, 0L, 0L),
+      (4L, 2L, 2 * ln34)))
+    // smoothing is a PROPER distribution: summing p(w2|'a') over the
+    // reference vocab {a, b} must give exactly (c1+V)/(c1+V) = 1
+    val pAa = (0 + 1.0) / (2 + 2) // c2(a,a)=0
+    val pAb = (2 + 1.0) / (2 + 2)
+    assert(math.abs(pAa + pAb - 1.0) < 1e-15)
+  }
 }
