@@ -57,8 +57,13 @@ object Bm25 {
     val e = toks.select(col("doc_id"), size(col("ts")).as("dl"),
         explode(col("ts")).as("term"))
       .filter(col("term") =!= "")
-    val tf = e.groupBy(col("doc_id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("cnt"))
+    // tf feeds BOTH the retrieval index join and the df rollup — without
+    // a persist Spark re-executes the whole explode+agg subtree per
+    // consumer (the q9 multi-reference trap; bounded registry per the
+    // cache contract)
+    val tf = graft.engine.BoundedCaches.persist(
+      e.groupBy(col("doc_id"), col("term"), col("dl"))
+        .agg(count(lit(1)).as("cnt")))
     // df and the corpus scalars are rollups of frames already built —
     // the token stream is exploded exactly once
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -49,8 +49,12 @@ object NgramLm {
 
     val refBg = bigrams(reference, Seq.empty, refTextCol)
       .select(explode(col("bg")).as("p"))
-    val c2 = refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
+    // c2 feeds BOTH the scoring join and the context-count rollup —
+    // persist so the bigram explode+agg runs once (q9 trap; bounded
+    // registry per the cache contract)
+    val c2 = graft.engine.BoundedCaches.persist(
+      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
     // context counts and vocab are rollups of frames already built — the
     // reference stream is tokenized once for bigrams, once for vocab
     val c1 = c2.groupBy(col("w1").as("ctx")).agg(sum(col("c2")).as("c1"))

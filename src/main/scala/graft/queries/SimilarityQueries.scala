@@ -342,5 +342,84 @@ object SimilarityQueries {
         docs, "doc_id", "text",
         docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
         k = 3, excludeSelf = true)
+    },
+
+    // D47: HYBRID retrieval via reciprocal-rank fusion — the standard
+    // two-tower production shape (lexical BM25 ∪ dense cosine, fused as
+    // Σ 1/(60+rank) per system): embeddings catch paraphrase, BM25
+    // catches exact vocabulary, and RRF needs no score calibration
+    // between the two. Both systems rank top-5 for the same query set
+    // (doc_id/vec_id share the id space by fixture construction); RRF
+    // contributions land as BIGINT 1e-9 fixed point, so the fused score
+    // is an exact integer sum and the hash pins both systems' rank
+    // boundaries AND the fusion arithmetic. The dense side here is the
+    // d5 exact baseline (a query-subset broadcast); a web-scale corpus
+    // swaps in ivfTopK/lshTopK ranks — fusion consumes (q, doc, rank)
+    // triples and does not care which engine produced them.
+    QueryDef.sql(
+      "d47_hybrid_rrf_fusion",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM t),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS cnt FROM e WHERE term <> '' GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS sum_dl FROM t),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 101 = 0),
+        |w AS (SELECT q.q_id, tf.doc_id AS d_id,
+        |    CAST(round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.cnt * 2.2) /
+        |      (tf.cnt + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE)))) *
+        |      1000000.0) AS BIGINT) AS w
+        |  FROM q JOIN tf USING (term) JOIN df USING (term) CROSS JOIN st
+        |  WHERE tf.doc_id <> q.q_id),
+        |s AS (SELECT q_id, d_id, SUM(w) AS score FROM w GROUP BY 1, 2),
+        |lex AS (SELECT q_id, d_id, rk FROM (
+        |    SELECT q_id, d_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, d_id) AS rk FROM s) z
+        |  WHERE rk <= 5),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |nv AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v),
+        |den AS (SELECT a.vec_id AS q_id, b.vec_id AS d_id,
+        |        round(list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cos
+        |      FROM nv a JOIN nv b ON a.vec_id % 101 = 0 AND b.vec_id <> a.vec_id),
+        |dnk AS (SELECT q_id, d_id, rk FROM (
+        |    SELECT q_id, d_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, d_id) AS rk FROM den) z
+        |  WHERE rk <= 5),
+        |u AS (SELECT q_id, d_id, rk FROM lex UNION ALL SELECT q_id, d_id, rk FROM dnk),
+        |f AS (SELECT q_id, d_id,
+        |        CAST(SUM(CAST(round(1000000000.0 / (60 + rk)) AS BIGINT)) AS BIGINT) AS rrf_fp9,
+        |        COUNT(*) AS n_systems
+        |      FROM u GROUP BY 1, 2)
+        |SELECT q_id, d_id AS doc_id, rrf_fp9, CAST(n_systems AS INT) AS n_systems, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_fp9 DESC, d_id) AS rk FROM f) z
+        |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val lex = graft.functions.Bm25.topK(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
+          k = 5, excludeSelf = true)
+        .select(col("q_id"), col("doc_id").as("d_id"), col("rk"))
+      val nv = Tables.load(spark, dir, "embeddings").select(
+        col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        .withColumn("nrm", Similarity.norm(col("ve")))
+      val qv = nv.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("q_id"), col("ve").as("qe"), col("nrm").as("qn"))
+      val denW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("d_id"))
+      val den = nv.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("d_id"),
+          round(Similarity.dot(col("qe"), col("ve")) / (col("qn") * col("nrm")), 6).as("cos"))
+        .withColumn("rk", row_number().over(denW))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("d_id"), col("rk"))
+      val fused = lex.unionByName(den)
+        .select(col("q_id"), col("d_id"),
+          round(lit(1000000000.0) / (lit(60) + col("rk"))).cast("long").as("c"))
+        .groupBy(col("q_id"), col("d_id"))
+        .agg(sum(col("c")).as("rrf_fp9"), count(lit(1)).cast("int").as("n_systems"))
+      val fw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("rrf_fp9").desc, col("d_id"))
+      fused.withColumn("rk", row_number().over(fw).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("d_id").as("doc_id"),
+          col("rrf_fp9"), col("n_systems"), col("rk"))
     })
 }

@@ -36,6 +36,7 @@ object PlanBudget {
     "a30_k_anonymity" -> (1, 0),
     "d22_tf_cosine_pairs" -> (0, 1),
     "d46_bm25_topk" -> (1, 1),       // 1-row (N, avgdl) corpus-stats fold
+    "d47_hybrid_rrf_fusion" -> (1, 2), // BM25 stats fold + dense exact-baseline query broadcast
     "t48_lm_perplexity" -> (1, 1),   // 1-row vocab-size fold
     "d27_split_contamination" -> (0, 1),
     "d38_corpus_drift" -> (2, 2),
