@@ -70,7 +70,12 @@ object Bench {
     "q8_incremental_rollup",
     "a30_k_anonymity",
     "m7_container_metadata_audit",
-    "d43_ann_exactdup_audit")
+    "d43_ann_exactdup_audit",
+    // round-12 retrieval/tokenizer additions
+    "d46_bm25_topk",
+    "d47_hybrid_rrf_fusion",
+    "t48_lm_perplexity",
+    "t47_corpus_tokenize")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -491,6 +491,73 @@ object DedupQueries {
       (spark, dir) => cleanCorpus(spark, dir)
     },
 
+    // Q10: the CURATION FUNNEL report — per-stage survivor counts for the
+    // full modern pipeline (language gate → quality gate → exact dedup →
+    // reference-LM perplexity filter), the one-page answer to "where did
+    // my corpus go?" every curation run publishes. Stages 1-4 are d9's
+    // chain with each gate counted separately; stage 5 scores the dedup
+    // survivors under t48's bigram LM (trained on the even-doc reference
+    // split) and keeps docs above −3.43 nats/transition — an integer
+    // compare in micro-nat fixed point (lp > n·T), no IEEE division.
+    // Each count is a bounded scalar fold (the q2 report shape); the
+    // expensive stages reuse ONE tokenization per branch via the shared
+    // projection pattern.
+    QueryDef.sql(
+      "q10_curation_funnel",
+      s"""WITH $cleanCorpusSql,
+         |lang AS (SELECT doc_id, ts FROM c
+         |  WHERE (CASE WHEN en + es + de + fr = 0 THEN 'und'
+         |              WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+         |              WHEN de > en AND de > es THEN 'de'
+         |              WHEN es > en THEN 'es'
+         |              ELSE 'en' END) = 'en'),
+         |qual AS (SELECT doc_id FROM lang
+         |  WHERE len(ts) BETWEEN 10 AND 100000
+         |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
+         |surv AS (SELECT doc_id FROM f WHERE rn = 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+         |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT w) AS v FROM
+         |        (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> ''),
+         |tg AS (SELECT bg.doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg JOIN surv USING (doc_id)),
+         |s AS (SELECT tg.doc_id,
+         |        CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+         |          (COALESCE(c1.c1, 0) + v.v)) * 1000000.0) AS BIGINT) AS lp
+         |      FROM tg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |ppl AS (SELECT doc_id, COUNT(*) AS n, SUM(lp) AS lp FROM s GROUP BY 1),
+         |keep AS (SELECT doc_id FROM ppl WHERE lp > n * -3430000)
+         |SELECT CAST(1 AS INT) AS stage_ord, 'total' AS stage, (SELECT COUNT(*) FROM t) AS n_docs
+         |UNION ALL SELECT 2, 'lang_en', (SELECT COUNT(*) FROM lang)
+         |UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM qual)
+         |UNION ALL SELECT 4, 'unique', (SELECT COUNT(*) FROM surv)
+         |UNION ALL SELECT 5, 'low_perplexity', (SELECT COUNT(*) FROM keep)""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.DataFrame
+      val docs = Tables.load(spark, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"),
+        graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+      val lang = base.filter(
+        TextAnalysis.languageIdFromTokens(col("__toks")) === "en")
+      val quality = TextAnalysis
+        .qualityColumnsFromTokens(col("text"), col("__toks"), TextAnalysis.enStopwords)
+        .toMap
+      val qual = lang.filter(quality("quality_ok"))
+      val survDocs = docs.join(
+        cleanCorpus(spark, dir).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val keep = graft.functions.NgramLm
+        .scoreBigram(docs.filter(col("doc_id") % 2 === 0), "text",
+          survDocs, "doc_id", "text")
+        .filter(col("logprob_fp6") > col("n_scored") * lit(-3430000L))
+      def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs")).select(
+          lit(ord).cast("int").as("stage_ord"), lit(name).as("stage"), col("n_docs"))
+      Seq(stage(1, "total", docs), stage(2, "lang_en", lang),
+        stage(3, "quality", qual), stage(4, "unique", survDocs),
+        stage(5, "low_perplexity", keep))
+        .reduce(_ unionAll _)
+        .select(col("stage_ord"), col("stage"), col("n_docs"))
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the
