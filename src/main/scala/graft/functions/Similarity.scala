@@ -504,4 +504,159 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("cos"))
       .transform(rankTopK(k))
   }
+
+  /** Product-quantization ANN top-k (ADC scan) — the memory-compression
+    * scale path: each vector's `m` subvectors quantize to one of `ksub`
+    * centroids, so the searchable index is n·m CODE BYTES instead of
+    * n·d doubles (for 64-dim float at m=8/ksub=16 that is 64×
+    * compression), which is how billion-vector corpora fit an index at
+    * all. Queries score by Asymmetric Distance Computation: per query a
+    * (m × ksub) table of exact subspace distances to the codebook, and
+    * every corpus distance is a table lookup-sum over its codes.
+    *
+    * Distributed shape: codebooks train like IVF's coarse quantizer — a
+    * BOUNDED deterministic sample (xxhash64 order, one TakeOrdered job)
+    * + local per-subspace Lloyd — then broadcast for the one-pass
+    * ENCODE. The ADC scan is an equi-join of the (id, j, code) frame
+    * against the (qid, j, code, dist) table frame on (j, code) — m·ksub
+    * distinct join keys, table side query-scale (broadcast-able for a
+    * bounded query set, which is how production uses it; passing the
+    * whole corpus as queries is the exact-audit configuration, the d5
+    * brute-force regime over compressed codes).
+    *
+    * Deterministic end to end: hash-order sample, sequential Lloyd
+    * folds, lowest-index tie-breaks, and per-(query, subspace, code)
+    * distances rounded to 1e-9 fixed point BEFORE the m-term integer
+    * sum, so ADC scores commute under any partitioning. Approximate by
+    * construction (quantization error) — recall vs the exact baseline
+    * is pinned in SimilaritySpec; the exact-dup THEOREM (a twin's ADC
+    * distance equals the query's own-code distance, the provable
+    * minimum) is driver-hashed by d49.
+    *
+    * @return (vec_id, neighbor_id, adc_fp9, rk) — `adc_fp9` is the
+    *         squared-L2 ADC distance in 1e-9 fixed point, rank 1 =
+    *         nearest, ties to the lower neighbor id
+    */
+  def pqTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainCap: Int = 100000): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    pqDistances(vecs, idCol, vecCol, queries, qIdCol, qVecCol, m, ksub, iters, trainCap)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      // TopKByScore ranks score DESC, id ASC — negate for nearest-first
+      .groupBy(col("vec_id"))
+      .agg(expr2.topK((-col("adc_fp9")).cast("double"), col("neighbor_id"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        (-col("t.score")).cast("long").as("adc_fp9"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** The ADC distance frame behind [[pqTopK]] — (vec_id, neighbor_id,
+    * adc_fp9) for every (query, corpus) pair, SELF-PAIRS INCLUDED (the
+    * d49 audit needs the query's own-code distance, which is the
+    * provable ADC minimum). One codebook serves every consumer of one
+    * call — distances from separate calls are not comparable. */
+  def pqDistances(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      trainCap: Int = 100000): DataFrame = {
+    require(m >= 1 && ksub >= 2 && iters >= 1, "pq params out of range")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+
+    val sample: Array[Array[Double]] = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.max(ksub, trainCap))
+      .select("v").as[Array[Double]].collect()
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+
+    // per-subspace local Lloyd over the bounded sample (sequential adds
+    // in sample order; empty cells keep their centroid — the IVF rules)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = sub.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        sub.foreach { v =>
+          val c = nearestCodeL2(v, cents)
+          val s = sums(c)
+          var i = 0
+          while (i < dsub) { s(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }.toArray
+        it += 1
+      }
+      cents
+    }
+    val bc = spark.sparkContext.broadcast(codebooks)
+
+    // one-pass encode: (nid, j, code) — n·m rows, the compressed index
+    val mm = m
+    val dd = dsub
+    val codes = base.flatMap { case (id, v) =>
+      val cb = bc.value
+      (0 until mm).iterator.map { j =>
+        (id, j, nearestCodeL2(
+          java.util.Arrays.copyOfRange(v, j * dd, (j + 1) * dd), cb(j)))
+      }
+    }.toDF("nid", "j", "code")
+
+    // per-query ADC tables: (qid, j, code, d) with d already in 1e-9
+    // fixed point — every (j, code) combination present, so each
+    // (query, doc) pair joins to exactly m rows
+    val ks = ksub
+    val tabs = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) =>
+        val cb = bc.value
+        for { j <- (0 until mm).iterator; c <- (0 until ks).iterator if c < cb(j).length }
+          yield (qid, j, c, math.round(l2sqSeq(
+            java.util.Arrays.copyOfRange(v, j * dd, (j + 1) * dd), cb(j)(c)) * 1e9))
+      }.toDF("qid", "j", "code", "d")
+
+    codes.join(tabs, Seq("j", "code"))
+      .groupBy(col("qid").as("vec_id"), col("nid").as("neighbor_id"))
+      .agg(sum(col("d")).as("adc_fp9"))
+  }
+
+  /** Index of the L2-nearest centroid, strict-improvement scan so ties
+    * keep the LOWEST index (deterministic across runs and engines). */
+  private def nearestCodeL2(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = l2sqSeq(v, cs(0))
+    var c = 1
+    while (c < cs.length) {
+      val d = l2sqSeq(v, cs(c))
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** Squared L2 in a sequential left fold (same accumulation order on
+    * every path). */
+  private def l2sqSeq(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
 }

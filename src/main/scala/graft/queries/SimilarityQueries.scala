@@ -421,5 +421,55 @@ object SimilarityQueries {
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("d_id").as("doc_id"),
           col("rrf_fp9"), col("n_systems"), col("rk"))
+    },
+
+    // D48: product-quantization ANN (ADC scan) — the memory-compression
+    // fourth member of the ANN family (brute d5, LSH d6, IVF d8): the
+    // index is n·m code bytes, queries rank by per-subspace table
+    // lookups. Bounded query subset (vec_id % 11 == 0) — the production
+    // posture; the all-queries configuration is the d5 brute regime over
+    // codes. Rows-only (the trained codebook has no SQL equivalent);
+    // the exact-dup THEOREM is driver-hashed by d49 and recall is pinned
+    // in SimilaritySpec.
+    QueryDef.rowsOnly("d48_pq_ann_topk") { (spark, dir) =>
+      val vecs = Tables.load(spark, dir, "embeddings")
+      Similarity.pqTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") % 11 === 0), "vec_id", "embedding", k = 3)
+    },
+
+    // D49: the PQ exact-dup audit (d41/d42/d43's theorem pattern) —
+    // planted twins (vec_id + 1e6, identical vectors) must (a) quantize
+    // to the query's own codes, so the twin's ADC distance EQUALS the
+    // query's self-distance, and (b) sit AT the provable ADC minimum
+    // (per-subspace table entries are minimized by the encoder's own
+    // argmin — same fold, same doubles — and fixed-point rounding is
+    // monotone, so no corpus vector can score below the twin). Both
+    // booleans are exact BIGINT micro-unit comparisons inside ONE
+    // pqDistances call (one codebook; distances from separate calls are
+    // not comparable), so the driver hash pins the encoder, the table
+    // build, and the rounding discipline at once.
+    QueryDef.sql(
+      "d49_pq_exactdup_audit",
+      """SELECT vec_id, vec_id + 1000000 AS twin_id,
+        |  TRUE AS twin_dist_is_self_dist, TRUE AS twin_dist_is_min
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (spark, dir) =>
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val twins = vecs.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val aug = vecs.unionAll(twins)
+      val queries = vecs.filter(col("vec_id") < 100)
+      val dists = Similarity.pqDistances(aug, "vec_id", "embedding",
+        queries, "vec_id", "embedding")
+      val dSelf = dists.filter(col("neighbor_id") === col("vec_id"))
+        .select(col("vec_id"), col("adc_fp9").as("d_self"))
+      val dTwin = dists.filter(col("neighbor_id") === col("vec_id") + 1000000)
+        .select(col("vec_id"), col("adc_fp9").as("d_twin"))
+      val dMin = dists.filter(col("neighbor_id") =!= col("vec_id"))
+        .groupBy(col("vec_id")).agg(min(col("adc_fp9")).as("d_min"))
+      dSelf.join(dTwin, Seq("vec_id")).join(dMin, Seq("vec_id"))
+        .select(col("vec_id"), (col("vec_id") + 1000000).as("twin_id"),
+          (col("d_twin") === col("d_self")).as("twin_dist_is_self_dist"),
+          (col("d_twin") === col("d_min")).as("twin_dist_is_min"))
     })
 }

@@ -103,6 +103,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found >= 8, s"IVF recall on planted near-dups too low: $found/10")
   }
 
+  test("PQ ANN finds planted near-duplicate vectors; reruns are bit-identical") {
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val planted = (0 until 10).map { i =>
+      val v = vec(i).clone()
+      v(0) = v(0) + 0.01f
+      (100L + i, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    def run() = Similarity.pqTopK(df, "vec_id", "embedding",
+        df, "vec_id", "embedding", k = 1, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val ann = run()
+    val top = ann.map(t => t._1 -> t._2).toMap
+    val found = (0 until 10).count(i => top.get(100L + i).contains(i.toLong))
+    assert(found >= 8, s"PQ recall on planted near-dups too low: $found/10")
+    assert(run().sortBy(_._1).toSeq == ann.sortBy(_._1).toSeq,
+      "fixed-point ADC must be bit-identical across runs")
+  }
+
+  test("PQ exact twins: twin distance equals self distance and the ADC minimum") {
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    val twins = (0 until 5).map(i => (200L + i, vec(i)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("vec_id", "embedding")
+    val d = Similarity.pqDistances(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 5).foreach { i =>
+      val dSelf = d((i.toLong, i.toLong))
+      val dTwin = d((i.toLong, 200L + i))
+      val dMin = d.collect { case ((q, n), v) if q == i.toLong && n != q => v }.min
+      assert(dTwin == dSelf, s"query $i: twin must share the query's own codes")
+      assert(dTwin == dMin, s"query $i: twin must sit at the ADC minimum")
+    }
+  }
+
   test("null array elements: dot yields NULL (like the HOF fold); signatures zero") {
     val df = Seq(Tuple1(1)).toDF("x").select(
       array(lit(1.0), lit(null).cast("double")).as("v"),
