@@ -707,11 +707,12 @@ object FilterJoinQueries {
          |FROM (${j2OracleRawSql})""".stripMargin) { (spark, dir) =>
       j2Pipeline(spark, dir).select("id", "created_at", "updated_at", "disabled_at")
     },
-    QueryDef.sql(
-      "j2_audit_decimal_raw",
-      s"SELECT id, lat, lon FROM (${j2OracleRawSql})") { (spark, dir) =>
-      j2Pipeline(spark, dir).select("id", "lat", "lon")
-    },
+    // (The fourth probe, j2_audit_decimal_raw, kept the nullable
+    // DECIMAL(8,2) shape verbatim as the divergence canary. Its job is
+    // now done by the LOCAL mirror's pandas-path second opinion in
+    // tools/check_oracle.py — which reproduces the driver's NaN/NULL
+    // decimal split on demand — so the probe is retired rather than
+    // shipping a permanently-red row in every driver gate.)
 
     // J15: ServicePipelines.healthcareCompanies REUSED VERBATIM
     // (src/cronos.py:88-118 — azienda joined to the migrated ulss
