@@ -111,6 +111,21 @@ object TextAnalysis {
   def fingerprintTokenSet(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(TextTokens.tokens(text)))))
 
+  /** Unicode-confusable map (UTS #39 skeleton flavor, the high-traffic
+    * Cyrillic subset): homoglyphs that render identically to Latin and
+    * defeat every byte-level fingerprint above — the spam/spoof dedup
+    * gap. Positionally aligned from→to; single-codepoint translate, so
+    * the same table drives Spark's `translate` and DuckDB's. */
+  val confusablesFrom = "аеорсухіѕјАВЕКМНОРСТХУІЅЈ"
+  val confusablesTo = "aeopcyxisjABEKMHOPCTXYISJ"
+
+  /** Confusable skeleton: trim → fold homoglyphs to Latin → lowercase.
+    * Spoofed variants of one string share a skeleton, so skeleton
+    * equality is the spoof-resistant exact-dedup key (group or
+    * fingerprint it like [[fingerprintMd5]]). */
+  def confusableSkeleton(text: Column): Column =
+    lower(translate(trim(text), confusablesFrom, confusablesTo))
+
   /** Rolling polynomial hash (mod 1e9+7) over the characters of the
     * canonical text — overflow-free in 64-bit, so the same value is
     * computable in any engine with a left fold.

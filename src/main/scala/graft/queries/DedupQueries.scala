@@ -558,6 +558,45 @@ object DedupQueries {
         .select(col("stage_ord"), col("stage"), col("n_docs"))
     },
 
+    // D50: CONFUSABLE-SKELETON dedup — the spoof-resistant flavor: a
+    // Cyrillic 'е' renders identically to Latin 'e' but breaks every
+    // byte-level fingerprint (d1's md5, d4's shingles, SimHash), which
+    // is exactly how spam evades naive dedup. The skeleton (UTS #39
+    // style: fold the high-traffic homoglyph table to Latin, then
+    // casefold) restores one canonical key; grouping on it is d1's
+    // exact-dedup shape — one hash aggregate, map-side combined, no new
+    // scale machinery. Fixture plants a homoglyph-spoofed twin of every
+    // supplier name, so each group must resolve to exactly the
+    // (original, spoof) pair with the original as keeper.
+    QueryDef.sql(
+      "d50_confusable_dedup",
+      """WITH base AS (
+        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, translate(s_name, 'AEOPCXYaeopcxy', 'АЕОРСХУаеорсху') FROM supplier),
+        |sk AS (SELECT id,
+        |         lower(translate(trim(name), 'аеорсухіѕјАВЕКМНОРСТХУІЅЈ', 'aeopcyxisjABEKMHOPCTXYISJ')) AS skeleton,
+        |         CASE WHEN translate(name, 'аеорсухіѕјАВЕКМНОРСТХУІЅЈ', 'aeopcyxisjABEKMHOPCTXYISJ') <> name
+        |              THEN 1 ELSE 0 END AS spoofed
+        |       FROM base)
+        |SELECT skeleton, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(MIN(id) AS BIGINT) AS keeper_id,
+        |  CAST(SUM(spoofed) AS BIGINT) AS n_spoofed
+        |FROM sk GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin) { (spark, dir) =>
+      val sup = Tables.load(spark, dir, "supplier")
+      val base = sup.select(col("s_suppkey").cast("long").as("id"), col("s_name").as("name"))
+        .unionAll(sup.select((col("s_suppkey") + 100000).cast("long").as("id"),
+          translate(col("s_name"), "AEOPCXYaeopcxy", "АЕОРСХУаеорсху").as("name")))
+      base.select(col("id"),
+          TextAnalysis.confusableSkeleton(col("name")).as("skeleton"),
+          when(translate(col("name"), TextAnalysis.confusablesFrom,
+            TextAnalysis.confusablesTo) =!= col("name"), 1L).otherwise(0L).as("spoofed"))
+        .groupBy(col("skeleton"))
+        .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keeper_id"),
+          sum(col("spoofed")).as("n_spoofed"))
+        .filter(col("n_variants") >= 2)
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the
