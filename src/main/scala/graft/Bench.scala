@@ -75,7 +75,19 @@ object Bench {
     "d46_bm25_topk",
     "d47_hybrid_rrf_fusion",
     "t48_lm_perplexity",
-    "t47_corpus_tokenize")
+    "t47_corpus_tokenize",
+    // late r12: the bipartite-HITS iterative shape (two edge joins per
+    // round), the per-group Pareto-sweep, and the JL dense-projection
+    // map (the narrow no-shuffle baseline every other query is implicitly
+    // compared against).
+    "d51_hits_scores",
+    "o3_skyline_frontier",
+    "d52_jl_projection",
+    // BFS frontier wave (the bounded-depth reachability shape) and the
+    // URL canonicalizer (pure narrow string map — the regex-heavy
+    // baseline for scan-bound text transforms).
+    "d53_bfs_distances",
+    "t50_url_canonicalize")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -659,4 +659,38 @@ object Similarity {
     while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
     acc
   }
+
+  /** Deterministic ±1 Rademacher sign matrix for [[jlProject]]: sign(i, j)
+    * from a fixed multiplicative hash of the (input-dim, output-dim) index
+    * pair. PUBLIC so the correctness oracle can render the identical signs
+    * as SQL literals — the matrix is plan-time constant, never computed
+    * row-side, so cross-engine parity needs no shared hash function. */
+  def jlSigns(dim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      if (((i.toLong * 2654435761L + j.toLong * 40503L) % 2039L) % 2L == 0L) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * Rademacher (±1) matrix: out_j = Σ_i sign(i,j)·v_i, the dense-sketch
+    * companion to the hash sketches (SimHash is exactly this with a sign
+    * output; keeping the magnitudes preserves pairwise L2/inner products
+    * within (1±ε) at outDim = O(log n / ε²), Achlioptas 2003).
+    *
+    * The matrix is embedded as literal arrays, so each output is ONE
+    * codegen'd [[dot]] fold over the row's vector — a narrow map, no
+    * shuffle, no UDF; identical vectors project identically (the exact-dup
+    * theorem the spec pins). Scale-out is embarrassing: 100 TB of vectors
+    * is one pass writing outDim doubles per row. Results round to
+    * `roundTo` dp so downstream equality/ranking is engine-stable. */
+  def jlProject(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, roundTo: Int = 6): DataFrame = {
+    val signs = jlSigns(dim, outDim)
+    val e = col(vecCol).cast("array<double>")
+    vecs.select(
+      (col(idCol) +:
+        signs.zipWithIndex.map { case (row, j) =>
+          round(dotNative(e, array(row.map(lit(_)): _*)), roundTo).as(s"p$j")
+        }.toSeq): _*)
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Breadth-first hop distances from a source set — the
+  * reachability/distance primitive the graph family lacked: "how far is
+  * every document from this seed set" powers contamination blast-radius
+  * checks (how much of the corpus is within k dedup-links of a benchmark
+  * doc) and link-graph crawl-frontier audits. Complements
+  * [[ConnectedComponents]] (reachable at all) with HOW FAR, and
+  * [[PageRank]]/[[Hits]] (stationary importance) with shortest-path
+  * structure.
+  *
+  * Synchronous frontier expansion: round h ships the round-(h-1) frontier
+  * over the edge relation (one edge-keyed shuffle join), dedups the
+  * neighbor set, and anti-joins the already-settled distance table so each
+  * vertex is labeled exactly once, at its true hop distance (BFS
+  * invariant: first discovery is shortest). Rounds are capped — the
+  * d21/d31 doctrine: a fixed cap keeps the oracle an unrollable `d <
+  * maxHops` recursion — and exit early when a frontier comes back empty.
+  *
+  * Scale shape per round: ONE fact-scale shuffle (frontier⋈edges keyed on
+  * src), a map-side-combined distinct, and a settled-set anti-join that is
+  * vertex-scale, not edge-scale. One action per round (the frontier
+  * materialize/early-exit count). Iteration hygiene is the PageRank rule:
+  * every persisted frame is re-rooted as an RDD leaf, so the plan stays
+  * one round deep; the settled table is a linear union of ≤ maxHops+1
+  * cached leaves, never a self-referencing chain.
+  */
+object Bfs {
+
+  /** Re-root a persisted, materialized frame as a leaf over its RDD (the
+    * TreeDepth/LabelPropagation truncateLineage pattern): the settled
+    * union and next round's anti-join both reference each level, so
+    * un-truncated lineage would nest every prior round's plan text into
+    * each new one. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** @param edges   directed (src, dst) long ids; mirror before calling
+    *                for an undirected walk
+    * @param sources one column `v` (long ids) — distance-0 seed set
+    * @param maxHops fixed round cap (≤ 64 — beyond that the caller wants
+    *                [[ConnectedComponents]], not distances)
+    * @return (v, dist) for every vertex within maxHops of a source;
+    *         unreachable vertices are absent
+    */
+  def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"maxHops must be in [0, 64], got $maxHops (for unbounded reachability use ConnectedComponents)")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = truncateLineage(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .persist(MEMORY_AND_DISK))
+    var frontier = sources.select(col("v").cast("long").as("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+    var frontierRows = frontier.count()
+    frontier = truncateLineage(frontier)
+    // settled levels: each element is a persisted RDD-leaf (v, dist) frame
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("dist", lit(0L)))
+    var h = 1
+    while (h <= maxHops && frontierRows > 0L) {
+      val settled = levels.reduce(_ unionAll _).select(col("v"))
+      var next = e.join(frontier.select(col("v").as("__f")), col("src") === col("__f"))
+        .select(col("dst").as("v"))
+        .distinct()
+        .join(settled, Seq("v"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      frontierRows = next.count() // ONE action: materialize + early-exit test
+      next = truncateLineage(next)
+      levels += next.withColumn("dist", lit(h.toLong))
+      frontier = next
+      h += 1
+    }
+    val out = levels.reduce(_ unionAll _)
+    e.unpersist(blocking = false)
+    // levels stay persisted — same contract as PageRank's ranks: the
+    // caller reads the result from cache; blocks age out via LRU.
+    out
+  }
+}

@@ -371,6 +371,31 @@ object AggWindowQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
 
+    // O3: 2-D Pareto frontier (skyline) per brand — the non-dominated
+    // (cheapest, smallest) parts, the multi-objective selection primitive
+    // (data-mixture picking under cost/quality trade-offs). The oracle is
+    // the DEFINITION (quadratic NOT-EXISTS dominance); the Spark plan is
+    // the scale formulation: groupBy(x).min(y) map-side reduction, then a
+    // per-brand running-min sweep over distinct x, then a broadcast join
+    // back (operators/Skyline.scala) — the fact table is scanned once and
+    // never self-joined. Prices are exact cents (round→BIGINT identically
+    // in both engines) so frontier membership has no IEEE boundary.
+    QueryDef.sql(
+      "o3_skyline_frontier",
+      """WITH c AS (SELECT p_brand, p_partkey,
+        |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |             p_size FROM part)
+        |SELECT p_brand, p_partkey, price_cents, p_size FROM c a
+        |WHERE NOT EXISTS (SELECT 1 FROM c b WHERE b.p_brand = a.p_brand
+        |  AND b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        |  AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))""".stripMargin) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "part").select(
+        col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size"))
+      graft.operators.Skyline.frontier2d(c, Seq("p_brand"), "price_cents", "p_size")
+    },
+
     // U1: vertical concat, identical schemas (src/core.py:743).
     QueryDef.sql(
       "u1_union_all",
@@ -1047,6 +1072,41 @@ object AggWindowQueries {
         (col("class_size") < 5).as("at_risk"),
         sum(col("class_size")).over(wAll).as("total_rows"),
         min(col("class_size")).over(wAll).as("k_anonymity"))
+    },
+
+    // A35: frequent-pair mining with lift (market-basket association) —
+    // the co-occurrence primitive behind "docs that cite X also cite Y"
+    // dataset analyses: per order-basket, distinct item pairs (a < b),
+    // support-filtered, with lift = n_baskets·c(A,B)/(c(A)·c(B)) as ONE
+    // division of exact integers (the t41 rule) beside its raw inputs.
+    // Scale shape: the pair generator is an equi-join on the basket key —
+    // fan-out per basket is C(k,2), bounded by real basket sizes (a
+    // pathological hot basket is the skew case the conf-gated size cap
+    // in the spec's operator variant drops); support counts map-side
+    // combine; item counts join back on the part key; n_baskets is a
+    // 1-row bounded scalar fold (q2 class, budget-audited). NEVER an
+    // all-pairs over the catalog: unsupported pairs die in the
+    // basket-keyed join's output aggregate, not in a 20k² enumeration.
+    QueryDef.sql(
+      "a35_frequent_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items),
+        |c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |        CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  n.n_baskets,
+        |  round(CAST(n.n_baskets * pair_cnt AS DOUBLE) / (ca.cnt * cb.cnt), 6) AS lift
+        |FROM p JOIN c ca ON ca.l_partkey = part_a
+        |       JOIN c cb ON cb.l_partkey = part_b CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      graft.operators.Baskets.frequentPairs(
+        Tables.load(spark, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2L)
+        .withColumnRenamed("item_a", "part_a")
+        .withColumnRenamed("item_b", "part_b")
     },
 
     // A33: l-diversity — k-anonymity's stronger sibling: a class that is

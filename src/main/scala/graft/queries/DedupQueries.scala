@@ -597,6 +597,72 @@ object DedupQueries {
         .filter(col("n_variants") >= 2)
     },
 
+    // D51: HITS hubs & authorities (Kleinberg) over the supplier→part
+    // co-supply bipartite graph — the link-structure quality signal for
+    // web-corpus curation (a page linked by good hubs is a good
+    // authority), exercised here on lineitem's supply edges: a part's
+    // authority is the summed hub weight of its suppliers; a supplier's
+    // hub weight is the summed authority of its catalog. Two synchronous
+    // rounds in EXACT BIGINT (no L2 normalization — IEEE-order-dependent
+    // and rank-irrelevant; see operators/Hits.scala for the overflow
+    // guard). Part ids are offset by 1e9 into a disjoint vertex range.
+    // Per round: two edge-keyed shuffle joins + map-side-combined sums —
+    // the PageRank cost profile, lineage truncated per round.
+    QueryDef.sql(
+      "d51_hits_scores",
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |                  CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM lineitem),
+        |n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY 1),
+        |af1 AS (SELECT n.v, COALESCE(a1.a, 0) AS a FROM n LEFT JOIN a1 ON a1.v = n.v),
+        |h1 AS (SELECT e.src AS v, SUM(af1.a) AS h FROM e JOIN af1 ON af1.v = e.dst GROUP BY 1),
+        |hf1 AS (SELECT n.v, COALESCE(h1.h, 0) AS h FROM n LEFT JOIN h1 ON h1.v = n.v),
+        |a2 AS (SELECT e.dst AS v, SUM(hf1.h) AS a FROM e JOIN hf1 ON hf1.v = e.src GROUP BY 1),
+        |af2 AS (SELECT n.v, COALESCE(a2.a, 0) AS a FROM n LEFT JOIN a2 ON a2.v = n.v),
+        |h2 AS (SELECT e.src AS v, SUM(af2.a) AS h FROM e JOIN af2 ON af2.v = e.dst GROUP BY 1)
+        |SELECT n.v, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+        |       CAST(af2.a AS BIGINT) AS authority
+        |FROM n LEFT JOIN h2 ON h2.v = n.v JOIN af2 ON af2.v = n.v""".stripMargin) { (spark, dir) =>
+      val edges = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000000L).cast("long").as("dst"))
+        .distinct()
+      graft.operators.Hits.run(edges, rounds = 2)
+    },
+
+    // D53: BFS hop distances (operators/Bfs) — reachability WITH distance,
+    // the blast-radius primitive (how much of the corpus sits within k
+    // dedup-links / citation-hops of a seed) the graph family lacked: CC
+    // answers "connected at all", PageRank/HITS "how important"; this
+    // answers "how far". Undirected wave from supplier 1 over the
+    // symmetrized supplier→part co-supply graph, capped at 3 hops — the
+    // oracle is the definitional bounded-depth recursion (min over all
+    // walks of length ≤ 3), so the frontier/anti-join formulation is
+    // checked against the definition. Per round: ONE edge-keyed shuffle
+    // join + distinct + vertex-scale anti-join, one action, RDD-leaf
+    // re-rooting per level (the PageRank lineage rule).
+    QueryDef.sql(
+      "d53_bfs_distances",
+      """WITH RECURSIVE e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+        |        CAST(l_partkey + 1000000000 AS BIGINT) AS dst FROM lineitem),
+        |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |walk(v, d) AS (
+        |  SELECT CAST(1 AS BIGINT) AS v, 0 AS d
+        |  UNION
+        |  SELECT ue.dst, walk.d + 1 FROM walk JOIN ue ON ue.src = walk.v WHERE walk.d < 3
+        |)
+        |SELECT v, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY v""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + 1000000000L).cast("long").as("dst"))
+        .distinct()
+      val ue = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))
+        .select(col("src"), col("dst")))
+      val sources = spark.range(1, 2).select(col("id").as("v"))
+      graft.operators.Bfs.hopDistances(ue, sources, maxHops = 3)
+        .select(col("v"), col("dist"))
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the

@@ -471,5 +471,29 @@ object SimilarityQueries {
         .select(col("vec_id"), (col("vec_id") + 1000000).as("twin_id"),
           (col("d_twin") === col("d_self")).as("twin_dist_is_self_dist"),
           (col("d_twin") === col("d_min")).as("twin_dist_is_min"))
+    },
+
+    // D52: Johnson–Lindenstrauss Rademacher projection 64→8 dims — the
+    // dense dimensionality sketch that makes downstream pair work 8×
+    // cheaper while preserving pairwise geometry within (1±ε). The ±1
+    // matrix is a PLAN-TIME constant (Similarity.jlSigns) rendered into
+    // both engines as literals, so the gate hashes the full projected
+    // values: each output is one codegen'd left-fold dot over the row —
+    // a narrow map with no shuffle, embarrassingly parallel at 100 TB.
+    // Exact-dup preservation (identical vector ⇒ identical projection)
+    // is pinned in SimilaritySpec.
+    QueryDef.sql(
+      "d52_jl_projection", {
+        val lists = Similarity.jlSigns(DIM, 8)
+          .map(_.map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]"))
+        val cols = lists.zipWithIndex
+          .map { case (l, j) => s"round(list_dot_product(e, CAST($l AS DOUBLE[])), 6) AS p$j" }
+          .mkString(",\n  ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+           |SELECT vec_id, $cols FROM v""".stripMargin
+      }) { (spark, dir) =>
+      Similarity.jlProject(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = DIM, outDim = 8)
     })
 }

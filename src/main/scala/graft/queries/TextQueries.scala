@@ -972,6 +972,149 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // T49: classifier CALIBRATION bins (reliability diagram) for the
+    // langid heuristic — the eval every quality/toxicity/langid filter
+    // needs before its scores gate a 100 TB corpus: bucket docs by
+    // confidence, compare claimed confidence to realized accuracy per
+    // bucket (ECE is one more weighted fold over this table). Confidence
+    // is the EXACT INTEGER ratio best-markers/total-markers binned by
+    // floor division (no IEEE boundary); the gate emits per-bin doc and
+    // correct counts plus the raw numerator/denominator sums, so the
+    // curve's inputs hash, not a float summary. Marker-less docs carry no
+    // confidence and are excluded (they predict 'und'). One scan, one
+    // map-side-combined groupBy over ≤11 bins.
+    QueryDef.sql(
+      "t49_calibration_bins",
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
+        |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
+        |  FROM t),
+        |p AS (SELECT lang, en + es + de + fr AS total, greatest(en, es, de, fr) AS best,
+        |  CASE WHEN en + es + de + fr = 0 THEN 'und'
+        |       WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |       WHEN de > en AND de > es THEN 'de'
+        |       WHEN es > en THEN 'es'
+        |       ELSE 'en' END AS predicted
+        |  FROM c WHERE en + es + de + fr > 0)
+        |SELECT CAST((10 * best) // total AS INT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(best) AS BIGINT) AS sum_best,
+        |  CAST(SUM(total) AS BIGINT) AS sum_total
+        |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val counts = TextAnalysis.markerCounts(col("__toks"))
+      val cs = counts.map(_._2)
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"),
+          graft.functions.TextTokens.tokens(col("text")).as("__toks"))
+        .select(col("lang"),
+          TextAnalysis.languageIdFromTokens(col("__toks")).as("predicted"),
+          cs.reduce(_ + _).cast("long").as("__total"),
+          greatest(cs: _*).cast("long").as("__best"))
+        .filter(col("__total") > 0)
+        .select(col("lang"), col("predicted"), col("__total"), col("__best"),
+          expr("CAST((10 * __best) DIV __total AS INT)").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+          sum(col("__best")).as("sum_best"),
+          sum(col("__total")).as("sum_total"))
+    },
+
+    // T50: URL canonicalization + registered domain (functions/UrlNorm) —
+    // the first operator of every web-corpus dedup stack: one page,
+    // dozens of crawl spellings (scheme/host case, default ports,
+    // fragments, param order, trailing host dots, doubled slashes).
+    // The documents table carries no URL column, so the gate BUILDS a
+    // hostile fixture per doc (6 rotating shapes covering every rule,
+    // identical construction in both engines — the j2-audit pattern)
+    // and then each engine canonicalizes with its OWN implementation of
+    // the written 6-rule spec; full canonical values + eTLD+1 hash.
+    // Composed native string functions only — a narrow no-shuffle map.
+    QueryDef.sql(
+      "t50_url_canonicalize", {
+        val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
+        s"""WITH u AS (SELECT doc_id,
+           |  CASE doc_id % 6 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'http' WHEN 2 THEN 'https'
+           |       WHEN 3 THEN 'HTTPS' WHEN 4 THEN 'HtTpS' ELSE 'http' END ||
+           |  '://' ||
+           |  CASE doc_id % 6 WHEN 0 THEN 'WWW.' || source || '.Example.COM.'
+           |       WHEN 1 THEN source || '.example.co.uk'
+           |       WHEN 2 THEN source || '.pages.github.io'
+           |       WHEN 3 THEN 'api.' || source || '.EXAMPLE.com'
+           |       WHEN 4 THEN source || '.example.net'
+           |       ELSE 'www.' || source || '.sub.example.org' END ||
+           |  CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8443' ELSE '' END ||
+           |  CASE doc_id % 6 WHEN 0 THEN '//a//b/' || CAST(doc_id AS VARCHAR)
+           |       WHEN 1 THEN '' WHEN 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+           |       WHEN 3 THEN '/x///y' ELSE '/' END ||
+           |  CASE doc_id % 6 WHEN 1 THEN '?b=2&a=1&' WHEN 2 THEN '?z=9'
+           |       WHEN 4 THEN '?q=' || CAST(doc_id AS VARCHAR) || '&a=1' ELSE '' END ||
+           |  CASE WHEN doc_id % 6 IN (0, 5) THEN '#frag' ELSE '' END AS url
+           |  FROM documents),
+           |p AS (SELECT doc_id, url,
+           |  lower(regexp_extract(url, '$re', 1)) AS scheme,
+           |  regexp_extract(url, '$re', 2) AS auth,
+           |  regexp_extract(url, '$re', 3) AS rawpath,
+           |  regexp_extract(url, '$re', 4) AS rawq
+           |  FROM u),
+           |q AS (SELECT *,
+           |  rtrim(regexp_replace(lower(auth), ':[0-9]+$$', ''), '.') AS host,
+           |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port FROM p),
+           |r AS (SELECT *,
+           |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+           |            OR (scheme = 'https' AND port = '443') THEN ''
+           |       ELSE ':' || port END AS portpart,
+           |  CASE WHEN rawpath = '' THEN '/'
+           |       ELSE regexp_replace(rawpath, '/{2,}', '/', 'g') END AS path,
+           |  list_filter(string_split(regexp_replace(rawq, '^\\?', ''), '&'),
+           |              x -> x <> '') AS prms FROM q),
+           |s AS (SELECT doc_id, host, scheme || '://' || host || portpart || path ||
+           |  CASE WHEN len(prms) = 0 THEN ''
+           |       ELSE '?' || list_aggr(list_sort(prms), 'string_agg', '&') END AS canon_url
+           |  FROM r),
+           |t AS (SELECT doc_id, canon_url, host, string_split(host, '.') AS ls FROM s)
+           |SELECT doc_id, canon_url,
+           |  CASE WHEN len(ls) <= 1 THEN host
+           |       WHEN ls[-2] || '.' || ls[-1] IN ('co.uk', 'com.au', 'github.io')
+           |            AND len(ls) >= 3 THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+           |       ELSE ls[-2] || '.' || ls[-1] END AS etld1
+           |FROM t""".stripMargin
+      }) { (spark, dir) =>
+      val m = pmod(col("doc_id"), lit(6L))
+      def c6(cases: Seq[(Int, org.apache.spark.sql.Column)],
+          default: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        cases.foldLeft(when(lit(false), lit("")))(
+          (acc, kv) => acc.when(m === kv._1, kv._2)).otherwise(default)
+      val ds = col("doc_id").cast("string")
+      val url = concat(
+        c6(Seq(0 -> lit("HTTP"), 1 -> lit("http"), 2 -> lit("https"),
+          3 -> lit("HTTPS"), 4 -> lit("HtTpS")), lit("http")),
+        lit("://"),
+        c6(Seq(
+          0 -> concat(lit("WWW."), col("source"), lit(".Example.COM.")),
+          1 -> concat(col("source"), lit(".example.co.uk")),
+          2 -> concat(col("source"), lit(".pages.github.io")),
+          3 -> concat(lit("api."), col("source"), lit(".EXAMPLE.com")),
+          4 -> concat(col("source"), lit(".example.net"))),
+          concat(lit("www."), col("source"), lit(".sub.example.org"))),
+        c6(Seq(0 -> lit(":80"), 2 -> lit(":443"), 3 -> lit(":8443")), lit("")),
+        c6(Seq(0 -> concat(lit("//a//b/"), ds), 1 -> lit(""),
+          2 -> concat(lit("/p/"), ds), 3 -> lit("/x///y")), lit("/")),
+        c6(Seq(1 -> lit("?b=2&a=1&"), 2 -> lit("?z=9"),
+          4 -> concat(lit("?q="), ds, lit("&a=1"))), lit("")),
+        when(m.isin(0, 5), "#frag").otherwise(""))
+      import graft.functions.UrlNorm
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), url.as("__url"))
+        .select(col("doc_id"),
+          UrlNorm.canonicalize(col("__url")).as("canon_url"),
+          UrlNorm.registeredDomain(UrlNorm.host(col("__url"))).as("etld1"))
+    },
+
     // T26: exact-duplicate rate per source — the corpus-health column every
     // ingestion report leads with (a source at 30% dup rate gets its
     // crawler fixed before its data gets cleaned). Rides t4's canonical

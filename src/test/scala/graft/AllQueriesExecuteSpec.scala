@@ -32,6 +32,7 @@ object PlanBudget {
     */
   val allowed: Map[String, (Int, Int)] = Map(
     "a25_benford_digits" -> (1, 0),
+    "a35_frequent_pairs" -> (1, 1), // 1-row n_baskets fold + its broadcast-back
     "a28_column_profile" -> (1, 0),
     "a30_k_anonymity" -> (1, 0),
     "d22_tf_cosine_pairs" -> (0, 1),

@@ -250,4 +250,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH route diverged: missing=${exact.keySet -- lsh.keySet} " +
         s"extra=${lsh.keySet -- exact.keySet}")
   }
+
+  test("JL projection: hand-computed outputs, exact-dup preservation, balanced signs") {
+    // 2-dim input, 2-dim output: with signs s(j) = jlSigns(2, 2)(j), a
+    // vector (a, b) projects to (s00·a + s01·b, s10·a + s11·b) — pin the
+    // arithmetic against a direct computation.
+    val s = Similarity.jlSigns(2, 2)
+    val df = Seq(
+      (1L, Array(3.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(-1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(df, "vec_id", "embedding", dim = 2, outDim = 2)
+      .orderBy("vec_id").collect()
+    def expected(v: Array[Float], j: Int): Double =
+      v.indices.foldLeft(0.0)((acc, i) => acc + s(j)(i) * v(i).toDouble)
+    assert(got(0).getDouble(1) == expected(Array(3.0f, 5.0f), 0))
+    assert(got(0).getDouble(2) == expected(Array(3.0f, 5.0f), 1))
+    // identical vectors project identically (the exact-dup theorem d1-style
+    // dedup over projections relies on)
+    assert(got(0).getDouble(1) == got(1).getDouble(1) &&
+      got(0).getDouble(2) == got(1).getDouble(2))
+    // the sign matrix is deterministic and roughly balanced — a degenerate
+    // all-ones column would make the projection a plain sum
+    val signs = Similarity.jlSigns(64, 8)
+    signs.foreach { row =>
+      val pos = row.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"sign row badly unbalanced: $pos/64 positive")
+    }
+    assert(signs.toSeq.map(_.toSeq) == Similarity.jlSigns(64, 8).toSeq.map(_.toSeq))
+  }
 }
