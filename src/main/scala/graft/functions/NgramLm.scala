@@ -83,4 +83,35 @@ object NgramLm {
         coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
     scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
   }
+
+  /** DSIR-style importance weighting for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public method): weight(x) = log p_target(x) − log p_raw(x), with
+    * both densities the same add-one bigram LM over different reference
+    * corpora. Positive weight ⇒ the doc looks more like the TARGET
+    * distribution than the raw pool — the ranking DSIR resamples by.
+    *
+    * Weights are BIGINT micro-nat differences of [[scoreBigram]] outputs,
+    * so they inherit its partitioning-independence; `selected` is the
+    * shuffle-free sign rule (weight > 0), NOT a global top-k — a global
+    * quantile cut would add an all-data rank exchange, and the sign rule
+    * is the same decision at the p_target = p_raw crossover.
+    *
+    * The docs pool feeds BOTH scoring passes — persisted through the
+    * bounded registry (the q9 multi-reference rule) so the pool scans
+    * once, not twice.
+    */
+  def importanceWeights(
+      targetRef: DataFrame, rawRef: DataFrame, refTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pool = graft.engine.BoundedCaches.persist(docs)
+    val t = scoreBigram(targetRef, refTextCol, pool, idCol, textCol)
+      .select(col(idCol), col("n_scored"), col("logprob_fp6").as("lp_target_fp6"))
+    val r = scoreBigram(rawRef, refTextCol, pool, idCol, textCol)
+      .select(col(idCol), col("logprob_fp6").as("lp_raw_fp6"))
+    t.join(r, Seq(idCol))
+      .select(col(idCol), col("n_scored"), col("lp_target_fp6"), col("lp_raw_fp6"),
+        (col("lp_target_fp6") - col("lp_raw_fp6")).as("weight_fp6"),
+        (col("lp_target_fp6") > col("lp_raw_fp6")).as("selected"))
+  }
 }

@@ -663,6 +663,106 @@ object DedupQueries {
         .select(col("v"), col("dist"))
     },
 
+    // D54: strongly connected components (operators/Scc) — the DIRECTED
+    // reachability partner CC can't express: link graphs and citation
+    // networks are directed, and "mutually reachable" (cycles, link
+    // farms, spider traps) is the structure that matters for ranking and
+    // crawl dedup. Graph: supplier→supplier "handoff" edges (consecutive
+    // lineitems within an order, by linenumber) thinned to l_quantity<5 —
+    // a ~7-edges/vertex digraph with a giant cyclic core plus trimmable
+    // periphery. The oracle is the DEFINITIONAL quadratic: a recursive
+    // transitive closure joined to its transpose (u,v mutual ⇔ same SCC)
+    // — exactly what the trim+color+sweep formulation exists to avoid at
+    // scale, so the linear-rounds plan is checked against the definition.
+    QueryDef.sql(
+      "d54_scc",
+      """WITH el AS (
+        |  SELECT lag(l_suppkey) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_suppkey, l_partkey) AS src,
+        |         l_suppkey AS dst
+        |  FROM lineitem WHERE l_quantity < 5),
+        |edges AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+        |          FROM el WHERE src IS NOT NULL AND src <> dst),
+        |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        |  ) SELECT * FROM r),
+        |mutual AS (SELECT r1.a AS v, r1.b AS u
+        |           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+        |SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS scc
+        |FROM verts v LEFT JOIN mutual m ON m.v = v.id
+        |GROUP BY v.id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        // (orderkey, linenumber) is NOT unique in this corpus (1051 dupes
+        // at sf0.1) — the lag order must be TOTAL or the two engines walk
+        // different sequences; (linenumber, suppkey, partkey) is unique.
+        .withColumn("src",
+          lag(col("l_suppkey"), 1).over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
+        .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
+        .distinct()
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+      graft.operators.Scc.components(verts, "id", edges, "src", "dst")
+    },
+
+    // D55: Jaro–Winkler best-match linkage — the record-linkage scorer
+    // levenshtein (d37) can't replace: JW weighs POSITION and shared
+    // PREFIX, the standard for short names/titles (Winkler 1990, US
+    // Census). The scorer is the native expression
+    // functions/expr/JaroWinkler, pinned BYTE-identical to DuckDB's
+    // jaro_winkler_similarity (IEEE op order and all — ties in the argmax
+    // therefore agree bitwise, no rounding cliff). Shape: d37's blocking
+    // rule (first-token equi-join, never an all-pairs cross; a hot-block
+    // cap is the documented 100 TB knob), pairs evaluated once (a<b) and
+    // mirrored, then ONE map-side-combined argmax — max(struct(jw, -id,
+    // id)) — so the exchange carries |parts| rows, not |pairs|. Singleton
+    // blocks emit nothing.
+    QueryDef.sql(
+      "d55_jw_best_match",
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name,
+        |            split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+        |         jaro_winkler_similarity(a.name, b.name) AS jw
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id),
+        |sym AS (SELECT id_a, id_b, jw FROM pr
+        |        UNION ALL SELECT id_b, id_a, jw FROM pr),
+        |rk AS (SELECT id_a, id_b, jw,
+        |         row_number() OVER (PARTITION BY id_a ORDER BY jw DESC, id_b) AS rn
+        |       FROM sym)
+        |SELECT id_a, id_b AS best_id, round(jw, 6) AS jw
+        |FROM rk WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      val p = Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"),
+          element_at(split(col("p_name"), " "), 1).as("blk"))
+      val a = p.select(col("id").as("id_a"), col("name").as("na"), col("blk"))
+      val b = p.select(col("id").as("id_b"), col("name").as("nb"), col("blk"))
+      // Output-expanding join off a single small parquet file: the probe
+      // side arrives as ~1 task while the JOIN's output is |pairs|-sized,
+      // so fan the probe stream across all cores first (the
+      // Similarity.bruteForce spread rule; a no-op on a real multi-file
+      // layout) and pin the build side broadcast.
+      val par = spark.sparkContext.defaultParallelism
+      val aSpread = if (a.rdd.getNumPartitions < par) a.repartition(par) else a
+      val pr = aSpread.join(broadcast(b), Seq("blk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.expr.JaroWinkler(col("na"), col("nb")).as("jw"))
+      val sym = pr.select(col("id_a"), col("id_b"), col("jw"))
+        .unionAll(pr.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jw")))
+      sym.groupBy(col("id_a"))
+        .agg(max(struct(col("jw"), (-col("id_b")).as("nib"), col("id_b"))).as("m"))
+        .select(col("id_a"), col("m.id_b").as("best_id"),
+          round(col("m.jw"), 6).as("jw"))
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the

@@ -1466,5 +1466,46 @@ object TextQueries {
       graft.functions.NgramLm.scoreBigram(
         docs.filter(col("doc_id") % 2 === 0), "text",
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    },
+
+    // T51: DSIR-style importance weighting for data selection (Xie et
+    // al. 2023 — public method; functions/NgramLm.importanceWeights):
+    // weight(x) = log p_target(x) − log p_raw(x) under two add-one
+    // bigram LMs — here target = the English reference slice, raw = the
+    // whole pool — and `selected` is the shuffle-free sign rule (more
+    // target-like than pool-like). Everything is t48's pinned micro-nat
+    // arithmetic, so weights are exact BIGINT differences and the hash
+    // pins BOTH models' smoothing end to end; the pool scans once
+    // (bounded-registry persist), each model's bigram counts once. On
+    // this corpus the sign rule selects 77% of en docs and ~6% of
+    // non-en — the separation DSIR resamples by.
+    QueryDef.sql(
+      "t51_dsir_selection",
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+        |c2t AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |c1t AS (SELECT w1, SUM(c2) AS c1 FROM c2t GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM t WHERE lang = 'en') WHERE w <> ''),
+        |c2r AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1r AS (SELECT w1, SUM(c2) AS c1 FROM c2r GROUP BY 1),
+        |vr AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM t) WHERE w <> ''),
+        |st AS (SELECT bg.doc_id, COUNT(*) AS n_scored,
+        |         CAST(SUM(CAST(round(ln(CAST(COALESCE(c2t.c2, 0) + 1 AS DOUBLE) /
+        |           (COALESCE(c1t.c1, 0) + vt.v)) * 1000000.0) AS BIGINT)) AS BIGINT) AS lp
+        |       FROM bg LEFT JOIN c2t ON bg.p.w1 = c2t.w1 AND bg.p.w2 = c2t.w2
+        |               LEFT JOIN c1t ON bg.p.w1 = c1t.w1 CROSS JOIN vt
+        |       GROUP BY 1),
+        |sr AS (SELECT bg.doc_id, CAST(SUM(CAST(round(ln(CAST(COALESCE(c2r.c2, 0) + 1 AS DOUBLE) /
+        |           (COALESCE(c1r.c1, 0) + vr.v)) * 1000000.0) AS BIGINT)) AS BIGINT) AS lp
+        |       FROM bg LEFT JOIN c2r ON bg.p.w1 = c2r.w1 AND bg.p.w2 = c2r.w2
+        |               LEFT JOIN c1r ON bg.p.w1 = c1r.w1 CROSS JOIN vr
+        |       GROUP BY 1)
+        |SELECT st.doc_id, st.n_scored, st.lp AS lp_target_fp6, sr.lp AS lp_raw_fp6,
+        |       st.lp - sr.lp AS weight_fp6, st.lp > sr.lp AS selected
+        |FROM st JOIN sr ON st.doc_id = sr.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.NgramLm.importanceWeights(
+        docs.filter(col("lang") === "en"), docs, "text",
+        docs, "doc_id", "text")
     })
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scc
+
+class SccSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sccOf(vs: Seq[Int], es: Seq[(Long, Long)],
+      maxOuter: Int = 25): Map[Long, Long] =
+    Scc.components(vs.map(_.toLong).toDF("id"), "id",
+      es.toDF("src", "dst"), "src", "dst", maxOuterRounds = maxOuter)
+      .as[(Long, Long)].collect().toMap
+
+  test("two cycles joined by a one-way bridge are distinct SCCs") {
+    // 1→2→3→1 and 5→6→7→5, bridge 3→5 (one way: no mutual reach across)
+    val got = sccOf(Seq(1, 2, 3, 5, 6, 7),
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 5L -> 6L, 6L -> 7L, 7L -> 5L, 3L -> 5L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("a DAG is all singletons (the trim path)") {
+    val got = sccOf(Seq(1, 2, 3, 4, 5),
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 4L -> 5L))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("figure-eight: two cycles sharing a vertex are ONE SCC") {
+    // 1→2→3→1 and 3→4→5→3 share vertex 3 ⇒ everything mutually reaches
+    val got = sccOf(Seq(1, 2, 3, 4, 5),
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 3L))
+    assert(got.values.toSet == Set(1L) && got.size == 5)
+  }
+
+  test("ancestor color pollution forces a second extraction round") {
+    // SCC {0,1} feeds cycle {5,6,7}: the cycle's forward color is 0 in
+    // round 1 (0 reaches it) but it cannot reach pivot 0, so it must
+    // survive to round 2 and extract under its own pivot 5.
+    val got = sccOf(Seq(0, 1, 5, 6, 7),
+      Seq(0L -> 1L, 1L -> 0L, 0L -> 5L, 5L -> 6L, 6L -> 7L, 7L -> 5L))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("isolated vertices and self-loops are singleton SCCs") {
+    val got = sccOf(Seq(1, 2, 9), Seq(1L -> 2L, 2L -> 1L, 9L -> 9L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
+
+  test("matches a brute-force transitive closure on a random directed graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val vs = (0L until n.toLong).toSeq
+    // Floyd–Warshall reachability
+    val reach = Array.fill(n, n)(false)
+    es.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k); j <- 0 until n)
+      if (reach(k)(j)) reach(i)(j) = true
+    val expect = vs.map { v =>
+      val mutual = vs.filter(u =>
+        u == v || (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt)))
+      v -> mutual.min
+    }.toMap
+    assert(sccOf(vs.map(_.toInt), es) == expect)
+  }
+
+  test("outer-round guard refuses loudly instead of looping") {
+    // chain of 2-cycles with ids ASCENDING along the chain: every cycle's
+    // forward color is polluted down to the head's 2, so each round
+    // extracts exactly one 2-cycle and k cycles need k outer rounds — cap
+    // at 2 with 3 cycles and demand the named knob.
+    val es = Seq(
+      2L -> 3L, 3L -> 2L, 2L -> 6L,
+      6L -> 7L, 7L -> 6L, 6L -> 10L,
+      10L -> 11L, 11L -> 10L)
+    val err = intercept[IllegalStateException] {
+      sccOf(Seq(2, 3, 6, 7, 10, 11), es, maxOuter = 2)
+    }
+    assert(err.getMessage.contains("maxOuterRounds"))
+  }
+}

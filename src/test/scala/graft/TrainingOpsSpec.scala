@@ -276,4 +276,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     val pAb = (2 + 1.0) / (2 + 2)
     assert(math.abs(pAa + pAb - 1.0) < 1e-15)
   }
+
+  test("NgramLm.importanceWeights: sign rule separates target-like docs") {
+    import graft.functions.NgramLm
+    // Counts must dominate the Laplace smoothing or the comparison flips:
+    // with 1-shot references the TARGET model's smaller vocab makes even
+    // all-unseen dog text score ln(1/3) > the raw model's seen-but-diluted
+    // bigrams — a real DSIR small-corpus artifact. 8× repetition puts both
+    // models in the count-dominated regime the method assumes.
+    val target = Seq.fill(8)("cat sat mat").toDF("text")
+    val raw = (Seq.fill(8)("cat sat mat") ++ Seq.fill(8)("dog ran far")).toDF("text")
+    val pool = Seq(
+      (1L, "cat sat mat"), // target-like: p_target 9/11 per step vs 9/14
+      (2L, "dog ran far")  // target-unseen: ln(1/3) steps vs seen raw mass
+    ).toDF("doc_id", "text")
+    val got = NgramLm.importanceWeights(target, raw, "text", pool, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "weight_fp6", "selected")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._2 > 0L && got(0)._3, s"cat doc must select: ${got(0)}")
+    assert(got(1)._2 < 0L && !got(1)._3, s"dog doc must not: ${got(1)}")
+  }
+
+  test("NgramLm.importanceWeights: target == raw collapses every weight to zero") {
+    import graft.functions.NgramLm
+    val ref = Seq("a b c", "c b a a").toDF("text")
+    val pool = Seq((1L, "a b"), (2L, "z q a"), (3L, "c b a")).toDF("doc_id", "text")
+    val got = NgramLm.importanceWeights(ref, ref, "text", pool, "doc_id", "text")
+      .select("weight_fp6", "selected").as[(Long, Boolean)].collect()
+    assert(got.forall { case (w, sel) => w == 0L && !sel }, got.toSeq.toString)
+  }
 }
