@@ -134,4 +134,82 @@ object PageRank {
     val handle = rHandle
     (r, () => { handle.unpersist(); () })
   }
+
+  /** Hook-less form for one-shot processes; see [[trustRankWithRelease]]. */
+  def trustRank(
+      nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    trustRankWithRelease(nodes, edges, seeds, iters)._1
+
+  /** TrustRank / personalized PageRank (Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB 2004 — public algorithm): [[run]]'s power iteration
+    * with the TELEPORT restricted to a trusted seed set — the web-spam
+    * demotion pass of corpus curation (trust flows OUT of the whitelist
+    * along links; pages unreachable from any seed hold no teleport mass
+    * and starve). Same exact 64-bit fixed-point discipline as [[run]]:
+    *
+    *  - t(v) = Scale div |seeds| for seeds, 0 otherwise; r₀ = t;
+    *  - r' (v) = (15·t(v)) div 100
+    *             + (85·(contrib(v) + seed(v)·(dang div |seeds|))) div 100
+    *    — dangling mass teleports to the SEEDS, the personalized twin of
+    *    [[run]]'s uniform redistribution.
+    *
+    * A separate loop rather than a parameterized [[run]] ON PURPOSE: the
+    * uniform formula's floor-division ORDER (`(Scale·15 div 100) div n`)
+    * is hash-pinned by d21's driver oracle, and unifying the two would
+    * perturb it for no plan-shape gain. Same per-round cost profile and
+    * cache lifecycle as [[run]]; seeds outside `nodes` are ignored.
+    */
+  def trustRankWithRelease(
+      nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int): (DataFrame, () => Unit) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.persist()
+    val vs = nodes
+      .join(seeds.select(col("v")).distinct().withColumn("__s", lit(1L)),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("__s"), lit(0L)).as("s"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val eDegHandle = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
+    val nSeeds = vs.filter(col("s") === 1L).count() // also materializes vs
+    require(nSeeds > 0L, "trustRank needs at least one seed inside `nodes`")
+    eDegHandle.count()
+    val eDeg = truncateLineage(eDegHandle)
+    val vsLeaf = truncateLineage(vs)
+    val degLeaf = truncateLineage(deg)
+
+    var rHandle = vsLeaf
+      .selectExpr("v", "s", s"s * ($Scale div ${nSeeds}L) AS r").persist()
+
+    def danglingOf(ranks: DataFrame): Long =
+      ranks.join(degLeaf, ranks("v") === degLeaf("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        .head().getLong(0)
+
+    var dang = danglingOf(rHandle)
+    var r = truncateLineage(rHandle)
+
+    for (_ <- 1 to iters) {
+      val contrib = eDeg.join(r, col("src") === col("v"))
+        .selectExpr("dst", "r div deg AS share")
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      val next = vsLeaf
+        .join(contrib, col("v") === col("dst"), "left")
+        .selectExpr("v", "s",
+          s"(15 * (s * ($Scale div ${nSeeds}L))) div 100 + " +
+            s"(85 * (coalesce(contrib, 0) + s * (${dang}L div ${nSeeds}L))) div 100 AS r")
+        .persist()
+      dang = danglingOf(next)
+      rHandle.unpersist()
+      rHandle = next
+      r = truncateLineage(next)
+    }
+    eDegHandle.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    vs.unpersist()
+    val handle = rHandle
+    (r.select(col("v"), col("r")), () => { handle.unpersist(); () })
+  }
 }

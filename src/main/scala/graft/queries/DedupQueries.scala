@@ -763,6 +763,64 @@ object DedupQueries {
           round(col("m.jw"), 6).as("jw"))
     },
 
+    // D56: TrustRank (Gyöngyi et al., VLDB 2004) — personalized PageRank
+    // with teleport restricted to a trusted seed set, the web-spam
+    // demotion pass of corpus curation: trust flows OUT of the whitelist
+    // along links, and pages unreachable from every seed starve to rank
+    // 0 (the property the spec pins on a spam island). Same exact
+    // 64-bit fixed-point arithmetic as d21 (bit-identical across
+    // engines/partitionings), dangling mass teleporting to the SEEDS;
+    // graph = d54's supplier handoff digraph, seeds = vertices with
+    // id % 10 = 1. Oracle is the identical 3-round recurrence unrolled.
+    QueryDef.sql(
+      "d56_trustrank", {
+        val base =
+          """WITH el AS (
+            |  SELECT lag(l_suppkey) OVER (PARTITION BY l_orderkey
+            |           ORDER BY l_linenumber, l_suppkey, l_partkey) AS src,
+            |         l_suppkey AS dst
+            |  FROM lineitem WHERE l_quantity < 5),
+            |edges AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            |          FROM el WHERE src IS NOT NULL AND src <> dst),
+            |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            |seeds AS (SELECT id FROM verts WHERE id % 10 = 1),
+            |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM seeds),
+            |vv AS (SELECT v.id AS v, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS s
+            |       FROM verts v LEFT JOIN seeds s ON s.id = v.id),
+            |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+            |r0 AS (SELECT v, s, s * (1000000000000 // ns.k) AS r FROM vv CROSS JOIN ns)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+             |        FROM r${i - 1} LEFT JOIN deg ON v = src WHERE src IS NULL),
+             |c$i AS (SELECT e.dst AS v, CAST(SUM(r.r // deg.deg) AS BIGINT) AS contrib
+             |        FROM edges e JOIN r${i - 1} r ON r.v = e.src
+             |             JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT vv.v, vv.s,
+             |          (15 * (vv.s * (1000000000000 // ns.k))) // 100
+             |            + (85 * (COALESCE(c.contrib, 0) + vv.s * (d.dang // ns.k))) // 100 AS r
+             |        FROM vv CROSS JOIN ns CROSS JOIN d$i d LEFT JOIN c$i c ON c.v = vv.v)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT v, r FROM r3"
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        .withColumn("src",
+          lag(col("l_suppkey"), 1).over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
+        .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
+        .distinct()
+      // Dataset.union keeps duplicates (SQL UNION dedups) — trustRank's
+      // nodes contract is the distinct vertex set, like d21's.
+      val verts = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      val seeds = verts.filter(col("v") % 10 === 1)
+      graft.operators.PageRank.trustRank(verts, edges, seeds, iters = 3)
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the

@@ -53,4 +53,58 @@ class PageRankSpec extends AnyFunSuite {
     a.unpersist(); b.unpersist()
     assert(av == bv)
   }
+
+  private def trust(
+      nodes: Seq[Long], edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 3): Map[Long, Long] = {
+    val out = PageRank.trustRank(
+      nodes.toDF("v"), edges.toDF("src", "dst"), seeds.toDF("v"), iters)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    m
+  }
+
+  test("trustRank: no edges — seeds hold all mass, non-seeds hold none") {
+    val r = trust(Seq(1L, 2L, 3L, 4L), Seq.empty, Seq(1L, 3L))
+    assert(r(2L) == 0L && r(4L) == 0L)
+    assert(r(1L) == r(3L) && r(1L) > 0L)
+  }
+
+  test("trustRank: hand-traced one round on a 2-node chain") {
+    // seed 1 → 2. t(1) = Scale, t(2) = 0. r0 = (Scale, 0). Dangling = r(2) = 0.
+    // round: contrib(2) = Scale div 1 = Scale;
+    //   r(1) = 15·Scale div 100 + 85·(0 + 0) div 100
+    //   r(2) = 0 + 85·Scale div 100
+    val S = PageRank.Scale
+    val r = trust(Seq(1L, 2L), Seq(1L -> 2L), Seq(1L), iters = 1)
+    assert(r(1L) == 15L * S / 100L)
+    assert(r(2L) == 85L * S / 100L)
+  }
+
+  test("trustRank: trust starves nodes unreachable from the seed set") {
+    // 1→2→3 trusted chain; spam island 10↔11 with no path from seed 1
+    val r = trust(Seq(1L, 2L, 3L, 10L, 11L),
+      Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 11L -> 10L), Seq(1L))
+    assert(r(2L) > 0L && r(3L) > 0L)
+    assert(r(10L) == 0L && r(11L) == 0L)
+  }
+
+  test("trustRank: dangling mass teleports back to the seeds only") {
+    // 1 (seed) → 2, 2 dangling: round 2's dangling share must land on 1.
+    val r1 = trust(Seq(1L, 2L), Seq(1L -> 2L), Seq(1L), iters = 2)
+    // r1(1) after round 2 = 15%·t + 85%·(dang div 1) where dang = r(2) of round 1
+    val S = PageRank.Scale
+    val dangAfter1 = 85L * S / 100L
+    assert(r1(1L) == 15L * S / 100L + 85L * dangAfter1 / 100L)
+  }
+
+  test("trustRank: seeds outside the vertex set are ignored; empty seeds refuse") {
+    val r = trust(Seq(1L, 2L), Seq(1L -> 2L), Seq(1L, 99L), iters = 1)
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == 15L * PageRank.Scale / 100L) // nSeeds counted as 1, not 2
+    val err = intercept[IllegalArgumentException] {
+      trust(Seq(1L, 2L), Seq(1L -> 2L), Seq(99L), iters = 1)
+    }
+    assert(err.getMessage.contains("seed"))
+  }
 }
