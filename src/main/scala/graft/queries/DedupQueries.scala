@@ -120,6 +120,44 @@ object DedupQueries {
 
   private val shingleGraphSql: String = shingleGraphSqlWith(None)
 
+  /** The supplier "handoff" digraph shared by the directed-graph gates
+    * (d54 SCC, d56 TrustRank, d57 walks): consecutive lineitems within an
+    * order hand off supplier→supplier, thinned to l_quantity<5 (~7 edges
+    * per vertex with a giant cyclic core plus trimmable periphery). The
+    * lag order is TOTAL — (linenumber, suppkey, partkey) — because
+    * (orderkey, linenumber) is NOT unique in this corpus (1051 dupes at
+    * sf0.1) and an ambiguous order walks different sequences per engine. */
+  private val handoffGraphSql: String =
+    """el AS (
+      |  SELECT lag(l_suppkey) OVER (PARTITION BY l_orderkey
+      |           ORDER BY l_linenumber, l_suppkey, l_partkey) AS src,
+      |         l_suppkey AS dst
+      |  FROM lineitem WHERE l_quantity < 5),
+      |edges AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |          FROM el WHERE src IS NOT NULL AND src <> dst),
+      |verts AS (SELECT DISTINCT id FROM
+      |            (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))""".stripMargin
+  // ^ DISTINCT-over-UNION-ALL, NOT bare UNION: under WITH RECURSIVE (d57)
+  // DuckDB applies recursive-union semantics to EVERY CTE in the list that
+  // uses UNION, and a non-self-referencing one silently stops deduping
+  // (observed: 100 rows from a 10-vertex graph). This form is identical in
+  // both contexts.
+
+  /** DataFrame twin of [[handoffGraphSql]]'s `edges`. */
+  private def handoffEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+      .withColumn("src",
+        lag(col("l_suppkey"), 1).over(
+          Window.partitionBy(col("l_orderkey"))
+            .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+      .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
+      .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
+      .distinct()
+  }
+
   /** d22's implementation, parameterized so the spec can force EITHER
     * regime on the same corpus (the stats probe would always pick dense on
     * the tiny-vocab test data): `denseVocabMax = 0` forces the sparse
@@ -676,14 +714,7 @@ object DedupQueries {
     // scale, so the linear-rounds plan is checked against the definition.
     QueryDef.sql(
       "d54_scc",
-      """WITH el AS (
-        |  SELECT lag(l_suppkey) OVER (PARTITION BY l_orderkey
-        |           ORDER BY l_linenumber, l_suppkey, l_partkey) AS src,
-        |         l_suppkey AS dst
-        |  FROM lineitem WHERE l_quantity < 5),
-        |edges AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
-        |          FROM el WHERE src IS NOT NULL AND src <> dst),
-        |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      s"""WITH $handoffGraphSql,
         |reach AS (
         |  WITH RECURSIVE r(a, b) AS (
         |    SELECT src, dst FROM edges
@@ -695,20 +726,7 @@ object DedupQueries {
         |SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS scc
         |FROM verts v LEFT JOIN mutual m ON m.v = v.id
         |GROUP BY v.id""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val edges = Tables.load(spark, dir, "lineitem")
-        .filter(col("l_quantity") < 5)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
-        // (orderkey, linenumber) is NOT unique in this corpus (1051 dupes
-        // at sf0.1) — the lag order must be TOTAL or the two engines walk
-        // different sequences; (linenumber, suppkey, partkey) is unique.
-        .withColumn("src",
-          lag(col("l_suppkey"), 1).over(
-            Window.partitionBy(col("l_orderkey"))
-              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
-        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
-        .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
-        .distinct()
+      val edges = handoffEdges(spark, dir)
       val verts = edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id")))
       graft.operators.Scc.components(verts, "id", edges, "src", "dst")
@@ -775,14 +793,7 @@ object DedupQueries {
     QueryDef.sql(
       "d56_trustrank", {
         val base =
-          """WITH el AS (
-            |  SELECT lag(l_suppkey) OVER (PARTITION BY l_orderkey
-            |           ORDER BY l_linenumber, l_suppkey, l_partkey) AS src,
-            |         l_suppkey AS dst
-            |  FROM lineitem WHERE l_quantity < 5),
-            |edges AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
-            |          FROM el WHERE src IS NOT NULL AND src <> dst),
-            |verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+          s"""WITH $handoffGraphSql,
             |seeds AS (SELECT id FROM verts WHERE id % 10 = 1),
             |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM seeds),
             |vv AS (SELECT v.id AS v, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS s
@@ -802,23 +813,48 @@ object DedupQueries {
         }.mkString(",\n")
         s"$base,\n$rounds\nSELECT v, r FROM r3"
       }) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val edges = Tables.load(spark, dir, "lineitem")
-        .filter(col("l_quantity") < 5)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
-        .withColumn("src",
-          lag(col("l_suppkey"), 1).over(
-            Window.partitionBy(col("l_orderkey"))
-              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
-        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
-        .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
-        .distinct()
+      val edges = handoffEdges(spark, dir)
       // Dataset.union keeps duplicates (SQL UNION dedups) — trustRank's
       // nodes contract is the distinct vertex set, like d21's.
       val verts = edges.select(col("src").as("v"))
         .union(edges.select(col("dst").as("v"))).distinct()
       val seeds = verts.filter(col("v") % 10 === 1)
       graft.operators.PageRank.trustRank(verts, edges, seeds, iters = 3)
+    },
+
+    // D57: DeepWalk random-walk corpus (operators/RandomWalks) — the
+    // sentence-corpus prep for graph-embedding training (Perozzi et al.
+    // KDD'14): 2 walks × 8 steps from every vertex of the handoff
+    // digraph. The "random" hop is a HASH-CHOSEN neighbor index (modular
+    // mix over (seed, walk, step, v), then mod deg on the dst-sorted
+    // adjacency), so the oracle replays every hop with a recursive CTE
+    // running the IDENTICAL arithmetic — the full walk corpus hashes.
+    // Every mix intermediate is bounded ≪ 2^63: DuckDB raises on BIGINT
+    // overflow rather than wrapping, so parity requires staying in
+    // range. Per step: one vertex-keyed deg join + one (src, idx)
+    // edge-keyed join; dangling vertices end their walk.
+    QueryDef.sql(
+      "d57_deepwalk_corpus",
+      s"""WITH RECURSIVE $handoffGraphSql,
+        |adj AS (SELECT src, dst,
+        |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+        |          CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |        FROM edges),
+        |wids AS (SELECT CAST(unnest(range(2)) AS BIGINT) AS w),
+        |wk(seed, w, step, v) AS (
+        |  SELECT id, w, CAST(0 AS BIGINT), id FROM verts CROSS JOIN wids
+        |  UNION ALL
+        |  SELECT wk.seed, wk.w, wk.step + 1, adj.dst
+        |  FROM wk JOIN adj ON adj.src = wk.v
+        |   AND adj.idx = (((wk.seed % 1000003) * 2654435761 + wk.w * 40503
+        |                   + (wk.step + 1) * 65599 + (wk.v % 1000003) * 97)
+        |                  % 1000000007) % adj.deg
+        |  WHERE wk.step < 8)
+        |SELECT seed, w AS walk, step, v FROM wk""".stripMargin) { (spark, dir) =>
+      val edges = handoffEdges(spark, dir)
+      val seeds = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      graft.operators.RandomWalks.deepWalks(edges, seeds, length = 8, walksPerSeed = 2)
     },
 
     // Cross-document boilerplate detection: a token 3-gram that recurs in

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RandomWalks
+
+class RandomWalksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val diamond = Seq(1L -> 2L, 1L -> 5L, 2L -> 1L, 5L -> 1L)
+
+  private def walks(es: Seq[(Long, Long)], seeds: Seq[Long],
+      length: Int, per: Int = 1): Seq[(Long, Long, Long, Long)] =
+    RandomWalks.deepWalks(es.toDF("src", "dst"), seeds.toDF("v"), length, per)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+
+  test("hand-traced walk: the mix picks 5, 1, 5 from seed 1") {
+    // deg(1)=2 with dst-sorted neighbors [2, 5]; mix(1,0,step,v) mod deg
+    // replayed by hand (and by the d57 oracle's identical arithmetic)
+    val got = walks(diamond, Seq(1L), length = 3)
+    assert(got == Seq((1L, 0L, 0L, 1L), (1L, 0L, 1L, 5L),
+      (1L, 0L, 2L, 1L), (1L, 0L, 3L, 5L)))
+  }
+
+  test("walksPerSeed: distinct walk ids diverge via the walk term") {
+    val got = walks(diamond, Seq(1L), length = 3, per = 2)
+    val w0 = got.filter(_._2 == 0L).map(_._4)
+    val w1 = got.filter(_._2 == 1L).map(_._4)
+    assert(w0 == Seq(1L, 5L, 1L, 5L))
+    assert(w1 == Seq(1L, 2L, 1L, 2L)) // hand-traced: walk 1 picks idx 0
+  }
+
+  test("every consecutive hop is a real edge; step 0 is the seed") {
+    val rnd = new scala.util.Random(3)
+    val es = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = es.map(_._1).distinct.take(5)
+    val got = walks(es, seeds, length = 6, per = 2)
+    val eset = es.toSet
+    val bySeedWalk = got.groupBy(t => (t._1, t._2))
+    bySeedWalk.foreach { case ((seed, _), rows) =>
+      val path = rows.sortBy(_._3).map(_._4)
+      assert(path.head == seed)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(eset.contains(a -> b), s"phantom edge $a->$b")
+        case _ =>
+      }
+    }
+  }
+
+  test("a walk dies at a dangling vertex instead of looping or failing") {
+    // 1→2, 2 dangling: exactly steps 0 and 1 emitted
+    val got = walks(Seq(1L -> 2L), Seq(1L), length = 5)
+    assert(got == Seq((1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L)))
+  }
+
+  test("deterministic across repartitionings") {
+    val es = (1L to 30L).map(i => i -> (i % 30 + 1)) ++ Seq(7L -> 3L, 12L -> 9L)
+    val a = RandomWalks.deepWalks(es.toDF("src", "dst"), Seq(1L, 7L).toDF("v"), 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val b = RandomWalks.deepWalks(
+      es.toDF("src", "dst").repartition(7), Seq(1L, 7L).toDF("v").repartition(3), 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(a == b)
+  }
+
+  test("length and fan-out guards refuse loudly") {
+    assert(intercept[IllegalArgumentException] {
+      walks(diamond, Seq(1L), length = 65)
+    }.getMessage.contains("length"))
+    assert(intercept[IllegalArgumentException] {
+      walks(diamond, Seq(1L), length = 2, per = 129)
+    }.getMessage.contains("walksPerSeed"))
+  }
+}
