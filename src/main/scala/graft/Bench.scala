@@ -87,7 +87,20 @@ object Bench {
     // URL canonicalizer (pure narrow string map — the regex-heavy
     // baseline for scan-bound text transforms).
     "d53_bfs_distances",
-    "t50_url_canonicalize")
+    "t50_url_canonicalize",
+    // fourth r12 batch: the native-expression pair scan (25M JW evals
+    // behind a blocked broadcast join), the seeded fixed-point iteration,
+    // and the hash-replayed walk corpus (two keyed joins per step).
+    // d54_scc and t51_dsir_selection stay GATE-ONLY: SCC is ~23 s of
+    // per-job overhead (6 color rounds + 5 sweep waves + trims — counted
+    // on stderr), t51 is the t48 shape twice; neither adds a new bench
+    // profile worth 5 timed iterations.
+    "d55_jw_best_match",
+    "d56_trustrank",
+    "d57_deepwalk_corpus",
+    // the d×d sufficient-statistics fold (TypedImperativeAggregate with a
+    // ~2k-long buffer — a map-side-combine profile no other query has)
+    "d58_embedding_gram")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -495,5 +495,42 @@ object SimilarityQueries {
       Similarity.jlProject(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
         dim = DIM, outDim = 8)
+    },
+
+    // D58: distributed Gram matrix + per-dim sums (functions/expr/
+    // GramMatrix) — the one-pass sufficient statistics for covariance /
+    // PCA / whitening over the embedding column: cov(i,j) =
+    // (n·dot − sᵢ·sⱼ)/n² in exact integers, eigen work driver-side on
+    // the d×d result. The TypedImperativeAggregate keeps ONE
+    // d(d+1)/2+d+1 long buffer per task with map-side combine — the
+    // shuffle ships ~2 k longs per partition, while the ORACLE does the
+    // definitional |rows|×d² pair explode (exactly what 100 TB cannot).
+    // Vectors are pre-rounded to 1e6 fixed point declaratively (same
+    // round() both engines); every accumulation is add/multiplyExact —
+    // overflow refuses loudly (GramSpec).
+    QueryDef.sql(
+      "d58_embedding_gram",
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings),
+        |ks AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS k),
+        |idx AS (SELECT i.k AS i, j.k AS j FROM ks i JOIN ks j ON j.k >= i.k),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |sums AS (SELECT ks.k, CAST(SUM(q[ks.k]) AS BIGINT) AS s
+        |         FROM e CROSS JOIN ks GROUP BY 1),
+        |dots AS (SELECT idx.i, idx.j, CAST(SUM(q[idx.i] * q[idx.j]) AS BIGINT) AS dot_fp
+        |         FROM e CROSS JOIN idx GROUP BY 1, 2)
+        |SELECT d.i, d.j, n.n, si.s AS sum_i, sj.s AS sum_j, d.dot_fp
+        |FROM dots d JOIN sums si ON si.k = d.i JOIN sums sj ON sj.k = d.j
+        |CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      val q = transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000000.0)).cast("long"))
+      Tables.load(spark, dir, "embeddings")
+        .agg(graft.functions.expr.GramMatrix.gram(q, DIM).as("g"))
+        .select(col("g.n").as("n"), col("g.sums").as("sums"),
+          explode(col("g.entries")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("n"),
+          element_at(col("sums"), col("e.i")).as("sum_i"),
+          element_at(col("sums"), col("e.j")).as("sum_j"),
+          col("e.dot").as("dot_fp"))
     })
 }

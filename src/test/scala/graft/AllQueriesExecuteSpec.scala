@@ -40,6 +40,7 @@ object PlanBudget {
     "d47_hybrid_rrf_fusion" -> (1, 2), // BM25 stats fold + dense exact-baseline query broadcast
     "t48_lm_perplexity" -> (1, 1),   // 1-row vocab-size fold
     "t51_dsir_selection" -> (2, 2),  // two LMs ⇒ two 1-row vocab folds
+    "d58_embedding_gram" -> (1, 0),  // d×d Gram fold: buffer bounded by dim², not data
     "d27_split_contamination" -> (0, 1),
     "d38_corpus_drift" -> (2, 2),
     "d7_embedding_near_dup" -> (0, 1),
