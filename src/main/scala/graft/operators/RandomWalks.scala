@@ -25,9 +25,10 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * adjacency (edge-keyed, the only fact-scale shuffle); walks at dangling
   * vertices stop (no emissions past the dead end). The adjacency is
   * indexed ONCE (row_number over the src partition) and persisted for
-  * the loop; per-step frames are persisted, materialized, RDD-leaf
-  * re-rooted and their predecessors released — the d21/PageRank
-  * iteration hygiene, so the plan stays one step deep for any length.
+  * the loop; per-step frames are persisted, materialized, and RDD-leaf
+  * re-rooted (the d21/PageRank iteration hygiene), so the plan stays one
+  * step deep for any length; the step leaves stay cached because the
+  * final union reads every one (the Bfs levels contract).
   */
 object RandomWalks {
 
@@ -71,13 +72,13 @@ object RandomWalks {
     val adj = truncateLineage(adjH)
     val degs = adj.select(col("src"), col("deg")).distinct()
 
-    var frontierH = seeds.select(col("v").cast("long").as("v")).distinct()
+    val frontier0 = seeds.select(col("v").cast("long").as("v")).distinct()
       .crossJoin(
         seeds.sparkSession.range(walksPerSeed.toLong).select(col("id").as("walk")))
       .select(col("v").as("seed"), col("walk"), col("v"))
       .persist(MEMORY_AND_DISK)
-    var frontierRows = frontierH.count()
-    var frontier = truncateLineage(frontierH)
+    var frontierRows = frontier0.count()
+    var frontier = truncateLineage(frontier0)
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("step", lit(0L)))
     var step = 1
@@ -93,9 +94,10 @@ object RandomWalks {
         .persist(MEMORY_AND_DISK)
       frontierRows = nextH.count()
       val next = truncateLineage(nextH)
+      // Levels OWN their caches until the final union (the Bfs contract):
+      // unpersisting the previous frontier here would force each level to
+      // recompute through its whole RDD chain when the union reads it.
       levels += next.withColumn("step", lit(step.toLong))
-      frontierH.unpersist(blocking = false)
-      frontierH = nextH
       frontier = next
       step += 1
     }

@@ -100,7 +100,11 @@ object Scc {
       assigned = v; assignedH = h
     }
 
-    var (ei, eiH) = pin(e0) // live induced edge set (starts as the full set)
+    // Live induced edge set. Starts as e0's cache directly — re-pinning
+    // would duplicate the largest frame for nothing. (Unpersist sites may
+    // hit e0H twice on the first replacement; the second call is a no-op.)
+    var ei = e0
+    var eiH = e0H
     var outer = 0
     while (remainingRows > 0L && outer < maxOuterRounds) {
       // --- TRIM to a fixpoint: no-in or no-out ⇒ singleton SCC ---
