@@ -532,5 +532,50 @@ object SimilarityQueries {
           element_at(col("sums"), col("e.i")).as("sum_i"),
           element_at(col("sums"), col("e.j")).as("sum_j"),
           col("e.dot").as("dot_fp"))
+    },
+
+    // D59: dominant principal direction by FIXED-POINT power iteration
+    // (functions/Pca.topDirectionFixedPoint) — d58's promised second
+    // half, with the d21 determinism discipline applied to linear
+    // algebra: C = n·dot − s·sᵀ in exact integers, truncating-divided by
+    // 1e11 (Scala `/`, Spark `div` and DuckDB `//` all truncate toward
+    // zero — probed), then 4 rounds of y = C'·x with max-|y|
+    // renormalization to 1e5 fixed point. Every step is exact integer
+    // arithmetic, so the direction is BIT-IDENTICAL across engines and
+    // the oracle replays the whole iteration unrolled. The only collect
+    // is the d(d+1)/2 Gram row — bounded by dimension, never data.
+    QueryDef.sql(
+      "d59_pca_power_direction", {
+        val base =
+          """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+            |             x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings),
+            |ks AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS k),
+            |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+            |sums AS (SELECT ks.k, CAST(SUM(q[ks.k]) AS BIGINT) AS s
+            |         FROM e CROSS JOIN ks GROUP BY 1),
+            |dots AS (SELECT i.k AS i, j.k AS j, CAST(SUM(q[i.k] * q[j.k]) AS BIGINT) AS dot
+            |         FROM e CROSS JOIN ks i CROSS JOIN ks j GROUP BY 1, 2),
+            |cf AS (SELECT d.i, d.j,
+            |         (n.n * d.dot - si.s * sj.s) // 100000000000 AS c
+            |       FROM dots d JOIN sums si ON si.k = d.i JOIN sums sj ON sj.k = d.j
+            |       CROSS JOIN n),
+            |x0 AS (SELECT ks.k AS i, CAST(100000 AS BIGINT) AS x FROM ks)""".stripMargin
+        val rounds = (1 to 4).map { r =>
+          s"""y$r AS (SELECT cf.i, CAST(SUM(cf.c * p.x) AS BIGINT) AS y
+             |        FROM cf JOIN x${r - 1} p ON p.i = cf.j GROUP BY 1),
+             |m$r AS (SELECT MAX(abs(y)) AS m FROM y$r),
+             |x$r AS (SELECT y$r.i, (y$r.y * 100000) // m$r.m AS x
+             |        FROM y$r CROSS JOIN m$r)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT i, x AS x_fp FROM x4"
+      }) { (spark, dir) =>
+      val q = transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000000.0)).cast("long"))
+      val gram = Tables.load(spark, dir, "embeddings")
+        .agg(graft.functions.expr.GramMatrix.gram(q, DIM).as("g"))
+        .select(col("g.n").as("n"), col("g.sums").as("sums"),
+          col("g.entries").as("entries"))
+      graft.functions.Pca.topDirectionFixedPoint(gram, DIM, rounds = 4,
+        cDiv = 100000000000L, xScale = 100000L)
     })
 }
