@@ -279,6 +279,41 @@ object DedupQueries {
       jaccardPairs(spark, dir)
     },
 
+    // D60: dedup-threshold calibration sweep — the operational question
+    // every near-dup deployment starts with ("where do I set the Jaccard
+    // cutoff?") answered from ONE pass over the SAME shared pair stats
+    // d4/d13/d21 ride: pairs bucketed into 5%-wide Jaccard bins by EXACT
+    // integer arithmetic ((inter·20) div |A∪B| — no float boundary
+    // cliff), each bin reporting its pair count and how many of its
+    // pairs are byte-identical documents (md5 agreement) — exact dups
+    // must concentrate in the top bins, and the bin where they thin out
+    // IS the calibration read. Cost beyond the pair stage: two doc-keyed
+    // fingerprint joins and a ≤21-row rollup.
+    QueryDef.sql(
+      "d60_dedup_threshold_sweep",
+      s"""WITH $shingleGraphSql,
+         |jb AS (SELECT p.id_a, p.id_b,
+         |         CAST((p.inter * 20) // (za.n + zb.n - p.inter) AS INT) AS bucket
+         |       FROM p JOIN z za ON za.doc_id = p.id_a
+         |              JOIN z zb ON zb.doc_id = p.id_b),
+         |fp AS (SELECT doc_id, md5(text) AS f FROM documents)
+         |SELECT jb.bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN fa.f = fb.f THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM jb JOIN fp fa ON fa.doc_id = jb.id_a
+         |        JOIN fp fb ON fb.doc_id = jb.id_b
+         |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val fp = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("f"))
+      shinglePairStats(spark, dir)
+        .withColumn("bucket",
+          expr("CAST((inter * 20) div (na + nb - inter) AS INT)"))
+        .join(fp.select(col("doc_id").as("id_a"), col("f").as("fa")), Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("f").as("fb")), Seq("id_b"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("fa") === col("fb"), 1L).otherwise(0L)).as("n_exact"))
+    },
+
     // D34: d4 under a FORCED document-frequency cap (maxDf = 3) — the
     // oracled pin of the skew guard's filtered path. In production the cap
     // arrives via `spark.graft.shingle.maxDf`; here it is forced so the
