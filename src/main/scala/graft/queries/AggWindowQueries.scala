@@ -1133,6 +1133,81 @@ object AggWindowQueries {
           col("l_distinct"), (col("l_distinct") < 3).as("below_l"))
     },
 
+    // A36: t-CLOSENESS — the third of the release-gating privacy trio
+    // (a30 k-anonymity: classes big enough; a33 l-diversity: sensitive
+    // values varied enough; THIS: the class's sensitive DISTRIBUTION
+    // must stay within t of the corpus's, or membership in the class
+    // itself leaks the attribute). For the ordered acctbal-bucket
+    // attribute the distance is the Earth Mover's: EMD = Σᵢ|cum_g(i)/n_g
+    // − cum(i)/N| / (m−1), computed here in EXACT integers by
+    // cross-multiplication (|cum_g·N − cum·n_g| summed; the t=0.2 verdict
+    // is 5·Σ vs n_g·N·(m−1) — no IEEE division anywhere, the a31 audit
+    // rule). Shape: one (class, bin) rollup, a class-partitioned
+    // cumulative window over the |bins|-wide grid, and a ≤|bins|-row
+    // global cumulative (the one SinglePartition, bounded by the bin
+    // domain, budgeted).
+    QueryDef.sql(
+      "a36_t_closeness",
+      """WITH src AS (SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+        |              CAST(floor(c_acctbal / 1000) AS INT) AS b FROM customer),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+        |bins AS (SELECT DISTINCT b FROM src),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bins),
+        |gl AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1),
+        |glc AS (SELECT b, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM gl),
+        |cls AS (SELECT nationkey, mktsegment, CAST(COUNT(*) AS BIGINT) AS ng FROM src GROUP BY 1, 2),
+        |cb AS (SELECT nationkey, mktsegment, b, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.nationkey, cls.mktsegment, cls.ng, bins.b, COALESCE(cb.c, 0) AS c
+        |         FROM cls CROSS JOIN bins
+        |         LEFT JOIN cb ON cb.nationkey = cls.nationkey
+        |                     AND cb.mktsegment = cls.mktsegment AND cb.b = bins.b),
+        |gc AS (SELECT nationkey, mktsegment, ng, b,
+        |         CAST(SUM(c) OVER (PARTITION BY nationkey, mktsegment ORDER BY b) AS BIGINT) AS cumg
+        |       FROM grid),
+        |terms AS (SELECT gc.nationkey, gc.mktsegment, gc.ng,
+        |            abs(gc.cumg * n.n - glc.cum * gc.ng) AS term
+        |          FROM gc JOIN glc ON glc.b = gc.b CROSS JOIN n)
+        |SELECT t.nationkey, t.mktsegment, t.ng AS class_size,
+        |  CAST(SUM(t.term) AS BIGINT) AS emd_num,
+        |  CAST(t.ng * n.n * (m.m - 1) AS BIGINT) AS emd_den,
+        |  5 * CAST(SUM(t.term) AS BIGINT) > t.ng * n.n * (m.m - 1) AS above_t
+        |FROM terms t CROSS JOIN n CROSS JOIN m
+        |GROUP BY 1, 2, 3, n.n, m.m""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.load(spark, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("int").as("b"))
+      val srcC = graft.engine.BoundedCaches.persist(src) // 5 consumers below
+      val n = srcC.agg(count(lit(1)).as("n"))
+      val bins = srcC.select(col("b")).distinct()
+      val m = bins.agg(count(lit(1)).as("m"))
+      val glc = srcC.groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))))
+        .select(col("b"), col("cum"))
+      val cls = srcC.groupBy(col("nationkey"), col("mktsegment"))
+        .agg(count(lit(1)).as("ng"))
+      val cb = srcC.groupBy(col("nationkey"), col("mktsegment"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val grid = cls.crossJoin(broadcast(bins))
+        .join(cb, Seq("nationkey", "mktsegment", "b"), "left")
+        .select(col("nationkey"), col("mktsegment"), col("ng"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val gc = grid.withColumn("cumg",
+        sum(col("c")).over(
+          Window.partitionBy(col("nationkey"), col("mktsegment")).orderBy(col("b"))))
+      gc.join(glc, Seq("b"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .select(col("nationkey"), col("mktsegment"), col("ng"),
+          abs(col("cumg") * col("n") - col("cum") * col("ng")).as("term"),
+          col("n"), col("m"))
+        .groupBy(col("nationkey"), col("mktsegment"), col("ng"), col("n"), col("m"))
+        .agg(sum(col("term")).as("emd_num"))
+        .select(col("nationkey"), col("mktsegment"), col("ng").as("class_size"),
+          col("emd_num"),
+          (col("ng") * col("n") * (col("m") - 1)).as("emd_den"),
+          (lit(5) * col("emd_num") > col("ng") * col("n") * (col("m") - 1)).as("above_t"))
+    },
+
     // A31: the HASHED half of a11 (the q7 bound-audit pattern): DuckDB
     // can't build the HLL sketch, but the exact distinct count is SQL and
     // the sketch's ±5% accuracy contract is assertable as a TRUE literal —
