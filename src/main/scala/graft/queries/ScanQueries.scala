@@ -185,5 +185,49 @@ object ScanQueries {
           (col("s_suppkey") % 256).cast("long").as("x"),
           (col("s_suppkey") * 7 % 256).cast("long").as("y"))
         .withColumn("z", ZValue.zValueN(Seq(col("x"), col("y")), 8))
+    },
+
+    // S13: dataset content fingerprint — the versioning/corruption check
+    // a published dataset ships with (did any row change between this
+    // copy and that one?): per table, row count + an ORDER-INDEPENDENT
+    // content hash = the exact DECIMAL(38,0) sum of a 60-bit per-row
+    // digest (first 15 hex chars of md5 over the '|'-joined canonical
+    // row string). Commutative integer addition ⇒ identical across
+    // engines, partitionings, shard layouts, and row orders; any single
+    // flipped byte moves it. One scan + map-side-combined fold per
+    // table; columns are the caller's pick (doubles excluded here — IEEE
+    // rendering is not an engine-portable canonical form).
+    QueryDef.sql(
+      "s13_dataset_fingerprint", {
+        def one(t: String, cols: Seq[String]) = {
+          val s = cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")
+          s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(CAST(SUM(CAST('0x' || substring(md5(concat_ws('|', $s)), 1, 15) AS BIGINT))
+             |       AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+             |FROM $t""".stripMargin
+        }
+        Seq(
+          one("region", Seq("r_regionkey", "r_name")),
+          one("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+          one("supplier", Seq("s_suppkey", "s_name", "s_nationkey")),
+          one("documents", Seq("doc_id", "text", "lang", "source", "n_chars")))
+          .mkString("\nUNION ALL\n")
+      }) { (spark, dir) =>
+      def one(t: String, cols: Seq[String]) =
+        Tables.load(spark, dir, t)
+          .select(concat_ws("|", cols.map(c => col(c).cast("string")): _*).as("s"))
+          .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            // VARCHAR, not DECIMAL(38,0): the driver's pandas conversion
+            // renders a wide decimal as float64 ('1.54e+19') while the
+            // Spark parquet read-back stays exact — the j2 mechanism.
+            sum(col("h").cast("decimal(38,0)")).cast("string").as("content_fp"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("content_fp"))
+      Seq(
+        one("region", Seq("r_regionkey", "r_name")),
+        one("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        one("supplier", Seq("s_suppkey", "s_name", "s_nationkey")),
+        one("documents", Seq("doc_id", "text", "lang", "source", "n_chars")))
+        .reduce(_ unionAll _)
     })
 }

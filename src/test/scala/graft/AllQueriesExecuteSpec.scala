@@ -42,6 +42,7 @@ object PlanBudget {
     "t51_dsir_selection" -> (2, 2),  // two LMs ⇒ two 1-row vocab folds
     "d58_embedding_gram" -> (1, 0),  // d×d Gram fold: buffer bounded by dim², not data
     "a36_t_closeness" -> (3, 3),     // |bins|-row global cum + N/m 1-row folds & broadcasts
+    "s13_dataset_fingerprint" -> (4, 0), // one 1-row fingerprint fold per table
     "d27_split_contamination" -> (0, 1),
     "d38_corpus_drift" -> (2, 2),
     "d7_embedding_near_dup" -> (0, 1),
