@@ -229,5 +229,53 @@ object ScanQueries {
         one("supplier", Seq("s_suppkey", "s_name", "s_nationkey")),
         one("documents", Seq("doc_id", "text", "lang", "source", "n_chars")))
         .reduce(_ unionAll _)
+    },
+
+    // S14: rendezvous (highest-random-weight) sharding — stable shard
+    // placement for incrementally published datasets: growing 10 -> 11
+    // shards, a key moves ONLY if the new shard wins its argmax, so
+    // every move lands on shard 10 and existing shards never exchange
+    // data (naive hash-mod-n reshuffles ~everything). The gate hashes
+    // the full 10->11 movement matrix AND the theorem itself as a
+    // per-row boolean (stay, or move to the NEW shard — nothing else is
+    // possible); ties are arithmetically impossible (prime modulus, see
+    // functions/Rendezvous), so both argmaxes need no tie rule. The
+    // assignment is a codegen'd greatest-of-structs narrow map — no
+    // explode, no shuffle beyond the matrix rollup.
+    QueryDef.sql(
+      "s14_rendezvous_sharding", {
+        val mults = (0 until 11)
+          .map(s => s"($s, ${graft.functions.Rendezvous.multiplier(s)})")
+          .mkString(", ")
+        s"""WITH d AS (SELECT doc_id FROM documents),
+        |ms(s, ps) AS (VALUES $mults),
+        |s10 AS (SELECT CAST(s AS INT) AS s, ps FROM ms WHERE s < 10),
+        |s11 AS (SELECT CAST(s AS INT) AS s, ps FROM ms),
+        |g10 AS (SELECT doc_id, s,
+        |          ((doc_id % 1000003 + 1) * ps) % 1000000007 AS w
+        |        FROM d CROSS JOIN s10),
+        |g11 AS (SELECT doc_id, s,
+        |          ((doc_id % 1000003 + 1) * ps) % 1000000007 AS w
+        |        FROM d CROSS JOIN s11),
+        |a10 AS (SELECT q.doc_id, q.s AS a10 FROM g10 q
+        |        JOIN (SELECT doc_id, MAX(w) AS mw FROM g10 GROUP BY 1) m
+        |          ON q.doc_id = m.doc_id AND q.w = m.mw),
+        |a11 AS (SELECT q.doc_id, q.s AS a11 FROM g11 q
+        |        JOIN (SELECT doc_id, MAX(w) AS mw FROM g11 GROUP BY 1) m
+        |          ON q.doc_id = m.doc_id AND q.w = m.mw)
+        |SELECT a10.a10, a11.a11, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  (a10.a10 = a11.a11 OR a11.a11 = 10) AS stable_or_new
+        |FROM a10 JOIN a11 ON a10.doc_id = a11.doc_id
+        |GROUP BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.Rendezvous
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          Rendezvous.assign(col("doc_id"), 10).as("a10"),
+          Rendezvous.assign(col("doc_id"), 11).as("a11"))
+        .groupBy(col("a10"), col("a11"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("a10"), col("a11"), col("n_docs"),
+          (col("a10") === col("a11") || col("a11") === 10).as("stable_or_new"))
     })
 }
