@@ -17,6 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `graft_word_shingles(text, n, distinct)` — string word n-grams
   *   - `graft_cms_estimate(key, sketchBytes)` — Count-Min frequency probe
   *   - `graft_nfc_normalize(text)` — Unicode NFC canonical composition
+  *   - `graft_jaro_winkler(a, b)`  — byte-exact Jaro–Winkler similarity
+  *   - `graft_simhash64(hashes)`   — 64-bit SimHash of feature hashes
   *
   * Static parameters (k, seed, dim, …) must be literals — they are baked
   * into the expression at resolution time exactly like the Column API.
@@ -106,6 +108,14 @@ object GraftFunctions {
     "graft_nfc_normalize" -> { args =>
       require(args.length == 1, "graft_nfc_normalize(text)")
       NfcNormalize(args(0))
+    },
+    "graft_jaro_winkler" -> { args =>
+      require(args.length == 2, "graft_jaro_winkler(a, b)")
+      JaroWinkler(args(0), args(1))
+    },
+    "graft_simhash64" -> { args =>
+      require(args.length == 1, "graft_simhash64(hashes)")
+      SimHash64(args(0))
     })
 
   /** Register every graft SQL function on a live session. Idempotent. */

@@ -307,4 +307,16 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select("weight_fp6", "selected").as[(Long, Boolean)].collect()
     assert(got.forall { case (w, sel) => w == 0L && !sel }, got.toSeq.toString)
   }
+
+  test("SQL surface: graft_jaro_winkler and graft_simhash64 match the Column API") {
+    graft.engine.GraftFunctions.registerAll(spark)
+    val jw = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j")
+      .head().getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-15)
+    val viaSql = spark.sql("SELECT graft_simhash64(array(1L, 2L, 3L)) AS h").head().getLong(0)
+    import org.apache.spark.sql.functions._
+    val viaCol = Seq(Seq(1L, 2L, 3L)).toDF("a")
+      .select(graft.functions.SimHash.simhash64(col("a"))).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
 }
