@@ -108,4 +108,90 @@ object RandomWalks {
     // corpus from cache; blocks age out via LRU.
     out
   }
+
+  /** node2vec-biased walks (Grover & Leskovec, KDD 2016 — public
+    * algorithm): the SECOND-ORDER transition on [[deepWalks]]' scaffold.
+    * Each candidate next-hop c from v is weighted by where it sits
+    * relative to the PREVIOUS vertex — `wBack` for returning (c = prev),
+    * `wCommon` for triangle-closing (edge prev→c exists), `wForward`
+    * for exploring — and the hop is the hash-chosen point in the
+    * candidates' EXACT integer cumulative-weight line (r = mix mod
+    * total; the candidate whose [cumBefore, cum) interval holds r).
+    * Original node2vec weights are 1/p, 1, 1/q; integer weights are the
+    * same family cleared of denominators, kept exact for the oracle.
+    * Step 1 has no prev: every candidate weighs `wCommon` (uniform).
+    *
+    * Scale shape per step: the deg join + adjacency join of
+    * [[deepWalks]], ONE extra (prev, dst)-keyed join tagging
+    * triangle-closers, and a per-walker cumulative window whose
+    * partitions are single-walker candidate lists (bounded by max
+    * degree, never corpus-scale). Same RDD-leaf iteration hygiene.
+    */
+  def node2vecWalks(
+      edges: DataFrame, seeds: DataFrame, length: Int,
+      wBack: Long = 1L, wCommon: Long = 2L, wForward: Long = 4L): DataFrame = {
+    require(length >= 1 && length <= 64,
+      s"walk length must be in [1, 64], got $length")
+    require(wBack >= 0L && wCommon >= 0L && wForward >= 0L &&
+      wBack + wCommon + wForward > 0L,
+      "weights must be non-negative and not all zero")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val adjH = e.distinct()
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long"))
+      .persist(MEMORY_AND_DISK)
+    adjH.count()
+    val adj = truncateLineage(adjH)
+    // triangle tags probe this as (prev, dst) — one copy, same cache
+    val epairs = adj.select(col("src").as("__p"), col("dst").as("__c"), lit(1L).as("__t"))
+
+    var frontierRows = 0L
+    var frontier = { // (seed, prev, v); prev = -1 sentinel at step 0
+      val f0 = seeds.select(col("v").cast("long").as("v")).distinct()
+        .select(col("v").as("seed"), lit(-1L).as("prev"), col("v"))
+        .persist(MEMORY_AND_DISK)
+      frontierRows = f0.count()
+      truncateLineage(f0)
+    }
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("seed"), lit(0L).as("step"), col("v")))
+    var step = 1
+    while (step <= length && frontierRows > 0L) {
+      val wCand = frontier
+        .join(adj, frontier("v") === adj("src"))
+        .join(epairs,
+          col("prev") === col("__p") && col("dst") === col("__c"), "left")
+        .select(col("seed"), col("prev"), col("v"), col("dst"), col("idx"),
+          when(col("prev") === lit(-1L), lit(wCommon))
+            .when(col("dst") === col("prev"), lit(wBack))
+            .when(col("__t").isNotNull, lit(wCommon))
+            .otherwise(lit(wForward)).as("w"))
+      val walker = Window.partitionBy(col("seed"), col("v"), col("prev"))
+      val picked = wCand
+        .withColumn("cum", sum(col("w")).over(walker.orderBy(col("idx"))))
+        .withColumn("total", sum(col("w")).over(walker))
+        // total can be 0 when every candidate's weight is 0 (e.g. only a
+        // wBack=0 return hop) — the walker stops; CASE-guarded because
+        // ANSI mode makes a bare `% 0` throw rather than null
+        .withColumn("r",
+          when(col("total") > 0L,
+            mix(col("seed"), lit(0L), lit(step.toLong), col("v")) % col("total")))
+        .filter(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
+      val nextH = picked
+        .select(col("seed"), col("v").as("prev"), col("dst").as("v"))
+        .persist(MEMORY_AND_DISK)
+      frontierRows = nextH.count()
+      val next = truncateLineage(nextH)
+      levels += next.select(col("seed"), lit(step.toLong).as("step"), col("v"))
+      frontier = next
+      step += 1
+    }
+    val out = levels.reduce(_ unionAll _)
+      .select(col("seed"), col("step"), col("v"))
+    adjH.unpersist(blocking = false)
+    out
+  }
 }

@@ -892,6 +892,54 @@ object DedupQueries {
       graft.operators.RandomWalks.deepWalks(edges, seeds, length = 8, walksPerSeed = 2)
     },
 
+    // D61: node2vec-biased walks (Grover & Leskovec KDD'16) — d57's
+    // scaffold with the SECOND-ORDER transition: each candidate hop is
+    // weighted by where it sits relative to the PREVIOUS vertex (return
+    // 1 / triangle-close 2 / explore 4 — the integer family 1/p, 1, 1/q
+    // cleared of denominators), and the hop is the hash-chosen point on
+    // the candidates' exact cumulative-weight line. The oracle UNROLLS
+    // all four steps in plain SQL (candidate tagging via a (prev, dst)
+    // left join, per-walker cumulative windows, the identical mix
+    // arithmetic), so every weighted choice hashes — the d56/d59
+    // unrolled-recurrence pattern applied to a stochastic process.
+    QueryDef.sql(
+      "d61_node2vec_walks", {
+        val mixr = (t: Int) =>
+          s"(((seed % 1000003) * 2654435761 + $t * 65599 + (v % 1000003) * 97) % 1000000007)"
+        val steps = (1 to 4).map { t =>
+          s"""c$t AS (SELECT f.seed, f.prev, f.v, a.dst, a.idx,
+             |    CAST(CASE WHEN f.prev = -1 THEN 2
+             |         WHEN a.dst = f.prev THEN 1
+             |         WHEN ep.src IS NOT NULL THEN 2
+             |         ELSE 4 END AS BIGINT) AS w
+             |  FROM f${t - 1} f JOIN adj a ON a.src = f.v
+             |  LEFT JOIN edges ep ON ep.src = f.prev AND ep.dst = a.dst),
+             |w$t AS (SELECT seed, prev, v, dst, w,
+             |    CAST(SUM(w) OVER (PARTITION BY seed, v, prev ORDER BY idx) AS BIGINT) AS cum,
+             |    ${mixr(t)} % CAST(SUM(w) OVER (PARTITION BY seed, v, prev) AS BIGINT) AS r
+             |  FROM c$t),
+             |f$t AS (SELECT seed, v AS prev, dst AS v FROM w$t
+             |  WHERE cum - w <= r AND r < cum)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $handoffGraphSql,
+           |adj AS (SELECT src, dst,
+           |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+           |  FROM edges),
+           |f0 AS (SELECT id AS seed, CAST(-1 AS BIGINT) AS prev, id AS v FROM verts),
+           |$steps
+           |SELECT seed, CAST(0 AS BIGINT) AS step, v FROM f0
+           |UNION ALL SELECT seed, CAST(1 AS BIGINT), v FROM f1
+           |UNION ALL SELECT seed, CAST(2 AS BIGINT), v FROM f2
+           |UNION ALL SELECT seed, CAST(3 AS BIGINT), v FROM f3
+           |UNION ALL SELECT seed, CAST(4 AS BIGINT), v FROM f4""".stripMargin
+      }) { (spark, dir) =>
+      val edges = handoffEdges(spark, dir)
+      val seeds = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      graft.operators.RandomWalks.node2vecWalks(edges, seeds, length = 4,
+        wBack = 1L, wCommon = 2L, wForward = 4L)
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the

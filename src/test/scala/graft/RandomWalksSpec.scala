@@ -74,4 +74,54 @@ class RandomWalksSpec extends AnyFunSuite {
       walks(diamond, Seq(1L), length = 2, per = 129)
     }.getMessage.contains("walksPerSeed"))
   }
+
+  private def n2v(es: Seq[(Long, Long)], seeds: Seq[Long], length: Int,
+      wb: Long, wc: Long, wf: Long): Seq[(Long, Long, Long)] =
+    RandomWalks.node2vecWalks(es.toDF("src", "dst"), seeds.toDF("v"), length,
+      wBack = wb, wCommon = wc, wForward = wf)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+  test("node2vec: zero forward+back weight forces triangle-closing hops only") {
+    // step 1 (no prev) is uniform-hash over out(0) = {1,2,4}:
+    // mix(0,0,1,0) = 65599 ≡ 1 (mod 3) → idx 1 = vertex 2 (arithmetic,
+    // replayed in the comment). Step 2 from 2 with prev=0 is then FORCED
+    // by the weights: candidates {4, 5}, 0→4 exists (triangle-closer,
+    // w=1), 5 is forward (w=0) — only 4 is admissible.
+    val es = Seq(0L -> 1L, 0L -> 2L, 2L -> 4L, 2L -> 5L, 0L -> 4L)
+    val got = n2v(es, Seq(0L), length = 2, wb = 0L, wc = 1L, wf = 0L)
+    assert(got == Seq((0L, 0L, 0L), (0L, 1L, 2L), (0L, 2L, 4L)))
+  }
+
+  test("node2vec: wBack=0 kills the return hop, stranding a pure pendulum") {
+    // 1↔2 only: step 2's sole candidate from 2 is back to 1 with weight 0
+    // ⇒ total 0 ⇒ the walker stops (documented contract)
+    val got = n2v(Seq(1L -> 2L, 2L -> 1L), Seq(1L), length = 5,
+      wb = 0L, wc = 1L, wf = 1L)
+    assert(got == Seq((1L, 0L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("node2vec: every hop is a real edge and walks replay exactly") {
+    val rnd = new scala.util.Random(23)
+    val es = Seq.fill(80)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = es.map(_._1).distinct.take(6)
+    val a = n2v(es, seeds, length = 5, wb = 1L, wc = 2L, wf = 4L)
+    val b = n2v(es, seeds, length = 5, wb = 1L, wc = 2L, wf = 4L)
+    assert(a == b, "reruns must replay identically")
+    val eset = es.toSet
+    a.groupBy(_._1).foreach { case (seed, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == seed)
+      path.sliding(2).foreach {
+        case Seq(x, y) => assert(eset.contains(x -> y), s"phantom edge $x->$y")
+        case _ =>
+      }
+    }
+  }
+
+  test("node2vec: all-zero weights refuse") {
+    assert(intercept[IllegalArgumentException] {
+      n2v(Seq(1L -> 2L), Seq(1L), 2, 0L, 0L, 0L)
+    }.getMessage.contains("weights"))
+  }
 }
