@@ -940,6 +940,51 @@ object DedupQueries {
         wBack = 1L, wCommon = 2L, wForward = 4L)
     },
 
+    // D62: skip-gram training pairs from the walk corpus — the last
+    // stage of the graph-embedding prep chain (walks → (center, context)
+    // pairs → training file): within each walk, every ordered pair of
+    // positions at distance 1..2 emits one co-occurrence, aggregated to
+    // (center, context, n) — exactly word2vec's window over d57's
+    // "sentences". ONE self-join of the walk corpus on its (seed, walk)
+    // key with the |Δstep| ≤ window predicate riding the join (walk
+    // length bounds the fan-out: ≤ 2·window pairs per position), then a
+    // map-side-combined count. Pair symmetry ((a,b) and (b,a) both
+    // appear, from the two orderings) is the word2vec convention.
+    QueryDef.sql(
+      "d62_skipgram_pairs",
+      s"""WITH RECURSIVE $handoffGraphSql,
+        |adj AS (SELECT src, dst,
+        |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+        |          CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |        FROM edges),
+        |wids AS (SELECT CAST(unnest(range(2)) AS BIGINT) AS w),
+        |wk(seed, w, step, v) AS (
+        |  SELECT id, w, CAST(0 AS BIGINT), id FROM verts CROSS JOIN wids
+        |  UNION ALL
+        |  SELECT wk.seed, wk.w, wk.step + 1, adj.dst
+        |  FROM wk JOIN adj ON adj.src = wk.v
+        |   AND adj.idx = (((wk.seed % 1000003) * 2654435761 + wk.w * 40503
+        |                   + (wk.step + 1) * 65599 + (wk.v % 1000003) * 97)
+        |                  % 1000000007) % adj.deg
+        |  WHERE wk.step < 8)
+        |SELECT a.v AS center, b.v AS context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM wk a JOIN wk b
+        |  ON a.seed = b.seed AND a.w = b.w AND a.step <> b.step
+        | AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val edges = handoffEdges(spark, dir)
+      val seeds = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v"))).distinct()
+      val wk = graft.operators.RandomWalks.deepWalks(edges, seeds,
+        length = 8, walksPerSeed = 2)
+      val a = wk.select(col("seed"), col("walk"), col("step").as("sa"), col("v").as("center"))
+      val b = wk.select(col("seed"), col("walk"), col("step").as("sb"), col("v").as("context"))
+      a.join(b, Seq("seed", "walk"))
+        .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the
