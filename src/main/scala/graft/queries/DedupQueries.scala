@@ -985,6 +985,53 @@ object DedupQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // D63: Luby maximal independent set (operators/Mis) — distributed
+    // symmetry breaking: the largest-practical batch of mutually-safe
+    // items over a conflict graph (near-dups that must not ship
+    // together, migrations that can't run concurrently). d33's keeper
+    // election picks one per component; MIS picks a maximal
+    // NON-ADJACENT set across the whole graph. Per-round priorities are
+    // the replayable (vertex, round) mix, so the oracle unrolls the
+    // SAME 8 rounds (the d61 stochastic-unroll pattern) and the whole
+    // membership vector hashes; a graph needing more rounds makes the
+    // Spark side REFUSE loudly rather than silently diverge.
+    QueryDef.sql(
+      "d63_luby_mis", {
+        // AS MATERIALIZED on every multiply-referenced CTE: DuckDB
+        // inlines plain CTEs, and 8 rounds each referencing their
+        // predecessor 3x would expand 3^8 copies of the base scan
+        // (observed as file-handle exhaustion before any wrong answer).
+        val rounds = (0 until 8).map { r =>
+          s"""p$r AS MATERIALIZED (SELECT id, ((id % 1000003) * 2654435761 + $r * 65599) % 1000000007 AS p
+             |        FROM l$r),
+             |n$r AS MATERIALIZED (SELECT e.dst AS id, MIN(q.p) AS np
+             |        FROM ue e JOIN p$r q ON q.id = e.src GROUP BY 1),
+             |c$r AS MATERIALIZED (SELECT p.id FROM p$r p LEFT JOIN n$r n ON n.id = p.id
+             |        WHERE n.np IS NULL OR p.p < n.np),
+             |d$r AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM ue e JOIN c$r c ON c.id = e.src),
+             |l${r + 1} AS MATERIALIZED (SELECT l.id FROM l$r l
+             |        LEFT JOIN c$r c ON c.id = l.id
+             |        LEFT JOIN d$r dd ON dd.id = l.id
+             |        WHERE c.id IS NULL AND dd.id IS NULL)""".stripMargin
+        }.mkString(",\n")
+        val misUnion = (0 until 8).map(r => s"SELECT id FROM c$r").mkString(" UNION ALL ")
+        s"""WITH $handoffGraphSql,
+           |ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+           |         (SELECT src, dst FROM edges
+           |          UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+           |l0 AS MATERIALIZED (SELECT id FROM verts),
+           |$rounds,
+           |mis AS ($misUnion)
+           |SELECT v.id, (m.id IS NOT NULL) AS in_mis
+           |FROM verts v LEFT JOIN mis m ON m.id = v.id""".stripMargin
+      }) { (spark, dir) =>
+      val edges = handoffEdges(spark, dir)
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.operators.Mis.maximalIndependentSet(
+        verts, "id", edges, "src", "dst", maxRounds = 8)
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the
