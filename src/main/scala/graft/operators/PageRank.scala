@@ -135,6 +135,66 @@ object PageRank {
     (r, () => { handle.unpersist(); () })
   }
 
+  /** Weighted PageRank: [[run]] with per-edge transition mass — each
+    * vertex ships `(r · w_e) div W(v)` along edge e, W(v) = Σ w over its
+    * out-edges, instead of the uniform `r div deg`. Same exact 64-bit
+    * fixed-point discipline, damping, dangling handling, plan shape, and
+    * cache lifecycle as [[run]] (a separate loop for the same reason as
+    * [[trustRank]]: d21's oracle hash-pins the unweighted formula).
+    * Integer weights only; ANSI mode makes any `r·w` overflow THROW
+    * loudly rather than wrap (size weights so max r · max w ≪ 2^63 —
+    * rank mass is bounded by [[Scale]], so w up to ~10^6 is safe).
+    *
+    * @param edges columns `src`, `dst`, `w` (positive integer weight;
+    *              parallel (src, dst) rows pre-aggregate upstream)
+    */
+  def runWeighted(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist()
+    val vs = nodes.persist()
+    val wdeg = e.groupBy("src").agg(sum(col("w")).as("sumw")).persist()
+    val eDegHandle = e.join(wdeg, "src")
+      .select(col("src"), col("dst"), col("w"), col("sumw")).persist()
+    val n = vs.count()
+    eDegHandle.count()
+    val eDeg = truncateLineage(eDegHandle)
+    val vsLeaf = truncateLineage(vs)
+    val degLeaf = truncateLineage(wdeg)
+
+    var rHandle = vsLeaf.selectExpr("v", s"$Scale div ${n}L AS r").persist()
+
+    def danglingOf(ranks: DataFrame): Long =
+      ranks.join(degLeaf, ranks("v") === degLeaf("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        .head().getLong(0)
+
+    var dang = danglingOf(rHandle)
+    var r = truncateLineage(rHandle)
+
+    for (_ <- 1 to iters) {
+      val contrib = eDeg.join(r, col("src") === col("v"))
+        .selectExpr("dst", "(r * w) div sumw AS share")
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      val next = vsLeaf
+        .join(contrib, col("v") === col("dst"), "left")
+        .selectExpr("v",
+          s"(($Scale * 15) div 100) div ${n}L + " +
+            s"(85 * (coalesce(contrib, 0) + ${dang}L div ${n}L)) div 100 AS r")
+        .persist()
+      dang = danglingOf(next)
+      rHandle.unpersist()
+      rHandle = next
+      r = truncateLineage(next)
+    }
+    eDegHandle.unpersist()
+    wdeg.unpersist()
+    e.unpersist()
+    vs.unpersist()
+    r
+  }
+
   /** Hook-less form for one-shot processes; see [[trustRankWithRelease]]. */
   def trustRank(
       nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame =

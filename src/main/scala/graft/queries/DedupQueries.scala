@@ -1032,6 +1032,56 @@ object DedupQueries {
         verts, "id", edges, "src", "dst", maxRounds = 8)
     },
 
+    // D64: WEIGHTED PageRank (PageRank.runWeighted) — d21's loop with
+    // per-edge transition mass: each vertex ships (r·w) div W(v) along
+    // its edges, with w = the handoff MULTIPLICITY (how often the
+    // supplier pair actually co-occurred — the natural link strength the
+    // distinct-edge graph throws away). Same exact fixed-point
+    // discipline; the oracle is the identical 3-round weighted
+    // recurrence unrolled (the d21 SQL with the weighted share).
+    QueryDef.sql(
+      "d64_weighted_pagerank", {
+        val base =
+          s"""WITH $handoffGraphSql,
+            |wedges AS MATERIALIZED (
+            |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+            |         CAST(COUNT(*) AS BIGINT) AS w
+            |  FROM el WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+            |wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sumw FROM wedges GROUP BY 1),
+            |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+            |r0 AS (SELECT id AS v, 1000000000000 // p.n AS r FROM verts CROSS JOIN params p)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+             |        FROM r${i - 1} LEFT JOIN wdeg ON v = src WHERE src IS NULL),
+             |c$i AS (SELECT e.dst AS v, CAST(SUM((r.r * e.w) // wd.sumw) AS BIGINT) AS contrib
+             |        FROM wedges e JOIN r${i - 1} r ON r.v = e.src
+             |             JOIN wdeg wd ON wd.src = e.src GROUP BY 1),
+             |r$i AS (SELECT vv.id AS v,
+             |          ((1000000000000 * 15) // 100) // p.n
+             |            + (85 * (COALESCE(c.contrib, 0) + (d.dang // p.n))) // 100 AS r
+             |        FROM verts vv CROSS JOIN params p CROSS JOIN d$i d
+             |        LEFT JOIN c$i c ON c.v = vv.id)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT v, r AS rank_fp FROM r3"
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wedges = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        .withColumn("src",
+          lag(col("l_suppkey"), 1).over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
+        .groupBy(col("src").cast("long").as("src"),
+          col("l_suppkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val verts = wedges.select(col("src").as("v"))
+        .union(wedges.select(col("dst").as("v"))).distinct()
+      graft.operators.PageRank.runWeighted(verts, wedges, iters = 3)
+        .select(col("v"), col("r").as("rank_fp"))
+    },
+
     // Cross-document boilerplate detection: a token 3-gram that recurs in
     // ≥5 distinct docs is template text (header/footer/nav chrome), and
     // each doc reports what share of its grams is boilerplate — the

@@ -107,4 +107,31 @@ class PageRankSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("seed"))
   }
+
+  test("runWeighted: all-equal weights reproduce the unweighted ranks exactly") {
+    val nodes = (1L to 12L).toDF("v")
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L, 5L -> 3L,
+      6L -> 1L, 7L -> 3L)
+    val un = PageRank.run(nodes, es.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eq = PageRank.runWeighted(nodes,
+        es.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(un == eq, "uniform weights must be a no-op vs the unweighted loop")
+  }
+
+  test("runWeighted: mass follows the heavy edge") {
+    // 1 splits to {2, 3} with weights 9:1 — after one round, r(2) gets
+    // 9x r(3)'s share (floor division exact: (r*9) div 10 vs (r*1) div 10)
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val es = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = PageRank.runWeighted(nodes, es, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r0 = PageRank.Scale / 3L
+    val base = (PageRank.Scale * 15L / 100L) / 3L
+    // dangling at round 0: r(2)+r(3) = 2*r0 (no out-edges)
+    val dang = 2L * r0
+    assert(got(2L) == base + 85L * (r0 * 9L / 10L + dang / 3L) / 100L)
+    assert(got(3L) == base + 85L * (r0 * 1L / 10L + dang / 3L) / 100L)
+  }
 }
