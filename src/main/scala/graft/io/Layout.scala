@@ -32,22 +32,41 @@ object Layout {
     * catalog. Bucketed layout requires the table path (`saveAsTable`);
     * plain `.parquet(path)` cannot carry bucket metadata.
     *
-    * Replaces BOTH halves of any previous layout first: the catalog entry
-    * (a same-session re-run) and the managed warehouse directory — a
-    * FRESH session's in-memory catalog no longer knows the table, but the
-    * location survives the JVM and `saveAsTable` rejects it with
-    * LOCATION_ALREADY_EXISTS (found when the j25 gate's second Verify
-    * invocation crashed on the first run's leftovers). */
+    * Under Overwrite (the default) replaces BOTH halves of any previous
+    * layout first: the catalog entry (a same-session re-run) and the
+    * physical directory — a FRESH session's in-memory catalog no longer
+    * knows the table, but the location survives the JVM and `saveAsTable`
+    * rejects it with LOCATION_ALREADY_EXISTS (found when the j25 gate's
+    * second Verify invocation crashed on the first run's leftovers). The
+    * location is resolved from the catalog entry when the table exists;
+    * for the fresh-session leftover case (no catalog entry) it is the
+    * managed-table convention — warehouse.dir/<lower-cased name>, the
+    * fold Spark applies to managed directories. Append passes through
+    * untouched (destroying existing data under a non-Overwrite mode was
+    * the r12 advisory); Ignore/ErrorIfExists are rejected — their
+    * semantics are ambiguous against a directory the catalog forgot. */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
       sortCol: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    mode match {
+      case SaveMode.Overwrite =>
+        val loc: org.apache.hadoop.fs.Path =
+          if (spark.catalog.tableExists(table)) {
+            val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+            new org.apache.hadoop.fs.Path(
+              spark.sessionState.catalog.getTableMetadata(ident).location)
+          } else new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            table.toLowerCase(java.util.Locale.ROOT))
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case SaveMode.Append => // legitimate add-to-existing-layout; never delete
+      case other => throw new IllegalArgumentException(
+        s"writeBucketed supports Overwrite and Append, got $other")
+    }
     val w = df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)

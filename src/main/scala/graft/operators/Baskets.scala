@@ -57,7 +57,10 @@ object Baskets {
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"), col("pair_cnt"),
         col("cnt_a"), col("cnt_b"), col("n_baskets"),
-        round((col("n_baskets") * col("pair_cnt")).cast("double") /
-          (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        // each factor cast to double BEFORE multiplying: lift is an IEEE
+        // division anyway, and a BIGINT product (n_baskets ~1e10 × a hot
+        // pair) would throw under ANSI overflow instead of dividing
+        round(col("n_baskets").cast("double") * col("pair_cnt").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6).as("lift"))
   }
 }

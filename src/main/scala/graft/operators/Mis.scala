@@ -21,9 +21,14 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * mix of (vertex, round) — Luby's fresh randomness each round, but
   * replayable, so the gate's oracle unrolls the SAME rounds and the
   * resulting set hashes across engines (the d56/d59/d61 pattern).
-  * Priority ties between neighbors (astronomically rare, p-space 1e9)
-  * simply advance both to the next round — correctness never depends
-  * on a tie rule.
+  * The win condition compares the LEXICOGRAPHIC pair (p, id), never p
+  * alone: the mix reduces ids mod 1000003 before mixing and the round
+  * term is shared by both endpoints, so two adjacent vertices with
+  * congruent ids tie in EVERY round (structural by pigeonhole for
+  * graphs past ~1e6 vertices, not rare) — without the id tiebreak such
+  * a pair could survive all rounds and force the maxRounds refusal.
+  * The id tiebreak is injective, so every round strictly shrinks the
+  * live set wherever an edge remains.
   *
   * Scale shape per round: one edge-keyed join shipping live priorities
   * to neighbors + a map-side-combined min, a vertex-scale winner
@@ -73,10 +78,15 @@ object Mis {
     var round = 0
     while (liveRows > 0L && round < maxRounds) {
       val pr = live.select(col("id"), priority(col("id"), round).as("p"))
-      val nbrMin = ue.join(pr.select(col("id").as("src"), col("p")), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("p")).as("np"))
+      // Lexicographic (p, id) key — struct ordering in Spark, ROW min in
+      // the oracle. REPLICATED in the d63 oracle; change both or neither.
+      val nbrMin = ue
+        .join(pr.select(col("id").as("src"),
+          struct(col("p").as("p"), col("id").as("id")).as("pk")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("pk")).as("np"))
       val candH = pr.join(nbrMin, pr("id") === nbrMin("dst"), "left")
-        .filter(col("np").isNull || col("p") < col("np"))
+        .filter(col("np").isNull ||
+          struct(pr("p").as("p"), pr("id").as("id")) < col("np"))
         .select(pr("id"))
         .persist(MEMORY_AND_DISK)
       candH.count()

@@ -1004,10 +1004,10 @@ object DedupQueries {
         val rounds = (0 until 8).map { r =>
           s"""p$r AS MATERIALIZED (SELECT id, ((id % 1000003) * 2654435761 + $r * 65599) % 1000000007 AS p
              |        FROM l$r),
-             |n$r AS MATERIALIZED (SELECT e.dst AS id, MIN(q.p) AS np
+             |n$r AS MATERIALIZED (SELECT e.dst AS id, MIN((q.p, q.id)) AS np
              |        FROM ue e JOIN p$r q ON q.id = e.src GROUP BY 1),
              |c$r AS MATERIALIZED (SELECT p.id FROM p$r p LEFT JOIN n$r n ON n.id = p.id
-             |        WHERE n.np IS NULL OR p.p < n.np),
+             |        WHERE n.np IS NULL OR (p.p, p.id) < n.np),
              |d$r AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM ue e JOIN c$r c ON c.id = e.src),
              |l${r + 1} AS MATERIALIZED (SELECT l.id FROM l$r l
              |        LEFT JOIN c$r c ON c.id = l.id

@@ -1460,8 +1460,10 @@ object TextQueries {
         |        CAST(round(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
         |          (COALESCE(c1.c1, 0) + v.v)) * 1000000.0) AS BIGINT) AS lp
         |      FROM tg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
-        |SELECT doc_id, COUNT(*) AS n_scored, CAST(SUM(lp) AS BIGINT) AS logprob_fp6
-        |FROM s GROUP BY 1""".stripMargin) { (spark, dir) =>
+        |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+        |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+        |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+        |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
       graft.functions.NgramLm.scoreBigram(
         docs.filter(col("doc_id") % 2 === 0), "text",
@@ -1500,9 +1502,13 @@ object TextQueries {
         |       FROM bg LEFT JOIN c2r ON bg.p.w1 = c2r.w1 AND bg.p.w2 = c2r.w2
         |               LEFT JOIN c1r ON bg.p.w1 = c1r.w1 CROSS JOIN vr
         |       GROUP BY 1)
-        |SELECT st.doc_id, st.n_scored, st.lp AS lp_target_fp6, sr.lp AS lp_raw_fp6,
-        |       st.lp - sr.lp AS weight_fp6, st.lp > sr.lp AS selected
-        |FROM st JOIN sr ON st.doc_id = sr.doc_id""".stripMargin) { (spark, dir) =>
+        |SELECT t.doc_id, CAST(COALESCE(st.n_scored, 0) AS BIGINT) AS n_scored,
+        |       CAST(COALESCE(st.lp, 0) AS BIGINT) AS lp_target_fp6,
+        |       CAST(COALESCE(sr.lp, 0) AS BIGINT) AS lp_raw_fp6,
+        |       CAST(COALESCE(st.lp, 0) - COALESCE(sr.lp, 0) AS BIGINT) AS weight_fp6,
+        |       COALESCE(st.lp, 0) > COALESCE(sr.lp, 0) AS selected
+        |FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+        |       LEFT JOIN sr ON sr.doc_id = t.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
       graft.functions.NgramLm.importanceWeights(
         docs.filter(col("lang") === "en"), docs, "text",

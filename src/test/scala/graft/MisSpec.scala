@@ -52,6 +52,19 @@ class MisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("adjacent vertices congruent mod 1000003 settle via the id tiebreak") {
+    // ids ≡ 1 (mod 1000003) share the per-round priority in EVERY round
+    // (the mix reduces mod 1000003 and the round term is common), so
+    // before the (p, id) tiebreak this path could only hit the maxRounds
+    // refusal; now the smaller id must win round 0 and dominate the rest.
+    val vs = Seq(1L, 1000004L, 2000007L)
+    val es = Seq(1L -> 1000004L, 1000004L -> 2000007L, 1L -> 2000007L)
+    val got = Mis.maximalIndependentSet(
+      vs.toDF("id"), "id", es.toDF("src", "dst"), "src", "dst", maxRounds = 2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 1000004L -> false, 2000007L -> false))
+  }
+
   test("round cap refuses loudly") {
     val err = intercept[IllegalArgumentException] {
       mis(Seq(1L), Seq.empty); Mis.maximalIndependentSet(

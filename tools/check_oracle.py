@@ -86,7 +86,11 @@ def pandas_path_check(con, oracle_sql, spark_files):
                    for row in odf[ocols].itertuples(index=False, name=None))
     srows = sorted(tuple(canon2(v) for v in row)
                    for row in sdf[scols].itertuples(index=False, name=None))
+    if len(orows) != len(srows):
+        return (f"PANDAS-PATH ROWS oracle={len(orows)} spark={len(srows)} — "
+                "green on fetchall but red through pandas = will be red on the DRIVER")
     if orows != srows:
+        # equal lengths guaranteed above, so the zip-based locator is total
         bad = next(i for i, (a, b) in enumerate(zip(orows, srows)) if a != b)
         return (f"PANDAS-PATH VALUES first-diff row {bad}: "
                 f"oracle={orows[bad][:6]} spark={srows[bad][:6]} — green on "
