@@ -30,6 +30,13 @@ object GraftConf {
         "than the cap are dropped before the in-block Levenshtein verify " +
         "(a boilerplate prefix shared by f docs would put f²/2 verifies " +
         "on one key). 0 = exact/uncapped."),
+    Knob("spark.graft.decontam.maxDf", "0 (off)",
+      "Stop-shingle cap for benchmark decontamination: shingles with " +
+        "TRAIN document frequency above the cap leave the shingle " +
+        "universe (n_shingles and n_overlap both count only survivors), " +
+        "bounding the df-cap aggregate's hottest key. 0 = exact/uncapped. " +
+        "The explicit maxDf parameter overrides the conf when >= 0 is " +
+        "passed; pass -1 to defer to the conf."),
     Knob("spark.graft.ann.broadcastMaxBytes", (1L << 30).toString,
       "Ceiling for bruteForceTopKBroadcast's collected index side, " +
         "measured by an aggregate BEFORE collect(); past it the call " +

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.functions.expr.WordShingleStrings
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark DECONTAMINATION — flag training documents whose word n-gram
+  * shingles collide with a held-out evaluation corpus, the published
+  * GPT-3 appendix-C / FineWeb method (13-gram overlap; both public). A
+  * training doc that shares even one eval n-gram is a leak suspect: the
+  * eval answer may be memorized verbatim, so curation pipelines either
+  * drop the doc or excise the overlapping span. This operator produces
+  * the per-doc evidence — distinct-shingle count, eval-colliding count,
+  * and the any-overlap flag — leaving the drop-vs-excise policy to the
+  * caller (n_overlap/n_shingles is the FineWeb-style fraction when a
+  * softer threshold is wanted; both counts are exact integers so the
+  * gate hashes without IEEE division).
+  *
+  * Scale shape (the 100 TB posture): the eval side collapses to its
+  * DISTINCT shingle vocabulary — benchmark-sized, orders of magnitude
+  * smaller than the training stream — so the overlap probe is ONE
+  * left-semi equi-join of the train shingle stream against that
+  * vocabulary (each vocabulary key appears once on the build side, so
+  * per-key fan-out is the train document frequency: linear, never
+  * quadratic), followed by two map-side-combined per-doc counts. No
+  * all-pairs stage exists anywhere. The one data-dependent skew is a
+  * stop-phrase shingle with a huge TRAIN document frequency putting that
+  * many rows on one key of the df-cap aggregate; `maxDf` (the d34
+  * pattern, conf `spark.graft.decontam.maxDf`, 0 = off) drops shingles
+  * whose train df exceeds the cap, REDEFINING the shingle universe —
+  * n_shingles and n_overlap both count only survivors, mirrored verbatim
+  * in the d65 oracle. (Ubiquitous n-grams are exactly the ones the
+  * published method considers uninformative for leak detection.) At the
+  * extreme end a Bloom filter built from the eval vocabulary can
+  * pre-filter the stream before the semi-join (operators/BloomPrefilter
+  * is that seam); the exact semi-join stays as the verify pass.
+  *
+  * Reference anchor: the reference engine has no decontamination surface
+  * — this is part of the training-data extension mandated by the build
+  * brief (same family as d1-d64).
+  */
+object Decontaminate {
+
+  /** @param train      training pool; one row per document
+    * @param evalCorpus held-out eval table; same text semantics
+    * @param idCol      train document id column
+    * @param textCol    text column name in BOTH frames
+    * @param n          shingle width in words (13 = the GPT-3 setting)
+    * @param minOverlap colliding-shingle count at/above which the doc is
+    *                   flagged (1 = the published any-collision rule)
+    * @param maxDf      drop shingles with train document frequency above
+    *                   this from the universe (0 = off; -1 = defer to the
+    *                   conf `spark.graft.decontam.maxDf`)
+    * @return one row PER TRAIN DOC — (idCol, n_shingles, n_overlap,
+    *         contaminated); docs with < n tokens keep a (0, 0, false) row
+    */
+  def flagOverlap(
+      train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, minOverlap: Long = 1L, maxDf: Long = -1L): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(minOverlap >= 1L, s"minOverlap must be >= 1, got $minOverlap")
+    val cap =
+      if (maxDf >= 0L) maxDf
+      else train.sparkSession.conf.get("spark.graft.decontam.maxDf", "0").toLong
+    // eval vocabulary: per-doc distinct shingles (WordShingleStrings
+    // dedups in one pass) then a corpus-level distinct — built
+    // distributively, never collected
+    val evalSh = evalCorpus
+      .select(explode_outer(WordShingleStrings(col(textCol), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    // explode_outer + attribute null-filter, NOT explode: the
+    // shinglePairStats lesson — plain explode lets
+    // InferFiltersFromGenerate re-inline the whole shingle tree into a
+    // pre-projection filter on every consumer
+    val trRaw = train
+      .select(col(idCol).as("__id"),
+        explode_outer(WordShingleStrings(col(textCol), n)).as("g"))
+      .filter(col("g").isNotNull)
+    val tr =
+      if (cap <= 0L) trRaw
+      else trRaw.join(
+        trRaw.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("g")),
+        Seq("g"), "left_semi")
+    val sizes = tr.groupBy(col("__id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = tr.join(evalSh, Seq("g"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_overlap"))
+    // left-join back to the full doc list so sub-n-token docs keep a row
+    // (the t48 short-doc contract)
+    train.select(col(idCol))
+      .join(sizes.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+}

@@ -1724,6 +1724,42 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"),
           (col("sa") === col("sb")).as("sig_equal"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+    },
+
+    // D65: benchmark DECONTAMINATION (functions/Decontaminate) — the
+    // GPT-3 appendix-C / FineWeb 13-gram method: a training doc sharing
+    // any word 13-gram with a held-out eval corpus is a leak suspect.
+    // Here eval = the doc_id % 10 = 7 slice (the planted near-dup twins
+    // straddle the split, so contamination genuinely exists); the train
+    // stream probes the eval shingle VOCABULARY with one left-semi join
+    // (linear, never all-pairs). maxDf = 1 forces the skew cap (the d34
+    // pattern: shingles above the train document-frequency cap leave the
+    // universe, and BOTH counts see only survivors) so the capped path
+    // is pinned at every SF, not just where stop-shingles happen to
+    // exist. Every train doc keeps a row — sub-13-token docs as
+    // (0, 0, false), the t48 short-doc contract.
+    QueryDef.sql(
+      "d65_eval_contamination",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 13
+        |        THEN list_distinct(list_transform(range(len(ts)-12), i -> list_aggregate(ts[i+1:i+13], 'string_agg', ' ')))
+        |        ELSE [] END AS sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7),
+        |keep AS (SELECT g FROM e0 GROUP BY g HAVING COUNT(*) <= 1),
+        |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN keep USING (g)),
+        |ev AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7)),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM e GROUP BY 1),
+        |hit AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap FROM e JOIN ev USING (g) GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(sz.n_shingles, 0) AS n_shingles,
+        |       COALESCE(hit.n_overlap, 0) AS n_overlap,
+        |       COALESCE(hit.n_overlap, 0) >= 1 AS contaminated
+        |FROM t LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)
+        |WHERE t.doc_id % 10 <> 7""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.Decontaminate.flagOverlap(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 13, minOverlap = 1L, maxDf = 1L)
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with

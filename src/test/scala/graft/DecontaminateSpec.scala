@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Decontaminate
+
+/** Law tests for benchmark decontamination — the cross-engine gate (d65)
+  * pins parity, but parity alone cannot catch an identical-wrong
+  * algorithm (the rendezvous lesson), so the leak-detection LAWS are
+  * pinned here on planted fixtures.
+  */
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def words(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private def flag(
+      train: Seq[(Long, String)], ev: Seq[(Long, String)],
+      n: Int = 5, minOverlap: Long = 1L, maxDf: Long = 0L) =
+    Decontaminate.flagOverlap(
+      train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"),
+      "doc_id", "text", n, minOverlap, maxDf)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("an exact eval copy flags; a disjoint doc does not; short docs keep a (0,0,false) row") {
+    val evalDoc = words(8, "ev") // 8 tokens → 4 distinct 5-grams
+    val got = flag(
+      train = Seq(1L -> evalDoc, 2L -> words(8, "tr"), 3L -> "too short"),
+      ev = Seq(100L -> evalDoc))
+    assert(got(1L) == ((4L, 4L, true)), "verbatim eval copy must flag with full overlap")
+    assert(got(2L) == ((4L, 0L, false)), "disjoint doc must not flag")
+    assert(got(3L) == ((0L, 0L, false)), "sub-n doc keeps the zero row")
+    assert(got.size == 3)
+  }
+
+  test("partial overlap counts colliding shingles exactly; minOverlap raises the bar") {
+    // train doc = 4 eval tokens then 4 fresh ones → exactly one shared
+    // 5-gram window does NOT exist (no 5 consecutive shared tokens);
+    // use a 9-token doc sharing its first 5 tokens with eval → 1 shared
+    // 5-gram of its 5 total.
+    val ev = words(8, "ev")
+    val trainDoc = ((1 to 5).map(i => s"ev$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val loose = flag(Seq(1L -> trainDoc), Seq(100L -> ev))
+    assert(loose(1L) == ((5L, 1L, true)))
+    val strict = flag(Seq(1L -> trainDoc), Seq(100L -> ev), minOverlap = 2L)
+    assert(strict(1L) == ((5L, 1L, false)), "minOverlap=2 must not flag a single collision")
+  }
+
+  test("maxDf drops ubiquitous shingles from BOTH counts (the universe is redefined)") {
+    // the same 6-token text in 3 train docs → its 2 distinct 5-grams have
+    // train df 3; with maxDf=2 they leave the universe entirely, so the
+    // eval collision disappears AND n_shingles drops to 0
+    val common = words(6, "c")
+    val train = Seq(1L -> common, 2L -> common, 3L -> common, 4L -> words(6, "u"))
+    val got = flag(train, Seq(100L -> common), maxDf = 2L)
+    assert(got(1L) == ((0L, 0L, false)) && got(2L) == ((0L, 0L, false)) &&
+      got(3L) == ((0L, 0L, false)), "capped shingles must vanish from both counts")
+    assert(got(4L) == ((2L, 0L, false)), "df-1 shingles survive the cap")
+    val uncapped = flag(train, Seq(100L -> common))
+    assert(uncapped(1L) == ((2L, 2L, true)), "without the cap the copies flag")
+  }
+
+  test("duplicate shingles inside one doc count once (per-doc distinct shingling)") {
+    val rep = (words(5, "r") + " " + words(5, "r")).trim // repeated 5 tokens
+    // tokens: r1..r5 r1..r5 → 6 windows, but distinct 5-grams: the pure
+    // r1..r5 window appears twice → counted once
+    val got = flag(Seq(1L -> rep), Seq(100L -> words(5, "r")))
+    assert(got(1L)._1 == 5L, s"distinct shingles expected 5, got ${got(1L)._1}")
+    assert(got(1L)._2 == 1L && got(1L)._3)
+  }
+}
