@@ -20,21 +20,19 @@ import org.apache.spark.sql.functions._
   *
   * Registered domain (eTLD+1) buckets hosts by OWNER — the unit crawl
   * policies, dedup quotas (t13-style per-source caps), and robots
-  * grouping operate on. Real pipelines ship the full Public Suffix List;
-  * the embedded list here carries one representative of each rule shape
-  * (plain TLD fallthrough, multi-label suffixes like `co.uk`, and a
-  * private-section entry like `github.io`) — swapping in the full PSL is
-  * a data change, not a code change.
+  * grouping operate on. Backed by the FULL Public Suffix List (public
+  * data, shipped as a classpath resource — see
+  * [[graft.functions.expr.RegisteredDomain]] for the algorithm: longest
+  * match, wildcard rules, exception rules, ICANN + private sections);
+  * updating the list is a data change, not a code change.
   *
-  * Everything is composed native functions (regexp_extract / array_sort /
-  * element_at — all codegen'd, zero UDFs): a narrow no-shuffle map,
+  * Canonicalization is composed native functions (regexp_extract /
+  * array_sort / element_at — all codegen'd, zero UDFs); the eTLD+1
+  * lookup is a table-driven native expression (O(#labels) hash probes
+  * against a JVM-static rule table). Both are narrow no-shuffle maps,
   * embarrassingly parallel at 100 TB.
   */
 object UrlNorm {
-
-  /** Multi-label public suffixes the embedded list recognizes; any other
-    * host falls through to "last two labels". */
-  val multiLabelSuffixes: Seq[String] = Seq("co.uk", "com.au", "github.io")
 
   private val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
 
@@ -65,18 +63,10 @@ object UrlNorm {
       .otherwise(concat(scheme, lit("://"), h, portPart, path, queryPart))
   }
 
-  /** Registered domain (eTLD+1) of an already-canonical host: last two
-    * labels, or three when the last two form a listed multi-label suffix;
-    * a bare single label (or the suffix itself) passes through unchanged. */
-  def registeredDomain(hostCol: Column): Column = {
-    val labels = split(hostCol, "\\.")
-    val n = size(labels)
-    val last2 = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
-    val multi = multiLabelSuffixes.foldLeft(lit(false))((acc, s) => acc || last2 === s)
-    when(n <= 1, hostCol)
-      .when(multi && n >= 3,
-        concat(element_at(labels, -3), lit("."), last2))
-      .when(multi, last2)
-      .otherwise(last2)
-  }
+  /** Registered domain (eTLD+1) of an already-canonical host, under the
+    * full Public Suffix List (longest-match + wildcard + exception
+    * semantics); a bare single label, or a host that IS a public suffix,
+    * passes through unchanged. */
+  def registeredDomain(hostCol: Column): Column =
+    graft.functions.expr.RegisteredDomain(hostCol)
 }

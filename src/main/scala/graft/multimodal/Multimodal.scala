@@ -505,6 +505,121 @@ object Multimodal {
     }
   }
 
+  /** Closed-form block luminance for the PNG corpus / perceptual-hash
+    * gate — REPLICATED in the m9 oracle's range() arithmetic; change both
+    * or neither. */
+  private[multimodal] def blockLum(id: Long, gy: Int, gx: Int): Int =
+    (((id * 31 + gy * 8 + gx) * 37) % 256).toInt
+
+  /** Deterministic synthetic PNG corpus: REAL (losslessly decodable)
+    * grayscale PNGs whose pixels are constant on a `scale`×`scale` block
+    * lattice with the closed-form [[blockLum]] values — so the exact
+    * pixel content is range()-generable by the oracle (the m7
+    * closed-form pattern), PNG being lossless where the AVI corpus
+    * needed bucket centers. `scale` doubles as the NEAR-DUP knob: the
+    * same id at two scales is byte-different but block-identical, the
+    * invariance perceptual hashing exists to detect. */
+  def synthesizePngCorpus(
+      spark: SparkSession, n: Int, scale: Int, idOffset: Long = 0L): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(scale >= 1)
+    spark.range(n).map { id =>
+      val wh = 8 * scale
+      val img = new java.awt.image.BufferedImage(
+        wh, wh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < wh) {
+        var x = 0
+        while (x < wh) {
+          val g = blockLum(id, y / scale, x / scale)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id + idOffset, "image", wh, wh, bos.toByteArray)
+    }(newMediaRowEncoder(spark))
+  }
+
+  /** Perceptual image hashes — the published aHash / dHash family
+    * (average hash & difference hash; public methods, e.g. the classic
+    * pHash/imagehash write-ups): decode, downsample to an 8×8 luminance
+    * grid, then (aHash) threshold each cell against the grid mean and
+    * (dHash) compare horizontally adjacent cells. Near-duplicate images
+    * — rescales, re-encodes, small retouches — collapse to hashes within
+    * a few bits while byte-level fingerprints (m3's md5) see nothing.
+    *
+    * Determinism contract (the cross-engine gate needs bit-exact values):
+    * luminance is the integer Rec.601 of [[ImageIoDecoder]]; the
+    * downsample is the EXACT integer block mean over the floor-boundary
+    * grid (sum div area — deliberately not a library rescale, whose
+    * rounding is unspecified); the grid mean is sum div 64; all
+    * comparisons strict `>`. aHash ships as two 32-bit halves (64 bits
+    * would sign-wrap a BIGINT), dHash as one 56-bit value (7 comparisons
+    * × 8 rows on the 8×8 grid).
+    *
+    * Scale shape: one mapPartitions decode pass (per-partition decoder,
+    * the [[extractFeatures]] amortization), output 5 small columns per
+    * image — banding/bucketing downstream is d2/d3's existing LSH
+    * machinery over integer hashes.
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for media ${r.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val (x0, x1) = (gx * w / 8, (gx + 1) * w / 8)
+            val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            val area = math.max((x1 - x0) * (y1 - y0), 1)
+            grid(gy * 8 + gx) = sum / area
+            gx += 1
+          }
+          gy += 1
+        }
+        val avg = grid.sum / 64
+        var aLo = 0L; var aHi = 0L; var d = 0L
+        var i = 0
+        while (i < 64) {
+          if (grid(i) > avg) {
+            if (i < 32) aLo |= 1L << i else aHi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 7) {
+            if (grid(gy * 8 + gx) > grid(gy * 8 + gx + 1)) d |= 1L << (gy * 7 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        (r.media_id, w, h, aHi, aLo, d)
+      }
+    }.toDF("media_id", "width", "height", "ahash_hi", "ahash_lo", "dhash")
+  }
+
   /** Metadata-level ops stay relational (no decode): filter by declared
     * dims, route by kind, size accounting — pure Catalyst. */
   def mediaStats(media: Dataset[MediaRow]): DataFrame =

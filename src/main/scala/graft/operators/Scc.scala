@@ -66,6 +66,92 @@ object Scc {
     (truncateLineage(h), h)
   }
 
+  private def labelSum(df: DataFrame, c: String): java.math.BigDecimal =
+    df.agg(sum(col(c).cast("decimal(38,0)"))).head().getDecimal(0)
+
+  /** Condensation of a directed graph under an SCC labeling: the DISTINCT
+    * (scc(src), scc(dst)) pairs with the intra-SCC edges dropped — by the
+    * definition of SCCs this graph is a DAG (a cycle between condensation
+    * nodes would merge them into one SCC). Two label equi-joins + one
+    * distinct; edge-scale, no new machinery.
+    *
+    * @param labels (idCol → sccCol) as produced by [[components]]
+    * @return (src, dst) condensation edges over SCC ids
+    */
+  def condensation(
+      labels: DataFrame, idCol: String, sccCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val ls = labels.select(
+      col(idCol).cast("long").as("src"), col(sccCol).cast("long").as("__sa"))
+    val ld = labels.select(
+      col(idCol).cast("long").as("dst"), col(sccCol).cast("long").as("__sb"))
+    e.join(ls, Seq("src")).join(ld, Seq("dst"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(col("__sa").as("src"), col("__sb").as("dst"))
+      .distinct()
+  }
+
+  /** Longest-path topological LEVELS of a DAG: level(v) = 0 for sources,
+    * else 1 + max(level of in-neighbors) — the scheduling depth of each
+    * condensation node (every level can run after all lower levels; the
+    * standard read for migration waves, crawl tiers, dependency stages).
+    *
+    * Iterative max-relaxation: after k rounds level_k(v) = the longest
+    * path into v using ≤ k edges, pointwise nondecreasing, fixpoint at
+    * k = DAG depth — so convergence is the exact-integer level-sum test
+    * (the ConnectedComponents economy: ONE action per round). Per round
+    * one edge-keyed join + a map-side-combined max + a node-scale left
+    * join; the d21 lineage hygiene throughout. A CYCLE makes the sum grow
+    * forever, so the maxRounds refusal doubles as a loud non-DAG check —
+    * feed it [[condensation]] output, which is a DAG by construction.
+    *
+    * @param edges directed DAG edges (srcCol, dstCol); self-loops rejected
+    *              by the refusal (they are cycles)
+    * @return (id, level) for every vertex appearing in `edges`; isolated
+    *         vertices never appear (the caller left-joins them at level 0)
+    */
+  def topologicalLevels(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 60): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val (e, eH) = pin(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val (nodes, nodesH) = pin(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+    var lvlH = nodes.select(col("id"), lit(0L).as("level"))
+      .persist(MEMORY_AND_DISK)
+    var prevSum = labelSum(lvlH, "level")
+    var lvl = truncateLineage(lvlH)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val stepped = e.join(lvl.select(col("id").as("src"), col("level")), Seq("src"))
+        .groupBy(col("dst")).agg(max(col("level") + lit(1L)).as("nl"))
+      val nH = nodes.join(stepped, nodes("id") === stepped("dst"), "left")
+        .select(nodes("id"), coalesce(col("nl"), lit(0L)).as("level"))
+        .persist(MEMORY_AND_DISK)
+      val newSum = labelSum(nH, "level")
+      lvlH.unpersist(blocking = false)
+      lvl = truncateLineage(nH); lvlH = nH
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      round += 1
+    }
+    eH.unpersist(blocking = false)
+    nodesH.unpersist(blocking = false)
+    if (!converged) {
+      lvlH.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"topologicalLevels did not converge in $maxRounds rounds — " +
+          "the graph has a cycle (not a DAG) or depth exceeds maxRounds")
+    }
+    // lvl stays persisted (the components contract)
+    lvl
+  }
+
   /** @param vertices one column `idCol` (long ids); isolated vertices are
     *                 their own singleton SCCs
     * @param edges    directed (srcCol, dstCol) long ids; self-loops are

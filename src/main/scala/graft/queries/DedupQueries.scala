@@ -143,19 +143,32 @@ object DedupQueries {
   // (observed: 100 rows from a 10-vertex graph). This form is identical in
   // both contexts.
 
-  /** DataFrame twin of [[handoffGraphSql]]'s `edges`. */
+  /** DataFrame twin of [[handoffGraphSql]]'s `edges`. Persisted through
+    * the bounded registry: SIX gate queries (d54/d56/d57/d61/d62/d63)
+    * build this identical frame — same canonical plan, ONE cacheManager
+    * entry — so within a Verify session the lineitem scan + lag window +
+    * distinct runs once, not once per graph query, and within one query
+    * the verts-union's two branches scan cache instead of re-running the
+    * window. (Safe per the d21 lesson: that regression was an
+    * InMemoryRelation boundary breaking ReuseExchange dedup of an
+    * EXPENSIVE self-join exchange; here the cached frame IS the shared
+    * leaf every consumer wants. Measured honestly: d54 standalone is
+    * UNCHANGED — 17.97 s before vs 19.23 s after, inside the ±10%
+    * session noise, because its cost is ~25 per-round jobs, not the
+    * window — the win is the cross-query reuse in a Verify session.) */
   private def handoffEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.expressions.Window
-    Tables.load(spark, dir, "lineitem")
-      .filter(col("l_quantity") < 5)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
-      .withColumn("src",
-        lag(col("l_suppkey"), 1).over(
-          Window.partitionBy(col("l_orderkey"))
-            .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
-      .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
-      .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
-      .distinct()
+    graft.engine.BoundedCaches.persist(
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+        .withColumn("src",
+          lag(col("l_suppkey"), 1).over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))))
+        .filter(col("src").isNotNull && col("src") =!= col("l_suppkey"))
+        .select(col("src").cast("long"), col("l_suppkey").cast("long").as("dst"))
+        .distinct())
   }
 
   /** d22's implementation, parameterized so the spec can force EITHER
@@ -1760,6 +1773,120 @@ object DedupQueries {
         docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7),
         "doc_id", "text", n = 13, minOverlap = 1L, maxDf = 1L)
+    },
+
+    // D66: SCC CONDENSATION + topological LEVELS (Scc.condensation /
+    // Scc.topologicalLevels) — the payoff step after d54: collapse each
+    // SCC to one node and the result is a DAG whose longest-path levels
+    // are the scheduling tiers (crawl waves, migration batches — every
+    // "what can run in parallel after what" read). The handoff graph's
+    // condensation is shallow (giant core + singletons), so the gate
+    // synthesizes a deterministic RICHER DAG-of-SCCs on the customer keys
+    // (the h1/h2 no-new-testdata trick): 3-cycles per key block (the
+    // SCCs) + two closed-form edge families toward strictly lower blocks
+    // ((b−1) div 8 and (b−1) div 27 — two parents per block, so longest
+    // path ≠ tree depth), max level 5 at sf0.1 (the fan-ins keep the
+    // level count — and so the relaxation round count — shallow while
+    // staying a genuine multi-parent DAG). Spark runs the REAL
+    // operators end to end (trim+color+sweep labels → condensation →
+    // iterative max-relaxation levels, one edge join + map-side max per
+    // round, converged by the exact level-sum test); the oracle is the
+    // DEFINITIONAL pair — quadratic reach×transpose closure for labels,
+    // recursive-CTE longest path for levels — exactly the formulations
+    // the operators exist to avoid at scale.
+    QueryDef.sql(
+      "d66_scc_condensation",
+      """WITH k AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS v FROM customer),
+        |cyc0 AS (SELECT v AS src, (v - v % 3) + ((v % 3 + 1) % 3) AS dst FROM k),
+        |cyc AS (SELECT c.src, c.dst FROM cyc0 c JOIN k ON k.v = c.dst),
+        |reps AS (SELECT v AS src, v // 3 AS b FROM k WHERE v % 3 = 0 AND v >= 3),
+        |dag AS (SELECT src, 3 * ((b - 1) // 8) AS dst FROM reps
+        |        UNION ALL SELECT src, 3 * ((b - 1) // 27) FROM reps),
+        |edges AS (SELECT DISTINCT src, dst FROM (SELECT * FROM cyc UNION ALL SELECT * FROM dag) WHERE src <> dst),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT src, dst FROM edges
+        |    UNION
+        |    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src
+        |  ) SELECT * FROM r),
+        |mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |lab AS (SELECT k.v, least(k.v, coalesce(min(m.u), k.v)) AS scc
+        |        FROM k LEFT JOIN mutual m ON m.v = k.v GROUP BY k.v),
+        |cond AS (SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+        |         FROM edges e JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst
+        |         WHERE ls.scc <> ld.scc),
+        |lp AS (
+        |  WITH RECURSIVE p(c, d) AS (
+        |    SELECT DISTINCT scc, 0 FROM lab
+        |    UNION
+        |    SELECT cond.dst, p.d + 1 FROM p JOIN cond ON cond.src = p.c
+        |  ) SELECT c, MAX(d) AS level FROM p GROUP BY c)
+        |SELECT l.scc, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(COALESCE(MIN(lv.level), 0) AS BIGINT) AS level
+        |FROM lab l LEFT JOIN lp lv ON lv.c = l.scc
+        |GROUP BY l.scc""".stripMargin) { (spark, dir) =>
+      val k = Tables.load(spark, dir, "customer")
+        .select((col("c_custkey") - 1).cast("long").as("v"))
+      val cyc = k
+        .select(col("v").as("src"),
+          (col("v") - pmod(col("v"), lit(3L)) +
+            pmod(pmod(col("v"), lit(3L)) + 1L, lit(3L))).as("dst"))
+        .join(k.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val reps = k.filter(pmod(col("v"), lit(3L)) === 0L && col("v") >= 3L)
+        .select(col("v").as("src"), expr("v div 3").as("b"))
+      val dag = reps.select(col("src"), expr("3 * ((b - 1) div 8)").as("dst"))
+        .unionAll(reps.select(col("src"), expr("3 * ((b - 1) div 27)").as("dst")))
+      // three consumers (components pins a derivative, condensation joins
+      // twice) — bounded-registry persist so the construction runs once
+      val edges = graft.engine.BoundedCaches.persist(
+        cyc.unionAll(dag).filter(col("src") =!= col("dst")).distinct())
+      val labels = graft.operators.Scc.components(
+        k.select(col("v").as("id")), "id", edges, "src", "dst")
+      val cond = graft.operators.Scc.condensation(
+        labels, "id", "scc", edges, "src", "dst")
+      val levels = graft.operators.Scc.topologicalLevels(cond, "src", "dst")
+      labels.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+        .join(levels.withColumnRenamed("id", "scc"), Seq("scc"), "left")
+        .select(col("scc"), col("n_members"),
+          coalesce(col("level"), lit(0L)).as("level"))
+    },
+
+    // D67: NEGATIVE SAMPLING (operators/NegativeSampling) — the word2vec
+    // unigram^(3/4) table draw that finishes the embedding-prep chain
+    // (walks → skip-gram pairs → training triples). Weights are
+    // floor(sqrt(sqrt(cnt³))·1e6) — cnt^(3/4) as two correctly-rounded
+    // sqrts (the oracle-safe-math rule: pow diverges across engines,
+    // composed sqrt does not); each item's slot range on the 4096-slot
+    // unigram table is closed-form ceil-division over the id-ordered
+    // cumulative weight line (the quantization PARTITIONS [0, T) exactly
+    // — no range join anywhere), and each draw's slot is the replayable
+    // (center, context, draw) mix mod T. Spark runs the cumulative
+    // through PrefixSum (bucketed, no SinglePartition window); the
+    // oracle is the same line as ONE SQL window + unnest(range()). The
+    // gate corpus is the handoff edge list as (center=src, context=dst)
+    // pairs with context-unigram counts — the d62 skip-gram output plugs
+    // into the same operator unchanged.
+    QueryDef.sql(
+      "d67_negative_samples",
+      s"""WITH $handoffGraphSql,
+        |cnts AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM edges GROUP BY 1),
+        |wts AS (SELECT v, CAST(floor(sqrt(sqrt(CAST(cnt*cnt*cnt AS DOUBLE))) * 1000000) AS BIGINT) AS w FROM cnts),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+        |cum AS (SELECT v, w, CAST(COALESCE(SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c FROM wts),
+        |tbl AS (SELECT v AS negative, unnest(range((c * 4096 + tw - 1) // tw, ((c + w) * 4096 + tw - 1) // tw)) AS slot
+        |        FROM cum CROSS JOIN tot),
+        |draws AS (SELECT e.src AS center, e.dst AS context, i.i AS draw_idx,
+        |            ((e.src % 1000003) * 2654435761 + (e.dst % 1000003) * 97003 + i.i * 65599) % 1000000007 % 4096 AS slot
+        |          FROM edges e, LATERAL (SELECT unnest(range(2)) AS i) i)
+        |SELECT d.center, d.context, CAST(d.draw_idx AS BIGINT) AS draw_idx, t.negative
+        |FROM draws d JOIN tbl t USING (slot)""".stripMargin) { (spark, dir) =>
+      val edges = handoffEdges(spark, dir)
+      graft.operators.NegativeSampling.negativeSamples(
+        edges.select(col("src").as("center"), col("dst").as("context")),
+        "center", "context",
+        edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("cnt")),
+        "v", "cnt", k = 2, tableSize = 4096L)
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with

@@ -436,6 +436,57 @@ object TextQueries {
       wav.unionAll(resized)
     },
 
+    // M9: PERCEPTUAL image hashing (Multimodal.perceptualHashes) — aHash
+    // + dHash over the REAL PNG decode path: near-duplicate images
+    // (rescales, re-encodes) collapse to nearby hashes where byte
+    // fingerprints (m3's md5) see nothing. The gate is the m7
+    // closed-form pattern upgraded to full VALUES: the synthetic PNG
+    // corpus is lossless with block-lattice pixels from range()-generable
+    // arithmetic, so the oracle rebuilds the 8×8 luminance grid and both
+    // hashes bit for bit (aHash as two 32-bit halves — 64 bits would
+    // sign-wrap; dHash as 7×8 = 56 bits). The planted near-dup audit is
+    // the d43 shape: the SAME image id re-rendered at 2× resolution is
+    // byte-different (md5 differs, asserted as a real comparison) yet
+    // block-identical, so the twin's perceptual hamming must be exactly
+    // 0 THROUGH the genuine decode + integer block-mean downsample.
+    QueryDef.sql(
+      "m9_perceptual_hash",
+      """WITH g AS (SELECT t.id, u.gy, v.gx, ((t.id*31 + u.gy*8 + v.gx) * 37) % 256 AS b
+        |           FROM range(48) t(id), range(8) u(gy), range(8) v(gx)),
+        |a AS (SELECT id, SUM(b) // 64 AS avg FROM g GROUP BY id),
+        |ah AS (SELECT g.id,
+        |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx >= 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx < 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |       FROM g JOIN a USING (id) GROUP BY g.id),
+        |d AS (SELECT l.id, CAST(SUM(CASE WHEN l.b > r.b THEN (CAST(1 AS BIGINT) << CAST(l.gy*7+l.gx AS INT)) ELSE 0 END) AS BIGINT) AS dhash
+        |      FROM g l JOIN g r ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+        |      WHERE l.gx < 7 GROUP BY l.id)
+        |SELECT CAST(ah.id AS BIGINT) AS media_id,
+        |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |       ah.ahash_hi, ah.ahash_lo, d.dhash,
+        |       CAST(0 AS INT) AS twin_hamming, FALSE AS payload_identical
+        |FROM ah JOIN d ON d.id = ah.id""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val base = Multimodal.synthesizePngCorpus(spark, 48, scale = 2)
+      val twin = Multimodal.synthesizePngCorpus(spark, 48, scale = 4, idOffset = 10000L)
+      val hb = Multimodal.perceptualHashes(base)
+      val ht = Multimodal.perceptualHashes(twin)
+        .select((col("media_id") - 10000L).as("media_id"),
+          col("ahash_hi").as("t_hi"), col("ahash_lo").as("t_lo"),
+          col("dhash").as("t_d"))
+      val fps = base.toDF()
+        .select(col("media_id"), md5(col("payload")).as("fp_base"))
+        .join(twin.toDF().select((col("media_id") - 10000L).as("media_id"),
+          md5(col("payload")).as("fp_twin")), Seq("media_id"))
+      hb.join(ht, Seq("media_id")).join(fps, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("ahash_hi"), col("ahash_lo"), col("dhash"),
+          (bit_count(col("ahash_hi").bitwiseXOR(col("t_hi"))) +
+            bit_count(col("ahash_lo").bitwiseXOR(col("t_lo"))) +
+            bit_count(col("dhash").bitwiseXOR(col("t_d")))).cast("int").as("twin_hamming"),
+          (col("fp_base") === col("fp_twin")).as("payload_identical"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
@@ -1033,7 +1084,14 @@ object TextQueries {
     // identical construction in both engines — the j2-audit pattern)
     // and then each engine canonicalizes with its OWN implementation of
     // the written 6-rule spec; full canonical values + eTLD+1 hash.
-    // Composed native string functions only — a narrow no-shuffle map.
+    // eTLD+1 runs against the FULL Public Suffix List on both sides:
+    // Spark via the table-driven RegisteredDomain expression, DuckDB by
+    // re-deriving the publicsuffix.org longest-match/wildcard/exception
+    // algorithm in SQL over the SAME resource file (read_text + a
+    // suffix-candidate lateral join) — two independent implementations
+    // of the published algorithm, hash-compared. Fixture shape 4 is a
+    // wildcard-rule host (*.ck), so the wildcard path is driver-gated,
+    // not just spec-pinned.
     QueryDef.sql(
       "t50_url_canonicalize", {
         val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
@@ -1045,7 +1103,7 @@ object TextQueries {
            |       WHEN 1 THEN source || '.example.co.uk'
            |       WHEN 2 THEN source || '.pages.github.io'
            |       WHEN 3 THEN 'api.' || source || '.EXAMPLE.com'
-           |       WHEN 4 THEN source || '.example.net'
+           |       WHEN 4 THEN 'www.' || source || '.behind.ck'
            |       ELSE 'www.' || source || '.sub.example.org' END ||
            |  CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8443' ELSE '' END ||
            |  CASE doc_id % 6 WHEN 0 THEN '//a//b/' || CAST(doc_id AS VARCHAR)
@@ -1076,13 +1134,30 @@ object TextQueries {
            |  CASE WHEN len(prms) = 0 THEN ''
            |       ELSE '?' || list_aggr(list_sort(prms), 'string_agg', '&') END AS canon_url
            |  FROM r),
-           |t AS (SELECT doc_id, canon_url, host, string_split(host, '.') AS ls FROM s)
+           |t AS (SELECT doc_id, canon_url, host, string_split(host, '.') AS ls FROM s),
+           |rul AS (SELECT CASE WHEN line LIKE '!%' THEN substring(line, 2)
+           |                    WHEN line LIKE '*.%' THEN substring(line, 3)
+           |                    ELSE line END AS key,
+           |               CASE WHEN line LIKE '!%' THEN 2 WHEN line LIKE '*.%' THEN 1 ELSE 0 END AS kind
+           |        FROM (SELECT trim(x) AS line FROM
+           |               (SELECT unnest(string_split(content, chr(10))) AS x
+           |                FROM read_text('/root/repo/src/main/resources/public_suffix_list.dat')))
+           |        WHERE line <> '' AND NOT line LIKE '//%'),
+           |cand AS (SELECT doc_id, len(ls) AS n, kk.k,
+           |           list_aggr(ls[len(ls)-kk.k+1 : len(ls)], 'string_agg', '.') AS suf
+           |         FROM t, LATERAL (SELECT unnest(range(1, least(len(ls), 5) + 1)) AS k) kk),
+           |mm AS (SELECT c.doc_id,
+           |         MAX(CASE WHEN r.kind = 0 THEN c.k
+           |                  WHEN r.kind = 1 AND c.n >= c.k + 1 THEN c.k + 1 END) AS ps_n,
+           |         MAX(CASE WHEN r.kind = 2 THEN c.k - 1 END) AS ps_e
+           |       FROM cand c JOIN rul r ON r.key = c.suf GROUP BY 1),
+           |ee AS (SELECT t.doc_id, t.canon_url, t.host, t.ls, len(t.ls) AS n,
+           |        COALESCE(mm.ps_e, mm.ps_n, 1) AS ps
+           |      FROM t LEFT JOIN mm ON mm.doc_id = t.doc_id)
            |SELECT doc_id, canon_url,
-           |  CASE WHEN len(ls) <= 1 THEN host
-           |       WHEN ls[-2] || '.' || ls[-1] IN ('co.uk', 'com.au', 'github.io')
-           |            AND len(ls) >= 3 THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-           |       ELSE ls[-2] || '.' || ls[-1] END AS etld1
-           |FROM t""".stripMargin
+           |  CASE WHEN n <= ps THEN host
+           |       ELSE list_aggr(ls[n - ps : n], 'string_agg', '.') END AS etld1
+           |FROM ee""".stripMargin
       }) { (spark, dir) =>
       val m = pmod(col("doc_id"), lit(6L))
       def c6(cases: Seq[(Int, org.apache.spark.sql.Column)],
@@ -1099,7 +1174,7 @@ object TextQueries {
           1 -> concat(col("source"), lit(".example.co.uk")),
           2 -> concat(col("source"), lit(".pages.github.io")),
           3 -> concat(lit("api."), col("source"), lit(".EXAMPLE.com")),
-          4 -> concat(col("source"), lit(".example.net"))),
+          4 -> concat(lit("www."), col("source"), lit(".behind.ck"))),
           concat(lit("www."), col("source"), lit(".sub.example.org"))),
         c6(Seq(0 -> lit(":80"), 2 -> lit(":443"), 3 -> lit(":8443")), lit("")),
         c6(Seq(0 -> concat(lit("//a//b/"), ds), 1 -> lit(""),

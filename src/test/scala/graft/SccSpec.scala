@@ -81,4 +81,55 @@ class SccSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("maxOuterRounds"))
   }
+
+  private def levelsOf(es: Seq[(Long, Long)], maxRounds: Int = 60): Map[Long, Long] =
+    Scc.topologicalLevels(es.toDF("src", "dst"), "src", "dst", maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("condensation collapses SCCs and drops intra-SCC edges") {
+    // 1→2→3→1 (SCC 1) → bridge 3→5 → 5→6→7→5 (SCC 5), plus 7→9 (singleton)
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 5L -> 6L, 6L -> 7L, 7L -> 5L,
+      3L -> 5L, 7L -> 9L)
+    val labels = Scc.components(
+      Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("id"), "id",
+      es.toDF("src", "dst"), "src", "dst")
+    val cond = Scc.condensation(labels, "id", "scc", es.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(cond == Set(1L -> 5L, 5L -> 9L), s"got $cond")
+  }
+
+  test("topological levels: longest path wins over the short route") {
+    // diamond with a long arm: 1→2→4, 1→3a→3b→4 — level(4) must be 3
+    val es = Seq(1L -> 2L, 2L -> 4L, 1L -> 30L, 30L -> 31L, 31L -> 4L)
+    val got = levelsOf(es)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 30L -> 1L, 31L -> 2L, 4L -> 3L))
+  }
+
+  test("topological levels refuse loudly on a cycle (non-DAG input)") {
+    val err = intercept[IllegalStateException] {
+      levelsOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), maxRounds = 5)
+    }
+    assert(err.getMessage.contains("cycle") || err.getMessage.contains("maxRounds"),
+      err.getMessage)
+  }
+
+  test("condensation of any SCC labeling levels without refusal (DAG by construction)") {
+    // random digraph: condense, then level — must never throw, and every
+    // condensation edge must go from a lower or equal? strictly anything;
+    // the LAW: level(dst) >= level(src) + 1 for every condensation edge.
+    val rnd = new scala.util.Random(17)
+    val n = 24
+    val es = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val vs = (0L until n.toLong).toSeq
+    val labels = Scc.components(vs.toDF("id"), "id", es.toDF("src", "dst"), "src", "dst")
+    val cond = Scc.condensation(labels, "id", "scc", es.toDF("src", "dst"), "src", "dst")
+    val condEdges = cond.as[(Long, Long)].collect()
+    if (condEdges.nonEmpty) {
+      val lvl = Scc.topologicalLevels(cond, "src", "dst").as[(Long, Long)].collect().toMap
+      condEdges.foreach { case (s2, d2) =>
+        assert(lvl(d2) >= lvl(s2) + 1, s"edge $s2->$d2 levels ${lvl(s2)}->${lvl(d2)}")
+      }
+    }
+  }
 }

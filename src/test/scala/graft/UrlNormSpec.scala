@@ -55,4 +55,30 @@ class UrlNormSpec extends AnyFunSuite {
       == Seq("example.com", "example.co.uk", "user.github.io",
         "user.github.io", "example.com", "co.uk", "localhost"))
   }
+
+  test("registeredDomain: full-PSL tricky classes — wildcard, exception, deep, private-wildcard, IDN") {
+    // *.ck is a WILDCARD rule: any single label under ck is a public
+    // suffix, so foo.behind.ck's suffix is behind.ck and the registrable
+    // domain is the full 3 labels; behind.ck ITSELF is a suffix →
+    // pass-through.
+    assert(etld1("foo.behind.ck", "behind.ck")
+      == Seq("foo.behind.ck", "behind.ck"))
+    // !www.ck is the EXCEPTION that beats the wildcard: the public suffix
+    // collapses to ck, making www.ck registrable (and sub.www.ck's
+    // registrable domain is www.ck, not sub.www.ck).
+    assert(etld1("www.ck", "sub.www.ck") == Seq("www.ck", "www.ck"))
+    // 4-label ICANN rule pvt.k12.ma.us: longest match must win over the
+    // shorter us / ma.us / k12.ma.us rules.
+    assert(etld1("school.pvt.k12.ma.us", "x.school.pvt.k12.ma.us")
+      == Seq("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"))
+    // PRIVATE-section wildcard *.dev.adobeaemcloud.com: tenant.dev.… IS a
+    // public suffix (pass-through), and one more label is registrable —
+    // the wildcard's 4-label match must beat the shorter plain
+    // adobeaemcloud.com rule.
+    assert(etld1("tenant.dev.adobeaemcloud.com", "a.tenant.dev.adobeaemcloud.com")
+      == Seq("tenant.dev.adobeaemcloud.com", "a.tenant.dev.adobeaemcloud.com"))
+    // IDN rule (aéroport.ci) must match the unicode labels byte-for-byte.
+    assert(etld1("x.aéroport.ci", "www.x.aéroport.ci")
+      == Seq("x.aéroport.ci", "x.aéroport.ci"))
+  }
 }
