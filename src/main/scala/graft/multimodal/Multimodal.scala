@@ -506,10 +506,18 @@ object Multimodal {
   }
 
   /** Closed-form block luminance for the PNG corpus / perceptual-hash
-    * gate — REPLICATED in the m9 oracle's range() arithmetic; change both
-    * or neither. */
-  private[multimodal] def blockLum(id: Long, gy: Int, gx: Int): Int =
-    (((id * 31 + gy * 8 + gx) * 37) % 256).toInt
+    * gates — REPLICATED in the m9/m10 oracles' range() arithmetic; change
+    * all three or none. The squared-modular mix matters: a single
+    * multiplicative pass ((k·M) mod p mod 256) leaves a quasi-periodic
+    * Beatty-wrap structure that made distinct images COLLIDE at aHash
+    * distance 0 (measured: 48 images → 44 distinct hashes, min cross
+    * hamming 0); squaring the residue destroys the linearity (48
+    * distinct, min cross hamming 19, median 32 — random-like), so the
+    * m10 band join separates planted retouches from everything else. */
+  private[multimodal] def blockLum(id: Long, gy: Int, gx: Int): Int = {
+    val m = ((id * 64 + gy * 8 + gx + 1) * 2654435761L) % 1000000007L
+    ((m * m) % 1000000007L % 256L).toInt
+  }
 
   /** Deterministic synthetic PNG corpus: REAL (losslessly decodable)
     * grayscale PNGs whose pixels are constant on a `scale`×`scale` block
@@ -519,8 +527,13 @@ object Multimodal {
     * needed bucket centers. `scale` doubles as the NEAR-DUP knob: the
     * same id at two scales is byte-different but block-identical, the
     * invariance perceptual hashing exists to detect. */
+  /** @param bump added (mod 256) to the TOP-LEFT block only — the
+    *             "retouch" knob: a small localized edit that moves a
+    *             couple of perceptual-hash bits, the m10 near-dup
+    *             fixture (0 = pristine). */
   def synthesizePngCorpus(
-      spark: SparkSession, n: Int, scale: Int, idOffset: Long = 0L): Dataset[MediaRow] = {
+      spark: SparkSession, n: Int, scale: Int, idOffset: Long = 0L,
+      bump: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     require(scale >= 1)
     spark.range(n).map { id =>
@@ -531,7 +544,8 @@ object Multimodal {
       while (y < wh) {
         var x = 0
         while (x < wh) {
-          val g = blockLum(id, y / scale, x / scale)
+          val base = blockLum(id, y / scale, x / scale)
+          val g = if (y / scale == 0 && x / scale == 0) (base + bump) % 256 else base
           img.setRGB(x, y, (g << 16) | (g << 8) | g)
           x += 1
         }

@@ -451,8 +451,9 @@ object TextQueries {
     // 0 THROUGH the genuine decode + integer block-mean downsample.
     QueryDef.sql(
       "m9_perceptual_hash",
-      """WITH g AS (SELECT t.id, u.gy, v.gx, ((t.id*31 + u.gy*8 + v.gx) * 37) % 256 AS b
+      """WITH gk AS (SELECT t.id, u.gy, v.gx, ((t.id*64 + u.gy*8 + v.gx + 1) * 2654435761) % 1000000007 AS m
         |           FROM range(48) t(id), range(8) u(gy), range(8) v(gx)),
+        |g AS (SELECT id, gy, gx, (m * m) % 1000000007 % 256 AS b FROM gk),
         |a AS (SELECT id, SUM(b) // 64 AS avg FROM g GROUP BY id),
         |ah AS (SELECT g.id,
         |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx >= 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
@@ -485,6 +486,74 @@ object TextQueries {
             bit_count(col("ahash_lo").bitwiseXOR(col("t_lo"))) +
             bit_count(col("dhash").bitwiseXOR(col("t_d")))).cast("int").as("twin_hamming"),
           (col("fp_base") === col("fp_twin")).as("payload_identical"))
+    },
+
+    // M10: IMAGE near-dup pair search — m9's perceptual hashes pushed
+    // through the d2/d3 LSH shape: band the 64-bit aHash into 4×16-bit
+    // bands, bucket-join on (band, value) so candidates are only images
+    // agreeing on ≥1 band (the banded route is linear in collisions,
+    // never all-pairs — at corpus scale each bucket is tiny because the
+    // square-mixed hashes are near-uniform), then verify exact hamming
+    // ≤ 6 on the full 64 bits. Fixture plants a RETOUCHED twin of every
+    // image (top-left block +8 — a localized edit that moves ≤4 aHash
+    // bits) among pristine images whose pairwise distance is ≥19 bits,
+    // so the output must be EXACTLY the 48 planted pairs — found through
+    // the real PNG decode, banding, and verify, with the whole pair list
+    // + per-pair hamming hashing against the closed-form rebuild.
+    QueryDef.sql(
+      "m10_image_near_dup_pairs",
+      """WITH gk AS (SELECT t.id, u.gy, v.gx, ((t.id*64 + u.gy*8 + v.gx + 1) * 2654435761) % 1000000007 AS m
+        |           FROM range(48) t(id), range(8) u(gy), range(8) v(gx)),
+        |g0 AS (SELECT id, gy, gx, (m * m) % 1000000007 % 256 AS b FROM gk),
+        |g AS (SELECT id, gy, gx, b FROM g0
+        |      UNION ALL
+        |      SELECT id + 10000, gy, gx, CASE WHEN gy = 0 AND gx = 0 THEN (b + 8) % 256 ELSE b END FROM g0),
+        |a AS (SELECT id, SUM(b) // 64 AS avg FROM g GROUP BY id),
+        |ah AS (SELECT g.id,
+        |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx >= 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+        |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx < 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INT)) ELSE 0 END) AS BIGINT) AS lo
+        |       FROM g JOIN a USING (id) GROUP BY g.id),
+        |bands AS (SELECT id, hi, lo, bi.bi,
+        |            CASE bi.bi WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+        |                       WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bv
+        |          FROM ah, LATERAL (SELECT unnest(range(4)) AS bi) bi),
+        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |         FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) AS INT) AS hamming,
+        |       (c.id_b - c.id_a = 10000) AS planted
+        |FROM cand c JOIN ah xa ON xa.id = c.id_a JOIN ah xb ON xb.id = c.id_b
+        |WHERE bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) <= 6""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val base = Multimodal.synthesizePngCorpus(spark, 48, scale = 2)
+      val retouched = Multimodal.synthesizePngCorpus(
+        spark, 48, scale = 2, idOffset = 10000L, bump = 8)
+      val h = Multimodal.perceptualHashes(base.unionAll(retouched))
+        .select(col("media_id").as("id"), col("ahash_hi").as("hi"),
+          col("ahash_lo").as("lo"))
+      val bands = h.select(col("id"), col("hi"), col("lo"),
+          explode(array(
+            struct(lit(0).as("bi"), (col("lo").bitwiseAND(lit(65535L))).as("bv")),
+            struct(lit(1).as("bi"), shiftright(col("lo"), 16).as("bv")),
+            struct(lit(2).as("bi"), (col("hi").bitwiseAND(lit(65535L))).as("bv")),
+            struct(lit(3).as("bi"), shiftright(col("hi"), 16).as("bv")))).as("band"))
+        .select(col("id"), col("hi"), col("lo"),
+          col("band.bi").as("bi"), col("band.bv").as("bv"))
+      val x = bands.alias("x")
+      val y = bands.alias("y")
+      val cand = x.join(y,
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.hi").as("ha"), col("x.lo").as("la"),
+          col("y.hi").as("hb"), col("y.lo").as("lb"))
+        .distinct()
+      cand
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("hamming"),
+          (col("id_b") - col("id_a") === 10000L).as("planted"))
+        .filter(col("hamming") <= 6)
     },
 
     // T41: inter-annotator agreement — Cohen's kappa per source over two
