@@ -96,4 +96,66 @@ object Decontaminate {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
+
+  /** Decontamination by EXCISION — the softer remedy beside
+    * [[flagOverlap]]'s drop decision: cut exactly the token spans covered
+    * by eval-colliding n-grams and keep the rest of the document (the
+    * published span-removal variant; GPT-3's appendix describes removing
+    * the colliding window and splitting the doc — here the kept tokens
+    * reassemble into one cleaned text, with the cut accounting beside it
+    * so callers can impose a max-cut-fraction drop rule on top).
+    *
+    * Same scale shape as the flag pass (eval vocabulary semi-join —
+    * linear), plus: each hit window expands to its n covered positions
+    * (bounded fan-out n per hit), cut positions anti-join the token
+    * stream, and the per-doc reassembly is ONE groupBy whose
+    * sort_array(struct(pos, token)) keeps partition-independent order.
+    * Token stream and shingle stream use the SAME single-pass tokenizer
+    * (WordShingleStrings at width 1), so excision boundaries can never
+    * drift from the shingles that triggered them.
+    *
+    * @return one row PER TRAIN DOC — (idCol, n_tokens, n_cut,
+    *         clean_text); a fully-contaminated doc keeps a row with
+    *         clean_text = "" (the caller's drop rule sees n_cut ==
+    *         n_tokens)
+    */
+  def exciseOverlap(
+      train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val evalSh = evalCorpus
+      .select(explode_outer(WordShingleStrings(col(textCol), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val hits = train
+      .select(col(idCol).as("__id"),
+        posexplode_outer(WordShingleStrings(col(textCol), n, distinct = false))
+          .as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+      .join(evalSh, Seq("g"), "left_semi")
+    val cut = hits
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = train
+      .select(col(idCol).as("__id"),
+        posexplode_outer(WordShingleStrings(col(textCol), 1, distinct = false))
+          .as(Seq("pos", "tk")))
+      .filter(col("tk").isNotNull)
+    val kept = toks.join(cut, Seq("__id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("__id")).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x.getField("tk")), " ").as("clean_text"))
+    val ntk = toks.groupBy(col("__id")).agg(count(lit(1)).as("n_tokens"))
+    train.select(col(idCol))
+      .join(ntk.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(agg.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -1887,6 +1887,43 @@ object DedupQueries {
         "center", "context",
         edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("cnt")),
         "v", "cnt", k = 2, tableSize = 4096L)
+    },
+
+    // D68: decontamination by EXCISION (Decontaminate.exciseOverlap) —
+    // d65 flags; this CUTS: exactly the token spans covered by
+    // eval-colliding 13-grams leave the document and the rest reassembles
+    // into one cleaned text (the published span-removal variant of the
+    // GPT-3 method — the softer remedy when dropping whole documents
+    // would waste the clean 95%). Same eval-vocabulary semi-join as d65,
+    // plus a bounded n-per-hit position expansion, a position anti-join
+    // on the token stream, and ONE per-doc reassembly groupBy. The WHOLE
+    // cleaned text hashes (not just the counts), so a one-token boundary
+    // error anywhere fails the gate on a value.
+    QueryDef.sql(
+      "d68_contamination_excision",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 13
+        |        THEN list_transform(range(len(ts)-12), i -> list_aggregate(ts[i+1:i+13], 'string_agg', ' '))
+        |        ELSE [] END AS sh FROM t),
+        |ev AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(sh)) AS g FROM s WHERE doc_id % 10 = 7)),
+        |tg AS (SELECT doc_id, i.i - 1 AS pos, sh[i.i] AS g FROM s, LATERAL (SELECT unnest(range(1, len(sh)+1)) AS i) i
+        |       WHERE doc_id % 10 <> 7),
+        |hit AS (SELECT tg.doc_id, tg.pos FROM tg JOIN ev USING (g)),
+        |cut AS (SELECT DISTINCT doc_id, pos + d.d AS p FROM hit, LATERAL (SELECT unnest(range(13)) AS d) d),
+        |tok AS (SELECT t.doc_id, i.i - 1 AS pos, ts[i.i] AS tk FROM t, LATERAL (SELECT unnest(range(1, len(ts)+1)) AS i) i
+        |        WHERE doc_id % 10 <> 7),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.p = tok.pos
+        |         WHERE cut.p IS NULL),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY pos) AS clean FROM kept GROUP BY 1),
+        |ntk AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM t WHERE doc_id % 10 <> 7)
+        |SELECT ntk.doc_id, ntk.n AS n_tokens, ntk.n - COALESCE(agg.n_kept, 0) AS n_cut,
+        |       COALESCE(agg.clean, '') AS clean_text
+        |FROM ntk LEFT JOIN agg USING (doc_id)""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.Decontaminate.exciseOverlap(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 13)
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with

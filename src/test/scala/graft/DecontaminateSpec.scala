@@ -63,6 +63,37 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(uncapped(1L) == ((2L, 2L, true)), "without the cap the copies flag")
   }
 
+  private def excise(
+      train: Seq[(Long, String)], ev: Seq[(Long, String)], n: Int = 5) =
+    Decontaminate.exciseOverlap(
+      train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"),
+      "doc_id", "text", n)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("excision: verbatim copy empties, disjoint doc survives intact, partial cut is exact") {
+    val evalDoc = words(8, "ev")
+    // partial doc: 5 eval tokens then 4 fresh → ONE colliding 5-gram at
+    // pos 0 covers tokens 0..4; clean = the 4 fresh tokens
+    val partial = ((1 to 5).map(i => s"ev$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val got = excise(
+      Seq(1L -> evalDoc, 2L -> words(8, "tr"), 3L -> partial, 4L -> "too short"),
+      Seq(100L -> evalDoc))
+    assert(got(1L) == ((8L, 8L, "")), "verbatim copy must excise to empty")
+    assert(got(2L) == ((8L, 0L, words(8, "tr"))), "disjoint doc survives token-identical")
+    assert(got(3L) == ((9L, 5L, "x1 x2 x3 x4")), "cut exactly the colliding window")
+    assert(got(4L) == ((2L, 0L, "too short")), "sub-n docs pass through")
+  }
+
+  test("excision: overlapping hit windows cut their union, not double-count") {
+    val ev = words(9, "ev") // 9 tokens → 5-grams at pos 0..4
+    // train doc shares tokens ev1..ev6 then fresh: colliding 5-grams at
+    // pos 0 and 1 → cut union = tokens 0..5 (6 tokens), kept = fresh 3
+    val doc = ((1 to 6).map(i => s"ev$i") ++ (1 to 3).map(i => s"y$i")).mkString(" ")
+    val got = excise(Seq(1L -> doc), Seq(100L -> ev))
+    assert(got(1L) == ((9L, 6L, "y1 y2 y3")))
+  }
+
   test("duplicate shingles inside one doc count once (per-doc distinct shingling)") {
     val rep = (words(5, "r") + " " + words(5, "r")).trim // repeated 5 tokens
     // tokens: r1..r5 r1..r5 → 6 windows, but distinct 5-grams: the pure
