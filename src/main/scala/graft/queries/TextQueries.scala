@@ -589,15 +589,22 @@ object TextQueries {
       val c = t.groupBy(col("source")).agg(
         count(lit(1)).as("n"), sum(col("a")).as("a1"), sum(col("b")).as("b1"),
         sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
-      val chance = col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1"))
+      // each factor cast to double BEFORE multiplying (the a35-lift rule):
+      // kappa is an IEEE division anyway, and a BIGINT n·n at per-source
+      // counts past ~3e9 rows would throw under ANSI overflow instead of
+      // dividing; products below 2^53 stay exactly representable, so the
+      // gate values are unchanged
+      val nD = col("n").cast("double")
+      val chance = col("a1").cast("double") * col("b1").cast("double") +
+        (nD - col("a1").cast("double")) * (nD - col("b1").cast("double"))
       c.select(col("source"), col("n"), col("agree"),
         col("a1").as("rater_a_pos"), col("b1").as("rater_b_pos"),
         // a group where chance agreement is certain (pe = 1) has no
         // defined kappa — emit NULL instead of a cross-engine-divergent
         // division by zero
-        when(col("n") * col("n") =!= chance,
-          round((col("n") * col("agree") - chance).cast("double") /
-            (col("n") * col("n") - chance), 6)).as("kappa"))
+        when(nD * nD =!= chance,
+          round((nD * col("agree").cast("double") - chance) /
+            (nD * nD - chance), 6)).as("kappa"))
     },
 
     // TF-IDF top terms per document — the classic distributed text-weighting
