@@ -644,6 +644,100 @@ object DedupQueries {
         .select(col("stage_ord"), col("stage"), col("n_docs"))
     },
 
+    // Q11: the CORPUS-BUILD funnel with TOKEN accounting — q10's report
+    // extended to the full modern recipe: hold out the eval slice, gate
+    // language and quality, exact-dedup, DROP decontamination suspects
+    // (the GPT-3 any-13-gram rule via Decontaminate.flagOverlap), then
+    // report the packed-sequence yield at 512 tokens. Each stage carries
+    // BOTH surviving docs AND surviving tokens — the token-loss view a
+    // curation run actually publishes (dropping 6 docs that cost 355
+    // tokens is a different decision than 6 docs costing 6k). Every
+    // stage is a bounded scalar fold off shared projections; the
+    // composition proves d9's gates, d65's decontamination, and the
+    // packing arithmetic CHAIN, not just pass alone.
+    QueryDef.sql(
+      "q11_corpus_build_funnel",
+      """WITH t0 AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |t AS (SELECT * FROM t0 WHERE doc_id % 10 <> 7),
+        |c AS (SELECT doc_id, text, ts,
+        |  len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(ts, x -> x IN ('el','la','de','y','es'))) AS es,
+        |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(ts, x -> x IN ('le','la','de','et','est'))) AS fr
+        |  FROM t),
+        |lang AS (SELECT doc_id, text, ts FROM c
+        |  WHERE (CASE WHEN en + es + de + fr = 0 THEN 'und'
+        |              WHEN fr > en AND fr > es AND fr > de THEN 'fr'
+        |              WHEN de > en AND de > es THEN 'de'
+        |              WHEN es > en THEN 'es'
+        |              ELSE 'en' END) = 'en'),
+        |qual AS (SELECT doc_id, text, ts FROM lang
+        |  WHERE len(ts) BETWEEN 10 AND 100000
+        |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
+        |fq AS (SELECT doc_id, ts,
+        |        row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn
+        |      FROM qual),
+        |uniq AS (SELECT doc_id, ts FROM fq WHERE rn = 1),
+        |evsh AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(CASE WHEN len(ts) >= 13
+        |    THEN list_distinct(list_transform(range(len(ts)-12), i -> list_aggregate(ts[i+1:i+13], 'string_agg', ' ')))
+        |    ELSE [] END) AS g FROM t0 WHERE doc_id % 10 = 7)),
+        |contam AS (SELECT DISTINCT u.doc_id FROM
+        |  (SELECT doc_id, unnest(CASE WHEN len(ts) >= 13
+        |     THEN list_distinct(list_transform(range(len(ts)-12), i -> list_aggregate(ts[i+1:i+13], 'string_agg', ' ')))
+        |     ELSE [] END) AS g FROM uniq) u JOIN evsh USING (g)),
+        |clean AS (SELECT uniq.doc_id, uniq.ts FROM uniq LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL),
+        |funnel AS (
+        |  SELECT 1 AS stage_ord, 'total' AS stage, COUNT(*) AS n_docs, SUM(len(ts)) AS n_tokens FROM t
+        |  UNION ALL SELECT 2, 'lang_en', COUNT(*), SUM(len(ts)) FROM lang
+        |  UNION ALL SELECT 3, 'quality', COUNT(*), SUM(len(ts)) FROM qual
+        |  UNION ALL SELECT 4, 'unique', COUNT(*), SUM(len(ts)) FROM uniq
+        |  UNION ALL SELECT 5, 'decontaminated', COUNT(*), SUM(len(ts)) FROM clean
+        |  UNION ALL SELECT 6, 'seq512', (SUM(len(ts)) + 511) // 512, SUM(len(ts)) FROM clean)
+        |SELECT stage_ord, stage, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM funnel""".stripMargin) { (spark, dir) =>
+      import graft.functions.{Decontaminate, TextAnalysis, TextTokens}
+      import org.apache.spark.sql.DataFrame
+      val docs = Tables.load(spark, dir, "documents")
+      val evalSlice = docs.filter(col("doc_id") % 10 === 7)
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("text"),
+          TextTokens.tokens(col("text")).as("__toks"))
+      val lang = base.filter(
+        TextAnalysis.languageIdFromTokens(col("__toks")) === "en")
+      val quality = TextAnalysis
+        .qualityColumnsFromTokens(col("text"), col("__toks"), TextAnalysis.enStopwords)
+        .toMap
+      val qual = lang.filter(quality("quality_ok"))
+      val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val uniq = qual
+        .withColumn("__fp", TextAnalysis.fingerprintMd5(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"), col("__toks"))
+      val contaminated = Decontaminate
+        .flagOverlap(uniq.select(col("doc_id"), col("text")), evalSlice,
+          "doc_id", "text", n = 13, minOverlap = 1L, maxDf = 0L)
+        .filter(col("contaminated"))
+        .select(col("doc_id"))
+      val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(ord: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("__toks"))), lit(0)).cast("long").as("n_tokens"))
+          .select(lit(ord).cast("int").as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      val packed = clean
+        .agg(coalesce(sum(size(col("__toks"))), lit(0)).cast("long").as("n_tokens"))
+        .select(lit(6).cast("int").as("stage_ord"), lit("seq512").as("stage"),
+          expr("(n_tokens + 511) div 512").as("n_docs"), col("n_tokens"))
+      Seq(stage(1, "total", base), stage(2, "lang_en", lang),
+        stage(3, "quality", qual), stage(4, "unique", uniq),
+        stage(5, "decontaminated", clean))
+        .reduce(_ unionAll _)
+        .unionAll(packed)
+    },
+
     // D50: CONFUSABLE-SKELETON dedup — the spoof-resistant flavor: a
     // Cyrillic 'е' renders identically to Latin 'e' but breaks every
     // byte-level fingerprint (d1's md5, d4's shingles, SimHash), which
