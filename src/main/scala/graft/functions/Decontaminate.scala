@@ -119,6 +119,13 @@ object Decontaminate {
     *         clean_text = "" (the caller's drop rule sees n_cut ==
     *         n_tokens)
     */
+  /** NOTE the seam caveat: joining the kept tokens into ONE text can
+    * create NEW n-grams spanning a cut (token 4 abutting token 18), and
+    * nothing guarantees a seam n-gram misses the eval set — which is why
+    * the published method SPLITS the document at the cut instead.
+    * [[excisePieces]] is that faithful variant, with the zero-residual
+    * guarantee; this single-text form remains for callers who want one
+    * row per doc and accept the (tiny, but nonzero) seam exposure. */
   def exciseOverlap(
       train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
@@ -157,5 +164,64 @@ object Decontaminate {
         (coalesce(col("n_tokens"), lit(0L)) -
           coalesce(col("__n_kept"), lit(0L))).as("n_cut"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Decontamination by excision into PIECES — the published split
+    * behavior (GPT-3's appendix removes the colliding window and SPLITS
+    * the document): each maximal run of kept token positions becomes its
+    * own piece. The guarantee [[exciseOverlap]]'s single text cannot
+    * give: every n-gram of a piece sits at contiguous ORIGINAL positions
+    * none of which were cut, and any original eval-colliding window had
+    * ALL its positions cut — so re-flagging the pieces finds ZERO
+    * overlap, by construction (pinned as a law in DecontaminateSpec).
+    *
+    * Same linear machinery as the other passes plus one per-doc window
+    * for the island grouping (the d35 pos − row_number trick) and a
+    * per-doc piece index. Fully-contaminated docs emit no pieces (the
+    * drop accounting lives in [[exciseOverlap]]/[[flagOverlap]]).
+    *
+    * @return (idCol, piece_idx, piece_start, n_tokens, piece_text) —
+    *         piece_idx 0-based in position order
+    */
+  def excisePieces(
+      train: DataFrame, evalCorpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val evalSh = evalCorpus
+      .select(explode_outer(WordShingleStrings(col(textCol), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val hits = train
+      .select(col(idCol).as("__id"),
+        posexplode_outer(WordShingleStrings(col(textCol), n, distinct = false))
+          .as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+      .join(evalSh, Seq("g"), "left_semi")
+    val cut = hits
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = train
+      .select(col(idCol).as("__id"),
+        posexplode_outer(WordShingleStrings(col(textCol), 1, distinct = false))
+          .as(Seq("pos", "tk")))
+      .filter(col("tk").isNotNull)
+    val kept = toks.join(cut, Seq("__id", "pos"), "left_anti")
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    val pieces = kept
+      .withColumn("__grp", col("pos") - row_number().over(wPos))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("piece_start"),
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+            x => x.getField("tk")), " ").as("piece_text"))
+    val wStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("piece_start"))
+    pieces
+      .withColumn("piece_idx", (row_number().over(wStart) - 1).cast("int"))
+      .select(col("__id").as(idCol), col("piece_idx"), col("piece_start"),
+        col("n_tokens"), col("piece_text"))
   }
 }

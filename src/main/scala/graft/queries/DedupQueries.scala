@@ -2018,6 +2018,48 @@ object DedupQueries {
         docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7),
         "doc_id", "text", n = 13)
+    },
+
+    // D69: excision into PIECES (Decontaminate.excisePieces) — d68's
+    // faithful sibling: the published method SPLITS the document at the
+    // cut instead of joining across it, because a joined text can create
+    // a NEW n-gram spanning the seam (token 4 abutting token 18) that
+    // nothing guarantees misses the eval set. A piece is a maximal run
+    // of kept positions, so every piece n-gram existed at uncut original
+    // positions — re-flagging the pieces finds ZERO overlap BY
+    // CONSTRUCTION (the law DecontaminateSpec pins). Gate hashes the
+    // full piece inventory: ids, order, spans, and texts.
+    QueryDef.sql(
+      "d69_excision_pieces",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(ts) >= 13
+        |        THEN list_transform(range(len(ts)-12), i -> list_aggregate(ts[i+1:i+13], 'string_agg', ' '))
+        |        ELSE [] END AS sh FROM t),
+        |ev AS (SELECT DISTINCT g FROM (SELECT unnest(list_distinct(sh)) AS g FROM s WHERE doc_id % 10 = 7)),
+        |tg AS (SELECT doc_id, i.i - 1 AS pos, sh[i.i] AS g FROM s, LATERAL (SELECT unnest(range(1, len(sh)+1)) AS i) i
+        |       WHERE doc_id % 10 <> 7),
+        |hit AS (SELECT tg.doc_id, tg.pos FROM tg JOIN ev USING (g)),
+        |cut AS (SELECT DISTINCT doc_id, pos + d.d AS p FROM hit, LATERAL (SELECT unnest(range(13)) AS d) d),
+        |tok AS (SELECT t.doc_id, i.i - 1 AS pos, ts[i.i] AS tk FROM t, LATERAL (SELECT unnest(range(1, len(ts)+1)) AS i) i
+        |        WHERE doc_id % 10 <> 7),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN cut ON cut.doc_id = tok.doc_id AND cut.p = tok.pos
+        |         WHERE cut.p IS NULL),
+        |isl AS (SELECT doc_id, pos, tk,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM kept),
+        |p AS (SELECT doc_id, grp, CAST(MIN(pos) AS BIGINT) AS piece_start,
+        |        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        string_agg(tk, ' ' ORDER BY pos) AS piece_text
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY piece_start) - 1 AS INT) AS piece_idx,
+        |  piece_start, n_tokens, piece_text
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.Decontaminate.excisePieces(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 13)
     })
 
   /** The d9 clean-corpus CTE chain (through dedup rank `rn`), shared with

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Decontaminate
+import org.apache.spark.sql.functions.col
 
 /** Law tests for benchmark decontamination — the cross-engine gate (d65)
   * pins parity, but parity alone cannot catch an identical-wrong
@@ -92,6 +93,34 @@ class DecontaminateSpec extends AnyFunSuite {
     val doc = ((1 to 6).map(i => s"ev$i") ++ (1 to 3).map(i => s"y$i")).mkString(" ")
     val got = excise(Seq(1L -> doc), Seq(100L -> ev))
     assert(got(1L) == ((9L, 6L, "y1 y2 y3")))
+  }
+
+  test("excision pieces: split at the cut, and re-flagging the pieces finds ZERO residual overlap") {
+    // eval doc = mid-span of the train doc: prefix x1..x6, eval ev1..ev5,
+    // suffix y1..y6 — the single colliding 5-gram cuts positions 6..10,
+    // leaving two pieces whose seam, if JOINED, would form x-y n-grams
+    // the split form never creates.
+    val ev = words(5, "ev")
+    val doc = ((1 to 6).map(i => s"x$i") ++ (1 to 5).map(i => s"ev$i") ++
+      (1 to 6).map(i => s"y$i")).mkString(" ")
+    val pieces = Decontaminate.excisePieces(
+      Seq(1L -> doc).toDF("doc_id", "text"), Seq(100L -> ev).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5)
+      .as[(Long, Int, Long, Long, String)].collect().sortBy(_._2)
+    assert(pieces.toSeq == Seq(
+      (1L, 0, 0L, 6L, words(6, "x")),
+      (1L, 1, 11L, 6L, words(6, "y"))), pieces.mkString(", "))
+    // the LAW: pieces re-flagged against the same eval corpus at the same
+    // n must report zero overlap — guaranteed by the split construction
+    val reflag = Decontaminate.flagOverlap(
+      Decontaminate.excisePieces(
+        Seq(1L -> doc, 2L -> words(12, "z")).toDF("doc_id", "text"),
+        Seq(100L -> ev).toDF("doc_id", "text"), "doc_id", "text", n = 5)
+        .select((col("doc_id") * 100 + col("piece_idx")).as("doc_id"),
+          col("piece_text").as("text")),
+      Seq(100L -> ev).toDF("doc_id", "text"), "doc_id", "text", n = 5)
+    assert(reflag.filter(col("contaminated")).count() == 0L,
+      "a piece may never carry residual eval overlap")
   }
 
   test("duplicate shingles inside one doc count once (per-doc distinct shingling)") {
