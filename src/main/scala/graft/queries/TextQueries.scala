@@ -556,6 +556,49 @@ object TextQueries {
         .filter(col("hamming") <= 6)
     },
 
+    // T53: overlapping token-window CHUNKING — the splitter every
+    // embedding/retrieval pipeline runs before vectorizing (window 32,
+    // stride 24 ⇒ 8-token overlap so no boundary context is lost): chunk
+    // k covers [k·S, k·S+W); a tail window fully contained in its
+    // predecessor is NOT emitted (k > 0 requires the previous chunk to
+    // end before the doc does — the standard dedup rule that keeps
+    // chunk_idx dense and the last chunk ≥ W−S tokens... unless the doc
+    // itself is shorter). Zero UDFs: one sequence+explode for k (fan-out
+    // ≤ ⌈n/S⌉ per doc), native slice + array_join for the text — a
+    // narrow scan-shaped op. The gate hashes the FULL chunk texts and
+    // spans, so an off-by-one at either window edge fails on values.
+    QueryDef.sql(
+      "t53_doc_chunking",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts,
+        |                  len(string_split_regex(lower(trim(text)), '\s+')) AS n
+        |           FROM documents),
+        |k AS (SELECT doc_id, ts, n, kk.k FROM t,
+        |      LATERAL (SELECT unnest(range(0, greatest((n + 23) // 24, 1))) AS k) kk),
+        |c AS (SELECT * FROM k WHERE k = 0 OR (k - 1) * 24 + 32 < n)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx, CAST(k * 24 AS BIGINT) AS tok_start,
+        |  CAST(least(32, n - k * 24) AS BIGINT) AS n_tokens,
+        |  array_to_string(ts[k*24+1 : least(k*24+32, n)], ' ') AS chunk_text
+        |FROM c""".stripMargin) { (spark, dir) =>
+      val w = 32
+      val s = 24
+      val t = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.expr.WordShingleStrings(col("text"), 1, distinct = false).as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .filter(col("n") > 0)
+      t.withColumn("k",
+          explode(sequence(lit(0L), greatest(expr(s"(n + ${s - 1}) div $s") - 1L, lit(0L)))))
+        .filter(col("k") === 0L || (col("k") - 1L) * s + w < col("n"))
+        .select(col("doc_id"),
+          col("k").cast("int").as("chunk_idx"),
+          (col("k") * s).cast("long").as("tok_start"),
+          least(lit(w.toLong), col("n") - col("k") * s).as("n_tokens"),
+          array_join(
+            slice(col("ts"), (col("k") * s + 1).cast("int"),
+              least(lit(w.toLong), col("n") - col("k") * s).cast("int")), " ")
+            .as("chunk_text"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
