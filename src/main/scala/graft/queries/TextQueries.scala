@@ -599,6 +599,42 @@ object TextQueries {
             .as("chunk_text"))
     },
 
+    // T54: token-BUDGET selection — "give me the best 10k tokens": order
+    // the corpus by quality-per-token (the exact-integer stopword ratio,
+    // ·1e6 div n — no IEEE boundary cliff) with doc_id as the total-order
+    // tie-break, then greedily take docs while the running token total
+    // fits the budget. The running total is [[PrefixSum]] again but on a
+    // DESCENDING score order (the operator's other half: a23/t39 use
+    // ascending) — bucketed, never a SinglePartition window, so the
+    // selection scales to corpora where "the best B tokens" is a real
+    // curation decision rather than a sort on one machine.
+    QueryDef.sql(
+      "t54_token_budget_selection",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |q AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+        |        CAST((len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) * 1000000) // len(ts) AS BIGINT) AS score_fp
+        |      FROM t WHERE len(ts) > 0),
+        |w AS (SELECT doc_id, score_fp, n_tok,
+        |        CAST(SUM(n_tok) OVER (ORDER BY score_fp DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |      FROM q)
+        |SELECT doc_id, score_fp, n_tok, cum_tok FROM w WHERE cum_tok <= 10000""".stripMargin) { (spark, dir) =>
+      val stop = size(filter(col("ts"),
+        t => t.isin("the", "a", "of", "and", "is"))).cast("long")
+      val q = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.expr.WordShingleStrings(col("text"), 1, distinct = false).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+          stop.as("__stop"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("(__stop * 1000000) div n_tok").as("score_fp"))
+      graft.operators.PrefixSum.withRunningSum(
+        q, "score_fp", descending = true, tieBreak = Seq(col("doc_id")),
+        value = col("n_tok"), out = "cum_tok")
+        .filter(col("cum_tok") <= 10000L)
+        .select(col("doc_id"), col("score_fp"), col("n_tok"), col("cum_tok"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
