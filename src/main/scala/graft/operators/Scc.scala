@@ -121,6 +121,11 @@ object Scc {
       .distinct())
     val (nodes, nodesH) = pin(
       e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
+    if (nodesH.isEmpty) { // no edges at all — every vertex is the caller's
+      eH.unpersist(blocking = false) // level-0 default; SUM() of an empty
+      nodesH.unpersist(blocking = false) // frame is null and would NPE the
+      return nodes.select(col("id"), lit(0L).as("level")) // convergence test
+    }
     var lvlH = nodes.select(col("id"), lit(0L).as("level"))
       .persist(MEMORY_AND_DISK)
     var prevSum = labelSum(lvlH, "level")

@@ -105,6 +105,14 @@ class SccSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 30L -> 1L, 31L -> 2L, 4L -> 3L))
   }
 
+  test("topological levels of an empty edge set return empty, not an NPE") {
+    // SUM() over an empty frame is SQL NULL; the convergence test must
+    // never reach it (found by self-review: null.compareTo would throw)
+    val got = Scc.topologicalLevels(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    assert(got.count() == 0L)
+  }
+
   test("topological levels refuse loudly on a cycle (non-DAG input)") {
     val err = intercept[IllegalStateException] {
       levelsOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), maxRounds = 5)

@@ -81,4 +81,21 @@ class UrlNormSpec extends AnyFunSuite {
     assert(etld1("x.aéroport.ci", "www.x.aéroport.ci")
       == Seq("x.aéroport.ci", "x.aéroport.ci"))
   }
+
+  test("registeredDomain laws: idempotent, and always a whole-label suffix of the host") {
+    val hosts = Seq(
+      "www.example.com", "a.b.c.d.example.co.uk", "deep.pages.user.github.io",
+      "foo.behind.ck", "sub.www.ck", "x.school.pvt.k12.ma.us",
+      "a.tenant.dev.adobeaemcloud.com", "singles", "a.b", "x.aéroport.ci",
+      "news.bbc.co.uk", "one.two.three.four.five.six.seven.org")
+    val out = etld1(hosts: _*)
+    val twice = etld1(out: _*)
+    hosts.zip(out).zip(twice).foreach { case ((h, r), r2) =>
+      // idempotence: the registrable domain is its own registrable domain
+      assert(r2 == r, s"registrable($r) = $r2, expected fixpoint (host $h)")
+      // whole-label suffix: r is h itself, or h ends with ".r"
+      assert(r == h || h.endsWith("." + r), s"$r is not a label suffix of $h")
+      assert(r.nonEmpty)
+    }
+  }
 }
