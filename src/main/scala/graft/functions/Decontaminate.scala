@@ -118,8 +118,8 @@ object Decontaminate {
     *         clean_text); a fully-contaminated doc keeps a row with
     *         clean_text = "" (the caller's drop rule sees n_cut ==
     *         n_tokens)
-    */
-  /** NOTE the seam caveat: joining the kept tokens into ONE text can
+    *
+    * NOTE the seam caveat: joining the kept tokens into ONE text can
     * create NEW n-grams spanning a cut (token 4 abutting token 18), and
     * nothing guarantees a seam n-gram misses the eval set — which is why
     * the published method SPLITS the document at the cut instead.
@@ -149,7 +149,12 @@ object Decontaminate {
         posexplode_outer(WordShingleStrings(col(textCol), 1, distinct = false))
           .as(Seq("pos", "tk")))
       .filter(col("tk").isNotNull)
-    val kept = toks.join(cut, Seq("__id", "pos"), "left_anti")
+    // bounded-registry persist: d68 and d69 build THIS identical frame
+    // (same canonical plan), so within one Verify session the full train
+    // shingling + eval semi-join + position anti-join materializes once
+    // and the sibling gate reads cache (the handoffEdges precedent)
+    val kept = graft.engine.BoundedCaches.persist(
+      toks.join(cut, Seq("__id", "pos"), "left_anti"))
     val agg = kept.groupBy(col("__id")).agg(
       count(lit(1)).as("__n_kept"),
       array_join(
@@ -206,7 +211,8 @@ object Decontaminate {
         posexplode_outer(WordShingleStrings(col(textCol), 1, distinct = false))
           .as(Seq("pos", "tk")))
       .filter(col("tk").isNotNull)
-    val kept = toks.join(cut, Seq("__id", "pos"), "left_anti")
+    val kept = graft.engine.BoundedCaches.persist(
+      toks.join(cut, Seq("__id", "pos"), "left_anti")) // shared with exciseOverlap
     val wPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("pos"))
     val pieces = kept
