@@ -123,6 +123,44 @@ class DecontaminateSpec extends AnyFunSuite {
       "a piece may never carry residual eval overlap")
   }
 
+  test("the three views agree on random corpora: flag ⟺ cut>0, and pieces+cuts tile the doc") {
+    // seeded random word soup with planted eval spans — the laws binding
+    // the three decontamination views to ONE semantics:
+    //   contaminated(doc) ⟺ n_cut(doc) > 0           (flag vs excise)
+    //   Σ piece n_tokens == n_tokens − n_cut          (pieces vs excise)
+    //   n_overlap ≤ n_shingles                        (internal sanity)
+    val rnd = new scala.util.Random(97)
+    def soup(len: Int) = Seq.fill(len)(s"w${rnd.nextInt(40)}").mkString(" ")
+    val ev = (1 to 4).map(i => (100L + i) -> soup(12))
+    val train = (1 to 60).map { i =>
+      val base = soup(6 + rnd.nextInt(20))
+      // every 5th doc gets a verbatim eval span spliced mid-text
+      val text = if (i % 5 == 0) {
+        val evTxt = ev(rnd.nextInt(ev.size))._2
+        base.split(' ').take(4).mkString(" ") + " " + evTxt + " " + base
+      } else base
+      i.toLong -> text
+    }
+    val n = 5
+    val flags = flag(train, ev, n = n)
+    val cuts = excise(train, ev, n = n)
+    val pieceTok = Decontaminate.excisePieces(
+      train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"), "doc_id", "text", n)
+      .groupBy(col("doc_id")).agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    train.foreach { case (id, _) =>
+      val (nsh, nov, contaminated) = flags(id)
+      val (ntok, ncut, _) = cuts(id)
+      assert(nov <= nsh, s"doc $id: overlap $nov > shingles $nsh")
+      assert(contaminated == (ncut > 0),
+        s"doc $id: flag=$contaminated but n_cut=$ncut — the views diverged")
+      assert(pieceTok.getOrElse(id, 0L) == ntok - ncut,
+        s"doc $id: pieces ${pieceTok.getOrElse(id, 0L)} ≠ kept ${ntok - ncut}")
+    }
+    assert(train.count { case (id, _) => flags(id)._3 } >= 10,
+      "fixture must actually plant contamination")
+  }
+
   test("duplicate shingles inside one doc count once (per-doc distinct shingling)") {
     val rep = (words(5, "r") + " " + words(5, "r")).trim // repeated 5 tokens
     // tokens: r1..r5 r1..r5 → 6 windows, but distinct 5-grams: the pure
