@@ -222,6 +222,43 @@ object EventStreams {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Streaming DECONTAMINATION hit stream — d65's stream twin for a
+    * continuously-ingesting pipeline ("does this new doc leak the eval
+    * set?"): each incoming document's word n-gram shingles probe the
+    * STATIC eval-shingle vocabulary; the output is the exact HIT stream
+    * (doc_id, shingle) and the doc-level admission decision stays a
+    * batch-side consumer concern — the same contract as
+    * [[nearDupCandidatesStream]] (a streaming per-doc aggregate would
+    * reintroduce state the stateless gate exists to avoid).
+    *
+    * Stateless and EXACT: a Bloom sketch of the vocabulary's xxhash64
+    * keys (built ONCE at query definition, like [[novelAgainstSnapshot]])
+    * drops definitely-clean shingle rows at the scan — the overwhelming
+    * majority for a non-leaking stream — and the survivors hit the exact
+    * stream-static inner join on the shingle string, which clears the
+    * sketch's false positives. No false negatives by construction, no
+    * join/watermark state; corpus scale lives on the static side.
+    */
+  def contaminationHitsStream(
+      docs: DataFrame, evalCorpus: DataFrame, n: Int = 13): DataFrame = {
+    val evalSh = evalCorpus
+      .select(explode_outer(
+        graft.functions.expr.WordShingleStrings(col("text"), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val bloom = graft.operators.BloomPrefilter.build(
+      evalSh.select(xxhash64(col("g")).as("k64")),
+      "k64", expectedItems = math.max(evalSh.count(), 1L), fpp = 0.01)
+    docs
+      .select(col("doc_id"), explode_outer(
+        graft.functions.expr.WordShingleStrings(col("text"), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .filter(graft.functions.expr.BloomMightContainLong.mightContain(
+        xxhash64(col("g")), bloom))
+      .join(evalSh, Seq("g"))
+      .select(col("doc_id"), col("g"))
+  }
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

@@ -175,6 +175,40 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming decontamination hit stream == batch eval-overlap hits (d65's twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.io.Tables.load(spark, dir, "documents")
+    val evalSlice = all.filter(col("doc_id") % 10 === 7)
+    val gate = EventStreams.contaminationHitsStream(
+      EventStreams.readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 7),
+      evalSlice, n = 13)
+    val q = gate.writeStream.format("memory").queryName("contam_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("contam_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch twin: the exact exploded semi-join underlying d65's n_overlap
+    val evalSh = evalSlice.select(explode(
+      graft.functions.expr.WordShingleStrings(col("text"), 13)).as("g")).distinct()
+    val batch = all.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), explode(
+        graft.functions.expr.WordShingleStrings(col("text"), 13)).as("g"))
+      .join(evalSh, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("g")) // using-join puts the key first
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "sf0.001 must contain planted eval overlap")
+    // doc-level consistency with the batch operator: hit docs == flagged docs
+    val flagged = graft.functions.Decontaminate.flagOverlap(
+      all.filter(col("doc_id") % 10 =!= 7), evalSlice, "doc_id", "text",
+      n = 13, minOverlap = 1L, maxDf = 0L)
+      .filter(col("contaminated")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.map(_._1) == flagged,
+      "hit-stream doc set must equal the batch contaminated set")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
