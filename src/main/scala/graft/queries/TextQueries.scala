@@ -635,6 +635,72 @@ object TextQueries {
         .select(col("doc_id"), col("score_fp"), col("n_tok"), col("cum_tok"))
     },
 
+    // T55: per-OWNER crawl/dedup quota report — the policy unit t50's
+    // eTLD+1 exists for: docs per registered domain, the quota-capped
+    // keep count (Q=100 — the t13 per-source cap at owner granularity),
+    // the over-quota flag, and each owner's exact-integer corpus share
+    // (·1e6 div total — no IEEE division). The fixture derives six host
+    // shapes from the corpus so the FULL-PSL matcher runs in aggregate:
+    // two shapes share an owner (www./api. → example.com, the over-quota
+    // case), multi-label and private suffixes collapse per rule, and the
+    // wildcard *.ck shape yields a DIFFERENT owner per source (the
+    // long-tail case). One narrow map + one groupBy + a 1-row total
+    // fold; the oracle re-derives eTLD+1 with the PSL SQL block.
+    QueryDef.sql(
+      "t55_domain_quota",
+      """WITH hh AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'www.' || source || '.example.com'
+        |    WHEN 1 THEN source || '.example.co.uk'
+        |    WHEN 2 THEN source || '.pages.github.io'
+        |    WHEN 3 THEN 'api.' || source || '.example.com'
+        |    WHEN 4 THEN 'www.' || source || '.behind.ck'
+        |    ELSE 'www.' || source || '.sub.example.org' END AS host
+        |  FROM documents),
+        |rul AS (SELECT CASE WHEN line LIKE '!%' THEN substring(line, 2)
+        |                    WHEN line LIKE '*.%' THEN substring(line, 3)
+        |                    ELSE line END AS key,
+        |               CASE WHEN line LIKE '!%' THEN 2 WHEN line LIKE '*.%' THEN 1 ELSE 0 END AS kind
+        |        FROM (SELECT trim(x) AS line FROM
+        |               (SELECT unnest(string_split(content, chr(10))) AS x
+        |                FROM read_text('/root/repo/src/main/resources/public_suffix_list.dat')))
+        |        WHERE line <> '' AND NOT line LIKE '//%'),
+        |hls AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hh),
+        |cand AS (SELECT doc_id, len(ls) AS n, kk.k,
+        |           list_aggr(ls[len(ls)-kk.k+1 : len(ls)], 'string_agg', '.') AS suf
+        |         FROM hls, LATERAL (SELECT unnest(range(1, least(len(ls), 5) + 1)) AS k) kk),
+        |mm AS (SELECT c.doc_id,
+        |         MAX(CASE WHEN r.kind = 0 THEN c.k WHEN r.kind = 1 AND c.n >= c.k + 1 THEN c.k + 1 END) AS ps_n,
+        |         MAX(CASE WHEN r.kind = 2 THEN c.k - 1 END) AS ps_e
+        |       FROM cand c JOIN rul r ON r.key = c.suf GROUP BY 1),
+        |ee AS (SELECT h.doc_id, h.host, h.ls, len(h.ls) AS n, COALESCE(mm.ps_e, mm.ps_n, 1) AS ps
+        |       FROM hls h LEFT JOIN mm ON mm.doc_id = h.doc_id),
+        |ed AS (SELECT doc_id, CASE WHEN n <= ps THEN host
+        |                           ELSE list_aggr(ls[n - ps : n], 'string_agg', '.') END AS etld1 FROM ee),
+        |agg AS (SELECT etld1, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ed GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM agg)
+        |SELECT etld1, n_docs, CAST(least(n_docs, 100) AS BIGINT) AS n_kept,
+        |  n_docs > 100 AS over_quota, CAST((n_docs * 1000000) // t AS BIGINT) AS share_fp
+        |FROM agg CROSS JOIN tot""".stripMargin) { (spark, dir) =>
+      import graft.functions.UrlNorm
+      val m = pmod(col("doc_id"), lit(6L))
+      val host = when(m === 0, concat(lit("www."), col("source"), lit(".example.com")))
+        .when(m === 1, concat(col("source"), lit(".example.co.uk")))
+        .when(m === 2, concat(col("source"), lit(".pages.github.io")))
+        .when(m === 3, concat(lit("api."), col("source"), lit(".example.com")))
+        .when(m === 4, concat(lit("www."), col("source"), lit(".behind.ck")))
+        .otherwise(concat(lit("www."), col("source"), lit(".sub.example.org")))
+      val agg = Tables.load(spark, dir, "documents")
+        .select(UrlNorm.registeredDomain(host).as("etld1"))
+        .groupBy(col("etld1")).agg(count(lit(1)).as("n_docs"))
+      val tot = agg.agg(sum(col("n_docs")).as("t"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("etld1"), col("n_docs"),
+          least(col("n_docs"), lit(100L)).as("n_kept"),
+          (col("n_docs") > 100L).as("over_quota"),
+          expr("(n_docs * 1000000) div t").as("share_fp"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data

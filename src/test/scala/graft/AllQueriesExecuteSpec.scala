@@ -66,7 +66,8 @@ object PlanBudget {
     "t31_token_salience" -> (1, 1),
     "t33_temperature_mix" -> (1, 1),
     "t36_bigram_pmi" -> (1, 1),
-    "t44_weighted_sampler_laws" -> (2, 4))
+    "t44_weighted_sampler_laws" -> (2, 4),
+    "t55_domain_quota" -> (1, 1)) // 1-row corpus-total fold + its broadcast-back
 }
 
 class AllQueriesExecuteSpec extends AnyFunSuite {
