@@ -277,5 +277,42 @@ object ScanQueries {
         .agg(count(lit(1)).as("n_docs"))
         .select(col("a10"), col("a11"), col("n_docs"),
           (col("a10") === col("a11") || col("a11") === 10).as("stable_or_new"))
+    },
+
+    // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
+    // interchange export beside the JSONL and TAR sinks. The gate is the
+    // s10/s11 bound-audit shape crossing into the Arrow format: write the
+    // documents manifest as 4 IPC stream shards, read every record batch
+    // back through the genuine ArrowStreamReader, and hash the THEOREMS
+    // beside exact values — shard count, total rows, every-shard-nonempty,
+    // and bag-equality of the round-trip (exceptAll both ways == 0). A
+    // writer that drops a null bit, truncates a batch, or mis-encodes
+    // UTF-8 fails the driver gate on a value.
+    QueryDef.sql(
+      "s15_arrow_shards",
+      """SELECT CAST(4 AS INT) AS n_shards,
+        |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  TRUE AS roundtrip_identical, TRUE AS shards_nonempty
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.io.ArrowExport
+      import org.apache.spark.sql.types._
+      val sel = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_arrow").toString
+      val manifest = ArrowExport
+        .writeShards(sel.repartition(4, col("doc_id")), tmp)
+        .collect() // 4-row manifest — bounded, and materializes the write
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType)))
+      val back = ArrowExport.readShards(spark, tmp, schema)
+      val diff = back.exceptAll(sel).unionAll(sel.exceptAll(back)).count()
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          manifest.length, manifest.map(_.getLong(1)).sum,
+          diff == 0L, manifest.forall(_.getLong(1) > 0L))),
+        StructType(Seq(StructField("n_shards", IntegerType, nullable = false),
+          StructField("total_rows", LongType, nullable = false),
+          StructField("roundtrip_identical", BooleanType, nullable = false),
+          StructField("shards_nonempty", BooleanType, nullable = false))))
     })
 }
