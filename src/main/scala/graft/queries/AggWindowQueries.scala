@@ -1255,5 +1255,58 @@ object AggWindowQueries {
         .select(col("event_type"), col("n"),
           (col("below") * 10000 <= col("n") * 5001 &&
             col("at_or_below") * 10000 >= col("n") * 4999).as("rank_ok"))
+    },
+
+    // A37: grouped higher MOMENTS — skewness + excess kurtosis, the
+    // distribution-shape columns a28's profile stops short of (is the
+    // measure symmetric? heavy-tailed? uniform quantity shows the
+    // textbook −1.2 excess). The a18 corr discipline extended to 3rd/4th
+    // powers: power sums Σx..Σx⁴ accumulate as EXACT DECIMAL (x pinned
+    // to DECIMAL(7,2) so the ×4 precision chain (31,8) stays inside 38
+    // on BOTH engines), only then lower to double, and every double
+    // expression is written with the IDENTICAL operation order in both
+    // engines so round(·,6) hashes. Degenerate groups (zero variance)
+    // yield NULL by explicit guard. ONE map-side-combined aggregate —
+    // the whole statistic costs a single group-count shuffle.
+    QueryDef.sql(
+      "a37_grouped_moments",
+      """WITH m AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s3,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s4
+        |FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  round(s1 / n, 6) AS mean,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS m2,
+        |  round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+        |    (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))) END, 6) AS skewness,
+        |  round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+        |    (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3 END, 6) AS kurtosis_excess
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val x = col("l_quantity").cast(DecimalType(7, 2))
+      val m = Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"),
+          sum(x * x * x).cast(DoubleType).as("s3"),
+          sum(x * x * x * x).cast(DoubleType).as("s4"))
+      // identical operation ORDER as the SQL above — double arithmetic
+      // only hashes when both engines execute the same IEEE op sequence
+      val mean = col("s1") / col("n")
+      val v = col("s2") / col("n") - mean * mean
+      m.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(mean, 6).as("mean"),
+        round(v, 6).as("m2"),
+        round(when(v > 0,
+          (col("s3") / col("n") - lit(3) * mean * (col("s2") / col("n")) +
+            lit(2) * mean * mean * mean) / (v * sqrt(v))), 6).as("skewness"),
+        round(when(v > 0,
+          (col("s4") / col("n") - lit(4) * mean * (col("s3") / col("n")) +
+            lit(6) * mean * mean * (col("s2") / col("n")) -
+            lit(3) * mean * mean * mean * mean) / (v * v) - 3), 6).as("kurtosis_excess"))
     })
 }
