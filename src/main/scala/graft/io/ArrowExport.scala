@@ -43,21 +43,37 @@ object ArrowExport {
   }
 
   /** Write one Arrow IPC stream shard per partition under `path`
-    * (created if needed); returns the manifest (shard, rows, bytes). */
+    * (created if needed); returns the manifest (shard, rows, bytes).
+    *
+    * Overwrite semantics: any pre-existing `*.arrows` (and stale
+    * `*.arrows.tmp-*`) under `path` is deleted up front — a re-export
+    * with fewer partitions must not leave old shards for the globbing
+    * reader to silently include. Each task writes to an
+    * attempt-unique temp name and atomically renames into place, so a
+    * retried/speculative attempt never interleaves bytes with a
+    * concurrent one: last rename wins with a complete file either way. */
   def writeShards(df: DataFrame, path: String, batchRows: Int = 4096): DataFrame = {
     require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
     val schema = df.schema
     schema.fields.foreach(arrowField) // validate on the driver, loudly
-    new java.io.File(path).mkdirs()
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".arrows") || f.getName.contains(".arrows.tmp-"))
+      .foreach { stale =>
+        require(stale.delete(), s"could not delete stale shard ${stale.getPath}")
+      }
     val spark = df.sparkSession
     import spark.implicits._
     df.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val file = new java.io.File(path, f"part-$pid%05d.arrows")
+      val tmp = new java.io.File(path, f"part-$pid%05d.arrows.tmp-${tc.taskAttemptId()}")
       val alloc = new RootAllocator()
       val arrowSchema = new ArrowSchema(schema.fields.map(arrowField).toSeq.asJava)
       val root = VectorSchemaRoot.create(arrowSchema, alloc)
-      val fos = new java.io.FileOutputStream(file)
+      val fos = new java.io.FileOutputStream(tmp)
       val writer = new ArrowStreamWriter(root, null, java.nio.channels.Channels.newChannel(fos))
       var total = 0L
       try {
@@ -110,6 +126,10 @@ object ArrowExport {
       } finally {
         writer.close(); fos.close(); root.close(); alloc.close()
       }
+      java.nio.file.Files.move(
+        tmp.toPath, file.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Iterator((file.getPath, total, file.length()))
     }.toDF("shard", "rows", "bytes")
   }
@@ -131,9 +151,11 @@ object ArrowExport {
         val reader = new ArrowStreamReader(fis, alloc)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         try {
-          val got = reader.getVectorSchemaRoot.getSchema.getFields.asScala.map(_.getName)
-          require(got == schema.fieldNames.toSeq,
-            s"shard $f schema $got != expected ${schema.fieldNames.toSeq}")
+          val got = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+            .map(g => (g.getName, g.getType)).toSeq
+          val want = schema.fields.toSeq
+            .map(arrowField).map(w => (w.getName, w.getType))
+          require(got == want, s"shard $f schema $got != expected $want")
           while (reader.loadNextBatch()) {
             val root = reader.getVectorSchemaRoot
             var i = 0

@@ -61,13 +61,17 @@ object NegativeSampling {
       wts, "v", descending = false, tieBreak = Seq.empty,
       value = col("w"), out = "cw", totalOut = Some("tw"))
     val t = lit(tableSize)
-    // ceil-div via (a + tw - 1) div tw — integer-exact (cum·T must fit a
-    // BIGINT; with 1e6-fixed-point weights that bounds W·T at ~9e18,
-    // plenty for vocab-scale W and table-scale T)
+    // ceil-div via (a + tw - 1) div tw, computed in DECIMAL(38,0): cum·T
+    // with both factors BIGINT-valued is ≤ ~8.5e37, which a 38-digit
+    // decimal holds EXACTLY (a raw BIGINT product overflows once total
+    // weight W exceeds Long.MaxValue/T — at word2vec's T=1e8 that is a
+    // toy-corpus W of ~9e10); `div` on decimals is still integral and
+    // returns BIGINT, and the quotients are slot indices ≤ T, so the
+    // narrow result type is safe by construction
     val table = cum
       .select(col("v").as("negative"),
-        expr(s"((cw - w) * $tableSize + tw - 1) div tw").as("s0"),
-        expr(s"(cw * $tableSize + tw - 1) div tw").as("s1"))
+        expr(s"(cast(cw - w as decimal(38,0)) * $tableSize + tw - 1) div tw").as("s0"),
+        expr(s"(cast(cw as decimal(38,0)) * $tableSize + tw - 1) div tw").as("s1"))
       .filter(col("s1") > col("s0"))
       .select(col("negative"), explode(sequence(col("s0"), col("s1") - 1)).as("slot"))
     val draws = pairs

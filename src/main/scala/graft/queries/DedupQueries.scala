@@ -688,12 +688,12 @@ object DedupQueries {
         |     ELSE [] END) AS g FROM uniq) u JOIN evsh USING (g)),
         |clean AS (SELECT uniq.doc_id, uniq.ts FROM uniq LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL),
         |funnel AS (
-        |  SELECT 1 AS stage_ord, 'total' AS stage, COUNT(*) AS n_docs, SUM(len(ts)) AS n_tokens FROM t
-        |  UNION ALL SELECT 2, 'lang_en', COUNT(*), SUM(len(ts)) FROM lang
-        |  UNION ALL SELECT 3, 'quality', COUNT(*), SUM(len(ts)) FROM qual
-        |  UNION ALL SELECT 4, 'unique', COUNT(*), SUM(len(ts)) FROM uniq
-        |  UNION ALL SELECT 5, 'decontaminated', COUNT(*), SUM(len(ts)) FROM clean
-        |  UNION ALL SELECT 6, 'seq512', (SUM(len(ts)) + 511) // 512, SUM(len(ts)) FROM clean)
+        |  SELECT 1 AS stage_ord, 'total' AS stage, COUNT(*) AS n_docs, COALESCE(SUM(len(ts)), 0) AS n_tokens FROM t
+        |  UNION ALL SELECT 2, 'lang_en', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM lang
+        |  UNION ALL SELECT 3, 'quality', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM qual
+        |  UNION ALL SELECT 4, 'unique', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM uniq
+        |  UNION ALL SELECT 5, 'decontaminated', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM clean
+        |  UNION ALL SELECT 6, 'seq512', (COALESCE(SUM(len(ts)), 0) + 511) // 512, COALESCE(SUM(len(ts)), 0) FROM clean)
         |SELECT stage_ord, stage, CAST(n_docs AS BIGINT) AS n_docs,
         |       CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM funnel""".stripMargin) { (spark, dir) =>

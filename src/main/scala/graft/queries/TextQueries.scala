@@ -14,6 +14,39 @@ object TextQueries {
 
   private val enStop = TextAnalysis.enStopwords
 
+  /** Absolute path of the Public Suffix List resource, resolved from the
+    * CLASSPATH at oracle-build time — the same bytes the table-driven
+    * `RegisteredDomain` expression loads — so the t50/t55 DuckDB oracles
+    * and the engine can never read two different files (a hard-coded repo
+    * path silently diverges the moment the checkout moves). */
+  private lazy val pslPath: String = {
+    val url = getClass.getClassLoader.getResource("public_suffix_list.dat")
+    require(url != null, "public_suffix_list.dat missing from the classpath")
+    if (url.getProtocol == "file")
+      java.nio.file.Paths.get(url.toURI).toAbsolutePath.toString
+    else {
+      // packaged (jar:) classpath — spill the SAME bytes to a
+      // content-addressed file DuckDB can read_text. The name carries the
+      // content hash (a new PSL snapshot gets a new file, no staleness)
+      // and the file must OUTLIVE this JVM: the driver executes the
+      // dumped oracle SQL in a separate DuckDB process afterwards.
+      val in = url.openStream()
+      val bytes = try in.readAllBytes() finally in.close()
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).take(8).map(b => f"$b%02x").mkString
+      val dest = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-psl-$sha.dat")
+      if (!java.nio.file.Files.exists(dest)) {
+        val tmp = java.nio.file.Files.createTempFile("graft-psl", ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      dest.toAbsolutePath.toString
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: marker-word argmax with fixed tie priority.
@@ -648,7 +681,7 @@ object TextQueries {
     // fold; the oracle re-derives eTLD+1 with the PSL SQL block.
     QueryDef.sql(
       "t55_domain_quota",
-      """WITH hh AS (SELECT doc_id,
+      s"""WITH hh AS (SELECT doc_id,
         |  CASE doc_id % 6
         |    WHEN 0 THEN 'www.' || source || '.example.com'
         |    WHEN 1 THEN source || '.example.co.uk'
@@ -663,12 +696,13 @@ object TextQueries {
         |               CASE WHEN line LIKE '!%' THEN 2 WHEN line LIKE '*.%' THEN 1 ELSE 0 END AS kind
         |        FROM (SELECT trim(x) AS line FROM
         |               (SELECT unnest(string_split(content, chr(10))) AS x
-        |                FROM read_text('/root/repo/src/main/resources/public_suffix_list.dat')))
+        |                FROM read_text('$pslPath')))
         |        WHERE line <> '' AND NOT line LIKE '//%'),
-        |hls AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hh),
+        |cap AS (SELECT MAX(len(string_split(key, '.'))) AS c FROM rul),
+        |hls AS (SELECT doc_id, host, string_split(host, '.') AS ls, cap.c AS cap_c FROM hh, cap),
         |cand AS (SELECT doc_id, len(ls) AS n, kk.k,
         |           list_aggr(ls[len(ls)-kk.k+1 : len(ls)], 'string_agg', '.') AS suf
-        |         FROM hls, LATERAL (SELECT unnest(range(1, least(len(ls), 5) + 1)) AS k) kk),
+        |         FROM hls, LATERAL (SELECT unnest(range(1, least(len(ls), cap_c) + 1)) AS k) kk),
         |mm AS (SELECT c.doc_id,
         |         MAX(CASE WHEN r.kind = 0 THEN c.k WHEN r.kind = 1 AND c.n >= c.k + 1 THEN c.k + 1 END) AS ps_n,
         |         MAX(CASE WHEN r.kind = 2 THEN c.k - 1 END) AS ps_e
@@ -1362,11 +1396,13 @@ object TextQueries {
            |               CASE WHEN line LIKE '!%' THEN 2 WHEN line LIKE '*.%' THEN 1 ELSE 0 END AS kind
            |        FROM (SELECT trim(x) AS line FROM
            |               (SELECT unnest(string_split(content, chr(10))) AS x
-           |                FROM read_text('/root/repo/src/main/resources/public_suffix_list.dat')))
+           |                FROM read_text('$pslPath')))
            |        WHERE line <> '' AND NOT line LIKE '//%'),
+           |cap AS (SELECT MAX(len(string_split(key, '.'))) AS c FROM rul),
+           |tc AS (SELECT t.*, cap.c AS cap_c FROM t, cap),
            |cand AS (SELECT doc_id, len(ls) AS n, kk.k,
            |           list_aggr(ls[len(ls)-kk.k+1 : len(ls)], 'string_agg', '.') AS suf
-           |         FROM t, LATERAL (SELECT unnest(range(1, least(len(ls), 5) + 1)) AS k) kk),
+           |         FROM tc, LATERAL (SELECT unnest(range(1, least(len(ls), cap_c) + 1)) AS k) kk),
            |mm AS (SELECT c.doc_id,
            |         MAX(CASE WHEN r.kind = 0 THEN c.k
            |                  WHEN r.kind = 1 AND c.n >= c.k + 1 THEN c.k + 1 END) AS ps_n,

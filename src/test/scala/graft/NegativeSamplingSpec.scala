@@ -60,6 +60,16 @@ class NegativeSamplingSpec extends AnyFunSuite {
     assert(draw(pairs, vocab, k = 3, t = 101L).count() == 300L)
   }
 
+  test("slot bounds survive total weight past Long.MaxValue / T (decimal quantization)") {
+    // 50k items at cnt=2e6 → w ≈ 5.3e10 each, W ≈ 2.7e15; at T=4096,
+    // W·T ≈ 1.1e19 > Long.MaxValue — a BIGINT cw·T would throw under
+    // ANSI (or silently corrupt slots without it). The DECIMAL(38,0)
+    // quantization must still tile [0, T) exactly: k·|pairs| rows out.
+    val vocab = (1L to 50000L).map(v => (v, 2000000L))
+    val pairs = (1L to 30L).map(i => (i, i + 5L))
+    assert(draw(pairs, vocab, k = 2).count() == 60L)
+  }
+
   test("JSONL export round-trip: the training file reads back identical") {
     val out = draw((1L to 50L).map(i => (i, i + 9L)), Seq(5L -> 2L, 6L -> 9L))
     val dir = java.nio.file.Files.createTempDirectory("negsamp").toString + "/triples"
