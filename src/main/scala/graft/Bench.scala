@@ -149,7 +149,13 @@ object Bench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "1").toInt
     val spark = GraftSession.local("graft-bench")
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the pass to a comma-separated
+    // subset — the idle fresh-JVM re-measure tool for driver-round
+    // watchlist queries (never set in the driver's own run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
     // A failed query must be VISIBLE, not a fast-looking small number:
     // run() reports success and failures are listed by name in the JSON,
     // so a regression can't hide behind a short failure path.
