@@ -530,12 +530,25 @@ object Multimodal {
   /** @param bump added (mod 256) to the TOP-LEFT block only — the
     *             "retouch" knob: a small localized edit that moves a
     *             couple of perceptual-hash bits, the m10 near-dup
-    *             fixture (0 = pristine). */
+    *             fixture (0 = pristine).
+    * @param rowShift the GRADIENT-PRESERVING, mean-breaking retouch (the
+    *             near-dup class dHash exists to catch and aHash cannot):
+    *             every block becomes b·5/8 + rowShift on odd rows only.
+    *             Within a row the map is affine (same shift) so the
+    *             left-vs-right ORDER — dHash's input — survives except
+    *             where the 5/8 compression ties two adjacent values
+    *             (measured ≤ 1 bit over the 48-image fixture), while the
+    *             alternating row offsets rewrite every block's relation
+    *             to the grid mean — aHash hamming ≥ 10, no 16-bit aHash
+    *             band survives. Max value 255·5/8 + 96 = 255, so
+    *             rowShift ≤ 96 keeps bytes valid (0 = pristine). */
   def synthesizePngCorpus(
       spark: SparkSession, n: Int, scale: Int, idOffset: Long = 0L,
-      bump: Int = 0): Dataset[MediaRow] = {
+      bump: Int = 0, rowShift: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     require(scale >= 1)
+    require(rowShift >= 0 && rowShift <= 96,
+      s"rowShift must be in [0, 96] to keep bytes valid, got $rowShift")
     spark.range(n).map { id =>
       val wh = 8 * scale
       val img = new java.awt.image.BufferedImage(
@@ -545,7 +558,9 @@ object Multimodal {
         var x = 0
         while (x < wh) {
           val base = blockLum(id, y / scale, x / scale)
-          val g = if (y / scale == 0 && x / scale == 0) (base + bump) % 256 else base
+          val bumped = if (y / scale == 0 && x / scale == 0) (base + bump) % 256 else base
+          val g = if (rowShift > 0) bumped * 5 / 8 + (y / scale % 2) * rowShift
+            else bumped
           img.setRGB(x, y, (g << 16) | (g << 8) | g)
           x += 1
         }

@@ -522,17 +522,24 @@ object TextQueries {
     },
 
     // M10: IMAGE near-dup pair search — m9's perceptual hashes pushed
-    // through the d2/d3 LSH shape: band the 64-bit aHash into 4×16-bit
-    // bands, bucket-join on (band, value) so candidates are only images
-    // agreeing on ≥1 band (the banded route is linear in collisions,
-    // never all-pairs — at corpus scale each bucket is tiny because the
-    // square-mixed hashes are near-uniform), then verify exact hamming
-    // ≤ 6 on the full 64 bits. Fixture plants a RETOUCHED twin of every
-    // image (top-left block +8 — a localized edit that moves ≤4 aHash
-    // bits) among pristine images whose pairwise distance is ≥19 bits,
-    // so the output must be EXACTLY the 48 planted pairs — found through
-    // the real PNG decode, banding, and verify, with the whole pair list
-    // + per-pair hamming hashing against the closed-form rebuild.
+    // through the d2/d3 LSH shape, banding BOTH hashes: the 64-bit aHash
+    // as 4×16-bit bands AND the 56-bit dHash as 4×14-bit bands (bi 4-7),
+    // one bucket-join on (band, value) over the union — candidates are
+    // only images agreeing on ≥1 band of EITHER signature (linear in
+    // collisions, never all-pairs), then verify exact hamming with a
+    // per-signature threshold: near-dup iff aham ≤ 6 OR dham ≤ 6 (the
+    // published two-signature practice — each hash catches the edit
+    // class the other is blind to). aHash-only banding missed exactly
+    // the class dHash exists for: a gradient-preserving retouch (every
+    // block b → b·5/8 + 88 on alternating rows — within-row ORDER kept,
+    // every mean relation rewritten) has aHash hamming 10-28 with NO
+    // surviving 16-bit aHash band, yet dHash hamming ≤ 1. Fixture
+    // plants BOTH twin classes on each of 48 pristine images: +10000 =
+    // localized bump (aham ≤ 3), +30000 = gradient retouch (dHash-only),
+    // and the two twins of one image are transitively near (dham ≤ 2,
+    // gap 20000) — so the output is EXACTLY 144 deterministic pairs,
+    // every one found through the real PNG decode; pristine cross
+    // distances are ≥ 8 in BOTH metrics (measured over all 10k pairs).
     QueryDef.sql(
       "m10_image_near_dup_pairs",
       """WITH gk AS (SELECT t.id, u.gy, v.gx, ((t.id*64 + u.gy*8 + v.gx + 1) * 2654435761) % 1000000007 AS m
@@ -540,37 +547,54 @@ object TextQueries {
         |g0 AS (SELECT id, gy, gx, (m * m) % 1000000007 % 256 AS b FROM gk),
         |g AS (SELECT id, gy, gx, b FROM g0
         |      UNION ALL
-        |      SELECT id + 10000, gy, gx, CASE WHEN gy = 0 AND gx = 0 THEN (b + 8) % 256 ELSE b END FROM g0),
+        |      SELECT id + 10000, gy, gx, CASE WHEN gy = 0 AND gx = 0 THEN (b + 8) % 256 ELSE b END FROM g0
+        |      UNION ALL
+        |      SELECT id + 30000, gy, gx, (b * 5) // 8 + (gy % 2) * 88 FROM g0),
         |a AS (SELECT id, SUM(b) // 64 AS avg FROM g GROUP BY id),
         |ah AS (SELECT g.id,
         |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx >= 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
         |        CAST(SUM(CASE WHEN b > a.avg AND gy*8+gx < 32 THEN (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INT)) ELSE 0 END) AS BIGINT) AS lo
         |       FROM g JOIN a USING (id) GROUP BY g.id),
-        |bands AS (SELECT id, hi, lo, bi.bi,
+        |dd AS (SELECT l.id, CAST(SUM(CASE WHEN l.b > r.b THEN (CAST(1 AS BIGINT) << CAST(l.gy*7+l.gx AS INT)) ELSE 0 END) AS BIGINT) AS dh
+        |      FROM g l JOIN g r ON r.id = l.id AND r.gy = l.gy AND r.gx = l.gx + 1
+        |      WHERE l.gx < 7 GROUP BY l.id),
+        |h AS (SELECT ah.id, ah.hi, ah.lo, dd.dh FROM ah JOIN dd ON dd.id = ah.id),
+        |bands AS (SELECT id, hi, lo, dh, bi.bi,
         |            CASE bi.bi WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
-        |                       WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bv
-        |          FROM ah, LATERAL (SELECT unnest(range(4)) AS bi) bi),
+        |                       WHEN 2 THEN hi & 65535 WHEN 3 THEN hi >> 16
+        |                       WHEN 4 THEN dh & 16383 WHEN 5 THEN (dh >> 14) & 16383
+        |                       WHEN 6 THEN (dh >> 28) & 16383 ELSE dh >> 42 END AS bv
+        |          FROM h, LATERAL (SELECT unnest(range(8)) AS bi) bi),
         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
         |         FROM bands x JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id)
         |SELECT c.id_a, c.id_b,
-        |       CAST(bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) AS INT) AS hamming,
-        |       (c.id_b - c.id_a = 10000) AS planted
-        |FROM cand c JOIN ah xa ON xa.id = c.id_a JOIN ah xb ON xb.id = c.id_b
-        |WHERE bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) <= 6""".stripMargin) { (spark, _) =>
+        |       CAST(bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) AS INT) AS a_hamming,
+        |       CAST(bit_count(xor(xa.dh, xb.dh)) AS INT) AS d_hamming,
+        |       CASE c.id_b - c.id_a WHEN 10000 THEN 'bump' WHEN 20000 THEN 'twin_pair'
+        |            WHEN 30000 THEN 'gradient' ELSE 'none' END AS kind
+        |FROM cand c JOIN h xa ON xa.id = c.id_a JOIN h xb ON xb.id = c.id_b
+        |WHERE bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) <= 6
+        |   OR bit_count(xor(xa.dh, xb.dh)) <= 6""".stripMargin) { (spark, _) =>
       import graft.multimodal.Multimodal
       val base = Multimodal.synthesizePngCorpus(spark, 48, scale = 2)
-      val retouched = Multimodal.synthesizePngCorpus(
+      val bumped = Multimodal.synthesizePngCorpus(
         spark, 48, scale = 2, idOffset = 10000L, bump = 8)
-      val h = Multimodal.perceptualHashes(base.unionAll(retouched))
+      val graded = Multimodal.synthesizePngCorpus(
+        spark, 48, scale = 2, idOffset = 30000L, rowShift = 88)
+      val h = Multimodal.perceptualHashes(base.unionAll(bumped).unionAll(graded))
         .select(col("media_id").as("id"), col("ahash_hi").as("hi"),
-          col("ahash_lo").as("lo"))
-      val bands = h.select(col("id"), col("hi"), col("lo"),
+          col("ahash_lo").as("lo"), col("dhash").as("dh"))
+      val bands = h.select(col("id"), col("hi"), col("lo"), col("dh"),
           explode(array(
             struct(lit(0).as("bi"), (col("lo").bitwiseAND(lit(65535L))).as("bv")),
             struct(lit(1).as("bi"), shiftright(col("lo"), 16).as("bv")),
             struct(lit(2).as("bi"), (col("hi").bitwiseAND(lit(65535L))).as("bv")),
-            struct(lit(3).as("bi"), shiftright(col("hi"), 16).as("bv")))).as("band"))
-        .select(col("id"), col("hi"), col("lo"),
+            struct(lit(3).as("bi"), shiftright(col("hi"), 16).as("bv")),
+            struct(lit(4).as("bi"), (col("dh").bitwiseAND(lit(16383L))).as("bv")),
+            struct(lit(5).as("bi"), (shiftright(col("dh"), 14).bitwiseAND(lit(16383L))).as("bv")),
+            struct(lit(6).as("bi"), (shiftright(col("dh"), 28).bitwiseAND(lit(16383L))).as("bv")),
+            struct(lit(7).as("bi"), shiftright(col("dh"), 42).as("bv")))).as("band"))
+        .select(col("id"), col("hi"), col("lo"), col("dh"),
           col("band.bi").as("bi"), col("band.bv").as("bv"))
       val x = bands.alias("x")
       val y = bands.alias("y")
@@ -578,15 +602,19 @@ object TextQueries {
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          col("x.hi").as("ha"), col("x.lo").as("la"),
-          col("y.hi").as("hb"), col("y.lo").as("lb"))
+          col("x.hi").as("ha"), col("x.lo").as("la"), col("x.dh").as("da"),
+          col("y.hi").as("hb"), col("y.lo").as("lb"), col("y.dh").as("db"))
         .distinct()
       cand
         .select(col("id_a"), col("id_b"),
           (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("hamming"),
-          (col("id_b") - col("id_a") === 10000L).as("planted"))
-        .filter(col("hamming") <= 6)
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("int").as("a_hamming"),
+          bit_count(col("da").bitwiseXOR(col("db"))).cast("int").as("d_hamming"),
+          when(col("id_b") - col("id_a") === 10000L, "bump")
+            .when(col("id_b") - col("id_a") === 20000L, "twin_pair")
+            .when(col("id_b") - col("id_a") === 30000L, "gradient")
+            .otherwise("none").as("kind"))
+        .filter(col("a_hamming") <= 6 || col("d_hamming") <= 6)
     },
 
     // T53: overlapping token-window CHUNKING — the splitter every

@@ -230,6 +230,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gradient-preserving retouch is the aHash-blind / dHash-caught class, through the real decode") {
+    import org.apache.spark.sql.functions._
+    val base = Multimodal.perceptualHashes(
+      Multimodal.synthesizePngCorpus(spark, 48, scale = 2))
+      .select(col("media_id"), col("ahash_hi").as("bh"), col("ahash_lo").as("bl"),
+        col("dhash").as("bd"))
+    val graded = Multimodal.perceptualHashes(
+      Multimodal.synthesizePngCorpus(spark, 48, scale = 2, rowShift = 88))
+      .select(col("media_id"), col("ahash_hi").as("gh"), col("ahash_lo").as("gl"),
+        col("dhash").as("gd"))
+    val d = base.join(graded, Seq("media_id"))
+      .select(
+        (bit_count(col("bh").bitwiseXOR(col("gh"))) +
+          bit_count(col("bl").bitwiseXOR(col("gl")))).as("aham"),
+        bit_count(col("bd").bitwiseXOR(col("gd"))).as("dham"))
+      .collect()
+    assert(d.length == 48)
+    // the separation the m10 dHash bands exist for: every twin is FAR in
+    // aHash (no 16-bit band could survive 10+ scattered flips were they
+    // adversarial; measured min is 10) yet ≤1 bit in dHash
+    assert(d.forall(_.getInt(1) <= 1), "dHash must survive the gradient retouch")
+    assert(d.forall(_.getInt(0) >= 7), "aHash must NOT survive it (else the class is not aHash-blind)")
+  }
+
   test("corrupt AVI chunk sizes fail the decode instead of hanging the walk") {
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
