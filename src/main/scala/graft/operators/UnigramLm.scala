@@ -1,0 +1,166 @@
+package graft.operators
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the second of
+  * the two published subword-vocabulary algorithms (Kudo 2018), beside
+  * [[BpeTrain]]'s merge loop: seed a candidate-piece inventory from
+  * corpus substrings, then iterate EM — segment every word under the
+  * current piece probabilities, re-estimate probabilities from the
+  * segmentation counts — to a fixed point. This implementation runs the
+  * hard-EM (Viterbi) variant with add-α smoothing: the E-step keeps the
+  * single best segmentation per word (deterministic argmax), the M-step
+  * is count/total with a pseudocount floor so an unused piece stays
+  * segmentable (α ≥ 1 also keeps every single character usable — no word
+  * can become unsegmentable mid-training).
+  *
+  * Determinism contract (the t56 gate hash-compares the full per-round
+  * trace against a hand-derived closed form): Viterbi scores are
+  * MICRO-NAT BIGINT fixed point — logp_µ = floor(ln((cnt+α)/T)·1e6),
+  * computed once per round on the driver over exact integer counts, so
+  * the per-word DP is pure Long arithmetic with an exact tie-break
+  * (higher score, then fewer pieces, then lexicographically smaller
+  * piece sequence); re-running the round replays the identical
+  * segmentation. Gate fixtures must keep decision margins ≫ the ≤1 µnat
+  * floor error per piece (the t56 fixture's smallest margin is ~152k µ).
+  *
+  * Scale shape per round: the E-step runs once per DISTINCT word (the
+  * [[BpeEncode.tokenizeCorpus]] Zipf memoization — corpus frequency
+  * rides along as a weight, so the distributed work is vocab-scale, not
+  * token-stream-scale), one piece-keyed aggregate (map-side combined),
+  * and one vocab-scale collect to rebuild the probability table — the
+  * same bounded driver-side object contract as BpeEncode's merge table,
+  * enforced loudly: candidate inventories past `maxCandidates` refuse
+  * with the count rather than silently collecting gigabytes (production
+  * SentencePiece trains on a corpus SAMPLE for the same reason; sample
+  * upstream, then train). The distinct-word frame is persisted once and
+  * re-rooted as an RDD leaf (the BpeTrain lineage rule).
+  *
+  * @param docs         corpus frame
+  * @param tokenCol     array<string> column of pre-split words
+  * @param rounds       EM rounds to run (each emits its trace rows)
+  * @param maxPieceLen  seed pieces are all word substrings up to this
+  *                     length (single chars always included)
+  * @param alpha        add-α pseudocount, ≥ 1
+  * @return one row per (round, candidate piece): (round, piece,
+  *         piece_count, prob_fp) where piece_count is the round's
+  *         Viterbi usage count (zero rows kept — the inventory is part
+  *         of the trace) and prob_fp = piece_count·1e6 div round total
+  */
+object UnigramLm {
+
+  def train(docs: DataFrame, tokenCol: String, rounds: Int, maxPieceLen: Int,
+      alpha: Long = 1L, maxCandidates: Int = 1000000): DataFrame = {
+    require(rounds >= 1 && rounds <= 1000, s"rounds=$rounds out of range")
+    require(maxPieceLen >= 1 && maxPieceLen <= 64, s"maxPieceLen=$maxPieceLen out of range")
+    require(alpha >= 1L, s"alpha must be >= 1 (keeps every candidate segmentable), got $alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val wcDf = docs
+      .select(explode(col(tokenCol).cast("array<string>")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    wcDf.count()
+    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    try {
+      // seed inventory: substring occurrence counts × word frequency —
+      // one explode over the DISTINCT words, one piece-keyed aggregate
+      val seed = wc.toDF("w", "n")
+        .select(explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"), col("n"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+        .as[(String, Long)].collect()
+      require(seed.length <= maxCandidates,
+        s"unigram-LM candidate inventory ${seed.length} exceeds maxCandidates=$maxCandidates; " +
+          "train on a corpus sample or raise the cap explicitly")
+      val pieces = seed.map(_._1).sorted
+      var counts: Map[String, Long] = seed.toMap
+
+      val trace = ListBuffer.empty[(Long, String, Long, Long)]
+      for (round <- 1 to rounds) {
+        val total = counts.valuesIterator.sum + alpha * pieces.length
+        val logp: Map[String, Long] = pieces.iterator.map { p =>
+          p -> math.floor(math.log(
+            (counts.getOrElse(p, 0L) + alpha).toDouble / total.toDouble) * 1e6).toLong
+        }.toMap
+        val bcLogp = spark.sparkContext.broadcast(logp)
+        val maxLen = maxPieceLen
+        val roundCounts = wc.flatMap { case (w, n) =>
+          viterbi(w, bcLogp.value, maxLen).map(p => (p, n))
+        }.toDF("piece", "c")
+          .groupBy(col("piece")).agg(sum(col("c")).as("c"))
+          .as[(String, Long)].collect().toMap
+        bcLogp.destroy()
+        val roundTotal = roundCounts.valuesIterator.sum
+        pieces.foreach { p =>
+          val c = roundCounts.getOrElse(p, 0L)
+          trace += ((round.toLong, p, c,
+            if (roundTotal == 0L) 0L else c * 1000000L / roundTotal))
+        }
+        counts = roundCounts
+      }
+      trace.toSeq.toDF("round", "piece", "piece_count", "prob_fp")
+    } finally wcDf.unpersist(blocking = false)
+  }
+
+  /** Best segmentation of `w` under micro-nat piece scores: Long-exact
+    * DP, O(len · maxPieceLen) lookups. Tie-break: higher score, then
+    * FEWER pieces, then lexicographically smaller piece sequence —
+    * total, so a re-run replays the identical path. A word containing a
+    * character absent from the table segments to the empty list (callers
+    * seed all single chars, so this only happens on foreign input). */
+  private[graft] def viterbi(
+      w: String, logp: Map[String, Long], maxPieceLen: Int): List[String] = {
+    val n = w.length
+    val best = new Array[Long](n + 1)
+    val nPieces = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1) // start index of the last piece
+    val ok = new Array[Boolean](n + 1)
+    best(0) = 0L; ok(0) = true
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        val j = i - l
+        if (ok(j)) {
+          logp.get(w.substring(j, i)) match {
+            case Some(s) =>
+              val cand = best(j) + s
+              val take =
+                if (!ok(i)) true
+                else if (cand != best(i)) cand > best(i)
+                else if (nPieces(j) + 1 != nPieces(i)) nPieces(j) + 1 < nPieces(i)
+                else {
+                  // equal score, equal length: rebuild both tails is
+                  // overkill — compare the last pieces (longer l means
+                  // smaller start j; resolve by smaller piece string)
+                  w.substring(j, i) < w.substring(back(i), i)
+                }
+              if (take) { ok(i) = true; best(i) = cand; nPieces(i) = nPieces(j) + 1; back(i) = j }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (!ok(n)) Nil
+    else {
+      var out = List.empty[String]
+      var at = n
+      while (at > 0) {
+        out = w.substring(back(at), at) :: out
+        at = back(at)
+      }
+      out
+    }
+  }
+}

@@ -486,6 +486,46 @@ object PackingQueries {
           concat_ws("", col("enc")).as("detok"))
     },
 
+    // T56: UNIGRAM-LM (SentencePiece-style) tokenizer training
+    // (operators/UnigramLm) — the EM counterpart of t45's BPE loop,
+    // completing the tokenizer family. The fixture makes the whole EM
+    // trace closed-form in N = |supplier| (the t45 trick): every
+    // supplier contributes the word multiset {aab×10, ab×1, aa×1},
+    // maxPieceLen 2, α=1. Hand-derived trace the oracle replays (seed
+    // substring counts a:23N b:11N aa:11N ab:11N, T=56N):
+    //   r1 — "ab"→[ab] (11·56 > 23·11), "aa"→[aa] (11·56=616 > 23²=529,
+    //        the 0.152-nat margin that makes the fixture float-safe),
+    //        "aab"→[a][ab] (a beats aa on the left, 2 pieces beat 3)
+    //        ⇒ counts a:10N ab:11N aa:N b:0.
+    //   r2 — re-weighting FLIPS "aa": (N+1)(22N+4) < (10N+1)² for all
+    //        N ≥ 1, so [aa]→[a][a] — the EM step is load-bearing, a
+    //        trainer that skips the M-step fails the hash
+    //        ⇒ counts a:12N ab:11N aa:0 b:0.
+    //   r3 — fixed point: counts identical to r2 (pinned by the oracle).
+    // prob_fp = cnt·1e6 div total is N-invariant (both scale by N), so
+    // one VALUES trace gates every SF. Scale shape: per round one
+    // DISTINCT-WORD Viterbi pass (Zipf-memoized) + one piece-keyed
+    // aggregate + a vocab-scale collect (bounded, loud refusal past the
+    // candidate cap — production trainers sample for the same reason).
+    QueryDef.sql(
+      "t56_unigram_lm_train",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+        |tr AS (SELECT * FROM (VALUES
+        |    (1, 'a', 10), (1, 'aa', 1), (1, 'ab', 11), (1, 'b', 0),
+        |    (2, 'a', 12), (2, 'aa', 0), (2, 'ab', 11), (2, 'b', 0),
+        |    (3, 'a', 12), (3, 'aa', 0), (3, 'ab', 11), (3, 'b', 0)
+        |  ) t(round, piece, mult)),
+        |tot AS (SELECT round, SUM(mult) AS tm FROM tr GROUP BY 1)
+        |SELECT CAST(tr.round AS BIGINT) AS round, tr.piece,
+        |  CAST(tr.mult * n.n AS BIGINT) AS piece_count,
+        |  CAST((tr.mult * n.n * 1000000) // (tot.tm * n.n) AS BIGINT) AS prob_fp
+        |FROM tr JOIN tot ON tot.round = tr.round CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "supplier").select(
+        concat(flatten(array_repeat(array(lit("aab")), 10)),
+          array(lit("ab")), array(lit("aa"))).as("toks"))
+      graft.operators.UnigramLm.train(docs, "toks", rounds = 3, maxPieceLen = 2)
+    },
+
     // T47: corpus-scale TOKENIZATION (BpeEncode.tokenizeCorpus) — the
     // distinct-word memoization path: posexplode words, encode each
     // DISTINCT word once (vocab-scale merge work), join back on the word

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.UnigramLm
+import org.apache.spark.sql.functions._
+
+/** Laws for the unigram-LM (SentencePiece-style) trainer. The t56 gate
+  * hash-compares the full 3-round trace cross-engine; these pin the
+  * pieces the gate can't see in isolation: the Viterbi DP's exact
+  * tie-breaks, the hand-traced EM round (every intermediate number
+  * derived on paper in the t56 comment), and the loud boundaries.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixtureDocs(reps: Int) =
+    spark.range(reps).select(
+      concat(flatten(array_repeat(array(lit("aab")), 10)),
+        array(lit("ab")), array(lit("aa"))).as("toks"))
+
+  test("hand-traced EM: seed → round-1 counts → round-2 FLIP → round-3 fixed point") {
+    val got = UnigramLm.train(fixtureDocs(1), "toks", rounds = 3, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // round 1 under seed probs (a 23/56, b/aa/ab 11/56):
+    //   aab → [a][ab], ab → [ab], aa → [aa]
+    assert(got((1L, "a")) == ((10L, 454545L)))
+    assert(got((1L, "ab")) == ((11L, 500000L)))
+    assert(got((1L, "aa")) == ((1L, 45454L)))
+    assert(got((1L, "b")) == ((0L, 0L)))
+    // round 2: re-weighted probs flip "aa" to [a][a] — (1+1)·26 = 52
+    // beats (10+1)² = 121 the OTHER way, so [aa] loses
+    assert(got((2L, "a")) == ((12L, 521739L)))
+    assert(got((2L, "ab")) == ((11L, 478260L)))
+    assert(got((2L, "aa")) == ((0L, 0L)))
+    // round 3 == round 2: the EM fixed point
+    Seq("a", "aa", "ab", "b").foreach { p =>
+      assert(got((3L, p)) == got((2L, p)), s"round 3 must be the fixed point at piece $p")
+    }
+  }
+
+  test("trace is frequency-scale-invariant: 7× the corpus multiplies counts, keeps prob_fp") {
+    val one = UnigramLm.train(fixtureDocs(1), "toks", rounds = 2, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val seven = UnigramLm.train(fixtureDocs(7), "toks", rounds = 2, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(one.map(r => (r._1, r._2, r._3 * 7, r._4)).toSeq ==
+      seven.map(r => (r._1, r._2, r._3, r._4)).toSeq)
+  }
+
+  test("viterbi: exact DP with total tie-break; unknown characters refuse with Nil") {
+    val logp = Map("a" -> -100L, "b" -> -100L, "ab" -> -150L)
+    // [ab] (-150) beats [a][b] (-200)
+    assert(UnigramLm.viterbi("ab", logp, 2) == List("ab"))
+    // score tie: [ab][a] = [a][ab] = -250 → fewer-pieces equal (2 vs 2)
+    // → lexicographically smaller piece SEQUENCE wins via the last piece
+    assert(UnigramLm.viterbi("aba", logp, 2) == List("ab", "a"))
+    // fewer pieces wins an exact score tie
+    val tie = Map("a" -> -100L, "aa" -> -200L)
+    assert(UnigramLm.viterbi("aa", tie, 2) == List("aa"))
+    assert(UnigramLm.viterbi("ax", logp, 2) == Nil)
+    assert(UnigramLm.viterbi("", logp, 2) == Nil)
+  }
+
+  test("loud boundaries: candidate cap and alpha floor") {
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.train(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2,
+        maxCandidates = 3)
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      UnigramLm.train(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2, alpha = 0L)
+    }
+    assert(e2.getMessage.contains("alpha"), e2.getMessage)
+  }
+}
