@@ -674,9 +674,14 @@ object DedupQueries {
         |qual AS (SELECT doc_id, text, ts FROM lang
         |  WHERE len(ts) BETWEEN 10 AND 100000
         |    AND round(CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(ts), 6) >= 0.01),
+        |""".stripMargin +
+        graft.functions.QualityModel.oracleCtes("qual", "qm_out") + "," +
+        s"""
+        |mq AS (SELECT q.doc_id, q.text, q.ts FROM qual q JOIN qm_out o ON o.doc_id = q.doc_id
+        |       WHERE o.score_num_fp >= ${graft.functions.QualityModel.gateThresholdFp} * o.n_grams),""".stripMargin + """
         |fq AS (SELECT doc_id, ts,
         |        row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ORDER BY doc_id) AS rn
-        |      FROM qual),
+        |      FROM mq),
         |uniq AS (SELECT doc_id, ts FROM fq WHERE rn = 1),
         |evsh AS (SELECT DISTINCT g FROM (
         |  SELECT unnest(CASE WHEN len(ts) >= 13
@@ -691,9 +696,10 @@ object DedupQueries {
         |  SELECT 1 AS stage_ord, 'total' AS stage, COUNT(*) AS n_docs, COALESCE(SUM(len(ts)), 0) AS n_tokens FROM t
         |  UNION ALL SELECT 2, 'lang_en', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM lang
         |  UNION ALL SELECT 3, 'quality', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM qual
-        |  UNION ALL SELECT 4, 'unique', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM uniq
-        |  UNION ALL SELECT 5, 'decontaminated', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM clean
-        |  UNION ALL SELECT 6, 'seq512', (COALESCE(SUM(len(ts)), 0) + 511) // 512, COALESCE(SUM(len(ts)), 0) FROM clean)
+        |  UNION ALL SELECT 4, 'model_quality', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM mq
+        |  UNION ALL SELECT 5, 'unique', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM uniq
+        |  UNION ALL SELECT 6, 'decontaminated', COUNT(*), COALESCE(SUM(len(ts)), 0) FROM clean
+        |  UNION ALL SELECT 7, 'seq512', (COALESCE(SUM(len(ts)), 0) + 511) // 512, COALESCE(SUM(len(ts)), 0) FROM clean)
         |SELECT stage_ord, stage, CAST(n_docs AS BIGINT) AS n_docs,
         |       CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM funnel""".stripMargin) { (spark, dir) =>
@@ -710,8 +716,19 @@ object DedupQueries {
         .qualityColumnsFromTokens(col("text"), col("__toks"), TextAnalysis.enStopwords)
         .toMap
       val qual = lang.filter(quality("quality_ok"))
+      // model-quality stage: the t57 fastText-style classifier as the
+      // published pipeline's second quality gate (heuristics, then model)
+      val qm = graft.functions.QualityModel
+      // the scored subtree has TWO consumers (funnel stage 4 and the
+      // dedup/decontam chain) — cache it or the per-gram hashing runs
+      // twice (BoundedCaches: same-canonical-plan registrations dedup)
+      val mq = graft.engine.BoundedCaches.persist(qual.join(
+        qm.score(qual.select(col("doc_id"), col("text")), "doc_id", "text",
+            qm.gateWeights(spark), qm.gateBuckets, qm.gateBiasFp, qm.gateThresholdFp)
+          .filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
       val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-      val uniq = qual
+      val uniq = mq
         .withColumn("__fp", TextAnalysis.fingerprintMd5(col("text")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -729,11 +746,11 @@ object DedupQueries {
             col("n_docs"), col("n_tokens"))
       val packed = clean
         .agg(coalesce(sum(size(col("__toks"))), lit(0)).cast("long").as("n_tokens"))
-        .select(lit(6).cast("int").as("stage_ord"), lit("seq512").as("stage"),
+        .select(lit(7).cast("int").as("stage_ord"), lit("seq512").as("stage"),
           expr("(n_tokens + 511) div 512").as("n_docs"), col("n_tokens"))
       Seq(stage(1, "total", base), stage(2, "lang_en", lang),
-        stage(3, "quality", qual), stage(4, "unique", uniq),
-        stage(5, "decontaminated", clean))
+        stage(3, "quality", qual), stage(4, "model_quality", mq),
+        stage(5, "unique", uniq), stage(6, "decontaminated", clean))
         .reduce(_ unionAll _)
         .unionAll(packed)
     },

@@ -106,6 +106,33 @@ object TextQueries {
               .map { case (n, c) => c.as(n) }: _*)
     },
 
+    // T57: MODEL-based quality scoring (functions/QualityModel) — the
+    // fastText-style linear classifier over HASHED n-gram features that
+    // t2's heuristics approximate (the published curation order is
+    // lang-id → quality MODEL → dedup → decontam; q11 composes this as a
+    // funnel stage). The gate replays the WHOLE inference path
+    // cross-engine: canon tokenization, unigram+bigram generation,
+    // polynomial-hash bucketing mod 4096 (the t4 fold), the
+    // collision-merged weight table, and the division-free decision
+    // bias·n + Σw ≥ θ·n — all exact BIGINT, so the full per-doc score
+    // inventory hashes. The lexicon includes one BIGRAM ("batch batch")
+    // so the bigram feature path is load-bearing in the hash.
+    QueryDef.sql(
+      "t57_quality_classifier", {
+        import graft.functions.QualityModel
+        s"""WITH ${QualityModel.oracleCtes("documents", "qm_out")}
+           |SELECT doc_id, n_grams, sum_w_fp, score_num_fp,
+           |  score_num_fp >= ${QualityModel.gateThresholdFp} * n_grams AS keep
+           |FROM qm_out""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.QualityModel
+      QualityModel.score(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", QualityModel.gateWeights(spark),
+        QualityModel.gateBuckets, QualityModel.gateBiasFp,
+        QualityModel.gateThresholdFp)
+    },
+
     // Token counting: whitespace + BPE-ish regex tokenizer.
     QueryDef.sql(
       "t3_token_count",
