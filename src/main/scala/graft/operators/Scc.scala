@@ -132,18 +132,26 @@ object Scc {
     var lvl = truncateLineage(lvlH)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      val stepped = e.join(lvl.select(col("id").as("src"), col("level")), Seq("src"))
+    def relax(cur: DataFrame): DataFrame = {
+      val stepped = e.join(cur.select(col("id").as("src"), col("level")), Seq("src"))
         .groupBy(col("dst")).agg(max(col("level") + lit(1L)).as("nl"))
-      val nH = nodes.join(stepped, nodes("id") === stepped("dst"), "left")
+      nodes.join(stepped, nodes("id") === stepped("dst"), "left")
         .select(nodes("id"), coalesce(col("nl"), lit(0L)).as("level"))
-        .persist(MEMORY_AND_DISK)
+    }
+    // TWO relaxations per ACTION (the components color-loop economy):
+    // levels are pointwise NONDECREASING in rounds, so sum(k) ==
+    // sum(k+2) still reads "nothing moved in either round", and extra
+    // rounds past the fixpoint are the identity — bit-identical output.
+    while (!converged && round < maxRounds) {
+      val midH = relax(lvl).persist(MEMORY_AND_DISK)
+      val nH = relax(truncateLineage(midH)).persist(MEMORY_AND_DISK)
       val newSum = labelSum(nH, "level")
       lvlH.unpersist(blocking = false)
+      midH.unpersist(blocking = false)
       lvl = truncateLineage(nH); lvlH = nH
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
-      round += 1
+      round += 2
     }
     eH.unpersist(blocking = false)
     nodesH.unpersist(blocking = false)
@@ -199,27 +207,46 @@ object Scc {
     var outer = 0
     while (remainingRows > 0L && outer < maxOuterRounds) {
       // --- TRIM to a fixpoint: no-in or no-out ⇒ singleton SCC ---
+      // Action economy (the d54 constant): the live test is ONE fused
+      // degree aggregate (has-in AND has-out in one shuffle, not two
+      // DISTINCT + two semi joins), the per-round induced edge set stays
+      // LAZY inside the live action, and the edge cache is re-pinned
+      // ONCE at the fixpoint instead of per shrink round.
       var trimming = true
+      var trimRounds = 0
+      var trimmedAny = false
       while (trimming && remainingRows > 0L) {
-        val live = remaining
-          .join(ei.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
-          .join(ei.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+        trimRounds += 1
+        val eLive =
+          if (trimmedAny) ei
+            .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          else ei // entry edges are already induced on `remaining`
+        val deg = eLive.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+          .unionAll(eLive.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy(col("id")).agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+        val live = remaining.join(
+          deg.filter(col("ho") === 1 && col("hi") === 1).select(col("id")),
+          Seq("id"), "left_semi")
         val (liveV, liveH) = pin(live)
         val liveRows = liveH.count()
         if (liveRows == remainingRows) {
           liveH.unpersist(blocking = false)
           trimming = false
         } else {
+          trimmedAny = true
           addAssigned(remaining.join(liveV, Seq("id"), "left_anti")
             .select(col("id"), col("id").as("scc")))
           remainingH.unpersist(blocking = false)
           remaining = liveV; remainingH = liveH; remainingRows = liveRows
-          val (nei, neiH) = pin(ei
-            .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
-            .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi"))
-          eiH.unpersist(blocking = false)
-          ei = nei; eiH = neiH
         }
+      }
+      if (trimmedAny && remainingRows > 0L) {
+        val (nei, neiH) = pin(ei
+          .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        eiH.unpersist(blocking = false)
+        ei = nei; eiH = neiH
       }
       if (remainingRows > 0L) {
         // --- COLOR: forward min-label to fixpoint ---
@@ -230,19 +257,34 @@ object Scc {
         var f = truncateLineage(fH)
         var prop = 0
         var converged = false
-        while (!converged && prop < maxPropRounds) {
-          val nbrMin = ei.join(f.select(col("id").as("src"), col("f")), Seq("src"))
+        def colorStep(cur: DataFrame): DataFrame = {
+          val nbrMin = ei.join(cur.select(col("id").as("src"), col("f")), Seq("src"))
             .groupBy(col("dst"))
             .agg(min(col("f")).as("nf"))
-          val nfH = f.join(nbrMin, f("id") === nbrMin("dst"), "left")
-            .select(f("id"), least(col("f"), coalesce(col("nf"), col("f"))).as("f"))
-            .persist(MEMORY_AND_DISK)
+          cur.join(nbrMin, cur("id") === nbrMin("dst"), "left")
+            .select(cur("id"), least(col("f"), coalesce(col("nf"), col("f"))).as("f"))
+        }
+        // TWO propagation rounds per ACTION (the d54 constant): the mid
+        // round carries a persist marker and materializes as a side
+        // effect of the outer round's labelSum — label sums decrease
+        // strictly until the fixpoint, so sum(k) == sum(k+2) still means
+        // "nothing moved in either round", and past the fixpoint an
+        // extra min-step is the identity (labels unchanged — the output
+        // is bit-identical to single-stepping).
+        while (!converged && prop < maxPropRounds) {
+          val midH = colorStep(f).persist(MEMORY_AND_DISK)
+          // lazy truncation: .rdd plans through the persist marker, so the
+          // mid round materializes (once) inside the SAME action as the
+          // outer labelSum, and the self-referential join below sees a
+          // clean leaf instead of shared attribute ids
+          val nfH = colorStep(truncateLineage(midH)).persist(MEMORY_AND_DISK)
           val newSum = labelSum(nfH, "f")
           fH.unpersist(blocking = false)
+          midH.unpersist(blocking = false)
           f = truncateLineage(nfH); fH = nfH
           converged = newSum.compareTo(prevSum) == 0
           prevSum = newSum
-          prop += 1
+          prop += 2
         }
         if (!converged) {
           fH.unpersist(blocking = false)
@@ -260,24 +302,33 @@ object Scc {
         var frontier = pivots
         var frontierRows = -1L
         var sweep = 0
+        def sweepWave(fr: DataFrame, settledIds: DataFrame): DataFrame = ei
+          .join(fr.select(col("id").as("dst"), col("scc")), Seq("dst"))
+          .select(col("src").as("id"), col("scc"))
+          .distinct()
+          .join(f, Seq("id"))
+          .filter(col("f") === col("scc"))
+          .select(col("id"), col("scc"))
+          .join(settledIds, Seq("id"), "left_anti")
+        // TWO waves per ACTION (the color-loop economy): w1 carries a
+        // persist marker and materializes inside w2's count; w2 empty ⇒
+        // preds(w1 ∪ settled) exhausted ⇒ the sweep is complete whether
+        // or not w1 added rows, so the single count still terminates
+        // correctly. Possibly-empty w1 leaves in `waves` union away.
         while (frontierRows != 0L && sweep < maxPropRounds) {
           val settledIds = waves.map(_._1).reduce(_ unionAll _).select(col("id"))
-          val preds = ei
-            .join(frontier.select(col("id").as("dst"), col("scc")), Seq("dst"))
-            .select(col("src").as("id"), col("scc"))
-            .distinct()
-            .join(f, Seq("id"))
-            .filter(col("f") === col("scc"))
-            .select(col("id"), col("scc"))
-            .join(settledIds, Seq("id"), "left_anti")
-          val pH = preds.persist(MEMORY_AND_DISK)
-          frontierRows = pH.count()
+          val w1H = sweepWave(frontier, settledIds).persist(MEMORY_AND_DISK)
+          val w1 = truncateLineage(w1H)
+          val w2H = sweepWave(w1, settledIds.unionAll(w1.select(col("id"))))
+            .persist(MEMORY_AND_DISK)
+          frontierRows = w2H.count()
+          waves += ((w1, w1H))
           if (frontierRows > 0L) {
-            val pV = truncateLineage(pH)
-            waves += ((pV, pH))
-            frontier = pV
-          } else pH.unpersist(blocking = false)
-          sweep += 1
+            val w2 = truncateLineage(w2H)
+            waves += ((w2, w2H))
+            frontier = w2
+          } else w2H.unpersist(blocking = false)
+          sweep += 2
         }
         if (frontierRows != 0L) {
           throw new IllegalStateException(
@@ -289,8 +340,8 @@ object Scc {
         // operator's cost is rounds × fixed job overhead, so the counts
         // ARE the profile.
         Console.err.println(
-          s"[scc] outer=$outer colorRounds=$prop sweepWaves=${waves.size - 1} " +
-            s"live=$remainingRows")
+          s"[scc] outer=$outer trimRounds=$trimRounds colorRounds=$prop " +
+            s"sweepWaves=${waves.size - 1} live=$remainingRows")
         addAssigned(settled) // materializes the union into the accumulator
         val nextRemaining = remaining.join(settled.select(col("id")), Seq("id"), "left_anti")
         val (rV, rH) = pin(nextRemaining)
