@@ -111,6 +111,54 @@ object UnigramLm {
     } finally wcDf.unpersist(blocking = false)
   }
 
+  /** Corpus-scale ENCODING with a trained unigram-LM vocabulary — the
+    * [[BpeEncode.tokenizeCorpus]] shape for the EM-trained model: the
+    * Viterbi loop runs once per DISTINCT word (Zipf memoization —
+    * vocab-scale work, sublinear in corpus size) under the broadcast
+    * piece table, then a word-keyed join fans subtokens back out and
+    * document order is restored via sort_array(struct(pos, …)). A word
+    * the vocabulary cannot segment (a character outside every piece)
+    * becomes the single token `<unk>` — the published SentencePiece
+    * convention, deterministic and oracle-expressible.
+    *
+    * @param pieceCounts the trained inventory — [[train]]'s FINAL-round
+    *                    (piece, piece_count) rows, vocab-scale
+    * @return (idCol, toks array<string>, n_tokens); empty/whitespace
+    *         docs keep an empty array, not a dropped row
+    */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      pieceCounts: Seq[(String, Long)], maxPieceLen: Int,
+      alpha: Long = 1L): DataFrame = {
+    require(alpha >= 1L, s"alpha must be >= 1, got $alpha")
+    require(pieceCounts.nonEmpty, "empty piece inventory")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val total = pieceCounts.iterator.map(_._2).sum + alpha * pieceCounts.length
+    val logp: Map[String, Long] = pieceCounts.iterator.map { case (p, c) =>
+      p -> math.floor(math.log((c + alpha).toDouble / total.toDouble) * 1e6).toLong
+    }.toMap
+    val bc = spark.sparkContext.broadcast(logp)
+    val maxLen = maxPieceLen
+    val words = docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextTokens.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val vocab = words.select(col("w")).distinct().as[String]
+      .map { w =>
+        val segs = viterbi(w, bc.value, maxLen)
+        (w, if (segs.isEmpty) Array("<unk>") else segs.toArray)
+      }
+      .toDF("w", "subtoks")
+    val assembled = words.join(vocab, "w")
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subtoks"))))
+        .getField("subtoks")).as("toks"))
+    docs.select(col(idCol).as("id"))
+      .join(assembled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("toks"), array().cast("array<string>")).as("toks"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"))
+  }
+
   /** Best segmentation of `w` under micro-nat piece scores: Long-exact
     * DP, O(len · maxPieceLen) lookups. Tie-break: higher score, then
     * FEWER pieces, then lexicographically smaller piece sequence —

@@ -526,6 +526,40 @@ object PackingQueries {
       graft.operators.UnigramLm.train(docs, "toks", rounds = 3, maxPieceLen = 2)
     },
 
+    // T58: corpus-scale unigram-LM ENCODING (UnigramLm.encodeCorpus) —
+    // t56 trains the EM vocabulary; this applies it, completing the
+    // second tokenizer family the way t46/t47 complete BPE. Text doc_k =
+    // the first k words of the cycle [aab, ab, aa, …], and the t56
+    // FIXED-POINT model segments each closed-form (aab→a|ab, ab→ab,
+    // aa→a|a — the round-2 flip is visible in the encoding: an
+    // un-EM'd seed model would emit aa as one piece and fail the hash).
+    // n_tokens and the joined stream are a CASE in k; `detok`
+    // re-concatenates the encoded stream so lossless roundtrip is part
+    // of the hash (the t46 discipline). Distinct-word memoized Viterbi +
+    // one word-keyed join, document order restored by sort_array.
+    QueryDef.sql(
+      "t58_unigram_encode",
+      """WITH k AS (SELECT s_suppkey AS id, (s_suppkey % 5) + 1 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(CASE k WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 5 WHEN 4 THEN 7 ELSE 8 END AS BIGINT) AS n_tokens,
+        |  CASE k WHEN 1 THEN 'a|ab' WHEN 2 THEN 'a|ab|ab' WHEN 3 THEN 'a|ab|ab|a|a'
+        |         WHEN 4 THEN 'a|ab|ab|a|a|a|ab' ELSE 'a|ab|ab|a|a|a|ab|ab' END AS toks_joined,
+        |  CASE k WHEN 1 THEN 'aab' WHEN 2 THEN 'aabab' WHEN 3 THEN 'aababaa'
+        |         WHEN 4 THEN 'aababaaaab' ELSE 'aababaaaabab' END AS detok
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val texts = Tables.load(spark, dir, "supplier").select(
+        col("s_suppkey").cast("long").as("id"),
+        expr("concat_ws(' ', transform(sequence(1, CAST(s_suppkey % 5 + 1 AS INT)), " +
+          "j -> element_at(array('aab', 'ab', 'aa'), CAST((j - 1) % 3 AS INT) + 1)))").as("text"))
+      graft.operators.UnigramLm
+        .encodeCorpus(texts, "id", "text", unigramFixturePieces(spark, dir),
+          maxPieceLen = 2)
+        .select(col("id"),
+          col("n_tokens"),
+          array_join(col("toks"), "|").as("toks_joined"),
+          concat_ws("", col("toks")).as("detok"))
+    },
+
     // T47: corpus-scale TOKENIZATION (BpeEncode.tokenizeCorpus) — the
     // distinct-word memoization path: posexplode words, encode each
     // DISTINCT word once (vocab-scale merge work), join back on the word
@@ -581,4 +615,23 @@ object PackingQueries {
         .collect()
         .map(r => (r.getString(1), r.getString(2)))
         .toSeq)
+
+  /** The t58 inventory: the t56 fixture TRAINED to its fixed point, the
+    * final round's (piece, piece_count) rows collected the way a
+    * production tokenizer ships its model (vocab-scale). Memoized per
+    * data dir like [[bpeFixtureMerges]]. */
+  private val unigramMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def unigramFixturePieces(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, Long)] =
+    unigramMemo.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(spark, dir, "supplier").select(
+        concat(flatten(array_repeat(array(lit("aab")), 10)),
+          array(lit("ab")), array(lit("aa"))).as("toks"))
+      graft.operators.UnigramLm.train(docs, "toks", rounds = 3, maxPieceLen = 2)
+        .filter(col("round") === 3L)
+        .collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+        .toSeq
+    })
 }

@@ -64,6 +64,25 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(UnigramLm.viterbi("", logp, 2) == Nil)
   }
 
+  test("encodeCorpus: fixed-point segmentations, <unk> routing, empty docs kept") {
+    // train on the fixture, encode with the FINAL round's inventory
+    val pieces = UnigramLm.train(fixtureDocs(1), "toks", rounds = 3, maxPieceLen = 2)
+      .filter(col("round") === 3L)
+      .as[(Long, String, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+    val docs = Seq(
+      (1L, "aab ab aa"),   // the three trained words
+      (2L, "aaxb aa"),     // 'x' is outside every piece → <unk>
+      (3L, "")             // empty doc keeps an empty array
+    ).toDF("id", "text")
+    val got = UnigramLm.encodeCorpus(docs, "id", "text", pieces, maxPieceLen = 2)
+      .select(col("id"), concat_ws("|", col("toks")).as("tj"), col("n_tokens"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "a|ab|ab|a|a", 5L)),
+      "fixed-point model must segment aa as [a][a] — the EM flip is visible in encoding")
+    assert(got(1) == ((2L, "<unk>|a|a", 3L)))
+    assert(got(2) == ((3L, "", 0L)))
+  }
+
   test("loud boundaries: candidate cap and alpha floor") {
     val e = intercept[IllegalArgumentException] {
       UnigramLm.train(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2,
