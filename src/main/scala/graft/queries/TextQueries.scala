@@ -133,6 +133,78 @@ object TextQueries {
         QualityModel.gateThresholdFp)
     },
 
+    // T59: the GOPHER rule-pack (functions/GopherRules — Rae et al. 2021
+    // Appendix A1, the published document-shape rules every curation
+    // stack runs beside a model filter). All ratios are exact 1e-6
+    // fixed-point BIGINTs (num·1e6 div den — native IntegralDivide, not
+    // the double-widening Column `/`), so the full measurement + rule
+    // inventory hashes cross-engine. The corpus has no line structure or
+    // symbols, so the fixture derives one doc-shape CLASS per doc_id%5
+    // (identical construction both engines — the t50/j2-audit pattern):
+    // class 1 plants the stop words (r_stop_words splits), class 2 is
+    // 10/11 bullet lines (> the 0.9 line rule), class 3 is 2/3 ellipsis
+    // lines (> 0.3), class 4 appends 40 numeric words + '##' (r_alpha
+    // fails below 168 corpus words — per-doc deterministic), class 0 is
+    // the raw doc (r_word_count splits on the 50-word floor).
+    QueryDef.sql(
+      "t59_gopher_rules",
+      """WITH d0 AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN text || ' of and that have with'
+        |    WHEN 2 THEN repeat('- b' || chr(10), 10) || text
+        |    WHEN 3 THEN text || chr(10) || 'x...' || chr(10) || 'y...'
+        |    ELSE text || repeat(' 12345', 40) || ' ## ...' END AS txt
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(txt)), '\s+'), w -> w <> '') AS ws,
+        |  string_split(txt, chr(10)) AS ls,
+        |  CAST(length(regexp_replace(lower(trim(txt)), '\s', '', 'g')) AS BIGINT) AS sumlen,
+        |  CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) AS nhash,
+        |  CAST((length(txt) - length(replace(txt, '...', ''))) // 3 AS BIGINT) AS nell
+        |  FROM d0),
+        |c AS (SELECT doc_id, sumlen, nhash, nell,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS nalpha,
+        |  CAST(len(list_distinct(list_filter(ws, w -> w IN ('the','be','to','of','and','that','have','with')))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(list_filter(ls, l -> starts_with(l, '- '))) AS BIGINT) AS nbul,
+        |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT) AS nelll
+        |  FROM m),
+        |f AS (SELECT doc_id, n_words, n_stopwords,
+        |  CASE WHEN n_words > 0 THEN (sumlen * 1000000) // n_words ELSE 0 END AS mean_word_len_fp,
+        |  CASE WHEN n_words > 0 THEN (nhash * 1000000) // n_words ELSE 0 END AS hash_ratio_fp,
+        |  CASE WHEN n_words > 0 THEN (nell * 1000000) // n_words ELSE 0 END AS ellipsis_ratio_fp,
+        |  CASE WHEN n_lines > 0 THEN (nbul * 1000000) // n_lines ELSE 0 END AS bullet_frac_fp,
+        |  CASE WHEN n_lines > 0 THEN (nelll * 1000000) // n_lines ELSE 0 END AS ellipsis_line_frac_fp,
+        |  CASE WHEN n_words > 0 THEN (nalpha * 1000000) // n_words ELSE 0 END AS alpha_frac_fp
+        |  FROM c)
+        |SELECT doc_id, n_words, mean_word_len_fp, hash_ratio_fp, ellipsis_ratio_fp,
+        |  bullet_frac_fp, ellipsis_line_frac_fp, alpha_frac_fp, n_stopwords,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_word_len_fp BETWEEN 3000000 AND 10000000 AS r_mean_word_len,
+        |  (hash_ratio_fp <= 100000 AND ellipsis_ratio_fp <= 100000) AS r_symbol_ratio,
+        |  bullet_frac_fp <= 900000 AS r_bullet_lines,
+        |  ellipsis_line_frac_fp <= 300000 AS r_ellipsis_lines,
+        |  alpha_frac_fp >= 800000 AS r_alpha_words,
+        |  n_stopwords >= 2 AS r_stop_words,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len_fp BETWEEN 3000000 AND 10000000
+        |   AND hash_ratio_fp <= 100000 AND ellipsis_ratio_fp <= 100000
+        |   AND bullet_frac_fp <= 900000 AND ellipsis_line_frac_fp <= 300000
+        |   AND alpha_frac_fp >= 800000 AND n_stopwords >= 2) AS gopher_keep
+        |FROM f""".stripMargin) { (spark, dir) =>
+      import graft.functions.GopherRules
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val txt = when(m5 === 0, col("text"))
+        .when(m5 === 1, concat(col("text"), lit(" of and that have with")))
+        .when(m5 === 2, concat(repeat(lit("- b\n"), 10), col("text")))
+        .when(m5 === 3, concat(col("text"), lit("\nx...\ny...")))
+        .otherwise(concat(col("text"), repeat(lit(" 12345"), 40), lit(" ## ...")))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), txt.as("__txt"))
+        .select(col("doc_id") +:
+          GopherRules.columns(col("__txt")).map { case (n, c) => c.as(n) }: _*)
+    },
+
     // Token counting: whitespace + BPE-ish regex tokenizer.
     QueryDef.sql(
       "t3_token_count",
