@@ -60,19 +60,37 @@ object Bfs {
     // settled levels: each element is a persisted RDD-leaf (v, dist) frame
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("dist", lit(0L)))
-    var h = 1
-    while (h <= maxHops && frontierRows > 0L) {
-      val settled = levels.reduce(_ unionAll _).select(col("v"))
-      var next = e.join(frontier.select(col("v").as("__f")), col("src") === col("__f"))
+    def hop(fr: DataFrame, settled: DataFrame): DataFrame =
+      e.join(fr.select(col("v").as("__f")), col("src") === col("__f"))
         .select(col("dst").as("v"))
         .distinct()
         .join(settled, Seq("v"), "left_anti")
-        .persist(MEMORY_AND_DISK)
-      frontierRows = next.count() // ONE action: materialize + early-exit test
-      next = truncateLineage(next)
-      levels += next.withColumn("dist", lit(h.toLong))
-      frontier = next
-      h += 1
+    var h = 1
+    // TWO hops per ACTION (the Scc sweep economy): hop h carries a
+    // persist marker and materializes inside hop h+1's count; an empty
+    // second hop still terminates correctly (preds of empty is empty),
+    // and possibly-empty level leaves union away. The odd final hop
+    // under maxHops runs single.
+    while (h <= maxHops && frontierRows > 0L) {
+      val settled = levels.reduce(_ unionAll _).select(col("v"))
+      if (h == maxHops) {
+        var next = hop(frontier, settled).persist(MEMORY_AND_DISK)
+        frontierRows = next.count() // ONE action: materialize + early-exit test
+        next = truncateLineage(next)
+        levels += next.withColumn("dist", lit(h.toLong))
+        frontier = next
+        h += 1
+      } else {
+        val n1 = truncateLineage(hop(frontier, settled).persist(MEMORY_AND_DISK))
+        val n2H = hop(n1, settled.unionAll(n1.select(col("v"))))
+          .persist(MEMORY_AND_DISK)
+        frontierRows = n2H.count()
+        val n2 = truncateLineage(n2H)
+        levels += n1.withColumn("dist", lit(h.toLong))
+        levels += n2.withColumn("dist", lit(h + 1L))
+        frontier = n2
+        h += 2
+      }
     }
     val out = levels.reduce(_ unionAll _)
     e.unpersist(blocking = false)

@@ -81,25 +81,38 @@ object RandomWalks {
     var frontier = truncateLineage(frontier0)
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("step", lit(0L)))
+    def stepFn(fr: DataFrame, s: Int): DataFrame = fr
+      .join(degs, fr("v") === degs("src"))
+      .select(col("seed"), col("walk"),
+        (mix(col("seed"), col("walk"), lit(s.toLong), col("v")) % col("deg"))
+          .as("pick"),
+        col("v").as("cur"))
+      .join(adj, col("cur") === adj("src") && col("pick") === adj("idx"))
+      .select(col("seed"), col("walk"), col("dst").as("v"))
     var step = 1
+    // TWO steps per ACTION (the Scc sweep economy): the mid step carries
+    // a persist marker and materializes inside the outer step's count;
+    // an empty mid step makes the outer empty too, so the single count
+    // still terminates correctly. Levels OWN their caches until the
+    // final union (unpersisting early would force recompute chains).
     while (step <= length && frontierRows > 0L) {
-      val nextH = frontier
-        .join(degs, frontier("v") === degs("src"))
-        .select(col("seed"), col("walk"),
-          (mix(col("seed"), col("walk"), lit(step.toLong), col("v")) % col("deg"))
-            .as("pick"),
-          col("v").as("cur"))
-        .join(adj, col("cur") === adj("src") && col("pick") === adj("idx"))
-        .select(col("seed"), col("walk"), col("dst").as("v"))
-        .persist(MEMORY_AND_DISK)
-      frontierRows = nextH.count()
-      val next = truncateLineage(nextH)
-      // Levels OWN their caches until the final union (the Bfs contract):
-      // unpersisting the previous frontier here would force each level to
-      // recompute through its whole RDD chain when the union reads it.
-      levels += next.withColumn("step", lit(step.toLong))
-      frontier = next
-      step += 1
+      if (step == length) {
+        val nextH = stepFn(frontier, step).persist(MEMORY_AND_DISK)
+        frontierRows = nextH.count()
+        val next = truncateLineage(nextH)
+        levels += next.withColumn("step", lit(step.toLong))
+        frontier = next
+        step += 1
+      } else {
+        val n1 = truncateLineage(stepFn(frontier, step).persist(MEMORY_AND_DISK))
+        val n2H = stepFn(n1, step + 1).persist(MEMORY_AND_DISK)
+        frontierRows = n2H.count()
+        val n2 = truncateLineage(n2H)
+        levels += n1.withColumn("step", lit(step.toLong))
+        levels += n2.withColumn("step", lit(step + 1L))
+        frontier = n2
+        step += 2
+      }
     }
     val out = levels.reduce(_ unionAll _)
       .select(col("seed"), col("walk"), col("step"), col("v"))
@@ -158,10 +171,9 @@ object RandomWalks {
     }
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("seed"), lit(0L).as("step"), col("v")))
-    var step = 1
-    while (step <= length && frontierRows > 0L) {
-      val wCand = frontier
-        .join(adj, frontier("v") === adj("src"))
+    def stepFn(fr: DataFrame, s: Int): DataFrame = {
+      val wCand = fr
+        .join(adj, fr("v") === adj("src"))
         .join(epairs,
           col("prev") === col("__p") && col("dst") === col("__c"), "left")
         .select(col("seed"), col("prev"), col("v"), col("dst"), col("idx"),
@@ -170,7 +182,7 @@ object RandomWalks {
             .when(col("__t").isNotNull, lit(wCommon))
             .otherwise(lit(wForward)).as("w"))
       val walker = Window.partitionBy(col("seed"), col("v"), col("prev"))
-      val picked = wCand
+      wCand
         .withColumn("cum", sum(col("w")).over(walker.orderBy(col("idx"))))
         .withColumn("total", sum(col("w")).over(walker))
         // total can be 0 when every candidate's weight is 0 (e.g. only a
@@ -178,16 +190,30 @@ object RandomWalks {
         // ANSI mode makes a bare `% 0` throw rather than null
         .withColumn("r",
           when(col("total") > 0L,
-            mix(col("seed"), lit(0L), lit(step.toLong), col("v")) % col("total")))
+            mix(col("seed"), lit(0L), lit(s.toLong), col("v")) % col("total")))
         .filter(col("cum") - col("w") <= col("r") && col("r") < col("cum"))
-      val nextH = picked
         .select(col("seed"), col("v").as("prev"), col("dst").as("v"))
-        .persist(MEMORY_AND_DISK)
-      frontierRows = nextH.count()
-      val next = truncateLineage(nextH)
-      levels += next.select(col("seed"), lit(step.toLong).as("step"), col("v"))
-      frontier = next
-      step += 1
+    }
+    var step = 1
+    // TWO steps per ACTION (the deepWalks economy above)
+    while (step <= length && frontierRows > 0L) {
+      if (step == length) {
+        val nextH = stepFn(frontier, step).persist(MEMORY_AND_DISK)
+        frontierRows = nextH.count()
+        val next = truncateLineage(nextH)
+        levels += next.select(col("seed"), lit(step.toLong).as("step"), col("v"))
+        frontier = next
+        step += 1
+      } else {
+        val n1 = truncateLineage(stepFn(frontier, step).persist(MEMORY_AND_DISK))
+        val n2H = stepFn(n1, step + 1).persist(MEMORY_AND_DISK)
+        frontierRows = n2H.count()
+        val n2 = truncateLineage(n2H)
+        levels += n1.select(col("seed"), lit(step.toLong).as("step"), col("v"))
+        levels += n2.select(col("seed"), lit(step + 1L).as("step"), col("v"))
+        frontier = n2
+        step += 2
+      }
     }
     val out = levels.reduce(_ unionAll _)
       .select(col("seed"), col("step"), col("v"))
