@@ -279,6 +279,43 @@ object ScanQueries {
           (col("a10") === col("a11") || col("a11") === 10).as("stable_or_new"))
     },
 
+    // S16: TFRecord shard round-trip (io/TfRecordExport) — the
+    // training-data container of the TF/JAX stacks, hand-built from the
+    // PUBLIC specs (length + masked-CRC32C framing, tf.train.Example
+    // protobuf wire format; a golden-bytes spec pins the encoding
+    // byte-for-byte against a hand derivation). Same bound-audit shape
+    // as s15: write the documents manifest as 4 shards, read every
+    // record back through the CRC-verifying parser, hash the theorems
+    // beside exact values. A writer that mis-frames a record, drops a
+    // null-feature convention, or mis-masks a CRC fails on a value.
+    QueryDef.sql(
+      "s16_tfrecord_shards",
+      """SELECT CAST(4 AS INT) AS n_shards,
+        |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  TRUE AS roundtrip_identical, TRUE AS shards_nonempty
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.io.TfRecordExport
+      import org.apache.spark.sql.types._
+      val sel = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tfrecord").toString
+      val manifest = TfRecordExport
+        .writeShards(sel.repartition(4, col("doc_id")), tmp)
+        .collect() // 4-row manifest — bounded, and materializes the write
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType)))
+      val back = TfRecordExport.readShards(spark, tmp, schema)
+      val diff = back.exceptAll(sel).unionAll(sel.exceptAll(back)).count()
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          manifest.length, manifest.map(_.getLong(1)).sum,
+          diff == 0L, manifest.forall(_.getLong(1) > 0L))),
+        StructType(Seq(StructField("n_shards", IntegerType, nullable = false),
+          StructField("total_rows", LongType, nullable = false),
+          StructField("roundtrip_identical", BooleanType, nullable = false),
+          StructField("shards_nonempty", BooleanType, nullable = false))))
+    },
+
     // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
     // interchange export beside the JSONL and TAR sinks. The gate is the
     // s10/s11 bound-audit shape crossing into the Arrow format: write the
