@@ -316,6 +316,35 @@ object ScanQueries {
           StructField("shards_nonempty", BooleanType, nullable = false))))
     },
 
+    // S17: WARC crawl-archive round-trip (io/WarcIo — ISO 28500, the
+    // public CommonCrawl format): the INPUT side of a web-corpus engine.
+    // Unlike the s15/s16 boolean audits this gate hashes FULL VALUES:
+    // every response record written shard-wise (with the spec's warcinfo
+    // preamble per shard) comes back through the REAL Content-Length-
+    // driven parser + HTTP splitter, and the oracle REBUILDS uri /
+    // record-id / content-length / status / body from the documents
+    // table by arithmetic — content_length = 45 header bytes +
+    // strlen(text) pins the byte accounting, and the warcinfo preamble
+    // must be filtered by type (a parser that returns it adds rows and
+    // fails the hash).
+    QueryDef.sql(
+      "s17_warc_roundtrip",
+      """SELECT 'response' AS warc_type,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  CAST(45 + strlen(text) AS BIGINT) AS content_length,
+        |  CAST(200 AS INT) AS http_status, text AS body
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.io.WarcIo
+      val docs = Tables.load(spark, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        col("text").as("body"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      WarcIo.writeShards(docs.repartition(4, col("id")), tmp).collect()
+      WarcIo.readResponses(spark, tmp)
+    },
+
     // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
     // interchange export beside the JSONL and TAR sinks. The gate is the
     // s10/s11 bound-audit shape crossing into the Arrow format: write the
