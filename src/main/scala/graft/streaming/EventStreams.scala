@@ -259,6 +259,22 @@ object EventStreams {
       .select(col("doc_id"), col("g"))
   }
 
+  /** Streaming QUALITY-MODEL gate — the t57 fastText-style classifier on
+    * a document stream, the online admission check of a continuously
+    * ingesting curation pipeline. COMPLETELY STATELESS: the batch
+    * scorer's doc-keyed aggregate would be unbounded stream state, so
+    * this rides [[graft.functions.QualityModel.scoreStateless]] — the
+    * weight table as a plan-literal map, the per-doc sum as a fold over
+    * the gram array; per micro-batch each row is scored and forgotten.
+    * Output (doc_id, n_grams, sum_w_fp, score_num_fp, keep) is
+    * row-identical to the batch scorer (parity pinned in
+    * QualityModelSpec AND stream==batch in StreamingSpec).
+    */
+  def qualityGateStream(docs: DataFrame, weights: Map[Long, Long],
+      buckets: Long, biasFp: Long, thresholdFp: Long): DataFrame =
+    graft.functions.QualityModel.scoreStateless(
+      docs, "doc_id", "text", weights, buckets, biasFp, thresholdFp)
+
   // ---- custom state: explicit sessionization with flatMapGroupsWithState ----
 
   case class Ev(user_id: Long, ts: Timestamp)

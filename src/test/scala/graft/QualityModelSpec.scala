@@ -57,6 +57,22 @@ class QualityModelSpec extends AnyFunSuite {
     assert(wt.head._1 >= 0L && wt.head._1 < QualityModel.gateBuckets)
   }
 
+  test("scoreStateless == score row-for-row (the streaming-compatible form)") {
+    val docs = Seq(
+      (1L, "batch fast batch"), (2L, "slow slow dup"), (3L, ""),
+      (4L, "the quick brown spark vector runs fast café")).toDF("doc_id", "text")
+    val joined = QualityModel.score(docs, "doc_id", "text",
+      QualityModel.gateWeights(spark), QualityModel.gateBuckets,
+      QualityModel.gateBiasFp, QualityModel.gateThresholdFp)
+    val wmap = QualityModel.gateWeights(spark)
+      .as[(Long, Long)].collect().toMap
+    val stateless = QualityModel.scoreStateless(docs, "doc_id", "text",
+      wmap, QualityModel.gateBuckets,
+      QualityModel.gateBiasFp, QualityModel.gateThresholdFp)
+    assert(stateless.exceptAll(joined).unionAll(joined.exceptAll(stateless)).count() == 0L,
+      "the fold-over-literal-map form must equal the explode+join form")
+  }
+
   test("non-ASCII text folds to '?' before hashing instead of throwing") {
     val r = scoreOf(Seq("fast café"))
     assert(r.head._2 == 3L) // 2 unigrams + 1 bigram, no PolynomialHash refusal

@@ -209,6 +209,33 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming quality-model gate == batch t57 scorer (stateless fold form)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.functions.QualityModel
+    val wmap = QualityModel.gateWeights(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gate = EventStreams.qualityGateStream(
+      EventStreams.readDocumentsStream(spark, dir),
+      wmap, QualityModel.gateBuckets, QualityModel.gateBiasFp,
+      QualityModel.gateThresholdFp)
+    val q = gate.writeStream.format("memory").queryName("qm_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("qm_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val batch = QualityModel.score(
+      graft.io.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", QualityModel.gateWeights(spark),
+      QualityModel.gateBuckets, QualityModel.gateBiasFp, QualityModel.gateThresholdFp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch, "stream gate must equal the batch t57 scorer row-for-row")
+    assert(batch.exists(_._5) && batch.exists(!_._5), "both decisions present")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
