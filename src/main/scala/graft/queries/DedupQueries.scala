@@ -266,6 +266,50 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // D70: PARAGRAPH-level dedup (functions/ParagraphDedup — the CCNet
+    // preprocessing stage, public method): corpus-wide first-wins on
+    // paragraph fingerprints, then in-order reassembly — what actually
+    // strips boilerplate (nav bars, footers) document fingerprints can't
+    // see. The corpus has no paragraph structure, so the fixture builds
+    // 3-paragraph docs (own text | one of 7 shared boilerplate blocks |
+    // a per-source tail) — the boilerplate and tails dedup corpus-wide,
+    // exact-dup docs lose their body too, and the oracle replays the
+    // whole rule with a window + ordered string_agg. FULL VALUES: the
+    // reassembled clean_text is in the hash, so a reassembly that loses
+    // paragraph ORDER (an unsorted collect_list) fails even when counts
+    // match. One explode + ONE fp-keyed window shuffle + one doc-keyed
+    // reassembly — linear at 100 TB.
+    QueryDef.sql(
+      "d70_paragraph_dedup",
+      """WITH d0 AS (SELECT doc_id,
+        |    text || chr(10) || chr(10) || 'boilerplate block ' || CAST(doc_id % 7 AS VARCHAR)
+        |         || chr(10) || chr(10) || 'tail ' || source AS txt
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, string_split(txt, chr(10) || chr(10)) AS ps FROM d0),
+        |p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |      FROM p0, LATERAL (SELECT unnest(range(1, len(ps) + 1)) AS i) t
+        |      WHERE ps[i] <> ''),
+        |r AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |      FROM p),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+        |        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+        |          chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+        |      FROM r GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
+        |       COALESCE(a.n_kept, 0) AS n_kept,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
+      val txt = concat(col("text"),
+        lit("\n\nboilerplate block "), pmod(col("doc_id"), lit(7L)),
+        lit("\n\ntail "), col("source"))
+      graft.functions.ParagraphDedup.dedup(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), txt.as("text")),
+        "doc_id", "text")
+    },
+
     // Exact dedup: canonical-text fingerprint → groupBy → first-id keeper.
     // At 100 TB this is one shuffle on a 16-byte key.
     QueryDef.sql(
