@@ -86,19 +86,7 @@ object UnigramLm {
 
       val trace = ListBuffer.empty[(Long, String, Long, Long)]
       for (round <- 1 to rounds) {
-        val total = counts.valuesIterator.sum + alpha * pieces.length
-        val logp: Map[String, Long] = pieces.iterator.map { p =>
-          p -> math.floor(math.log(
-            (counts.getOrElse(p, 0L) + alpha).toDouble / total.toDouble) * 1e6).toLong
-        }.toMap
-        val bcLogp = spark.sparkContext.broadcast(logp)
-        val maxLen = maxPieceLen
-        val roundCounts = wc.flatMap { case (w, n) =>
-          viterbi(w, bcLogp.value, maxLen).map(p => (p, n))
-        }.toDF("piece", "c")
-          .groupBy(col("piece")).agg(sum(col("c")).as("c"))
-          .as[(String, Long)].collect().toMap
-        bcLogp.destroy()
+        val roundCounts = emRound(wc, pieces, counts, alpha, maxPieceLen)
         val roundTotal = roundCounts.valuesIterator.sum
         pieces.foreach { p =>
           val c = roundCounts.getOrElse(p, 0L)
@@ -108,6 +96,124 @@ object UnigramLm {
         counts = roundCounts
       }
       trace.toSeq.toDF("round", "piece", "piece_count", "prob_fp")
+    } finally wcDf.unpersist(blocking = false)
+  }
+
+  /** Micro-nat log-probabilities from counts under add-α smoothing. */
+  private def logProbs(pieces: Seq[String], counts: Map[String, Long],
+      alpha: Long): Map[String, Long] = {
+    val total = pieces.iterator.map(p => counts.getOrElse(p, 0L) + alpha).sum
+    pieces.iterator.map { p =>
+      p -> math.floor(math.log(
+        (counts.getOrElse(p, 0L) + alpha).toDouble / total.toDouble) * 1e6).toLong
+    }.toMap
+  }
+
+  /** One hard-EM round: Viterbi-segment every distinct word under the
+    * current model, return the frequency-weighted piece usage counts. */
+  private def emRound(wc: org.apache.spark.sql.Dataset[(String, Long)],
+      pieces: Seq[String], counts: Map[String, Long],
+      alpha: Long, maxPieceLen: Int): Map[String, Long] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val bcLogp = spark.sparkContext.broadcast(logProbs(pieces, counts, alpha))
+    val maxLen = maxPieceLen
+    val out = wc.flatMap { case (w, n) =>
+      viterbi(w, bcLogp.value, maxLen).map(p => (p, n))
+    }.toDF("piece", "c")
+      .groupBy(col("piece")).agg(sum(col("c")).as("c"))
+      .as[(String, Long)].collect().toMap
+    bcLogp.destroy()
+    out
+  }
+
+  /** Vocabulary-size-targeted training — the published algorithm's THIRD
+    * stage (Kudo 2018 §4, SentencePiece's shrinking loop) beside
+    * [[train]] and [[encodeCorpus]]: run EM, then PRUNE the lowest-LOSS
+    * multi-character pieces and repeat until the inventory fits
+    * `targetVocab`. A piece's loss is the corpus likelihood it buys:
+    * loss(p) = usage(p) · (logp(p) − altScore(p)) where altScore is the
+    * best segmentation of p's own string WITHOUT p under the current
+    * model — the practical published approximation (re-segmenting the
+    * piece itself rather than the whole corpus per candidate). Loss, not
+    * usage: a high-count piece with a cheap alternative ([a][b] one nat
+    * worse) prunes BEFORE a low-count piece whose alternative is
+    * catastrophic — the t60 fixture pins exactly that inversion. Single
+    * characters are never pruned (they keep every word segmentable);
+    * losses compare as exact BigInt micro-nats with a lexicographic
+    * tie-break. At most `dropPct`% of the multi-char inventory goes per
+    * stage (the published gradual shrink, keeping EM counts honest).
+    *
+    * @return the FINAL inventory: (piece, piece_count, prob_fp)
+    */
+  def trainPruned(docs: DataFrame, tokenCol: String, targetVocab: Int,
+      emRoundsPerStage: Int, maxPieceLen: Int, alpha: Long = 1L,
+      dropPct: Int = 25, maxCandidates: Int = 1000000,
+      maxStages: Int = 100): DataFrame = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(emRoundsPerStage >= 1 && emRoundsPerStage <= 100,
+      s"emRoundsPerStage=$emRoundsPerStage out of range")
+    require(dropPct >= 1 && dropPct <= 100, s"dropPct=$dropPct out of range")
+    require(alpha >= 1L, s"alpha must be >= 1, got $alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wcDf = docs
+      .select(explode(col(tokenCol).cast("array<string>")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    wcDf.count()
+    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    try {
+      val seed = wc.toDF("w", "n")
+        .select(explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"), col("n"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+        .as[(String, Long)].collect()
+      require(seed.length <= maxCandidates,
+        s"unigram-LM candidate inventory ${seed.length} exceeds maxCandidates=$maxCandidates")
+      var pieces: Seq[String] = seed.map(_._1).sorted.toSeq
+      var counts: Map[String, Long] = seed.toMap
+      val nChars = pieces.count(_.length == 1)
+      require(targetVocab >= nChars,
+        s"targetVocab=$targetVocab is below the alphabet size $nChars — " +
+          "single characters are never pruned")
+      var stage = 0
+      var done = false
+      while (!done) {
+        require(stage < maxStages,
+          s"unigram-LM pruning did not reach $targetVocab in $maxStages stages")
+        for (_ <- 1 to emRoundsPerStage)
+          counts = emRound(wc, pieces, counts, alpha, maxPieceLen)
+        if (pieces.length <= targetVocab) done = true
+        else {
+          val multi = pieces.filter(_.length > 1)
+          require(multi.nonEmpty,
+            s"cannot prune below the alphabet: ${pieces.length} pieces are all single chars")
+          val logp = logProbs(pieces, counts, alpha)
+          val losses = multi.map { p =>
+            val without = logp - p
+            val altPath = viterbi(p, without, maxPieceLen)
+            require(altPath.nonEmpty, s"piece '$p' unsegmentable without itself")
+            val alt = altPath.iterator.map(without).sum
+            (BigInt(counts.getOrElse(p, 0L)) * BigInt(logp(p) - alt), p)
+          }.sortBy { case (loss, p) => (loss, p) }
+          val k = math.min(pieces.length - targetVocab,
+            math.max(1, multi.length * dropPct / 100))
+          val drop = losses.take(k).map(_._2).toSet
+          pieces = pieces.filterNot(drop)
+          counts = counts.filter { case (p, _) => !drop(p) }
+        }
+        stage += 1
+      }
+      val total = counts.valuesIterator.sum
+      pieces.map { p =>
+        val c = counts.getOrElse(p, 0L)
+        (p, c, if (total == 0L) 0L else c * 1000000L / total)
+      }.toDF("piece", "piece_count", "prob_fp")
     } finally wcDf.unpersist(blocking = false)
   }
 

@@ -526,6 +526,39 @@ object PackingQueries {
       graft.operators.UnigramLm.train(docs, "toks", rounds = 3, maxPieceLen = 2)
     },
 
+    // T60: unigram-LM vocabulary PRUNING (UnigramLm.trainPruned) — the
+    // published algorithm's third stage (Kudo 2018 §4), completing
+    // train (t56) / encode (t58): EM, then drop the lowest-LOSS
+    // multi-char pieces until the target size. The fixture
+    // {ab×6, cd×2, a×4, b×4} per supplier (target 5 of 6 candidates)
+    // pins the LOSS-vs-COUNT inversion: 'ab' has triple 'cd's usage but
+    // a CHEAP alternative ([a][b] costs ln 6 ≈ 1.79 nats), while
+    // dropping 'cd' would force two α-floor singletons (≈ ln(32N²)
+    // nats) — so the HIGH-count piece prunes, for every N ≥ 3
+    // (supplier counts are 10/100/1000; verified by simulation at all
+    // three). A pruner ranking by usage keeps 'ab' and fails the hash.
+    // Final inventory is closed-form: a:10N b:10N cd:2N c:0 d:0, with
+    // N-invariant prob_fp (exact ratios scale by N).
+    QueryDef.sql(
+      "t60_unigram_prune",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+        |tr AS (SELECT * FROM (VALUES
+        |    ('a', 10, 454545), ('b', 10, 454545), ('c', 0, 0),
+        |    ('cd', 2, 90909), ('d', 0, 0)
+        |  ) t(piece, mult, fp))
+        |SELECT tr.piece, CAST(tr.mult * n.n AS BIGINT) AS piece_count,
+        |  CAST(tr.fp AS BIGINT) AS prob_fp
+        |FROM tr CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "supplier").select(
+        concat(
+          flatten(array_repeat(array(lit("ab")), 6)),
+          flatten(array_repeat(array(lit("cd")), 2)),
+          flatten(array_repeat(array(lit("a")), 4)),
+          flatten(array_repeat(array(lit("b")), 4))).as("toks"))
+      graft.operators.UnigramLm.trainPruned(
+        docs, "toks", targetVocab = 5, emRoundsPerStage = 2, maxPieceLen = 2)
+    },
+
     // T58: corpus-scale unigram-LM ENCODING (UnigramLm.encodeCorpus) —
     // t56 trains the EM vocabulary; this applies it, completing the
     // second tokenizer family the way t46/t47 complete BPE. Text doc_k =

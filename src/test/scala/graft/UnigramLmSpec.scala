@@ -83,6 +83,30 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "", 0L)))
   }
 
+  test("trainPruned: loss-driven drop inverts count order; chars never prune") {
+    // {ab×6, cd×2, a×4, b×4}: 'ab' is used 3× more than 'cd' but its
+    // alternative [a][b] is ~1.8 nats — 'cd' without itself falls to two
+    // α-floor singletons. Loss ranks ab BELOW cd, so the HIGH-count
+    // piece drops (a usage-ranked pruner keeps it and fails here).
+    val docs = spark.range(10).select(
+      concat(
+        flatten(array_repeat(array(lit("ab")), 6)),
+        flatten(array_repeat(array(lit("cd")), 2)),
+        flatten(array_repeat(array(lit("a")), 4)),
+        flatten(array_repeat(array(lit("b")), 4))).as("toks"))
+    val got = UnigramLm.trainPruned(docs, "toks", targetVocab = 5,
+      emRoundsPerStage = 2, maxPieceLen = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("a", "b", "c", "cd", "d"), s"got $got")
+    assert(got.map(_._2) == Seq(100L, 100L, 0L, 20L, 0L))
+    // pruning below the alphabet refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.trainPruned(docs, "toks", targetVocab = 2,
+        emRoundsPerStage = 1, maxPieceLen = 2)
+    }
+    assert(e.getMessage.contains("alphabet"), e.getMessage)
+  }
+
   test("loud boundaries: candidate cap and alpha floor") {
     val e = intercept[IllegalArgumentException] {
       UnigramLm.train(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2,
