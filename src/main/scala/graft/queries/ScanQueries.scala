@@ -345,6 +345,44 @@ object ScanQueries {
       WarcIo.readResponses(spark, tmp)
     },
 
+    // S18: the WARC → WET pipeline (io/WarcIo + functions/HtmlText) —
+    // raw crawl to corpus text, END TO END through real bytes: each doc
+    // becomes a full HTML page (title, script/style junk, entities, the
+    // body text), goes INTO WARC shards on disk, back OUT through the
+    // Content-Length parser + HTTP splitter, and through the WET
+    // extractor. The oracle states the expected clean text in CLOSED
+    // FORM from the documents table — it never runs a regex over HTML —
+    // so the whole chain (WARC framing, HTTP split, script/style block
+    // drop, tag→space, entity decode ORDER, whitespace collapse) must
+    // compose exactly. The planted entities make the decode-order laws
+    // load-bearing: "&amp;lt;" must surface as literal "&lt;"-decoded
+    // "<tag>" only via the lt/gt path, and '&amp;' last.
+    QueryDef.sql(
+      "s18_warc_wet_extraction",
+      """SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc "' || CAST(doc_id AS VARCHAR)
+        |    || '" ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |    || ' A & B <tag> ''q'' end' AS clean_text
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.HtmlText
+      import graft.io.WarcIo
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"x\">var a=1; if(a<2){alert('&amp;')}</script>"),
+        lit("<style>p {color:red}</style></head><body><h1>Doc &quot;"),
+        col("doc_id"),
+        lit("&quot;</h1><p>"), col("text"),
+        lit("</p><p>A &amp; B &lt;tag&gt; &#39;q&#39;&nbsp;end</p></body></html>"))
+      val docs = Tables.load(spark, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        html.as("body"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      WarcIo.writeShards(docs.repartition(4, col("id")), tmp).collect()
+      WarcIo.readResponses(spark, tmp)
+        .select(col("target_uri"), HtmlText.extract(col("body")).as("clean_text"))
+    },
+
     // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
     // interchange export beside the JSONL and TAR sinks. The gate is the
     // s10/s11 bound-audit shape crossing into the Arrow format: write the
