@@ -862,6 +862,55 @@ object TextQueries {
           expr("(n_docs * 1000000) div t").as("share_fp"))
     },
 
+    // T61: robots.txt crawl-permission verdicts (functions/RobotsTxt —
+    // RFC 9309), completing the crawl-politeness family beside t50's
+    // canonicalization and t55's per-owner quotas. The ENGINE parses
+    // real robots.txt text relationally (group scoping via the lag/sum
+    // windows, star-group selection, empty-Disallow drop, longest-match
+    // + allow-on-tie resolution); the ORACLE states every verdict in
+    // CLOSED FORM from doc_id%5 — it never parses — so the whole chain
+    // must compose. The fixture makes each law load-bearing: a `special`
+    // group's `Disallow: /` must be SCOPED AWAY (group detection), the
+    // nested Allow must beat the shorter Disallow (longest match), the
+    // equal-length /tie pair must resolve allow (tie law), the empty
+    // Disallow must match nothing, and crawl_delay must reach UNMATCHED
+    // urls too (domain property, not rule property).
+    QueryDef.sql(
+      "t61_robots_verdicts",
+      """SELECT CAST(doc_id AS BIGINT) AS id, source AS domain,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN '/'
+        |    WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN '/pub/p' || CAST(doc_id AS VARCHAR)
+        |    ELSE '/tie/x' || CAST(doc_id AS VARCHAR) END AS path,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'disallow'
+        |    WHEN 2 THEN 'allow' WHEN 4 THEN 'allow' END AS matched_kind,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN '/private'
+        |    WHEN 2 THEN '/private/ok' WHEN 4 THEN '/tie' END AS matched_prefix,
+        |  CAST(1 + strlen(source) % 5 AS BIGINT) AS crawl_delay,
+        |  doc_id % 5 <> 1 AS allowed
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.RobotsTxt
+      val docs = Tables.load(spark, dir, "documents")
+      val robots = docs.select(col("source").as("domain")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: special\nDisallow: /\n\nUser-agent: *\nCrawl-delay: "),
+          (lit(1) + octet_length(col("domain")) % 5),
+          lit("\nDisallow: /private\nAllow: /private/ok\nDisallow:\nAllow: /tie\nDisallow: /tie"))
+          .as("txt"))
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val urls = docs.select(
+        col("doc_id").cast("long").as("id"), col("source").as("domain"),
+        when(m5 === 0, lit("/"))
+          .when(m5 === 1, concat(lit("/private/p"), col("doc_id")))
+          .when(m5 === 2, concat(lit("/private/ok/p"), col("doc_id")))
+          .when(m5 === 3, concat(lit("/pub/p"), col("doc_id")))
+          .otherwise(concat(lit("/tie/x"), col("doc_id"))).as("path"))
+      RobotsTxt.verdicts(urls, "id", "domain", "path",
+        RobotsTxt.starGroupRules(robots, "domain", "txt"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
