@@ -322,6 +322,68 @@ object TextQueries {
           dupFrac(sh).as("dup_ngram_frac"))
     },
 
+    // T62: the REPETITION half of the Gopher rules (GopherRepetition —
+    // Rae et al. 2021 A1's second table; t59 covers the document-shape
+    // half): duplicate-LINE character fraction and top-2/3/4-gram
+    // character coverage, all exact 1e-6 fixed point with the published
+    // thresholds (0.20 / 0.20 / 0.18 / 0.16). The fixture appends a
+    // 'unique' line and, for doc_id%3==1, DUPLICATES the text line — so
+    // r_dup_lines fires both ways while the n-gram coverage comes from
+    // the corpus's own natural repetition (word-salad docs repeat
+    // bigrams genuinely — no planting needed, and the per-doc argmax
+    // with count-desc/gram-asc tie-break is fully load-bearing in the
+    // hash: FULL top-gram strings + counts + fractions per doc).
+    QueryDef.sql(
+      "t62_gopher_repetition",
+      """WITH d0 AS (SELECT doc_id, text || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 1 THEN text ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS txt
+        |  FROM documents),
+        |m AS (SELECT doc_id, txt,
+        |  CAST(length(regexp_replace(lower(trim(txt)), '\s', '', 'g')) AS BIGINT) AS wc,
+        |  string_split_regex(lower(trim(txt)), '\s+') AS ts FROM d0),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN list_transform(range(len(ts)-1), i -> ts[i+1] || ' ' || ts[i+2]) ELSE [] END) AS g FROM m),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2) WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3 THEN list_transform(range(len(ts)-2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) ELSE [] END) AS g FROM m),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c3) WHERE rn = 1),
+        |g4 AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 4 THEN list_transform(range(len(ts)-3), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) ELSE [] END) AS g FROM m),
+        |c4 AS (SELECT doc_id, g, COUNT(*) AS c FROM g4 GROUP BY 1, 2),
+        |t4 AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c4) WHERE rn = 1),
+        |ln0 AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS l FROM m),
+        |lc AS (SELECT doc_id, l, COUNT(*) AS c FROM ln0 WHERE l <> '' GROUP BY 1, 2),
+        |la AS (SELECT doc_id, CAST(SUM(length(l) * c) AS BIGINT) AS linechars,
+        |        CAST(SUM(CASE WHEN c > 1 THEN length(l) * c ELSE 0 END) AS BIGINT) AS duplinechars
+        |      FROM lc GROUP BY 1),
+        |f AS (SELECT m.doc_id, m.wc AS word_chars,
+        |  t2.g AS top2gram, CAST(COALESCE(t2.c, 0) AS BIGINT) AS top2count,
+        |  CAST(CASE WHEN COALESCE(t2.c, 0) >= 2 AND m.wc > 0 THEN (t2.c * length(replace(t2.g, ' ', '')) * 1000000) // m.wc ELSE 0 END AS BIGINT) AS top2gram_char_frac_fp,
+        |  t3.g AS top3gram, CAST(COALESCE(t3.c, 0) AS BIGINT) AS top3count,
+        |  CAST(CASE WHEN COALESCE(t3.c, 0) >= 2 AND m.wc > 0 THEN (t3.c * length(replace(t3.g, ' ', '')) * 1000000) // m.wc ELSE 0 END AS BIGINT) AS top3gram_char_frac_fp,
+        |  t4.g AS top4gram, CAST(COALESCE(t4.c, 0) AS BIGINT) AS top4count,
+        |  CAST(CASE WHEN COALESCE(t4.c, 0) >= 2 AND m.wc > 0 THEN (t4.c * length(replace(t4.g, ' ', '')) * 1000000) // m.wc ELSE 0 END AS BIGINT) AS top4gram_char_frac_fp,
+        |  CAST(CASE WHEN COALESCE(la.linechars, 0) > 0 THEN (COALESCE(la.duplinechars, 0) * 1000000) // la.linechars ELSE 0 END AS BIGINT) AS dup_line_char_frac_fp
+        |  FROM m LEFT JOIN t2 ON t2.doc_id = m.doc_id LEFT JOIN t3 ON t3.doc_id = m.doc_id
+        |    LEFT JOIN t4 ON t4.doc_id = m.doc_id LEFT JOIN la ON la.doc_id = m.doc_id)
+        |SELECT doc_id, word_chars, top2gram, top2count, top2gram_char_frac_fp,
+        |  top3gram, top3count, top3gram_char_frac_fp,
+        |  top4gram, top4count, top4gram_char_frac_fp, dup_line_char_frac_fp,
+        |  top2gram_char_frac_fp <= 200000 AS r_top2gram,
+        |  top3gram_char_frac_fp <= 180000 AS r_top3gram,
+        |  top4gram_char_frac_fp <= 160000 AS r_top4gram,
+        |  dup_line_char_frac_fp <= 200000 AS r_dup_lines,
+        |  (top2gram_char_frac_fp <= 200000 AND top3gram_char_frac_fp <= 180000
+        |   AND top4gram_char_frac_fp <= 160000 AND dup_line_char_frac_fp <= 200000) AS repetition_keep
+        |FROM f""".stripMargin) { (spark, dir) =>
+      val txt = concat(col("text"), lit("\nunique "), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 1, concat(lit("\n"), col("text")))
+          .otherwise(concat(lit("\ntail "), col("doc_id"))))
+      graft.functions.GopherRepetition.measure(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), txt.as("text")),
+        "doc_id", "text")
+    },
+
     // Length bucketing for batch shaping: histogram of documents by
     // token-count decade — one narrow scan + one aggregation shuffle on a
     // low-cardinality key.
