@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * pattern matches nothing (RFC), `Crawl-delay` is carried per domain
   * (non-RFC but universal).
   *
-  * Matching subset, documented: literal PREFIX rules (no `*`/`$`
-  * wildcards — the dominant real-world case). The RFC's resolution is
-  * kept exactly: the LONGEST matching pattern wins; on a length tie the
-  * least restrictive (Allow) wins; no match ⇒ allowed.
+  * Matching is the FULL RFC 9309 pattern language via the native
+  * [[graft.functions.expr.RobotsMatch]] expression: `*` matches any
+  * octet sequence (including `/`), a final `$` anchors the end of the
+  * path, and a bare pattern is a prefix match. The RFC's resolution is
+  * kept exactly: the LONGEST matching pattern wins (octet length of the
+  * pattern as written, wildcards included — the Googlebot convention);
+  * on a length tie the least restrictive (Allow) wins; no match ⇒
+  * allowed.
   *
   * Scale shape: parsing is one explode + two windows per domain (file-
   * sized partitions); verdicts are one broadcast-able domain join +
@@ -69,7 +73,7 @@ object RobotsTxt {
     val u = urls.select(col(idCol).as("id"),
       col(domainCol).as("domain"), col(pathCol).as("path"))
     val matched = u.join(broadcast(rules), Seq("domain"))
-      .filter(col("path").startsWith(col("prefix")))
+      .filter(graft.functions.expr.RobotsMatch(col("path"), col("prefix")))
     // RFC resolution: longest pattern, then Allow beats Disallow on ties
     val w = Window.partitionBy(col("id"))
       .orderBy(length(col("prefix")).desc,

@@ -973,6 +973,66 @@ object TextQueries {
         RobotsTxt.starGroupRules(robots, "domain", "txt"))
     },
 
+    // T63: robots.txt WILDCARD verdicts — the full RFC 9309 pattern
+    // language (`*` any-octet-run, `$` end anchor) via the native
+    // RobotsMatch expression, upgrading t61's literal-prefix subset.
+    // Same contract shape as t61: the ENGINE parses real robots text and
+    // matches with the greedy glob algorithm; the ORACLE states every
+    // verdict in CLOSED FORM from doc_id%7 — two independent
+    // formulations hash-compared. Each wildcard law is load-bearing in
+    // the fixture: `/*.pdf$` must catch pdfs at ANY depth (class 0) but
+    // NOT `.pdfz` (class 6 — the anchor), the longer-as-written
+    // `/pub/*.pdf$` must beat it (class 1 — wildcards count toward
+    // pattern length, the Googlebot convention), `/tmp*` must behave as
+    // a plain prefix (class 2), the mid-pattern star `/a/*/b` must beat
+    // the shorter literal `/a/` (class 3) while `/a/x…/c` falls back to
+    // it (class 4), and `/exact$` must block the exact path (class 5)
+    // without touching continuations.
+    QueryDef.sql(
+      "t63_robots_wildcards",
+      """SELECT CAST(doc_id AS BIGINT) AS id, source AS domain,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN '/d' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    WHEN 1 THEN '/pub/d' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN '/a/x' || CAST(doc_id AS VARCHAR) || '/b'
+        |    WHEN 4 THEN '/a/x' || CAST(doc_id AS VARCHAR) || '/c'
+        |    WHEN 5 THEN '/exact'
+        |    ELSE '/x' || CAST(doc_id AS VARCHAR) || '.pdfz' END AS path,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow' WHEN 2 THEN 'disallow'
+        |    WHEN 3 THEN 'allow' WHEN 4 THEN 'disallow' WHEN 5 THEN 'disallow'
+        |    END AS matched_kind,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN '/*.pdf$' WHEN 1 THEN '/pub/*.pdf$' WHEN 2 THEN '/tmp*'
+        |    WHEN 3 THEN '/a/*/b' WHEN 4 THEN '/a/' WHEN 5 THEN '/exact$'
+        |    END AS matched_prefix,
+        |  CAST(1 + strlen(source) % 5 AS BIGINT) AS crawl_delay,
+        |  doc_id % 7 = 1 OR doc_id % 7 = 3 OR doc_id % 7 = 6 AS allowed
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.RobotsTxt
+      val docs = Tables.load(spark, dir, "documents")
+      val robots = docs.select(col("source").as("domain")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          (lit(1) + octet_length(col("domain")) % 5),
+          lit("\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\nDisallow: /tmp*" +
+            "\nAllow: /a/*/b\nDisallow: /a/\nDisallow: /exact$"))
+          .as("txt"))
+      val m7 = pmod(col("doc_id"), lit(7L))
+      val urls = docs.select(
+        col("doc_id").cast("long").as("id"), col("source").as("domain"),
+        when(m7 === 0, concat(lit("/d"), col("doc_id"), lit(".pdf")))
+          .when(m7 === 1, concat(lit("/pub/d"), col("doc_id"), lit(".pdf")))
+          .when(m7 === 2, concat(lit("/tmp/x"), col("doc_id")))
+          .when(m7 === 3, concat(lit("/a/x"), col("doc_id"), lit("/b")))
+          .when(m7 === 4, concat(lit("/a/x"), col("doc_id"), lit("/c")))
+          .when(m7 === 5, lit("/exact"))
+          .otherwise(concat(lit("/x"), col("doc_id"), lit(".pdfz"))).as("path"))
+      RobotsTxt.verdicts(urls, "id", "domain", "path",
+        RobotsTxt.starGroupRules(robots, "domain", "txt"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data

@@ -43,4 +43,42 @@ class RobotsTxtSpec extends AnyFunSuite {
     val none = verdicts("User-agent: *\nDisallow: /x", Seq("/free"))
     assert(none(0)._6 == null)
   }
+
+  test("RobotsMatch: RFC 9309 wildcard laws, hand-checked") {
+    import graft.functions.expr.RobotsMatch.{matches => m}
+    // prefix semantics: bare pattern matches any continuation
+    assert(m("/a/b/c", "/a"))
+    assert(!m("/b", "/a"))
+    // * matches any octet run including '/' and the empty run
+    assert(m("/x/deep/file.pdf", "/*.pdf"))
+    assert(m("/file.pdf", "/*.pdf"))
+    assert(m("/a/b", "/a/*/b") === false, "* must still leave room for both anchors in order")
+    assert(m("/a/x/b", "/a/*/b"))
+    assert(m("/a/x/y/b/tail", "/a/*/b"), "unanchored pattern is a prefix match")
+    // $ anchors only at the end
+    assert(m("/exact", "/exact$"))
+    assert(!m("/exact2", "/exact$"))
+    assert(m("/d/f.pdf", "/*.pdf$"))
+    assert(!m("/d/f.pdfx", "/*.pdf$"))
+    assert(m("/price$10", "/price$10"), "interior $ is a literal")
+    // trailing * keeps plain prefix semantics; anchored trailing * too
+    assert(m("/tmp/x", "/tmp*"))
+    assert(m("/tmpanything", "/tmp*$"))
+    // greedy middle segments: leftmost binding leaves room for the suffix
+    assert(m("/axbbc", "/a*b*bc$"))
+    assert(!m("/abc", "/a*b*bc$"))
+    // multi-star non-anchored ordering
+    assert(m("/u/1/p/2", "/u/*/p"))
+    assert(!m("/p/2/u/1", "/u/*/p"))
+  }
+
+  test("verdicts through wildcard rules: longest-written-pattern resolution") {
+    val robots = "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\nDisallow: /tmp*"
+    val got = verdicts(robots, Seq("/d/f.pdf", "/pub/f.pdf", "/tmp/x", "/free.pdfz"))
+    assert(got(0)._7 == false && got(0)._5 == "/*.pdf$")
+    assert(got(1)._7 == true && got(1)._5 == "/pub/*.pdf$",
+      "longer written pattern (wildcards counted) wins")
+    assert(got(2)._7 == false && got(2)._5 == "/tmp*")
+    assert(got(3)._7 == true && got(3)._4 == null, "anchored .pdf$ must not match .pdfz")
+  }
 }
