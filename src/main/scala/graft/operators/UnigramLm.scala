@@ -99,6 +99,165 @@ object UnigramLm {
     } finally wcDf.unpersist(blocking = false)
   }
 
+  /** Unigram-LM training with the FULL published E-step (Kudo 2018 §3.2)
+    * — SOFT EM: instead of [[train]]'s Viterbi argmax, every round
+    * computes each piece's EXPECTED usage count over the ENTIRE
+    * segmentation lattice by forward-backward, so a piece earns credit
+    * from every segmentation in proportion to that segmentation's
+    * posterior probability. This is the E-step SentencePiece actually
+    * runs; the hard-EM variant is its documented approximation.
+    *
+    * Determinism contract (the t64 gate hash-compares the full per-round
+    * trace against an oracle that re-derives the lattice algebra in SQL):
+    * ALL arithmetic is exact. Round-r piece weights are integers
+    * q(p) = prob_fp(p) + αFp (1e-6 fixed-point probability units —
+    * probability space, not count space, so q and T = Σq stay bounded by
+    * ~1e6 + αFp·|vocab| regardless of corpus size, which is what lets
+    * the oracle replay products in HUGEINT). Lattice sums use the
+    * T-padding scheme: a path with k pieces has probability Πq/T^k, and
+    * α_num(i) carries denominator T^i via
+    * α_num(i) = Σ_l α_num(i−l)·q(w[i−l..i))·T^(l−1) — exact BigInt, no
+    * IEEE anywhere. The expected count of an edge (j, i) is
+    * α_num(j)·q·β_num(i)·T^(i−j−1)/Z_num with Z_num = α_num(|w|), and
+    * the ONLY rounding in the round is one floor per (word, piece):
+    * ec_fp(p, w) = ⌊n_w · Σ_edges num · 1e6 / Z_num⌋, summed exactly as
+    * BIGINTs across words. The M-step renormalizes:
+    * prob_fp = ec_fp·1e6 div Σ ec_fp.
+    *
+    * Scale shape per round: identical to [[train]] — one pass over the
+    * DISTINCT words (Zipf memoization; the per-word forward-backward is
+    * O(len·maxPieceLen) BigInt ops), one piece-keyed aggregate, one
+    * vocab-scale collect guarded by `maxCandidates`.
+    *
+    * @return one row per (round, candidate piece): (round, piece,
+    *         ec_fp, prob_fp) — ec_fp is the round's expected usage in
+    *         1e-6 word-frequency units (zero rows kept), prob_fp its
+    *         renormalized share
+    */
+  def trainSoft(docs: DataFrame, tokenCol: String, rounds: Int, maxPieceLen: Int,
+      alphaFp: Long = 1L, maxCandidates: Int = 1000000): DataFrame = {
+    require(rounds >= 1 && rounds <= 1000, s"rounds=$rounds out of range")
+    require(maxPieceLen >= 1 && maxPieceLen <= 64, s"maxPieceLen=$maxPieceLen out of range")
+    require(alphaFp >= 1L, s"alphaFp must be >= 1 (keeps every candidate alive), got $alphaFp")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wcDf = docs
+      .select(explode(col(tokenCol).cast("array<string>")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
+    wcDf.count()
+    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    try {
+      val seed = wc.toDF("w", "n")
+        .select(explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"), col("n"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+        .as[(String, Long)].collect()
+      require(seed.length <= maxCandidates,
+        s"unigram-LM candidate inventory ${seed.length} exceeds maxCandidates=$maxCandidates; " +
+          "train on a corpus sample or raise the cap explicitly")
+      val pieces = seed.map(_._1).sorted
+      val seedTotal = seed.iterator.map(c => BigInt(c._2)).sum
+      var prob: Map[String, Long] = seed.iterator.map { case (p, c) =>
+        p -> (BigInt(c) * 1000000L / seedTotal).toLong
+      }.toMap
+
+      val trace = ListBuffer.empty[(Long, String, Long, Long)]
+      for (round <- 1 to rounds) {
+        val q: Map[String, Long] = pieces.iterator.map(p => p -> (prob(p) + alphaFp)).toMap
+        val tBig = q.valuesIterator.map(BigInt(_)).sum
+        val bcQ = spark.sparkContext.broadcast(q)
+        val tVal = tBig
+        val maxLen = maxPieceLen
+        val ec: Map[String, Long] = wc.flatMap { case (w, n) =>
+          softCounts(w, n, bcQ.value, tVal, maxLen)
+        }.toDF("piece", "e")
+          .groupBy(col("piece")).agg(sum(col("e")).as("e"))
+          .as[(String, Long)].collect().toMap
+        bcQ.destroy()
+        val total = ec.valuesIterator.map(BigInt(_)).sum
+        pieces.foreach { p =>
+          val e = ec.getOrElse(p, 0L)
+          trace += ((round.toLong, p, e,
+            if (total == 0) 0L else (BigInt(e) * 1000000L / total).toLong))
+        }
+        prob = pieces.iterator.map(p => p -> {
+          if (total == 0) 0L else (BigInt(ec.getOrElse(p, 0L)) * 1000000L / total).toLong
+        }).toMap
+      }
+      trace.toSeq.toDF("round", "piece", "ec_fp", "prob_fp")
+    } finally wcDf.unpersist(blocking = false)
+  }
+
+  /** Exact forward-backward expected counts for one word under integer
+    * piece weights q with total T (see [[trainSoft]] for the T-padding
+    * denominators). Returns one (piece, ec_fp) per piece OCCURRING in
+    * some segmentation of `w`; an unsegmentable word yields nothing. */
+  private[graft] def softCounts(w: String, n: Long, q: Map[String, Long],
+      t: BigInt, maxPieceLen: Int): Seq[(String, Long)] = {
+    val len = w.length
+    val alphaN = Array.fill(len + 1)(BigInt(0))
+    val betaN = Array.fill(len + 1)(BigInt(0))
+    alphaN(0) = BigInt(1)
+    betaN(len) = BigInt(1)
+    var i = 1
+    while (i <= len) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        if (alphaN(i - l) != 0) q.get(w.substring(i - l, i)) match {
+          case Some(s) => alphaN(i) += alphaN(i - l) * s * t.pow(l - 1)
+          case None => ()
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val z = alphaN(len)
+    if (z == 0) return Nil
+    i = len - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, len - i)) {
+        if (betaN(i + l) != 0) q.get(w.substring(i, i + l)) match {
+          case Some(s) => betaN(i) += betaN(i + l) * s * t.pow(l - 1)
+          case None => ()
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    val num = scala.collection.mutable.HashMap.empty[String, BigInt]
+    var j = 0
+    while (j < len) {
+      if (alphaN(j) != 0) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, len - j)) {
+          val p = w.substring(j, j + l)
+          if (betaN(j + l) != 0) q.get(p) match {
+            case Some(s) =>
+              num.updateWith(p) {
+                case Some(acc) => Some(acc + alphaN(j) * s * betaN(j + l) * t.pow(l - 1))
+                case None => Some(alphaN(j) * s * betaN(j + l) * t.pow(l - 1))
+              }
+            case None => ()
+          }
+          l += 1
+        }
+      }
+      j += 1
+    }
+    num.iterator.map { case (p, nm) =>
+      val e = BigInt(n) * nm * 1000000L / z
+      require(e.isValidLong,
+        s"soft-EM expected count overflows BIGINT for piece '$p' (word freq $n)")
+      (p, e.toLong)
+    }.toSeq
+  }
+
   /** Micro-nat log-probabilities from counts under add-α smoothing. */
   private def logProbs(pieces: Seq[String], counts: Map[String, Long],
       alpha: Long): Map[String, Long] = {

@@ -526,6 +526,73 @@ object PackingQueries {
       graft.operators.UnigramLm.train(docs, "toks", rounds = 3, maxPieceLen = 2)
     },
 
+    // T64: unigram-LM SOFT EM (UnigramLm.trainSoft) — the FULL published
+    // E-step behind t56's hard-EM approximation (Kudo 2018 §3.2):
+    // forward-backward EXPECTED counts over the whole segmentation
+    // lattice, exact BigInt arithmetic end-to-end (probability-space
+    // integer weights q = prob_fp + 1, T-padded lattice numerators, ONE
+    // floor per word×piece). The oracle is a SECOND INDEPENDENT
+    // IMPLEMENTATION of the same algebra: the t56 fixture's three words
+    // have enumerable lattices (aab: {[a,ab],[aa,b],[a,a,b]}, ab, aa),
+    // so each round's Z and per-piece numerators are closed-form
+    // polynomials in (qa,qb,qaa,qab,T) that DuckDB evaluates in HUGEINT
+    // — any drift in the padding scheme, the rounding point, or the
+    // renormalization breaks the hash. Unlike t56/t60, the trace is NOT
+    // N-invariant (per-word floors break exact linearity), so the oracle
+    // computes with the live supplier count at every SF. Round 2 runs
+    // the identical algebra over round 1's renormalized weights — the
+    // M-step is load-bearing.
+    QueryDef.sql(
+      "t64_unigram_soft_em",
+      """WITH nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM supplier),
+        |q1 AS (SELECT CAST(410715 AS HUGEINT) AS qa, CAST(196429 AS HUGEINT) AS qb,
+        |              CAST(196429 AS HUGEINT) AS qaa, CAST(196429 AS HUGEINT) AS qab),
+        |e1 AS (SELECT
+        |    (10*n*(2*qa*qa*qb + qa*qab*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qa*qb)*1000000) // (qab*tt + qa*qb)
+        |      + (n*(2*qa*qa)*1000000) // (qaa*tt + qa*qa) AS ea,
+        |    (10*n*(qa*qa*qb + qaa*qb*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qa*qb)*1000000) // (qab*tt + qa*qb) AS eb,
+        |    (10*n*(qaa*qb*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qaa*tt)*1000000) // (qaa*tt + qa*qa) AS eaa,
+        |    (10*n*(qa*qab*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qab*tt)*1000000) // (qab*tt + qa*qb) AS eab
+        |  FROM (SELECT *, qa+qb+qaa+qab AS tt FROM q1) CROSS JOIN nn),
+        |p1 AS (SELECT ea, eb, eaa, eab,
+        |    (ea*1000000)//(ea+eb+eaa+eab) AS pa, (eb*1000000)//(ea+eb+eaa+eab) AS pb,
+        |    (eaa*1000000)//(ea+eb+eaa+eab) AS paa, (eab*1000000)//(ea+eb+eaa+eab) AS pab
+        |  FROM e1),
+        |q2 AS (SELECT pa+1 AS qa, pb+1 AS qb, paa+1 AS qaa, pab+1 AS qab FROM p1),
+        |e2 AS (SELECT
+        |    (10*n*(2*qa*qa*qb + qa*qab*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qa*qb)*1000000) // (qab*tt + qa*qb)
+        |      + (n*(2*qa*qa)*1000000) // (qaa*tt + qa*qa) AS ea,
+        |    (10*n*(qa*qa*qb + qaa*qb*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qa*qb)*1000000) // (qab*tt + qa*qb) AS eb,
+        |    (10*n*(qaa*qb*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qaa*tt)*1000000) // (qaa*tt + qa*qa) AS eaa,
+        |    (10*n*(qa*qab*tt)*1000000) // ((qa*qa+qaa*tt)*qb + qa*qab*tt)
+        |      + (n*(qab*tt)*1000000) // (qab*tt + qa*qb) AS eab
+        |  FROM (SELECT *, qa+qb+qaa+qab AS tt FROM q2) CROSS JOIN nn),
+        |p2 AS (SELECT ea, eb, eaa, eab,
+        |    (ea*1000000)//(ea+eb+eaa+eab) AS pa, (eb*1000000)//(ea+eb+eaa+eab) AS pb,
+        |    (eaa*1000000)//(ea+eb+eaa+eab) AS paa, (eab*1000000)//(ea+eb+eaa+eab) AS pab
+        |  FROM e2)
+        |SELECT CAST(1 AS BIGINT) AS round, 'a' AS piece,
+        |  CAST(ea AS BIGINT) AS ec_fp, CAST(pa AS BIGINT) AS prob_fp FROM p1
+        |UNION ALL SELECT 1, 'b', CAST(eb AS BIGINT), CAST(pb AS BIGINT) FROM p1
+        |UNION ALL SELECT 1, 'aa', CAST(eaa AS BIGINT), CAST(paa AS BIGINT) FROM p1
+        |UNION ALL SELECT 1, 'ab', CAST(eab AS BIGINT), CAST(pab AS BIGINT) FROM p1
+        |UNION ALL SELECT 2, 'a', CAST(ea AS BIGINT), CAST(pa AS BIGINT) FROM p2
+        |UNION ALL SELECT 2, 'b', CAST(eb AS BIGINT), CAST(pb AS BIGINT) FROM p2
+        |UNION ALL SELECT 2, 'aa', CAST(eaa AS BIGINT), CAST(paa AS BIGINT) FROM p2
+        |UNION ALL SELECT 2, 'ab', CAST(eab AS BIGINT), CAST(pab AS BIGINT) FROM p2""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "supplier").select(
+        concat(flatten(array_repeat(array(lit("aab")), 10)),
+          array(lit("ab")), array(lit("aa"))).as("toks"))
+      graft.operators.UnigramLm.trainSoft(docs, "toks", rounds = 2, maxPieceLen = 2)
+    },
+
     // T60: unigram-LM vocabulary PRUNING (UnigramLm.trainPruned) — the
     // published algorithm's third stage (Kudo 2018 §4), completing
     // train (t56) / encode (t58): EM, then drop the lowest-LOSS

@@ -107,6 +107,58 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("alphabet"), e.getMessage)
   }
 
+  test("soft EM: hand-built lattice on one word — exact BigInt forward-backward") {
+    // corpus = the single word "ab"; seed counts a:1 b:1 ab:1, total 3
+    // → prob0 = 333333 each → q = 333334 each, T = 3·333334 = 1000002.
+    // Lattice: [ab] (num q·T) vs [a][b] (num q²); Z = q·T + q².
+    val docs = spark.range(1).select(array(lit("ab")).as("toks"))
+    val got = UnigramLm.trainSoft(docs, "toks", rounds = 1, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    val q = BigInt(333334)
+    val t = q * 3
+    val z = q * t + q * q
+    val eAb = (q * t * 1000000 / z).toLong
+    val eA = (q * q * 1000000 / z).toLong
+    assert(got("ab")._1 == eAb)
+    assert(got("a")._1 == eA && got("b")._1 == eA)
+    val tot = BigInt(eAb) + 2 * BigInt(eA)
+    assert(got("ab")._2 == (BigInt(eAb) * 1000000 / tot).toLong)
+    // posterior mass: [ab] carries ~75% (q·T vs q² at q≈T/3 → 3:1)
+    assert(got("ab")._1 > 700000L && got("ab")._1 < 800000L)
+  }
+
+  test("soft EM: a single-segmentation word earns exact hard counts") {
+    // maxPieceLen 1 forces [c][d]: posterior 1, ec = n·1e6 exactly
+    val docs = spark.range(1).select(
+      concat(array_repeat(lit("cd"), 3)).as("toks"))
+    val got = UnigramLm.trainSoft(docs, "toks", rounds = 2, maxPieceLen = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    assert(got == Map("c" -> 3000000L, "d" -> 3000000L))
+  }
+
+  test("soft EM splits mass where hard EM commits: 'aa' under the t56 fixture") {
+    val soft = UnigramLm.trainSoft(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // hard EM round 1 gave aa exactly 1 word's worth (1e6 in fp units,
+    // all from the aa word, none from aab); soft EM must give it MORE
+    // than that (partial credit from aab's [aa][b] path) but strictly
+    // less than its 11-word occurrence ceiling (1×aa + 10×aab)
+    assert(soft("aa") > 1000000L && soft("aa") < 11000000L, s"aa = ${soft("aa")}")
+    // every candidate keeps nonzero expected mass (no hard zeros)
+    Seq("a", "b", "aa", "ab").foreach(p => assert(soft(p) > 0L, s"piece $p"))
+  }
+
+  test("soft EM is deterministic: identical trace on re-run") {
+    val a = UnigramLm.trainSoft(fixtureDocs(3), "toks", rounds = 2, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = UnigramLm.trainSoft(fixtureDocs(3), "toks", rounds = 2, maxPieceLen = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+  }
+
   test("loud boundaries: candidate cap and alpha floor") {
     val e = intercept[IllegalArgumentException] {
       UnigramLm.train(fixtureDocs(1), "toks", rounds = 1, maxPieceLen = 2,
