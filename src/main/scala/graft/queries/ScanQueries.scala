@@ -383,6 +383,63 @@ object ScanQueries {
         .select(col("target_uri"), HtmlText.extract(col("body")).as("clean_text"))
     },
 
+    // S19: the WARC → WAT pipeline (io/WarcIo + functions/WatMeta) —
+    // completing the WARC/WAT/WET triple: where s18 keeps the visible
+    // TEXT, this keeps the page METADATA — head title and the outgoing
+    // link edges that make the web graph. End to end through real
+    // bytes (the s18 discipline): each doc becomes an HTML page with a
+    // title and 2-or-3 anchors, goes INTO WARC shards on disk, back OUT
+    // through the Content-Length parser + HTTP splitter, then title /
+    // href extraction + RFC 3986 resolution. The oracle states every
+    // link row in CLOSED FORM — it never parses HTML — so anchor-only
+    // matching (the <link href> must NOT surface), both quote styles,
+    // case-insensitive HREF, document-order positions, and all three
+    // resolution laws (root-relative → origin, absolute kept, relative
+    // → base directory merge) are load-bearing in the hash.
+    QueryDef.sql(
+      "s19_warc_wat_metadata",
+      """WITH d AS (SELECT doc_id,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri FROM documents)
+        |SELECT uri AS target_uri, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CAST(1 AS INT) AS link_pos,
+        |  '/l/' || CAST(doc_id AS VARCHAR) || '/1' AS href,
+        |  'https://example.com/l/' || CAST(doc_id AS VARCHAR) || '/1' AS abs_url
+        |FROM d
+        |UNION ALL SELECT uri, 'Doc ' || CAST(doc_id AS VARCHAR), CAST(2 AS INT),
+        |  'https://ext.example.org/p' || CAST(doc_id AS VARCHAR),
+        |  'https://ext.example.org/p' || CAST(doc_id AS VARCHAR)
+        |FROM d
+        |UNION ALL SELECT uri, 'Doc ' || CAST(doc_id AS VARCHAR), CAST(3 AS INT),
+        |  'rel/' || CAST(doc_id AS VARCHAR),
+        |  'https://example.com/doc/rel/' || CAST(doc_id AS VARCHAR)
+        |FROM d WHERE doc_id % 2 = 0""".stripMargin) { (spark, dir) =>
+      import graft.functions.WatMeta
+      import graft.io.WarcIo
+      val thirdLink = when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit("<a class=\"x\" href='rel/"), col("doc_id"), lit("'>three</a>")))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><link href=\"/style.css\" rel=\"stylesheet\"></head><body>"),
+        lit("<a href=\"/l/"), col("doc_id"), lit("/1\">one</a> "),
+        lit("<A HREF='https://ext.example.org/p"), col("doc_id"), lit("'>two</A> "),
+        thirdLink,
+        lit("<a name=\"anchor\">no href</a><p>"), col("text"),
+        lit("</p></body></html>"))
+      val docs = Tables.load(spark, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        html.as("body"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wat").toString
+      WarcIo.writeShards(docs.repartition(4, col("id")), tmp).collect()
+      WarcIo.readResponses(spark, tmp)
+        .select(col("target_uri"), WatMeta.title(col("body")).as("title"),
+          posexplode(WatMeta.hrefs(col("body"))).as(Seq("p", "href")))
+        .select(col("target_uri"), col("title"),
+          (col("p") + 1).cast("int").as("link_pos"), col("href"),
+          WatMeta.resolve(col("target_uri"), col("href")).as("abs_url"))
+    },
+
     // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
     // interchange export beside the JSONL and TAR sinks. The gate is the
     // s10/s11 bound-audit shape crossing into the Arrow format: write the
