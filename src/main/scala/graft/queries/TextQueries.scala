@@ -384,6 +384,77 @@ object TextQueries {
         "doc_id", "text")
     },
 
+    // T65: the C4 cleaning rule-pack (functions/C4Rules — Raffel et al.
+    // 2020 §2.2, the published heuristics that built C4), completing the
+    // published rule-pack trio beside Gopher shape (t59) and repetition
+    // (t62): LINE-level survival (terminal punctuation, ≥3 words, no
+    // "javascript") then PAGE-level flags (bad-word tokens, "lorem
+    // ipsum", '{', ≥5 kept sentences). The oracle is a second
+    // implementation of the same rules in DuckDB lambdas (list_filter
+    // over split lines) over the identically-constructed body, so every
+    // predicate, the in-order reassembly, and the sentence proxy are
+    // load-bearing in the hash. The fixture plants lines that fire each
+    // rule both ways: three always-kept sentences + the ?-terminated
+    // short-but-3-word line + the doc's own text promoted to a sentence
+    // survive; 2-word, unterminated, and javascript lines die; doc_id
+    // mod 5/3/7 plant badword / brace / lorem page flags; doc_id%11
+    // withholds the text line's terminator, dropping that page to 4
+    // sentences so few_sentences fires true — every flag and both keep
+    // outcomes occur at every SF.
+    QueryDef.sql(
+      "t65_c4_rules",
+      """WITH b AS (SELECT doc_id,
+        |  'Alpha beta gamma delta.' || chr(10) || 'Epsilon zeta eta theta!' || chr(10) ||
+        |  'Another good line here.' || chr(10) || 'Too short' || chr(10) ||
+        |  'This javascript line is long enough.' || chr(10) ||
+        |  'No terminal punctuation here' || chr(10) || 'Is this ok?' || chr(10) ||
+        |  text || CASE WHEN doc_id % 11 = 0 THEN '' ELSE '.' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this badword1 should flag pages.' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'brace { inside code.' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END AS body
+        |  FROM documents),
+        |k AS (SELECT doc_id, body,
+        |  list_filter(string_split(body, chr(10)), x ->
+        |    regexp_matches(rtrim(x), '[.!?"]$')
+        |    AND len(string_split_regex(trim(x), '\s+')) >= 3
+        |    AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM b),
+        |f AS (SELECT doc_id, body,
+        |  COALESCE(list_aggr(kept, 'string_agg', chr(10)), '') AS kept_text,
+        |  CAST(len(string_split(body, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |  FROM k),
+        |g AS (SELECT doc_id, kept_text, n_lines, n_lines_kept,
+        |  CAST(strlen(kept_text) - strlen(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  list_has_any(string_split_regex(lower(body), '\s+'),
+        |    ['badword1', 'badword2']) AS has_badword,
+        |  contains(lower(body), 'lorem ipsum') AS has_lorem,
+        |  contains(body, '{') AS has_brace
+        |  FROM f)
+        |SELECT doc_id, kept_text, n_lines, n_lines_kept, n_sentences,
+        |  has_badword, has_lorem, has_brace,
+        |  n_sentences < 5 AS few_sentences,
+        |  NOT has_badword AND NOT has_lorem AND NOT has_brace
+        |    AND NOT (n_sentences < 5) AS keep
+        |FROM g""".stripMargin) { (spark, dir) =>
+      val body = concat(
+        lit("Alpha beta gamma delta.\nEpsilon zeta eta theta!\n" +
+          "Another good line here.\nToo short\n" +
+          "This javascript line is long enough.\n" +
+          "No terminal punctuation here\nIs this ok?\n"),
+        col("text"),
+        when(pmod(col("doc_id"), lit(11L)) === 0, lit("")).otherwise(lit(".")),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          lit("\nthis badword1 should flag pages.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit("\nbrace { inside code.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          lit("\nLorem ipsum dolor sit amet.")).otherwise(lit("")))
+      graft.functions.C4Rules.report(
+        Tables.load(spark, dir, "documents").select(col("doc_id"), body.as("text")),
+        "doc_id", "text", Seq("badword1", "badword2"))
+    },
+
     // Length bucketing for batch shaping: histogram of documents by
     // token-count decade — one narrow scan + one aggregation shuffle on a
     // low-cardinality key.
