@@ -455,6 +455,42 @@ object TextQueries {
         "doc_id", "text", Seq("badword1", "badword2"))
     },
 
+    // T66: mojibake repair (expr/FixMojibake — the ftfy method): undo
+    // Latin-1/Windows-1252 mis-decodes of UTF-8 text, the encoding
+    // damage endemic to web corpora. The fixture plants one damage
+    // class per doc_id%5 with the real text riding along as the ASCII
+    // tail: Latin-1 mojibake (caf Ã© → café), the cp1252 quote classic
+    // (â€™ → ’ — exercises the 0x80–0x9F reverse map), LEGIT Latin-1
+    // that must survive untouched (naïve café — its bytes are not
+    // UTF-8, the strict-decode veto), pure ASCII, and DOUBLE mojibake
+    // (ÃƒÂ© → é — two repair passes). The oracle states every repaired
+    // string in CLOSED FORM via chr() codepoints, so the byte mapping,
+    // the strict-decode veto, and the pass iteration are all
+    // load-bearing in the hash.
+    QueryDef.sql(
+      "t66_fix_mojibake",
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'caf' || chr(233) || ' ' || text
+        |    WHEN 1 THEN 'it' || chr(8217) || 's fine ' || text
+        |    WHEN 2 THEN 'na' || chr(239) || 've caf' || chr(233) || ' ' || text
+        |    WHEN 3 THEN 'plain ' || text
+        |    ELSE 'x' || chr(233) || ' ' || text END AS fixed,
+        |  doc_id % 5 IN (0, 1, 4) AS changed
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.FixMojibake
+      val m5 = pmod(col("doc_id"), lit(5L))
+      val body = when(m5 === 0, concat(lit("cafÃ© "), col("text")))
+        .when(m5 === 1, concat(lit("itâ€™s fine "), col("text")))
+        .when(m5 === 2, concat(lit("naïve café "), col("text")))
+        .when(m5 === 3, concat(lit("plain "), col("text")))
+        .otherwise(concat(lit("xÃƒÂ© "), col("text")))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), body.as("__body"))
+        .select(col("doc_id"), FixMojibake(col("__body")).as("fixed"),
+          (FixMojibake(col("__body")) =!= col("__body")).as("changed"))
+    },
+
     // Length bucketing for batch shaping: histogram of documents by
     // token-count decade — one narrow scan + one aggregation shuffle on a
     // low-cardinality key.
