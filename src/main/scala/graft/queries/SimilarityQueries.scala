@@ -102,6 +102,75 @@ object SimilarityQueries {
           (col("ivf_n") === col("vec_id") + 1000000).as("ivf_top1_is_twin"))
     },
 
+    // D71: bitext margin mining (Artetxe & Schwenk 2019, the CCMatrix /
+    // LASER criterion — the published method for mining parallel
+    // sentence pairs from two monolingual embedding spaces): a candidate
+    // pair (x, y) scores margin(x,y) = cos(x,y) / ((Σ top-k cos around x
+    // + Σ top-k cos around y) / 2k) — ratio to the LOCAL similarity
+    // neighborhood, which kills hubness false positives a raw cosine
+    // threshold admits. The two "languages" are the embedding table's
+    // parity halves; per-side top-k rides d32's cross-label broadcast
+    // best-k (no pair materialization). ARITHMETIC DISCIPLINE: cosines
+    // are the d5 6dp-rounded doubles, converted EXACTLY to 1e-6
+    // fixed-point via DECIMAL(18,6)·1e6, and the margin is emitted as an
+    // exact integer numerator/denominator pair with a DIVISION-FREE
+    // acceptance test (800·cos_fp ≥ 101·den ⟺ margin ≥ 1.01, guarded
+    // den > 0) — no trunc-vs-floor split, no IEEE division anywhere
+    // past the pinned 6dp rounding. accepted additionally requires
+    // MUTUALITY (y's best is x — the published filter).
+    QueryDef.sql(
+      "d71_bitext_margin_mining",
+      """WITH v AS (SELECT vec_id, vec_id % 2 AS side, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, side, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |p AS (SELECT a.vec_id AS vec_id, a.side AS side, b.vec_id AS neighbor_id,
+        |        CAST(CAST(round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cos_fp
+        |      FROM n a JOIN n b ON a.side <> b.side),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_fp DESC, neighbor_id) AS rk
+        |      FROM p),
+        |k4 AS (SELECT * FROM r WHERE rk <= 4),
+        |a AS (SELECT vec_id, side, SUM(cos_fp) AS sum_top_fp,
+        |        MAX(CASE WHEN rk = 1 THEN neighbor_id END) AS best,
+        |        MAX(CASE WHEN rk = 1 THEN cos_fp END) AS best_cos_fp
+        |      FROM k4 GROUP BY 1, 2),
+        |s AS (SELECT vec_id AS src_id, best AS tgt_id, best_cos_fp, sum_top_fp AS sx
+        |      FROM a WHERE side = 0),
+        |t AS (SELECT vec_id AS tgt_id, best AS tgt_best, sum_top_fp AS sy
+        |      FROM a WHERE side = 1)
+        |SELECT s.src_id, s.tgt_id, s.best_cos_fp AS cos_fp,
+        |  s.best_cos_fp * 8 AS margin_num_fp,
+        |  CAST(s.sx + t.sy AS BIGINT) AS margin_den_fp,
+        |  t.tgt_best = s.src_id AS mutual,
+        |  t.tgt_best = s.src_id AND s.sx + t.sy > 0
+        |    AND 800 * s.best_cos_fp >= 101 * (s.sx + t.sy) AS accepted
+        |FROM s JOIN t ON s.tgt_id = t.tgt_id""".stripMargin) { (spark, dir) =>
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(2L)).cast("long").as("side"))
+      val topk = Similarity.bruteForceTopKBroadcast(
+        vecs, "vec_id", "embedding", k = 4, excludeSameLabel = Some("side"))
+      val fp = topk.select(col("vec_id"), col("neighbor_id"), col("rk"),
+        (col("cos").cast("decimal(18,6)") * 1000000).cast("long").as("cos_fp"))
+      val agg = fp.groupBy(col("vec_id")).agg(
+        sum(col("cos_fp")).as("sum_top_fp"),
+        max(when(col("rk") === 1, col("neighbor_id"))).as("best"),
+        max(when(col("rk") === 1, col("cos_fp"))).as("best_cos_fp"))
+      val sideOf = pmod(col("vec_id"), lit(2L))
+      val src = agg.filter(sideOf === 0).select(
+        col("vec_id").as("src_id"), col("best").as("tgt_id"),
+        col("best_cos_fp"), col("sum_top_fp").as("sx"))
+      val tgt = agg.filter(sideOf === 1).select(
+        col("vec_id").as("tgt_id"), col("best").as("tgt_best"),
+        col("sum_top_fp").as("sy"))
+      src.join(tgt, Seq("tgt_id"))
+        .select(col("src_id"), col("tgt_id"),
+          col("best_cos_fp").as("cos_fp"),
+          (col("best_cos_fp") * 8).as("margin_num_fp"),
+          (col("sx") + col("sy")).as("margin_den_fp"),
+          (col("tgt_best") === col("src_id")).as("mutual"),
+          (col("tgt_best") === col("src_id") && col("sx") + col("sy") > 0 &&
+            col("best_cos_fp") * 800 >= (col("sx") + col("sy")) * 101).as("accepted"))
+    },
+
     // Embedding-cosine near-dup pairs (the dedup flavor): exact, symmetric
     // output (id_a < id_b), high threshold.
     QueryDef.sql(
