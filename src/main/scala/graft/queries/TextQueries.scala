@@ -491,6 +491,35 @@ object TextQueries {
           (FixMojibake(col("__body")) =!= col("__body")).as("changed"))
     },
 
+    // T67: exact phrase search (functions/PhraseSearch) — the
+    // positional-retrieval primitive beside d46's bag-of-words BM25:
+    // every occurrence of the phrase "batch batch", OVERLAPPING
+    // occurrences included (the corpus's natural "batch batch batch"
+    // runs make the overlap law load-bearing: starts i AND i+1). The
+    // engine runs the SCAN path (higher-order slice-equality filter —
+    // zero shuffle); the postings-join INDEX path is pinned
+    // bit-identical in PhraseSearchSpec. Zero-hit docs stay in the
+    // report with an empty array — the oracle's list_filter over
+    // range() re-derives every start position independently.
+    QueryDef.sql(
+      "t67_phrase_search",
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |o AS (SELECT doc_id,
+        |  list_filter(range(1, greatest(len(ts) - 1, 0) + 1),
+        |    i -> ts[i] = 'batch' AND ts[i+1] = 'batch') AS starts FROM t)
+        |SELECT doc_id, COALESCE(array_to_string(starts, ','), '') AS starts_csv,
+        |  CAST(len(starts) AS BIGINT) AS n_occurrences,
+        |  len(starts) > 0 AS contains
+        |FROM o""".stripMargin) { (spark, dir) =>
+      graft.functions.PhraseSearch.occurrences(
+          Tables.load(spark, dir, "documents"), "doc_id", "text",
+          Seq("batch", "batch"))
+        .select(col("doc_id"),
+          array_join(col("starts").cast("array<string>"), ",").as("starts_csv"),
+          col("n_occurrences"), col("contains"))
+    },
+
     // Length bucketing for batch shaping: histogram of documents by
     // token-count decade — one narrow scan + one aggregation shuffle on a
     // low-cardinality key.
