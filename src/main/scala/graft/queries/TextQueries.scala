@@ -611,6 +611,32 @@ object TextQueries {
       feats.join(frames, "media_id")
     },
 
+    // M11: scene-change detection through the REAL MJPEG decode — the
+    // shot-boundary primitive of video curation (sample one frame per
+    // SCENE, not per second). Unlike m6's rows-only feature dump this is
+    // fully ORACLED: the scene corpus plants closed-form cuts (scene A
+    // gray 40 → B gray 200 at frame 2+id%3; ids%4==0 cut BACK at +2),
+    // and the 160-level jump dwarfs the JPEG round-trip's ±2 ripple on
+    // solid frames, so the exact fixed-point mean-luminance deltas the
+    // engine measures through the genuine RIFF demux + JDK JPEG decode
+    // MUST reproduce the oracle's arithmetic cut list — a demuxer that
+    // drops/reorders a frame, a luma formula drift, or a threshold off
+    // by the ripple fails on a value.
+    QueryDef.sql(
+      "m11_scene_changes",
+      """WITH r AS (SELECT range AS id FROM range(60)),
+        |c AS (SELECT id, 6 + id % 3 AS nf, 2 + id % 3 AS c1, id % 4 = 0 AS two FROM r)
+        |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CASE WHEN two THEN CAST(c1 AS VARCHAR) || ',' || CAST(c1 + 2 AS VARCHAR)
+        |       ELSE CAST(c1 AS VARCHAR) END AS cuts_csv,
+        |  CAST(CASE WHEN two THEN 3 ELSE 2 END AS BIGINT) AS n_scenes
+        |FROM c""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      Multimodal.sceneChanges(
+        Multimodal.synthesizeSceneAviCorpus(spark, 60),
+        thresholdFp = 80000000L).toDF()
+    },
+
     // T43: the sampler laws (t6/t21's hashed audit): the deterministic
     // hash-threshold design makes three properties THEOREMS — rate 1.0
     // keeps everything and an absent stratum keeps nothing (threshold

@@ -286,4 +286,19 @@ class MultimodalSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](dec.decode(stuck))
     assert(e2.getMessage.contains("corrupt WAV"))
   }
+
+  test("scene changes: planted cuts detected exactly; single-scene video has none") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.sceneChanges(
+        Multimodal.synthesizeSceneAviCorpus(spark, 8), thresholdFp = 80000000L)
+      .collect().map(r => r.media_id -> r).toMap
+    // id 1: nf=7, c1=3, one cut; id 0: %4==0 -> cuts at 2 and 4
+    assert(got(1L).cuts_csv == "3" && got(1L).n_scenes == 2L)
+    assert(got(0L).cuts_csv == "2,4" && got(0L).n_scenes == 3L)
+    // a threshold above the scene jump sees one scene everywhere
+    val calm = Multimodal.sceneChanges(
+        Multimodal.synthesizeSceneAviCorpus(spark, 4), thresholdFp = 200000000L)
+      .collect()
+    assert(calm.forall(r => r.n_scenes == 1L && r.cuts_csv == ""))
+  }
 }
