@@ -491,6 +491,51 @@ object TextQueries {
           (FixMojibake(col("__body")) =!= col("__body")).as("changed"))
     },
 
+    // T69: Unicode NFC normalization (expr/UnicodeNormalize — UAX #15):
+    // the canonicalization step ahead of every hash-keyed stage (exact
+    // dedup, shingles, URL keys), hash-compared against DuckDB's
+    // INDEPENDENT utf8proc implementation — two conformant normalizers
+    // must agree byte-for-byte. Classes per doc_id%6: combining acute →
+    // precomposed é, already-precomposed é unchanged, A+grave → À,
+    // pure ASCII, the ﬁ ligature (NFC-INVARIANT — pins NFC ≠ NFKC),
+    // and o+diaeresis+macron (multi-mark canonical composition → ȫ,
+    // composing only the first mark). octet_length shifts prove the
+    // byte-level rewrite.
+    QueryDef.sql(
+      "t69_nfc_normalize",
+      """SELECT doc_id,
+        |  nfc_normalize(CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'caf' || 'e' || chr(769) || ' ' || text
+        |    WHEN 1 THEN 'caf' || chr(233) || ' ' || text
+        |    WHEN 2 THEN 'A' || chr(768) || ' ' || text
+        |    WHEN 3 THEN 'plain ' || text
+        |    WHEN 4 THEN chr(64257) || ' ' || text
+        |    ELSE 'o' || chr(776) || chr(772) || ' ' || text END) AS norm,
+        |  doc_id % 6 IN (0, 2, 5) AS changed,
+        |  CAST(strlen(nfc_normalize(CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'caf' || 'e' || chr(769) || ' ' || text
+        |    WHEN 1 THEN 'caf' || chr(233) || ' ' || text
+        |    WHEN 2 THEN 'A' || chr(768) || ' ' || text
+        |    WHEN 3 THEN 'plain ' || text
+        |    WHEN 4 THEN chr(64257) || ' ' || text
+        |    ELSE 'o' || chr(776) || chr(772) || ' ' || text END)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import graft.functions.expr.UnicodeNormalize
+      val m6 = pmod(col("doc_id"), lit(6L))
+      val body = when(m6 === 0, concat(lit("café "), col("text")))
+        .when(m6 === 1, concat(lit("café "), col("text")))
+        .when(m6 === 2, concat(lit("À "), col("text")))
+        .when(m6 === 3, concat(lit("plain "), col("text")))
+        .when(m6 === 4, concat(lit("ﬁ "), col("text")))
+        .otherwise(concat(lit("ȫ "), col("text")))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), body.as("__body"))
+        .select(col("doc_id"),
+          UnicodeNormalize.nfc(col("__body")).as("norm"),
+          (UnicodeNormalize.nfc(col("__body")) =!= col("__body")).as("changed"),
+          octet_length(UnicodeNormalize.nfc(col("__body"))).cast("long").as("n_bytes"))
+    },
+
     // T67: exact phrase search (functions/PhraseSearch) — the
     // positional-retrieval primitive beside d46's bag-of-words BM25:
     // every occurrence of the phrase "batch batch", OVERLAPPING
