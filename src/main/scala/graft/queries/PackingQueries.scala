@@ -593,6 +593,62 @@ object PackingQueries {
       graft.operators.UnigramLm.trainSoft(docs, "toks", rounds = 2, maxPieceLen = 2)
     },
 
+    // T68: greedy complement PAIR packing (operators/PairPacking — the
+    // published "sorted best-fit, ≤2 per pack" baseline; Krell et al.
+    // 2021): where t34/t35 concat-and-CUT, this keeps documents whole —
+    // the padding-free recipe for no-cross-attention training. The
+    // distributed shape is the histogram trick (≤budget distinct
+    // lengths → driver greedy over COUNTS → broadcast rank spans), so
+    // the ORACLE replays the greedy's closed form: the fixture's length
+    // classes (per doc_id%10: 3×100, 2×180, 1×260, 1×340, 3×420, plus
+    // doc 0 promoted 100→260 to knock counts odd) make every branch
+    // fire — 420s have NO partner (cap 92), 340↔100 and 260↔180 cross
+    // bulks, the odd leftover 180 cascades to a 100, and the remaining
+    // 180s/100s self-pair. Every per-doc assignment derives from
+    // q = N div 10 alone, which the oracle computes live.
+    QueryDef.sql(
+      "t68_pair_packing",
+      """WITH qq AS (SELECT COUNT(*) // 10 AS q FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id = 0 THEN 260
+        |       WHEN doc_id % 10 <= 2 THEN 100
+        |       WHEN doc_id % 10 <= 4 THEN 180
+        |       WHEN doc_id % 10 = 5 THEN 260
+        |       WHEN doc_id % 10 = 6 THEN 340
+        |       ELSE 420 END AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  row_number() OVER (PARTITION BY len ORDER BY doc_id) AS rk FROM d),
+        |p AS (SELECT doc_id, len, rk,
+        |  CASE WHEN len = 420 THEN NULL
+        |       WHEN len = 340 THEN 100
+        |       WHEN len = 260 THEN 180
+        |       WHEN len = 180 THEN
+        |         CASE WHEN rk <= q + 1 THEN 260
+        |              WHEN rk <= q + 1 + 2 * ((q - 1) // 2) THEN 180
+        |              ELSE 100 END
+        |       ELSE
+        |         CASE WHEN rk <= q THEN 340
+        |              WHEN rk = q + 1 THEN 180
+        |              ELSE 100 END
+        |  END AS partner_len
+        |  FROM r CROSS JOIN qq)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len, CAST(rk AS BIGINT) AS rank_in_len,
+        |  CAST(partner_len AS BIGINT) AS partner_len,
+        |  CAST(CASE WHEN partner_len IS NULL THEN 1 ELSE 2 END AS BIGINT) AS pack_size,
+        |  CAST(len + COALESCE(partner_len, 0) AS BIGINT) AS pack_fill
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val len = when(col("doc_id") === 0, 260L)
+        .when(m10 <= 2, 100L).when(m10 <= 4, 180L)
+        .when(m10 === 5, 260L).when(m10 === 6, 340L)
+        .otherwise(420L)
+      graft.operators.PairPacking.pack(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), len.as("n_tok")),
+        "doc_id", "n_tok", budget = 512L)
+    },
+
     // T60: unigram-LM vocabulary PRUNING (UnigramLm.trainPruned) — the
     // published algorithm's third stage (Kudo 2018 §4), completing
     // train (t56) / encode (t58): EM, then drop the lowest-LOSS
