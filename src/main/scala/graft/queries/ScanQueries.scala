@@ -440,6 +440,90 @@ object ScanQueries {
           WatMeta.resolve(col("target_uri"), col("href")).as("abs_url"))
     },
 
+    // Q12: the CRAWL funnel — the composition gate for the whole web-
+    // input family (the q11 discipline applied to ingest): HTML pages →
+    // REAL WARC bytes on disk → Content-Length parse + HTTP split →
+    // WET extraction → mojibake repair → brace page-filter → robots
+    // crawl-permission gate (REAL RFC 9309 parsing of planted robots
+    // text) → per-source quota (the t13 md5-rank cap, Q=8 so it binds at every SF). Every stage
+    // reports surviving docs AND chars, so the byte-level handoffs
+    // between six operators all sit in one hash. Classes: doc_id%2
+    // plants mojibake (repaired, chars shift — not dropped), %4 plants
+    // the '{' page (dropped at brace), %3==1 gets a /private path
+    // (dropped at robots). The ORACLE never parses anything — it states
+    // each survivor set and each clean text in closed form, with the
+    // t13 md5 rank replayed live for the quota stage.
+    QueryDef.sql(
+      "q12_crawl_funnel",
+      """WITH d AS (SELECT doc_id, source,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' caf' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(233) ELSE 'e' END || ' ' ||
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' code { x }' ELSE '' END AS clean
+        |  FROM documents),
+        |c4 AS (SELECT * FROM d WHERE doc_id % 4 <> 0),
+        |rb AS (SELECT * FROM c4 WHERE doc_id % 3 <> 1),
+        |qk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM rb)
+        |       WHERE rn <= 8)
+        |SELECT CAST(1 AS INT) AS stage_idx, 'extracted' AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(length(clean)) AS BIGINT) AS n_chars FROM d
+        |UNION ALL SELECT 2, 'brace_filtered', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(length(clean)) AS BIGINT) FROM c4
+        |UNION ALL SELECT 3, 'robots_allowed', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(length(clean)) AS BIGINT) FROM rb
+        |UNION ALL SELECT 4, 'quota_kept', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(length(clean)) AS BIGINT) FROM qk""".stripMargin) { (spark, dir) =>
+      import graft.functions.{HtmlText, RobotsTxt}
+      import graft.functions.expr.FixMojibake
+      import graft.io.WarcIo
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.load(spark, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><p>"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("cafÃ© ")).otherwise(lit("cafe ")),
+        col("text"), lit("</p>"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("<p>code { x }</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val uri = concat(lit("https://"), col("source"), lit(".example.com"),
+        when(pmod(col("doc_id"), lit(3L)) === 1,
+          concat(lit("/private/p"), col("doc_id")))
+          .otherwise(concat(lit("/pub/p"), col("doc_id"))))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_crawl_funnel").toString
+      WarcIo.writeShards(
+        src.select(col("doc_id").cast("long").as("id"), uri.as("uri"), html.as("body"))
+          .repartition(4, col("id")), tmp).collect()
+      val clean = WarcIo.readResponses(spark, tmp).select(
+        regexp_extract(col("target_uri"), "^https://([a-z0-9_]+)\\.example", 1).as("source"),
+        regexp_extract(col("target_uri"), "\\.example\\.com(/.*)$", 1).as("path"),
+        regexp_extract(col("target_uri"), "p(\\d+)$", 1).cast("long").as("doc_id"),
+        FixMojibake(HtmlText.extract(col("body"))).as("clean"))
+      val braceKept = clean.filter(!col("clean").contains("{"))
+      val domains = braceKept.select(col("source").as("domain")).distinct()
+        .select(col("domain"),
+          lit("User-agent: *\nDisallow: /private").as("txt"))
+      val verdicts = RobotsTxt.verdicts(
+        braceKept.select(col("doc_id").as("id"), col("source").as("domain"), col("path")),
+        "id", "domain", "path", RobotsTxt.starGroupRules(domains, "domain", "txt"))
+      val robotsKept = braceKept.join(
+        verdicts.filter(col("allowed")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      val quotaKept = robotsKept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+      def stat(idx: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(length(col("clean"))).cast("long").as("n_chars"))
+          .select(lit(idx).cast("int").as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_chars"))
+      stat(1, "extracted", clean)
+        .unionAll(stat(2, "brace_filtered", braceKept))
+        .unionAll(stat(3, "robots_allowed", robotsKept))
+        .unionAll(stat(4, "quota_kept", quotaKept))
+    },
+
     // S15: Arrow IPC shard round-trip (io/ArrowExport) — the zero-copy
     // interchange export beside the JSONL and TAR sinks. The gate is the
     // s10/s11 bound-audit shape crossing into the Arrow format: write the
