@@ -1392,6 +1392,62 @@ object DedupQueries {
         .select(col("v").as("doc_id"), col("r").as("rank_fp"))
     },
 
+    // D72: domain-graph PageRank — the WEB-GRAPH curation signal
+    // (TrustRank-flavor: rank crawl domains by link centrality before
+    // spending quota on them), composed from two existing families: the
+    // WAT link extractor (s19's WatMeta — hrefs + RFC 3986 resolution
+    // over real HTML) builds the host→host edge set, and the d21
+    // integer fixed-point PageRank ranks it. The link fixture makes the
+    // domain graph closed-form: every page on host src{i} links to
+    // src{(i+1)%20} and src{(7i+3)%20} (the second target is
+    // k-independent because 140k ≡ 0 mod 20), self-loops never occur,
+    // and hosts i ∈ {3,13} emit COINCIDING targets — so the DISTINCT
+    // edge set is 38, making edge dedup load-bearing. The oracle builds
+    // the same graph from range(20) arithmetic and unrolls the same 5
+    // synchronous integer rounds (the d21 CTE template); ranks must
+    // agree bit-for-bit.
+    QueryDef.sql(
+      "d72_domain_pagerank", {
+        val graph =
+          """WITH nodes AS (SELECT range AS v FROM range(20)),
+            |edges AS (SELECT v AS src, (v + 1) % 20 AS dst FROM nodes
+            |          UNION SELECT v, (7 * v + 3) % 20 FROM nodes),
+            |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+            |params AS (SELECT COUNT(*) AS n FROM nodes),
+            |r0 AS (SELECT v, 1000000000000 // p.n AS r FROM nodes CROSS JOIN params p)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""d$i AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang FROM r${i - 1} LEFT JOIN deg ON v = src WHERE src IS NULL),
+             |c$i AS (SELECT e.dst AS v, CAST(SUM(r.r // deg.deg) AS BIGINT) AS contrib
+             |        FROM edges e JOIN r${i - 1} r ON r.v = e.src JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.v, ((1000000000000 * 15) // 100) // p.n + (85 * (COALESCE(c.contrib, 0) + (d.dang // p.n))) // 100 AS r
+             |        FROM nodes n CROSS JOIN params p CROSS JOIN d$i d LEFT JOIN c$i c ON c.v = n.v)""".stripMargin
+        }.mkString(",\n")
+        s"""$graph,
+           |$rounds
+           |SELECT 'src' || CAST(v AS VARCHAR) || '.example.com' AS host, r AS rank_fp FROM r5""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.WatMeta
+      val m20 = pmod(col("doc_id"), lit(20L))
+      val html = concat(
+        lit("<html><body><a href=\"https://src"), (m20 + 1) % 20,
+        lit(".example.com/a\">n</a><a href='https://src"),
+        (col("doc_id") * 7 + 3) % 20,
+        lit(".example.com/b'>m</a></body></html>"))
+      val links = Tables.load(spark, dir, "documents")
+        .select(concat(lit("https://src"), m20, lit(".example.com/p"), col("doc_id")).as("uri"),
+          html.as("body"))
+        .select(col("uri"), explode(WatMeta.hrefs(col("body"))).as("href"))
+        .select(
+          regexp_extract(col("uri"), "^https://src(\\d+)\\.", 1).cast("long").as("src"),
+          regexp_extract(WatMeta.resolve(col("uri"), col("href")),
+            "^https://src(\\d+)\\.", 1).cast("long").as("dst"))
+      val edges = links.filter(col("src") =!= col("dst")).distinct()
+      val nodes = edges.select(col("src").as("v")).distinct()
+      graft.operators.PageRank.run(nodes, edges, iters = 5)
+        .select(concat(lit("src"), col("v"), lit(".example.com")).as("host"),
+          col("r").as("rank_fp"))
+    },
+
     // D22: exact bag-of-words cosine near-dup pairs — the sparse-vector
     // twin of d7's dense-embedding cosine, with a STATS-DRIVEN plan choice
     // (measure, don't guess — the two regimes differ by ~75× here):
