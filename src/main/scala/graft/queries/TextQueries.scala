@@ -491,6 +491,45 @@ object TextQueries {
           (FixMojibake(col("__body")) =!= col("__body")).as("changed"))
     },
 
+    // T70: category blocklist matching (functions/Blocklist) — the
+    // UT1/badwords curation stage, as SUBSTRING occurrence (an embedded
+    // match inside a longer word fires — the evasion t65's token rule
+    // documents as out of scope; doc_id%7 plants exactly that). The
+    // mechanism is the length-grouped SHINGLE JOIN: per pattern length,
+    // each doc's distinct char shingles broadcast-join the pattern
+    // table — cost independent of pattern count per length, unlike a
+    // regex alternation. The oracle is contains() per planted class:
+    // %3 appends the adult pattern as a word, %7 embeds it
+    // (prexbadxpost), %5 plants malware, %11 gambling; %21 hits the
+    // adult pattern BOTH ways — n_patterns counts DISTINCT patterns,
+    // so the dedup is load-bearing.
+    QueryDef.sql(
+      "t70_blocklist_match",
+      """WITH f AS (SELECT doc_id,
+        |  doc_id % 3 = 0 OR doc_id % 7 = 0 AS a,
+        |  doc_id % 11 = 0 AS g, doc_id % 5 = 0 AS m FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list_filter(
+        |    [CASE WHEN a THEN 'adult' END, CASE WHEN g THEN 'gambling' END,
+        |     CASE WHEN m THEN 'malware' END], x -> x IS NOT NULL), ','), '') AS categories_csv,
+        |  CAST(CAST(a AS INT) + CAST(g AS INT) + CAST(m AS INT) AS BIGINT) AS n_patterns,
+        |  a OR g OR m AS blocked
+        |FROM f""".stripMargin) { (spark, dir) =>
+      val body = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(" xbadx")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(" prexbadxpost")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit(" see evilco.example now"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0, lit(" zzq")).otherwise(lit("")))
+      graft.functions.Blocklist.matchCategories(
+          Tables.load(spark, dir, "documents").select(col("doc_id"), body.as("body")),
+          "doc_id", "body",
+          Seq("xbadx" -> "adult", "evilco.example" -> "malware", "zzq" -> "gambling"))
+        .select(col("doc_id"),
+          array_join(col("categories"), ",").as("categories_csv"),
+          col("n_patterns"), col("blocked"))
+    },
+
     // T69: Unicode NFC normalization (expr/UnicodeNormalize — UAX #15):
     // the canonicalization step ahead of every hash-keyed stage (exact
     // dedup, shingles, URL keys), hash-compared against DuckDB's
