@@ -440,6 +440,76 @@ object ScanQueries {
           WatMeta.resolve(col("target_uri"), col("href")).as("abs_url"))
     },
 
+    // S20: schema-evolution read (Tables.loadMerged) — how a 100 TB
+    // table accretes columns over months of ingest without rewriting
+    // history: batch 1 was written before `lang`/`n_chars` existed,
+    // batch 2 after `text` was dropped from the extract; a mergeSchema
+    // read over the partitioned layout surfaces the WIDEST schema with
+    // NULLs where a batch predates a column, plus the batch partition
+    // column from directory discovery. Previously spec-only
+    // (PipelineIoSpec); this puts the whole merged projection —
+    // values, NULL pattern, partition column — in the driver hash.
+    QueryDef.sql(
+      "s20_schema_merge_read",
+      """SELECT doc_id, text, NULL AS lang, CAST(NULL AS BIGINT) AS n_chars,
+        |  CAST(1 AS INT) AS batch FROM documents
+        |UNION ALL SELECT doc_id, NULL, lang, CAST(n_chars AS BIGINT), 2
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      docs.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      docs.select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      Tables.loadMerged(spark, tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("batch").cast("int").as("batch"))
+    },
+
+    // S21: small-file compaction (Layout.compact — the OPTIMIZE
+    // primitive): 16 tiny ingest files rewrite as ⌈bytes/target⌉
+    // round-robin-balanced files. The s15/s16 audit shape: exact row
+    // count beside hashed THEOREMS — the rewrite loses no rows
+    // (exceptAll both ways), the output file count equals the
+    // manifest's ceil arithmetic (one file per non-empty partition),
+    // and compaction strictly shrank the file count. A compactor that
+    // drops a row, splits unevenly enough to leave an empty partition,
+    // or miscounts its own output fails on a value.
+    QueryDef.sql(
+      "s21_compaction",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  CAST(16 AS BIGINT) AS n_input_files,
+        |  TRUE AS roundtrip_identical, TRUE AS count_matches_ceil,
+        |  TRUE AS fewer_files
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      val sel = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      sel.repartition(16, col("doc_id")).write.mode("overwrite").parquet(s"$tmp/in")
+      // target = a quarter of the input → 4-5 balanced output files
+      val inBytes = {
+        val hp = new org.apache.hadoop.fs.Path(s"$tmp/in")
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(hp).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getLen).sum
+      }
+      val target = math.max(1L, inBytes / 4)
+      val m = graft.io.Layout.compact(spark, s"$tmp/in", s"$tmp/out", target).head()
+      val back = spark.read.parquet(s"$tmp/out")
+      val diff = back.exceptAll(sel).unionAll(sel.exceptAll(back)).count()
+      val expect = math.max(1L, (m.getLong(1) + target - 1) / target)
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          back.count(), m.getLong(0),
+          diff == 0L, m.getLong(2) == expect, m.getLong(2) < m.getLong(0))),
+        StructType(Seq(StructField("total_rows", LongType, nullable = false),
+          StructField("n_input_files", LongType, nullable = false),
+          StructField("roundtrip_identical", BooleanType, nullable = false),
+          StructField("count_matches_ceil", BooleanType, nullable = false),
+          StructField("fewer_files", BooleanType, nullable = false))))
+    },
+
     // Q12: the CRAWL funnel — the composition gate for the whole web-
     // input family (the q11 discipline applied to ingest): HTML pages →
     // REAL WARC bytes on disk → Content-Length parse + HTTP split →
