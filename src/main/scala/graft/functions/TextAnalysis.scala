@@ -62,6 +62,52 @@ object TextAnalysis {
   }
 
   /** Whitespace token count. */
+  /** Paragraph-level language segmentation — the mC4/CCNet treatment of
+    * MIXED-language pages (web documents routinely interleave languages;
+    * doc-level lang-id mislabels every minority paragraph): split on
+    * blank lines, language-ID each paragraph independently, report the
+    * majority language (paragraph count; ties break to the
+    * lexicographically smallest language — a total, oracle-expressible
+    * rule), and reassemble ONLY the majority-language paragraphs in
+    * original order. One explode + two doc-keyed aggregates; lang-id
+    * itself rides the scan.
+    *
+    * @return (idCol, n_paras, majority_lang, n_majority_paras,
+    *         kept_text) — empty docs keep an empty report row
+    */
+  def paragraphLanguageReport(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n")).as(Seq("__p", "__para")))
+      .filter(trim(col("__para")) =!= "")
+      .withColumn("__lang", languageId(col("__para")))
+    val counts = paras.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__c").desc, col("__lang").asc)
+    val major = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("__mid"), col("__lang").as("majority_lang"),
+        col("__c").as("n_majority_paras"))
+    // every frame below descends from `docs`; distinct key names keep the
+    // joins unambiguous (the Spark self-join analyzer trap)
+    val kept = paras.join(major,
+        paras(idCol) === col("__mid") && col("__lang") === col("majority_lang"))
+      .groupBy(col("__mid").as("__kid"))
+      .agg(array_join(array_sort(collect_list(struct(col("__p"), col("__para"))))
+        .getField("__para"), "\n\n").as("kept_text"))
+    val np = paras.groupBy(col(idCol).as("__nid")).agg(count(lit(1)).as("n_paras"))
+    docs.select(col(idCol))
+      .join(np, col(idCol) === col("__nid"), "left")
+      .join(major, col(idCol) === col("__mid"), "left")
+      .join(kept, col(idCol) === col("__kid"), "left")
+      .select(col(idCol), coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        col("majority_lang"),
+        coalesce(col("n_majority_paras"), lit(0L)).as("n_majority_paras"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   def tokenCountWs(text: Column): Column = size(TextTokens.tokens(text))
 
   /** BPE-ish regex token count: letter runs, digit runs, punctuation singles. */

@@ -491,6 +491,51 @@ object TextQueries {
           (FixMojibake(col("__body")) =!= col("__body")).as("changed"))
     },
 
+    // T72: paragraph-level language segmentation
+    // (TextAnalysis.paragraphLanguageReport) — the mC4/CCNet treatment
+    // of MIXED-language pages: doc-level lang-id mislabels every
+    // minority paragraph, so split on blank lines, lang-id each
+    // paragraph, keep the majority language's paragraphs in order.
+    // Fixture: para1 is always English (markers + the doc's own text —
+    // whose vocabulary holds no es/de/fr markers), para2 flips Spanish
+    // on %2, para3 flips German on %3; %6==0 docs are a THREE-WAY
+    // paragraph tie where the lexicographic tie-break (de < en < es)
+    // is load-bearing — a majority rule using marker-definition order
+    // would answer 'en' and fail the hash. kept_text is the full
+    // reassembled string, so per-paragraph lang-id, in-order
+    // reassembly, and the tie all sit in one value.
+    QueryDef.sql(
+      "t72_paragraph_lang_segments",
+      """WITH d AS (SELECT doc_id,
+        |  'the a of and is ' || text AS p1,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'el la de y es bueno aqui'
+        |       ELSE 'the and is fine here' END AS p2,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'der die das und ist gut'
+        |       ELSE 'the of and here too' END AS p3
+        |  FROM documents)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_paras,
+        |  CASE WHEN doc_id % 6 = 0 THEN 'de' ELSE 'en' END AS majority_lang,
+        |  CAST(CASE WHEN doc_id % 6 = 0 THEN 1
+        |            WHEN doc_id % 2 = 0 OR doc_id % 3 = 0 THEN 2
+        |            ELSE 3 END AS BIGINT) AS n_majority_paras,
+        |  CASE WHEN doc_id % 6 = 0 THEN p3
+        |       WHEN doc_id % 2 = 0 THEN p1 || chr(10) || chr(10) || p3
+        |       WHEN doc_id % 3 = 0 THEN p1 || chr(10) || chr(10) || p2
+        |       ELSE p1 || chr(10) || chr(10) || p2 || chr(10) || chr(10) || p3
+        |  END AS kept_text
+        |FROM d""".stripMargin) { (spark, dir) =>
+      val p1 = concat(lit("the a of and is "), col("text"))
+      val p2 = when(pmod(col("doc_id"), lit(2L)) === 0, lit("el la de y es bueno aqui"))
+        .otherwise(lit("the and is fine here"))
+      val p3 = when(pmod(col("doc_id"), lit(3L)) === 0, lit("der die das und ist gut"))
+        .otherwise(lit("the of and here too"))
+      TextAnalysis.paragraphLanguageReport(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            concat(p1, lit("\n\n"), p2, lit("\n\n"), p3).as("body")),
+        "doc_id", "body")
+    },
+
     // T70: category blocklist matching (functions/Blocklist) — the
     // UT1/badwords curation stage, as SUBSTRING occurrence (an embedded
     // match inside a longer word fires — the evasion t65's token rule
