@@ -65,6 +65,60 @@ object RobotsTxt {
       .join(delay, Seq("domain"), "left")
   }
 
+  /** STATELESS verdicts for a URL STREAM — the online politeness gate of
+    * a continuously crawling pipeline: the rule table is STATIC (robots
+    * files refresh on their own slow cadence), so it ships as a
+    * plan-literal map (domain → rules sorted by the RFC resolution
+    * order) and each URL resolves with ONE aggregate() fold over its
+    * domain's rule array — no join state, no window state, each
+    * micro-batch row scored and forgotten (the qualityGateStream
+    * contract). Matching is the same native [[RobotsMatch]]; ties
+    * beyond (length, Allow-first) keep the FIRST rule in the sorted
+    * order — the total tie-break batch [[verdicts]]' fixtures assume.
+    * Output schema is row-identical to [[verdicts]]; StreamingSpec pins
+    * stream == batch on wildcard rule sets.
+    *
+    * @param rules (domain, kind, prefix, crawl_delay) — collect
+    *              [[starGroupRules]]' (bounded, vocabulary-scale)
+    *              output; the loud-bound contract is the caller's
+    */
+  def verdictsStateless(urls: DataFrame, idCol: String, domainCol: String,
+      pathCol: String, rules: Seq[(String, String, String, Option[Long])]): DataFrame = {
+    val byDomain: Map[String, Seq[(String, String)]] = rules.groupBy(_._1)
+      .map { case (d, rs) =>
+        d -> rs.map(r => (r._2, r._3))
+          .sortBy { case (k, p) => (-p.length, if (k == "allow") 0 else 1, p) }
+      }
+    val delays: Map[String, Long] =
+      rules.flatMap(r => r._4.map(r._1 -> _)).groupMapReduce(_._1)(_._2)(math.min)
+    val rulesLit = typedLit(byDomain)
+    val delayLit = typedLit(delays)
+    val base = urls.select(col(idCol).as("id"),
+      col(domainCol).as("domain"), col(pathCol).as("path"))
+    val rs = coalesce(element_at(rulesLit, col("domain")),
+      typedLit(Seq.empty[(String, String)]))
+    val init = struct(lit(-1).as("len"), lit(2).as("kr"),
+      lit(null).cast("string").as("kind"), lit(null).cast("string").as("prefix"))
+    val best = aggregate(rs, init, (acc, r) => {
+      val k = r.getField("_1")
+      val p = r.getField("_2")
+      val kr = when(k === "allow", 0).otherwise(1)
+      val better = graft.functions.expr.RobotsMatch(col("path"), p) &&
+        (length(p) > acc.getField("len") ||
+          (length(p) === acc.getField("len") && kr < acc.getField("kr")))
+      when(better,
+        struct(length(p).as("len"), kr.as("kr"), k.as("kind"), p.as("prefix")))
+        .otherwise(acc)
+    })
+    base.withColumn("__b", best)
+      .select(col("id"), col("domain"), col("path"),
+        col("__b").getField("kind").as("matched_kind"),
+        col("__b").getField("prefix").as("matched_prefix"),
+        element_at(delayLit, col("domain")).as("crawl_delay"),
+        (col("__b").getField("kind").isNull ||
+          col("__b").getField("kind") === "allow").as("allowed"))
+  }
+
   /** Per-URL verdicts: (urls: idCol, domainCol, pathCol) against
     * [[starGroupRules]] output → (id, domain, path, matched_kind,
     * matched_prefix, crawl_delay, allowed). */

@@ -236,6 +236,39 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming robots gate == batch verdicts, wildcard rules included") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.functions.RobotsTxt
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    val robots = docs.select(col("source").as("domain")).distinct()
+      .select(col("domain"), lit(
+        "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\nDisallow: /tmp*\nDisallow: /a/").as("txt"))
+    val rules = RobotsTxt.starGroupRules(robots, "domain", "txt")
+    val ruleSeq = rules.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    def urlsOf(df: org.apache.spark.sql.DataFrame) = {
+      val m = pmod(col("doc_id"), lit(4L))
+      df.select(col("doc_id").cast("long").as("id"), col("source").as("domain"),
+        when(m === 0, concat(lit("/d"), col("doc_id"), lit(".pdf")))
+          .when(m === 1, concat(lit("/pub/d"), col("doc_id"), lit(".pdf")))
+          .when(m === 2, concat(lit("/tmp/x"), col("doc_id")))
+          .otherwise(concat(lit("/free/f"), col("doc_id"))).as("path"))
+    }
+    val gate = RobotsTxt.verdictsStateless(
+      urlsOf(EventStreams.readDocumentsStream(spark, dir)), "id", "domain", "path", ruleSeq)
+    val q = gate.writeStream.format("memory").queryName("robots_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getString(4), Option(r.get(5)), r.getBoolean(6))
+    val streamed = spark.table("robots_gate").collect().map(key).toSet
+    val batch = RobotsTxt.verdicts(urlsOf(docs), "id", "domain", "path", rules)
+      .collect().map(key).toSet
+    assert(streamed == batch, "stateless stream gate must equal batch verdicts")
+    assert(batch.exists(_._7) && batch.exists(!_._7), "both verdicts present")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stream-stream interval join == batch join over the events table") {
     val dir = "/root/testdata/sf0.001"
     val joined = EventStreams.purchaseAttribution(EventStreams.readEventsStream(spark, dir))
