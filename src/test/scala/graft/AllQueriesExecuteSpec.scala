@@ -51,6 +51,7 @@ object PlanBudget {
     "f7_scalar_subquery_sql" -> (1, 0),
     "j21_geo_grid_join" -> (0, 1),
     "q10_curation_funnel" -> (6, 1),  // 5 stage-count folds + vocab fold; LM scalar broadcast
+    "q12_crawl_funnel" -> (4, 0),     // 4 stage (docs, chars) scalar folds — one per funnel row
     "q11_corpus_build_funnel" -> (7, 0), // 7 stage (docs, tokens) scalar folds — one per funnel row (incl. the t57 model stage)
     "q2_referential_integrity" -> (14, 7),
     "q3_skew_profile" -> (6, 4),
