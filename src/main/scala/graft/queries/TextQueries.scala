@@ -1324,6 +1324,47 @@ object TextQueries {
         RobotsTxt.starGroupRules(robots, "domain", "txt"))
     },
 
+    // T71: politeness fetch scheduling — the step AFTER a robots verdict
+    // in a real crawler: allowed URLs serialize per domain at the
+    // domain's Crawl-delay cadence, so each URL gets a deterministic
+    // fetch slot fetch_at_s = (rank−1)·delay and the domain's makespan
+    // is (n−1)·delay. Composes the REAL RobotsTxt parse+verdict chain
+    // (the /private class drops BEFORE ranking — a scheduler that ranks
+    // then filters leaves silent gaps in the cadence and fails the
+    // hash); one window shuffle on the domain key, arithmetic rides it.
+    QueryDef.sql(
+      "t71_fetch_schedule",
+      """WITH u AS (SELECT doc_id, source,
+        |  1 + strlen(source) % 5 AS delay FROM documents WHERE doc_id % 3 <> 1),
+        |r AS (SELECT doc_id, source, delay,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk FROM u)
+        |SELECT doc_id AS id, source AS domain, CAST(rk AS BIGINT) AS rank_in_domain,
+        |  CAST(delay AS BIGINT) AS crawl_delay,
+        |  CAST((rk - 1) * delay AS BIGINT) AS fetch_at_s
+        |FROM r""".stripMargin) { (spark, dir) =>
+      import graft.functions.RobotsTxt
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(spark, dir, "documents")
+      val robots = docs.select(col("source").as("domain")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          (lit(1) + octet_length(col("domain")) % 5),
+          lit("\nDisallow: /private")).as("txt"))
+      val m3 = pmod(col("doc_id"), lit(3L))
+      val urls = docs.select(col("doc_id").cast("long").as("id"),
+        col("source").as("domain"),
+        when(m3 === 1, concat(lit("/private/p"), col("doc_id")))
+          .otherwise(concat(lit("/pub/p"), col("doc_id"))).as("path"))
+      val v = RobotsTxt.verdicts(urls, "id", "domain", "path",
+        RobotsTxt.starGroupRules(robots, "domain", "txt"))
+      val w = Window.partitionBy(col("domain")).orderBy(col("id"))
+      v.filter(col("allowed"))
+        .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+        .select(col("id"), col("domain"), col("rank_in_domain"),
+          col("crawl_delay"),
+          ((col("rank_in_domain") - 1) * col("crawl_delay")).as("fetch_at_s"))
+    },
+
     // T41: inter-annotator agreement — Cohen's kappa per source over two
     // deterministic binary "annotators" (a char-length rule and a
     // token-count rule standing in for two labeling passes; on real data
