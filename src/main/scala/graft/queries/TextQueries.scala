@@ -1324,6 +1324,37 @@ object TextQueries {
         RobotsTxt.starGroupRules(robots, "domain", "txt"))
     },
 
+    // T73: rule-based sentence segmentation — the primitive under C4's
+    // real 5-sentence floor and span-level dedup: a boundary is a
+    // terminal-punctuation run followed by whitespace (the documented
+    // subset; abbreviation handling is a model problem, not a rule
+    // problem), implemented as ONE regexp_replace planting a 
+    // sentinel after each boundary + ONE split — the same two calls in
+    // both engines' dialects ($1 vs \1 backrefs), so the boundary rule
+    // itself is cross-checked. The tail after the last boundary is a
+    // sentence (the doc's own unpunctuated text rides there, putting
+    // real data in every hash row). Positions are 1-based document
+    // order; a shuffle never happens — posexplode rides the scan.
+    QueryDef.sql(
+      "t73_sentence_segments",
+      """WITH d AS (SELECT doc_id,
+        |  'First one. Second two! Is three? Hey!? Tail ' || text AS body
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  string_split(regexp_replace(body, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |               chr(1)) AS sents FROM d)
+        |SELECT doc_id, CAST(i AS INT) AS sent_idx, sents[i] AS sentence,
+        |  CAST(strlen(sents[i]) AS BIGINT) AS n_chars
+        |FROM s, LATERAL (SELECT unnest(range(1, len(sents) + 1)) AS i)""".stripMargin) { (spark, dir) =>
+      val body = concat(lit("First one. Second two! Is three? Hey!? Tail "), col("text"))
+      val sents = split(
+        regexp_replace(body, "([.!?])\\s+", "$1\u0001"), "\u0001")
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(sents).as(Seq("__p", "sentence")))
+        .select(col("doc_id"), (col("__p") + 1).cast("int").as("sent_idx"),
+          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+    },
+
     // T71: politeness fetch scheduling — the step AFTER a robots verdict
     // in a real crawler: allowed URLs serialize per domain at the
     // domain's Crawl-delay cadence, so each URL gets a deterministic
