@@ -30,7 +30,13 @@ object Blocklist {
       patterns: Seq[(String, String)], maxLengths: Int = 32): DataFrame = {
     require(patterns.nonEmpty, "empty blocklist")
     require(patterns.forall(_._1.nonEmpty), "empty pattern in blocklist")
-    val lens = patterns.map(_._1.length).distinct
+    // bucket by CODEPOINT count, not Java's UTF-16 length — Spark's
+    // length()/substr() cut codepoints, so a supplementary-plane char
+    // (emoji, rare ideograph) counted as 2 here would put the pattern in
+    // a bucket whose shingles can never equal it: a silent false
+    // negative in a safety filter
+    def cp(s: String): Int = s.codePointCount(0, s.length)
+    val lens = patterns.map(p => cp(p._1)).distinct
     require(lens.size <= maxLengths,
       s"${lens.size} distinct pattern lengths exceed maxLengths=$maxLengths " +
         "— bucket patterns into fewer lengths or raise the bound explicitly")

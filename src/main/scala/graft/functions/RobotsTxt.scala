@@ -128,10 +128,16 @@ object RobotsTxt {
       col(domainCol).as("domain"), col(pathCol).as("path"))
     val matched = u.join(broadcast(rules), Seq("domain"))
       .filter(graft.functions.expr.RobotsMatch(col("path"), col("prefix")))
-    // RFC resolution: longest pattern, then Allow beats Disallow on ties
+    // RFC resolution: longest pattern, then Allow beats Disallow on ties;
+    // the final prefix.asc makes the order TOTAL — with wildcard matching
+    // two distinct same-length same-kind rules CAN both match (impossible
+    // for literal prefixes), and an untotaled row_number would pick
+    // arbitrarily per run, flaking the hash and breaking the documented
+    // parity with verdictsStateless' (len, kind, prefix) sort
     val w = Window.partitionBy(col("id"))
       .orderBy(length(col("prefix")).desc,
-        when(col("kind") === "allow", 0).otherwise(1).asc)
+        when(col("kind") === "allow", 0).otherwise(1).asc,
+        col("prefix").asc)
     val winner = matched
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -61,7 +61,6 @@ object TextAnalysis {
       })
   }
 
-  /** Whitespace token count. */
   /** Paragraph-level language segmentation — the mC4/CCNet treatment of
     * MIXED-language pages (web documents routinely interleave languages;
     * doc-level lang-id mislabels every minority paragraph): split on
@@ -108,6 +107,7 @@ object TextAnalysis {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(TextTokens.tokens(text))
 
   /** BPE-ish regex token count: letter runs, digit runs, punctuation singles. */

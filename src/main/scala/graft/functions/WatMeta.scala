@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *  - `resolve`: RFC 3986 reference resolution for the shapes a crawler
   *    meets — absolute (has a scheme) kept verbatim, protocol-relative
   *    `//host/…` inherits the base scheme, root-relative `/…` joins the
-  *    base origin, and relative references merge with the base
-  *    directory (base path up to its last `/`; a base with no path
-  *    merges at `/` per the RFC). Dot-segment normalization is t50's
-  *    job downstream.
+  *    base origin, query-only `?…` and fragment-only `#…` keep the base
+  *    PATH (§5.3 — pagination and same-document links), and remaining
+  *    relative references merge with the base directory (base path up
+  *    to its last `/`; a base with no path merges at `/` per the RFC).
+  *    Dot-segment normalization is t50's job downstream.
   */
 object WatMeta {
 
@@ -51,5 +52,10 @@ object WatMeta {
       .when(href.startsWith("//"),
         concat(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1), lit(":"), href))
       .when(href.startsWith("/"), concat(origin(base), href))
+      // query-only / fragment-only references keep the base PATH (RFC
+      // 3986 §5.3: same-document and re-query links — the ubiquitous
+      // '?page=2' pagination shape must not fall into the directory merge)
+      .when(href.startsWith("?"), concat(regexp_extract(base, "^([^?#]*)", 1), href))
+      .when(href.startsWith("#"), concat(regexp_extract(base, "^([^#]*)", 1), href))
       .otherwise(concat(baseDir(base), href))
 }

@@ -313,40 +313,11 @@ object Multimodal {
       val w = 16 + (id % 3).toInt * 8
       val h = 16 + (id % 2).toInt * 8
       val nFrames = 2 + (id % 4).toInt
-      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-      def chunk(id4: String, data: Array[Byte]) =
-        id4.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
-          (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
-      def list(kind: String, data: Array[Byte]) =
-        chunk("LIST", kind.getBytes("US-ASCII") ++ data)
-      val jpegs = (0 until nFrames).map { _ =>
+      val grays = (0 until nFrames).map { _ =>
         val bucket = ((nextLong() >>> 33) % 16).toInt
-        val g = bucket * 16 + 8
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val gfx = img.createGraphics()
-        gfx.setColor(new java.awt.Color(g, g, g)); gfx.fillRect(0, 0, w, h); gfx.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        bos.toByteArray
+        bucket * 16 + 8
       }
-      val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usec/frame, maxbps, pad, flags
-        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++         // totalFrames, initial, streams, sugBuf
-        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-      val strh = "vids".getBytes ++ "MJPG".getBytes ++
-        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++             // flags, prio, lang, initial
-        le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++      // scale, rate, start, length
-        le32(0) ++ le32(0) ++ le32(0) ++                        // sugBuf, quality, sampleSize
-        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)                // rcFrame
-      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
-        "MJPG".getBytes ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-      val hdrl = list("hdrl", chunk("avih", avih) ++
-        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-      val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
-      val body = "AVI ".getBytes ++ hdrl ++ movi
-      MediaRow(id, "video", w, h, "RIFF".getBytes ++ le32(body.length) ++ body)
+      MediaRow(id, "video", w, h, buildMjpegAvi(w, h, grays))
     }(newMediaRowEncoder(spark))
   }
 

@@ -466,20 +466,22 @@ object ScanQueries {
           col("batch").cast("int").as("batch"))
     },
 
-    // S21: small-file compaction (Layout.compact — the OPTIMIZE
-    // primitive): 16 tiny ingest files rewrite as ⌈bytes/target⌉
-    // round-robin-balanced files. The s15/s16 audit shape: exact row
-    // count beside hashed THEOREMS — the rewrite loses no rows
-    // (exceptAll both ways), the output file count equals the
-    // manifest's ceil arithmetic (one file per non-empty partition),
-    // and compaction strictly shrank the file count. A compactor that
-    // drops a row, splits unevenly enough to leave an empty partition,
-    // or miscounts its own output fails on a value.
+    // S21: small-file compaction (io/Compaction — the OPTIMIZE
+    // primitive, previously spec-only): 16 tiny ingest files rewrite
+    // into ~quarter-of-input-byte outputs through Compaction.compact's
+    // real path — footer-metadata byte accounting, fresh-directory
+    // write (SaveMode.ErrorIfExists: overwriting in place would lose
+    // the source on a mid-write failure), maxRecordsPerFile density
+    // cap. The s15/s16 audit shape: exact row count beside hashed
+    // THEOREMS — the rewrite loses no rows (exceptAll both ways), the
+    // stats manifest's row count matches, and the file count strictly
+    // shrank. (The exact output count is maxRecordsPerFile-dependent by
+    // design, so the gate pins the contract, not the constant.)
     QueryDef.sql(
       "s21_compaction",
       """SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
         |  CAST(16 AS BIGINT) AS n_input_files,
-        |  TRUE AS roundtrip_identical, TRUE AS count_matches_ceil,
+        |  TRUE AS roundtrip_identical, TRUE AS stats_rows_match,
         |  TRUE AS fewer_files
         |FROM documents""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.types._
@@ -487,7 +489,6 @@ object ScanQueries {
         .select(col("doc_id"), col("text"), col("source"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
       sel.repartition(16, col("doc_id")).write.mode("overwrite").parquet(s"$tmp/in")
-      // target = a quarter of the input → 4-5 balanced output files
       val inBytes = {
         val hp = new org.apache.hadoop.fs.Path(s"$tmp/in")
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -495,18 +496,18 @@ object ScanQueries {
           .map(_.getLen).sum
       }
       val target = math.max(1L, inBytes / 4)
-      val m = graft.io.Layout.compact(spark, s"$tmp/in", s"$tmp/out", target).head()
+      val stats = graft.io.Compaction.compact(spark, s"$tmp/in", s"$tmp/out", target)
       val back = spark.read.parquet(s"$tmp/out")
       val diff = back.exceptAll(sel).unionAll(sel.exceptAll(back)).count()
-      val expect = math.max(1L, (m.getLong(1) + target - 1) / target)
+      val rows = back.count()
       spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
-          back.count(), m.getLong(0),
-          diff == 0L, m.getLong(2) == expect, m.getLong(2) < m.getLong(0))),
+          rows, stats.filesBefore,
+          diff == 0L, stats.rows == rows, stats.filesAfter < stats.filesBefore)),
         StructType(Seq(StructField("total_rows", LongType, nullable = false),
           StructField("n_input_files", LongType, nullable = false),
           StructField("roundtrip_identical", BooleanType, nullable = false),
-          StructField("count_matches_ceil", BooleanType, nullable = false),
+          StructField("stats_rows_match", BooleanType, nullable = false),
           StructField("fewer_files", BooleanType, nullable = false))))
     },
 

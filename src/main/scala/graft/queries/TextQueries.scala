@@ -1344,7 +1344,7 @@ object TextQueries {
         |  string_split(regexp_replace(body, '([.!?])\s+', '\1' || chr(1), 'g'),
         |               chr(1)) AS sents FROM d)
         |SELECT doc_id, CAST(i AS INT) AS sent_idx, sents[i] AS sentence,
-        |  CAST(strlen(sents[i]) AS BIGINT) AS n_chars
+        |  CAST(length(sents[i]) AS BIGINT) AS n_chars
         |FROM s, LATERAL (SELECT unnest(range(1, len(sents) + 1)) AS i)""".stripMargin) { (spark, dir) =>
       val body = concat(lit("First one. Second two! Is three? Hey!? Tail "), col("text"))
       val sents = split(

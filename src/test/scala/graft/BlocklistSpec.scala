@@ -35,6 +35,19 @@ class BlocklistSpec extends AnyFunSuite {
     assert(got(1)._3 == 1L, "the same pattern matching many times is one pattern")
   }
 
+  test("supplementary-plane patterns bucket by codepoints, not UTF-16 units") {
+    // U+1F480 is 1 codepoint / 2 UTF-16 units; a UTF-16 bucketing would
+    // put the 2-codepoint pattern in the l=3 bucket where no 2-codepoint
+    // shingle can ever equal it — a silent false negative
+    val skull = new String(Character.toChars(0x1F480))
+    val got = Blocklist.matchCategories(
+      Seq((1L, s"a${skull}xb"), (2L, "axb")).toDF("id", "t"),
+      "id", "t", Seq(s"${skull}x" -> "emoji"))
+      .as[(Long, Seq[String], Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, Seq("emoji"), 1L, true)))
+    assert(got(1) == ((2L, Seq.empty[String], 0L, false)))
+  }
+
   test("loud bounds: empty list, empty pattern, too many distinct lengths") {
     val df = Seq((1L, "x")).toDF("id", "t")
     intercept[IllegalArgumentException](Blocklist.matchCategories(df, "id", "t", Seq.empty))

@@ -50,5 +50,8 @@ class WatMetaSpec extends AnyFunSuite {
     assert(res("https://ex.com/page", "rel/x") == "https://ex.com/rel/x")
     // query/fragment on the base never leak into the directory
     assert(res("https://ex.com/a/b?q=1#f", "c") == "https://ex.com/a/c")
+    // query-only and fragment-only references keep the base PATH (§5.3)
+    assert(res("https://ex.com/dir/page?q=1", "?page=2") == "https://ex.com/dir/page?page=2")
+    assert(res("https://ex.com/dir/page?q=1#top", "#sec") == "https://ex.com/dir/page?q=1#sec")
   }
 }
