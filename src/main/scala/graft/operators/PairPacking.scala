@@ -77,6 +77,87 @@ object PairPacking {
     out.result()
   }
 
+  /** One greedy multi-item span: docs of `len` with rank in
+    * [fromRank, toRank] belong to packs shaped `template` (lengths in
+    * descending order). */
+  private[graft] case class GreedySpan(len: Long, fromRank: Long, toRank: Long,
+      template: Seq[Long])
+
+  /** The MULTI-item histogram greedy — [[planSpans]] without the
+    * two-per-pack cap (the shape the packing literature calls greedy /
+    * shortest-pack-first): each pack starts from the largest remaining
+    * length and keeps adding the LARGEST length that still fits the
+    * remaining budget (a length may repeat if enough of it remains),
+    * closing when nothing fits. Because the choice depends only on the
+    * COUNTS, the pack template repeats in bulk: reps = min over the
+    * template's distinct lengths of ⌊count/uses⌋ — exactly how many
+    * one-at-a-time packs would reuse the template before some length
+    * runs short — so the loop runs O(distinct templates), never O(docs).
+    * Within a length, docs are consumed in rank (doc-order) across
+    * templates, the [[planSpans]] contract. */
+  private[graft] def planGreedySpans(hist: Map[Long, Long], budget: Long): Seq[GreedySpan] = {
+    require(hist.keys.forall(l => l > 0 && l <= budget),
+      s"lengths must be in (0, $budget]: ${hist.keys.filterNot(l => l > 0 && l <= budget).take(3)}")
+    val counts = scala.collection.mutable.TreeMap.empty[Long, Long] ++
+      hist.filter(_._2 > 0)
+    val used = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    val out = Seq.newBuilder[GreedySpan]
+    while (counts.nonEmpty) {
+      // build one pack template greedily against the live counts
+      val uses = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      val template = Seq.newBuilder[Long]
+      var left = budget
+      var fits = true
+      while (fits) {
+        // largest m ≤ left with count(m) > uses(m)
+        val m = counts.rangeTo(left).foldLeft(Option.empty[Long]) {
+          case (best, (k, c)) => if (c > uses(k)) Some(k) else best
+        }
+        m match {
+          case Some(k) => template += k; uses(k) += 1; left -= k
+          case None => fits = false
+        }
+      }
+      val t = template.result()
+      // counts is nonempty and every length ≤ budget, so t is nonempty
+      val reps = uses.iterator.map { case (k, u) => counts(k) / u }.min
+      val shape = t.sorted(Ordering[Long].reverse)
+      shape.distinct.foreach { k => // deterministic span order: template desc
+        val u = uses(k)
+        out += GreedySpan(k, used(k) + 1, used(k) + u * reps, shape)
+        used(k) += u * reps
+        val c = counts(k) - u * reps
+        if (c == 0) counts.remove(k) else counts(k) = c
+      }
+    }
+    out.result()
+  }
+
+  /** [[pack]]'s multi-item twin over [[planGreedySpans]]. Output:
+    * (idCol, len, rank_in_len, pack_size, pack_fill, pack_csv — the
+    * pack's lengths, descending, comma-joined). */
+  def packGreedy(docs: DataFrame, idCol: String, lenCol: String, budget: Long,
+      maxDistinct: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = docs.select(col(idCol), col(lenCol).cast("long").as("len"))
+    val hist = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect()
+    require(hist.length <= maxDistinct,
+      s"${hist.length} distinct lengths exceed maxDistinct=$maxDistinct")
+    val spans = planGreedySpans(hist.toMap, budget)
+    val spanDf = spans.map(s => (s.len, s.fromRank, s.toRank,
+        s.template.length.toLong, s.template.sum, s.template.mkString(",")))
+      .toDF("len", "__from", "__to", "pack_size", "pack_fill", "pack_csv")
+    val ranked = lens.withColumn("rank_in_len",
+      row_number().over(Window.partitionBy(col("len")).orderBy(col(idCol))).cast("long"))
+    ranked.join(broadcast(spanDf),
+        ranked("len") === spanDf("len") &&
+          col("rank_in_len") >= col("__from") && col("rank_in_len") <= col("__to"))
+      .select(ranked(idCol), ranked("len"), col("rank_in_len"),
+        col("pack_size"), col("pack_fill"), col("pack_csv"))
+  }
+
   /** Pack `docs` (idCol, lenCol with integral token lengths ≤ budget —
     * longer docs must be chunked upstream, refused loudly here) into
     * pairs. Output: (idCol, len, rank_in_len, partner_len NULLable,

@@ -593,6 +593,58 @@ object PackingQueries {
       graft.operators.UnigramLm.trainSoft(docs, "toks", rounds = 2, maxPieceLen = 2)
     },
 
+    // T74: greedy MULTI-item histogram packing (PairPacking.packGreedy)
+    // — t68 without the two-per-pack cap, the shortest-pack-first shape
+    // of the packing literature: each pack keeps taking the largest
+    // length that still fits (repeats allowed while supply lasts), and
+    // identical templates repeat in BULK (reps = min ⌊count/uses⌋), so
+    // the driver loop is O(templates), never O(docs). The fixture
+    // ({60×3, 150×3, 300×2, 420×2} per 10 ids, budget 512) makes the
+    // one-pack-at-a-time trace hand-derivable: [420,60]×2q exhausts the
+    // 420s, [300,150,60]×q drains the 60s at fill 510, [300,150]×q,
+    // then the 150s SELF-pack [150,150,150]×⌊q/3⌋ with a q-mod-3
+    // remainder tail — the oracle states every span from q = N div 10
+    // and q mod 3 computed live, so bulk-repetition arithmetic, the
+    // availability cap on self-repeats, and the remainder templates are
+    // all load-bearing.
+    QueryDef.sql(
+      "t74_greedy_packing",
+      """WITH qq AS (SELECT COUNT(*) // 10 AS q, (COUNT(*) // 10) % 3 AS rem
+        |            FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 <= 2 THEN 60
+        |       WHEN doc_id % 10 <= 5 THEN 150
+        |       WHEN doc_id % 10 <= 7 THEN 300
+        |       ELSE 420 END AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  row_number() OVER (PARTITION BY len ORDER BY doc_id) AS rk FROM d),
+        |p AS (SELECT doc_id, len, rk,
+        |  CASE WHEN len = 420 THEN '420,60'
+        |       WHEN len = 300 THEN CASE WHEN rk <= q THEN '300,150,60' ELSE '300,150' END
+        |       WHEN len = 60 THEN CASE WHEN rk <= 2*q THEN '420,60' ELSE '300,150,60' END
+        |       ELSE CASE WHEN rk <= q THEN '300,150,60'
+        |                 WHEN rk <= 2*q THEN '300,150'
+        |                 WHEN rk <= 2*q + 3*(q // 3) THEN '150,150,150'
+        |                 ELSE CASE rem WHEN 2 THEN '150,150' WHEN 1 THEN '150' END
+        |            END
+        |  END AS pack_csv
+        |  FROM r CROSS JOIN qq)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len, CAST(rk AS BIGINT) AS rank_in_len,
+        |  CAST(len(string_split(pack_csv, ',')) AS BIGINT) AS pack_size,
+        |  CAST(list_sum(list_transform(string_split(pack_csv, ','),
+        |    x -> CAST(x AS BIGINT))) AS BIGINT) AS pack_fill,
+        |  pack_csv
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val len = when(m10 <= 2, 60L).when(m10 <= 5, 150L)
+        .when(m10 <= 7, 300L).otherwise(420L)
+      graft.operators.PairPacking.packGreedy(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), len.as("n_tok")),
+        "doc_id", "n_tok", budget = 512L)
+    },
+
     // T68: greedy complement PAIR packing (operators/PairPacking — the
     // published "sorted best-fit, ≤2 per pack" baseline; Krell et al.
     // 2021): where t34/t35 concat-and-CUT, this keeps documents whole —
