@@ -199,4 +199,38 @@ object WarcIo {
       StructField("http_status", IntegerType, nullable = false),
       StructField("body", StringType, nullable = false))))
   }
+
+  case class WarcResponse(warc_type: String, target_uri: String,
+      record_id: String, content_length: Long, http_status: Int, body: String)
+
+  /** STREAMING twin of [[readResponses]] — continuous crawl ingest: new
+    * `.warc` shards landing in `path` flow through the SAME
+    * Content-Length-driven parser + HTTP splitter via Spark's
+    * `binaryFile` file-stream source (each shard is one self-contained
+    * unit of work, exactly-once per the file-source contract; shards
+    * must land atomically, e.g. rename-into-place — the usual
+    * file-stream discipline). Completely stateless per shard; parity
+    * with the batch reader is pinned in StreamingSpec. */
+  def readResponsesStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(path)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bytes) =>
+        parseRecords(bytes, f).collect {
+          case ("response", uri, rid, len, payload) =>
+            val (status, body) = parseHttp(payload, f)
+            WarcResponse("response", uri, rid, len, status, new String(body, Ascii))
+        }
+      }
+      .toDF()
+  }
 }

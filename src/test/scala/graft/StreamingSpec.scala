@@ -236,6 +236,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming WARC ingest == batch reader over the same shards") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.io.WarcIo
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        col("text").as("body"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_stream").toString
+    WarcIo.writeShards(docs.repartition(4, col("id")), tmp).collect()
+    val q = WarcIo.readResponsesStream(spark, tmp)
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getInt(4), r.getString(5))
+    val streamed = spark.table("warc_stream").collect().map(key).toSet
+    val batch = WarcIo.readResponses(spark, tmp).collect().map(key).toSet
+    assert(streamed == batch, "stream parse must equal the batch reader record-for-record")
+    assert(batch.size == 100, "all planted responses present")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming robots gate == batch verdicts, wildcard rules included") {
     val dir = "/root/testdata/sf0.001"
     import graft.functions.RobotsTxt
