@@ -1324,6 +1324,48 @@ object TextQueries {
         RobotsTxt.starGroupRules(robots, "domain", "txt"))
     },
 
+    // T75: T5-style span corruption (functions/SpanCorruption — the
+    // denoising objective's data prep): masked RUNS collapse to one
+    // sentinel in the input, the target lists each sentinel + its
+    // hidden tokens + the terminator sentinel. The mask rule pos%7 ∈
+    // {3,4} makes every invariant load-bearing on real text: adjacent
+    // masked positions MERGE into one sentinel (a per-position
+    // sentinel would double-count), truncated tails give 1-token runs,
+    // sentinel numbering is per-doc 0-based in order, and the oracle
+    // re-derives the whole transformation RELATIONALLY in DuckDB (lag
+    // run-heads + running sum + ordered string_agg — a genuine second
+    // implementation of the gaps-and-islands mechanics).
+    QueryDef.sql(
+      "t75_span_corruption",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+        |m AS (SELECT *, (pos % 7) IN (3, 4) AS msk FROM e),
+        |r AS (SELECT *, CASE WHEN msk AND NOT COALESCE(
+        |        lag(msk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+        |      THEN 1 ELSE 0 END AS rh FROM m),
+        |s AS (SELECT *, SUM(rh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM r),
+        |ip AS (SELECT doc_id, pos, CASE WHEN NOT msk THEN tok WHEN rh = 1
+        |        THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>' END AS piece FROM s),
+        |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+        |        FROM ip WHERE piece IS NOT NULL GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |        CAST(MAX(span_id) AS BIGINT) AS n_spans FROM s GROUP BY 1),
+        |tp AS (SELECT doc_id, span_id,
+        |        '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' ||
+        |          string_agg(tok, ' ' ORDER BY pos) AS seg
+        |        FROM s WHERE msk GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY span_id) AS tgt FROM tp GROUP BY 1)
+        |SELECT a.doc_id, a.n_tokens, a.n_masked, a.n_spans, i.input_text,
+        |  COALESCE(t.tgt || ' ', '') || '<extra_id_' || CAST(a.n_spans AS VARCHAR) || '>' AS target_text
+        |FROM agg a JOIN inp i ON a.doc_id = i.doc_id
+        |LEFT JOIN tg t ON a.doc_id = t.doc_id""".stripMargin) { (spark, dir) =>
+      graft.functions.SpanCorruption.corrupt(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        pmod(col("pos"), lit(7)).isin(3, 4))
+    },
+
     // T73: rule-based sentence segmentation — the primitive under C4's
     // real 5-sentence floor and span-level dedup: a boundary is a
     // terminal-punctuation run followed by whitespace (the documented
