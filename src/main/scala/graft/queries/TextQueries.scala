@@ -1366,6 +1366,53 @@ object TextQueries {
         pmod(col("pos"), lit(7)).isin(3, 4))
     },
 
+    // T76: BERT-style MLM masking (Devlin et al. 2018 §3.1 — the OTHER
+    // published masking objective beside t75's span corruption): 20% of
+    // positions are prediction targets (pos%5==0 here — production uses
+    // a seeded hash rate), and each target is 80% [MASK] / 10% a
+    // replacement token / 10% left UNCHANGED — the trick that forces
+    // the model to keep real-token representations honest. The variant
+    // choice is (pos div 5) % 10 so the oracle replays it; the
+    // unchanged-but-still-a-label case is load-bearing (an
+    // implementation deriving labels from input-vs-original diffs
+    // loses exactly those and fails the hash). labels_text carries the
+    // original token at every target in order.
+    QueryDef.sql(
+      "t76_mlm_masking",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |e AS (SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+        |m AS (SELECT doc_id, pos, tok, pos % 5 = 0 AS tgt,
+        |        (pos // 5) % 10 AS var FROM e),
+        |p AS (SELECT doc_id, pos, tok, tgt,
+        |        CASE WHEN NOT tgt THEN tok
+        |             WHEN var < 8 THEN '[MASK]'
+        |             WHEN var = 8 THEN 'the'
+        |             ELSE tok END AS piece FROM m)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_targets,
+        |  string_agg(piece, ' ' ORDER BY pos) AS input_text,
+        |  COALESCE(string_agg(CASE WHEN tgt THEN tok END, ' ' ORDER BY pos), '') AS labels_text
+        |FROM p GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(spark, dir, "documents").select(col("doc_id"),
+        posexplode(graft.functions.TextTokens.tokens(col("text"))).as(Seq("pos", "tok")))
+      val tgt = pmod(col("pos"), lit(5)) === 0
+      val variant = pmod(expr("pos div 5"), lit(10))
+      val p = toks.select(col("doc_id"), col("pos"), col("tok"), tgt.as("tgt"),
+        when(!tgt, col("tok"))
+          .when(variant < 8, lit("[MASK]"))
+          .when(variant === 8, lit("the"))
+          .otherwise(col("tok")).as("piece"))
+      p.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tgt").cast("long")).as("n_targets"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("piece"))))
+          .getField("piece"), " ").as("input_text"),
+        array_join(array_sort(collect_list(when(col("tgt"),
+          struct(col("pos"), col("tok"))))).getField("tok"), " ").as("labels_text"))
+    },
+
     // T73: rule-based sentence segmentation — the primitive under C4's
     // real 5-sentence floor and span-level dedup: a boundary is a
     // terminal-punctuation run followed by whitespace (the documented
