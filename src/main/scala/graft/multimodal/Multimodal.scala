@@ -70,37 +70,46 @@ object Multimodal {
     * contract's (width, height, hist) slots. Supports the PCM shapes
     * that dominate real corpora: format 1 (integer PCM) at 8 or 16 bits.
     * Integer bucketing only, so features are bit-deterministic. */
+  /** Guarded RIFF/WAVE chunk walk shared by [[WavDecoder]] and
+    * [[silenceSegments]]: (fmt, channels, bits, dataOff, dataLen), with
+    * the hostile-size refusals pinned in MultimodalSpec. */
+  private[multimodal] def walkWav(payload: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    require(payload.length >= 44 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+      payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E',
+      "not a RIFF/WAVE payload")
+    // chunk walk: 4-byte id, 4-byte LE size, payload (word-aligned)
+    var off = 12
+    var channels = 0; var bits = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val sz = u32(off + 4).toInt
+      // A crafted/corrupt declared size (u32 → negative Int, or one that
+      // fails to advance the cursor) must fail the decode, not hang the
+      // executor task in an infinite walk — decode runs over arbitrary
+      // corpus payloads that merely matched the 12-byte sniff.
+      require(sz >= 0, s"corrupt WAV chunk '$id': declared size out of range")
+      if (id == "fmt ") {
+        fmt = u16(off + 8); channels = u16(off + 10); bits = u16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8; dataLen = math.min(sz, payload.length - dataOff)
+      }
+      val next = off + 8 + sz + (sz & 1)
+      require(next > off, s"corrupt WAV chunk '$id': walk does not advance")
+      off = next
+    }
+    require(fmt == 1 && (bits == 8 || bits == 16) && channels > 0 && dataOff >= 0,
+      s"unsupported WAV shape: fmt=$fmt bits=$bits channels=$channels")
+    (fmt, channels, bits, dataOff, dataLen)
+  }
+
   final class WavDecoder extends Decoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
       def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
-      def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
-      require(payload.length >= 44 && payload(0) == 'R' && payload(1) == 'I' &&
-        payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
-        payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E',
-        "not a RIFF/WAVE payload")
-      // chunk walk: 4-byte id, 4-byte LE size, payload (word-aligned)
-      var off = 12
-      var channels = 0; var bits = 0; var fmt = 0
-      var dataOff = -1; var dataLen = 0
-      while (off + 8 <= payload.length && (dataOff < 0 || channels == 0)) {
-        val id = new String(payload, off, 4, "US-ASCII")
-        val sz = u32(off + 4).toInt
-        // A crafted/corrupt declared size (u32 → negative Int, or one that
-        // fails to advance the cursor) must fail the decode, not hang the
-        // executor task in an infinite walk — decode runs over arbitrary
-        // corpus payloads that merely matched the 12-byte sniff.
-        require(sz >= 0, s"corrupt WAV chunk '$id': declared size out of range")
-        if (id == "fmt ") {
-          fmt = u16(off + 8); channels = u16(off + 10); bits = u16(off + 22)
-        } else if (id == "data") {
-          dataOff = off + 8; dataLen = math.min(sz, payload.length - dataOff)
-        }
-        val next = off + 8 + sz + (sz & 1)
-        require(next > off, s"corrupt WAV chunk '$id': walk does not advance")
-        off = next
-      }
-      require(fmt == 1 && (bits == 8 || bits == 16) && channels > 0 && dataOff >= 0,
-        s"unsupported WAV shape: fmt=$fmt bits=$bits channels=$channels")
+      val (_, channels, bits, dataOff, dataLen) = walkWav(payload)
       val bytesPerFrame = channels * (bits / 8)
       val frames = dataLen / bytesPerFrame
       val hist = new Array[Double](16)
@@ -319,6 +328,92 @@ object Multimodal {
       }
       MediaRow(id, "video", w, h, buildMjpegAvi(w, h, grays))
     }(newMediaRowEncoder(spark))
+  }
+
+  /** Silence-structured WAV corpus for [[silenceSegments]]: 16-bit mono
+    * PCM whose 16-frame windows follow a closed-form plan — the first
+    * 1 + id%2 windows are exact silence (sample 0), the rest a ±20000
+    * square tone, and ids divisible by 3 end with one trailing silent
+    * window (always separated from the lead by ≥1 loud window, so
+    * segments never merge). nWindows = 4 + id%4. */
+  def synthesizeSilenceWavCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val W = 16
+    spark.range(n).map { id =>
+      val nWin = 4 + (id % 4).toInt
+      val lead = 1 + (id % 2).toInt
+      val trail = id % 3 == 0
+      def silent(w: Int): Boolean = w < lead || (trail && w == nWin - 1)
+      val frames = nWin * W
+      val pcm = new Array[Byte](frames * 2)
+      var f = 0
+      while (f < frames) {
+        val v = if (silent(f / W)) 0 else if (f % 2 == 0) 20000 else -20000
+        pcm(2 * f) = (v & 0xff).toByte
+        pcm(2 * f + 1) = ((v >> 8) & 0xff).toByte
+        f += 1
+      }
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(8000 * 2) ++ le16(2) ++ le16(16)
+      val data = "data".getBytes ++ le32(pcm.length) ++ pcm
+      val body = "WAVE".getBytes ++ fmt ++ data
+      MediaRow(id, "audio", frames, 1,
+        "RIFF".getBytes ++ le32(body.length) ++ body)
+    }(newMediaRowEncoder(spark))
+  }
+
+  case class AudioSegment(media_id: Long, seg_idx: Long, seg_kind: String,
+      start_window: Long, n_windows: Long)
+
+  /** Silence segmentation over the REAL WAV decode — the audio-curation
+    * primitive (trim lead-in/lead-out silence, split long recordings at
+    * pauses): non-overlapping `window`-frame windows classify as silent
+    * iff the first channel's max |amplitude| ≤ `thresholdAmp`, and
+    * consecutive same-kind windows merge into segments. Exact integer
+    * amplitude comparison through the genuine RIFF walk; one
+    * partition-batched pass, no shuffle. */
+  def silenceSegments(media: Dataset[MediaRow], window: Int,
+      thresholdAmp: Int): Dataset[AudioSegment] = {
+    import media.sparkSession.implicits._
+    require(window > 0 && thresholdAmp >= 0, s"bad window=$window threshold=$thresholdAmp")
+    media.filter(col("kind") === "audio").as[MediaRow].flatMap { r =>
+      val p = r.payload
+      val (_, channels, bits, dataOff, dataLen) = walkWav(p)
+      require(bits == 16, s"silenceSegments supports 16-bit PCM, got $bits")
+      val bytesPerFrame = channels * 2
+      val frames = dataLen / bytesPerFrame
+      val nWin = (frames + window - 1) / window
+      val silent = (0 until nWin).map { w =>
+        var maxAmp = 0
+        var f = w * window
+        val end = math.min(frames, (w + 1) * window)
+        while (f < end) {
+          val o = dataOff + f * bytesPerFrame
+          val s = ((p(o) & 0xff) | (p(o + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > maxAmp) maxAmp = a
+          f += 1
+        }
+        maxAmp <= thresholdAmp
+      }
+      val segs = Vector.newBuilder[AudioSegment]
+      var idx = 0L
+      var start = 0
+      var w = 1
+      while (w <= nWin) {
+        if (w == nWin || silent(w) != silent(start)) {
+          segs += AudioSegment(r.media_id, idx,
+            if (silent(start)) "silence" else "sound", start.toLong, (w - start).toLong)
+          idx += 1
+          start = w
+        }
+        w += 1
+      }
+      segs.result()
+    }
   }
 
   /** Scene-structured MJPEG/AVI corpus for [[sceneChanges]]: same REAL

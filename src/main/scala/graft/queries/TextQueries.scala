@@ -766,6 +766,32 @@ object TextQueries {
         thresholdFp = 80000000L).toDF()
     },
 
+    // M12: audio silence segmentation through the REAL WAV decode — the
+    // audio-curation primitive (trim lead-in/out silence, split at
+    // pauses), the m11 discipline applied to sound: the silence corpus
+    // plants closed-form segment plans (lead silence of 1+id%2 windows,
+    // a ±20000 square tone, ids%3==0 add a trailing silent window) and
+    // exact-silence-vs-20000 dwarfs the threshold (1000), so the
+    // integer max-amplitude classification through the genuine RIFF
+    // walk must reproduce the oracle's arithmetic segment list — a
+    // window misalignment, a signed-PCM decode slip, or a run-merge bug
+    // fails on a value.
+    QueryDef.sql(
+      "m12_silence_segments",
+      """WITH r AS (SELECT range AS id FROM range(48)),
+        |c AS (SELECT id, 4 + id % 4 AS nw, 1 + id % 2 AS lead, id % 3 = 0 AS trail FROM r)
+        |SELECT id AS media_id, CAST(0 AS BIGINT) AS seg_idx, 'silence' AS seg_kind,
+        |  CAST(0 AS BIGINT) AS start_window, CAST(lead AS BIGINT) AS n_windows FROM c
+        |UNION ALL SELECT id, 1, 'sound', CAST(lead AS BIGINT),
+        |  CAST(nw - lead - CASE WHEN trail THEN 1 ELSE 0 END AS BIGINT) FROM c
+        |UNION ALL SELECT id, 2, 'silence', CAST(nw - 1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM c WHERE trail""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      Multimodal.silenceSegments(
+        Multimodal.synthesizeSilenceWavCorpus(spark, 48),
+        window = 16, thresholdAmp = 1000).toDF()
+    },
+
     // T43: the sampler laws (t6/t21's hashed audit): the deterministic
     // hash-threshold design makes three properties THEOREMS — rate 1.0
     // keeps everything and an absent stratum keeps nothing (threshold
