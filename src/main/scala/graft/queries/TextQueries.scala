@@ -1470,6 +1470,59 @@ object TextQueries {
           col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
     },
 
+    // T77: sitemap discovery (functions/Sitemaps — the sitemaps.org
+    // protocol): robots.txt advertises Sitemap: URLs (case-insensitive
+    // key, file order), each a <urlset> whose <loc>/<lastmod> entries
+    // the regexp-subset parser reads with the spec's &amp; escaping
+    // decoded. The CHAIN is load-bearing: each domain's robots text is
+    // parsed for its two sitemap URLs, the sitemap INDEX drives which
+    // XML body is fetched (rebuilt from the discovered URL itself — a
+    // discovery that returned the wrong URL or order fetches the wrong
+    // urlset and fails on values), entries keep document order, a
+    // missing lastmod is NULL, and the planted &amp; query-string loc
+    // must decode. Output is domain-cardinality (crawl-frontier scale),
+    // not corpus scale.
+    QueryDef.sql(
+      "t77_sitemap_discovery",
+      """WITH d AS (SELECT DISTINCT source AS domain FROM documents),
+        |k AS (SELECT domain, unnest([0, 1]) AS k FROM d),
+        |u AS (SELECT domain, k, 0 AS url_idx, '/p0' AS path,
+        |         '2024-01-01' AS lastmod FROM k WHERE k = 0
+        |  UNION ALL SELECT domain, k, 1, '/p1&x=2', NULL FROM k WHERE k = 0
+        |  UNION ALL SELECT domain, k, 2, '/p2', '2024-02-03' FROM k WHERE k = 0
+        |  UNION ALL SELECT domain, k, 0, '/q0', NULL FROM k WHERE k = 1
+        |  UNION ALL SELECT domain, k, 1, '/q1', '2024-03-04' FROM k WHERE k = 1)
+        |SELECT domain, CAST(k AS INT) AS sitemap_idx,
+        |  'https://' || domain || '.example.com/sm/' || CAST(k AS VARCHAR) || '.xml' AS sitemap_url,
+        |  CAST(url_idx AS INT) AS url_idx,
+        |  'https://' || domain || '.example.com' || path AS loc, lastmod
+        |FROM u""".stripMargin) { (spark, dir) =>
+      import graft.functions.Sitemaps
+      val robots = Tables.load(spark, dir, "documents")
+        .select(col("source").as("domain")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: *\nDisallow: /private\nSiteMap: https://"),
+          col("domain"), lit(".example.com/sm/0.xml\nsitemap: https://"),
+          col("domain"), lit(".example.com/sm/1.xml")).as("txt"))
+      val sm = Sitemaps.sitemapUrls(robots, "domain", "txt")
+      // "fetch": the xml body is rebuilt from the DISCOVERED url, so a
+      // wrong discovery fetches the wrong urlset
+      val base = concat(lit("https://"), col("domain"), lit(".example.com"))
+      val xml = when(col("sitemap_url").endsWith("/sm/0.xml"), concat(
+          lit("<urlset><url><loc>"), base, lit("/p0</loc><lastmod>2024-01-01</lastmod></url>"),
+          lit("<url><loc>"), base, lit("/p1&amp;x=2</loc></url>"),
+          lit("<url><loc>"), base, lit("/p2</loc><lastmod>2024-02-03</lastmod></url></urlset>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>"), base, lit("/q0</loc></url>"),
+          lit("<url><loc>"), base, lit("/q1</loc><lastmod>2024-03-04</lastmod></url></urlset>")))
+      sm.withColumn("__xml", xml)
+        .select(col("domain"), col("sitemap_idx"), col("sitemap_url"),
+          posexplode(Sitemaps.urlsetEntries(col("__xml"))).as(Seq("url_idx", "e")))
+        .select(col("domain"), col("sitemap_idx"), col("sitemap_url"),
+          col("url_idx").cast("int").as("url_idx"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+    },
+
     // T71: politeness fetch scheduling — the step AFTER a robots verdict
     // in a real crawler: allowed URLs serialize per domain at the
     // domain's Crawl-delay cadence, so each URL gets a deterministic
