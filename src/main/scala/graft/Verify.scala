@@ -10,7 +10,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b restricts the dump (and the oracle json)
+    // to named queries — the targeted re-gate loop, mirroring Bench's
+    // SPARK_GRAFT_BENCH_ONLY. The driver sets neither, so its gate always
+    // covers the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val failed = queries.toSeq.flatMap { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -29,8 +37,8 @@ object Verify {
     // the driver's tally (the r7 TIMESTAMP_NTZ drift cost 9 queries this
     // way) — so the dump ends with an unmissable count line, and
     // AllQueriesExecuteSpec enforces zero-failures at sbt-test time.
-    println(s"[verify] wrote ${SparkEntry.queries.size - failed.size}/" +
-      s"${SparkEntry.queries.size} query outputs" +
+    println(s"[verify] wrote ${queries.size - failed.size}/" +
+      s"${queries.size} query outputs" +
       (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -44,7 +52,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(names =>
+      SparkEntry.oracleSql.filter { case (n, _) => names(n) })
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -32,6 +32,15 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   *     u joins when some edge u→w has w settled and f(u) = scc(w) — i.e.
   *     u reaches its own color's pivot, which with f(u) = pivot →* u
   *     makes membership mutual. Extracted SCCs leave the graph; repeat.
+  *  4. LOCAL ENDGAME: Multistep is explicitly a HYBRID — the distributed
+  *     phases exist to extract the giant SCC and the trimmable periphery;
+  *     the paper finishes the small remainder serially (its "serial
+  *     step"). Once the live subgraph fits `localFinishMaxRows` (a
+  *     count-scale driver budget), it is collected once and finished with
+  *     iterative Tarjan — same min-id labeling, bit-identical output,
+  *     and it replaces ~15 fixed-overhead distributed actions per outer
+  *     round with one collect. At 100 TB the first rounds do the heavy
+  *     lifting distributed; the endgame only ever sees what fits.
   *
   * Every extraction round removes at least the minimum live vertex's SCC
   * (the global min is always its own pivot), so the outer loop
@@ -58,12 +67,15 @@ object Scc {
   private def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
-  /** persist → materialize → RDD-leaf view. Returns (view, handle): read
-    * through the view, unpersist through the handle. */
-  private def pin(df: DataFrame): (DataFrame, DataFrame) = {
+  /** persist → materialize → RDD-leaf view. Returns (view, handle, rows):
+    * read through the view, unpersist through the handle; the row count is
+    * the materializing action's result, kept because the endgame cutover
+    * and the shrink tests need it (re-counting a cached frame would be an
+    * extra action per round). */
+  private def pin(df: DataFrame): (DataFrame, DataFrame, Long) = {
     val h = df.persist(MEMORY_AND_DISK)
-    h.count()
-    (truncateLineage(h), h)
+    val rows = h.count()
+    (truncateLineage(h), h, rows)
   }
 
   private def labelSum(df: DataFrame, c: String): java.math.BigDecimal =
@@ -116,12 +128,12 @@ object Scc {
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 60): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val (e, eH) = pin(edges
+    val (e, eH, _) = pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct())
-    val (nodes, nodesH) = pin(
+    val (nodes, nodesH, nodeRows) = pin(
       e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct())
-    if (nodesH.isEmpty) { // no edges at all — every vertex is the caller's
+    if (nodeRows == 0L) { // no edges at all — every vertex is the caller's
       eH.unpersist(blocking = false) // level-0 default; SUM() of an empty
       nodesH.unpersist(blocking = false) // frame is null and would NPE the
       return nodes.select(col("id"), lit(0L).as("level")) // convergence test
@@ -165,28 +177,116 @@ object Scc {
     lvl
   }
 
+  /** Iterative Tarjan (explicit stacks — no recursion, so DFS depth = |V|
+    * is safe) over a CSR adjacency built from the collected live subgraph.
+    * Labels every component with its minimum vertex id — the same unique
+    * labeling the distributed rounds produce, so the two phases compose
+    * bit-identically. Edges with an endpoint outside `ids` are dropped
+    * (the induced subgraph — the distributed path enforces the same via
+    * its left_semi inductions). O(V + E) time, primitive arrays only.
+    */
+  private[graft] def tarjanMinLabels(
+      ids: Array[Long], edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val n = ids.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    val deg = new Array[Int](n)
+    var m = 0
+    edges.foreach { case (s, d) =>
+      val si = idx.get(s); val di = idx.get(d)
+      if (si != null && di != null) { deg(si) += 1; m += 1 }
+    }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    edges.foreach { case (s, d) =>
+      val si = idx.get(s); val di = idx.get(d)
+      if (si != null && di != null) { adj(fill(si)) = di; fill(si) += 1 }
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val stk = new Array[Int](n); var sp = 0 // Tarjan's component stack
+    val label = new Array[Long](n)
+    var counter = 0
+    val fv = new Array[Int](n); val fe = new Array[Int](n) // DFS frames
+    var v0 = 0
+    while (v0 < n) {
+      if (index(v0) == -1) {
+        var top = 0
+        fv(0) = v0; fe(0) = off(v0)
+        index(v0) = counter; low(v0) = counter; counter += 1
+        stk(sp) = v0; sp += 1; onStk(v0) = true
+        while (top >= 0) {
+          val v = fv(top)
+          if (fe(top) < off(v + 1)) {
+            val w = adj(fe(top)); fe(top) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stk(sp) = w; sp += 1; onStk(w) = true
+              top += 1; fv(top) = w; fe(top) = off(w)
+            } else if (onStk(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) { // v is its SCC's root: pop + min-label
+              var minId = Long.MaxValue
+              val base = { // find v's position on the stack (members above it)
+                var b = sp - 1
+                while (stk(b) != v) b -= 1
+                b
+              }
+              var k = base
+              while (k < sp) {
+                if (ids(stk(k)) < minId) minId = ids(stk(k))
+                k += 1
+              }
+              k = base
+              while (k < sp) { label(stk(k)) = minId; onStk(stk(k)) = false; k += 1 }
+              sp = base
+            }
+            top -= 1
+            if (top >= 0 && low(v) < low(fv(top))) low(fv(top)) = low(v)
+          }
+        }
+      }
+      v0 += 1
+    }
+    Array.tabulate(n)(k => (ids(k), label(k)))
+  }
+
   /** @param vertices one column `idCol` (long ids); isolated vertices are
     *                 their own singleton SCCs
     * @param edges    directed (srcCol, dstCol) long ids; self-loops are
     *                 ignored (they never change SCC membership)
+    * @param localFinishMaxRows the Multistep hybrid's serial-phase cutover
+    *                 (Slota et al. run trim + FW-BW distributed for the
+    *                 giant SCC, then finish the small remainder serially):
+    *                 when live vertices + live edges fit under this row
+    *                 budget (default 4e6 ≈ tens of MB of primitive arrays
+    *                 on the driver — count-scale by the repo's collect
+    *                 doctrine), the live subgraph is collected ONCE and
+    *                 finished with iterative Tarjan instead of paying
+    *                 ~15 more fixed-overhead distributed actions. 0 forces
+    *                 the all-distributed path (the parity spec uses this).
     * @return (id, scc) for every vertex, scc = min vertex id in its SCC
     */
   def components(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxOuterRounds: Int = 25, maxPropRounds: Int = 60): DataFrame = {
+      maxOuterRounds: Int = 25, maxPropRounds: Int = 60,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
 
     def labelSum(df: DataFrame, c: String): java.math.BigDecimal =
       df.agg(sum(col(c).cast("decimal(38,0)"))).head().getDecimal(0)
 
-    val (e0, e0H) = pin(edges
+    val (e0, e0H, e0Rows) = pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
 
-    var (remaining, remainingH) = pin(
+    var (remaining, remainingH, remainingRows) = pin(
       vertices.select(col(idCol).cast("long").as("id")).distinct())
-    var remainingRows = remainingH.count()
 
     // (id, scc) accumulator — re-pinned flat each time it grows, so it is
     // always ONE cached leaf, never a deepening union tree.
@@ -194,7 +294,7 @@ object Scc {
     var assignedH: DataFrame = null
     def addAssigned(part: DataFrame): Unit = {
       val grown = if (assigned == null) part else assigned.unionAll(part)
-      val (v, h) = pin(grown)
+      val (v, h, _) = pin(grown)
       if (assignedH != null) assignedH.unpersist(blocking = false)
       assigned = v; assignedH = h
     }
@@ -204,8 +304,30 @@ object Scc {
     // hit e0H twice on the first replacement; the second call is a no-op.)
     var ei = e0
     var eiH = e0H
+    var eiRows = e0Rows
     var outer = 0
     while (remainingRows > 0L && outer < maxOuterRounds) {
+      if (remainingRows + eiRows <= localFinishMaxRows) {
+        // --- LOCAL ENDGAME (the Multistep hybrid's serial phase) ---
+        // The live subgraph fits the documented driver budget: collect it
+        // ONCE and finish with iterative Tarjan (which subsumes trim —
+        // below the cutover, more distributed shrink rounds are pure
+        // overhead). See the scaladoc: this is the published algorithm's
+        // own endgame, not a shortcut; the distributed rounds exist
+        // precisely to shrink a 100 TB graph down to this budget.
+        val vs = remaining.select(col("id")).collect().map(_.getLong(0))
+        val es = ei.select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        Console.err.println(
+          s"[scc] outer=$outer local-endgame vertices=${vs.length} edges=${es.length}")
+        val labeled = tarjanMinLabels(vs, es)
+        addAssigned(vertices.sparkSession.createDataFrame(labeled.toSeq)
+          .toDF("id", "scc")
+          .select(col("id").cast("long"), col("scc").cast("long")))
+        remainingRows = 0L
+      }
+      if (remainingRows == 0L) { outer += 1 }
+      else {
       // --- TRIM to a fixpoint: no-in or no-out ⇒ singleton SCC ---
       // Action economy (the d54 constant): the live test is ONE fused
       // degree aggregate (has-in AND has-out in one shuffle, not two
@@ -228,8 +350,7 @@ object Scc {
         val live = remaining.join(
           deg.filter(col("ho") === 1 && col("hi") === 1).select(col("id")),
           Seq("id"), "left_semi")
-        val (liveV, liveH) = pin(live)
-        val liveRows = liveH.count()
+        val (liveV, liveH, liveRows) = pin(live)
         if (liveRows == remainingRows) {
           liveH.unpersist(blocking = false)
           trimming = false
@@ -242,11 +363,11 @@ object Scc {
         }
       }
       if (trimmedAny && remainingRows > 0L) {
-        val (nei, neiH) = pin(ei
+        val (nei, neiH, neiRows) = pin(ei
           .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi"))
         eiH.unpersist(blocking = false)
-        ei = nei; eiH = neiH
+        ei = nei; eiH = neiH; eiRows = neiRows
       }
       if (remainingRows > 0L) {
         // --- COLOR: forward min-label to fixpoint ---
@@ -296,7 +417,7 @@ object Scc {
         // Settled is a LIST of per-wave leaves (the Bfs levels economy):
         // the anti-join reads their linear union, nothing re-materializes
         // per round. ONE action per wave (the frontier count).
-        val (pivots, pivotsH) = pin(f.filter(col("id") === col("f"))
+        val (pivots, pivotsH, _) = pin(f.filter(col("id") === col("f"))
           .select(col("id"), col("f").as("scc")))
         val waves = scala.collection.mutable.ArrayBuffer((pivots, pivotsH))
         var frontier = pivots
@@ -344,21 +465,22 @@ object Scc {
             s"sweepWaves=${waves.size - 1} live=$remainingRows")
         addAssigned(settled) // materializes the union into the accumulator
         val nextRemaining = remaining.join(settled.select(col("id")), Seq("id"), "left_anti")
-        val (rV, rH) = pin(nextRemaining)
-        remainingRows = rH.count()
+        val (rV, rH, rRows) = pin(nextRemaining)
+        remainingRows = rRows
         remainingH.unpersist(blocking = false)
         fH.unpersist(blocking = false)
         waves.foreach(_._2.unpersist(blocking = false))
         remaining = rV; remainingH = rH
         if (remainingRows > 0L) {
-          val (nei, neiH) = pin(ei
+          val (nei, neiH, neiRows) = pin(ei
             .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
             .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi"))
           eiH.unpersist(blocking = false)
-          ei = nei; eiH = neiH
+          ei = nei; eiH = neiH; eiRows = neiRows
         }
       }
       outer += 1
+      }
     }
     eiH.unpersist(blocking = false)
     e0H.unpersist(blocking = false)

@@ -9,9 +9,10 @@ class SccSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def sccOf(vs: Seq[Int], es: Seq[(Long, Long)],
-      maxOuter: Int = 25): Map[Long, Long] =
+      maxOuter: Int = 25, localFinishMaxRows: Long = 4000000L): Map[Long, Long] =
     Scc.components(vs.map(_.toLong).toDF("id"), "id",
-      es.toDF("src", "dst"), "src", "dst", maxOuterRounds = maxOuter)
+      es.toDF("src", "dst"), "src", "dst", maxOuterRounds = maxOuter,
+      localFinishMaxRows = localFinishMaxRows)
       .as[(Long, Long)].collect().toMap
 
   test("two cycles joined by a one-way bridge are distinct SCCs") {
@@ -71,15 +72,63 @@ class SccSpec extends AnyFunSuite {
     // chain of 2-cycles with ids ASCENDING along the chain: every cycle's
     // forward color is polluted down to the head's 2, so each round
     // extracts exactly one 2-cycle and k cycles need k outer rounds — cap
-    // at 2 with 3 cycles and demand the named knob.
+    // at 2 with 3 cycles and demand the named knob. localFinishMaxRows = 0
+    // forces the all-distributed path (the endgame would just solve it).
     val es = Seq(
       2L -> 3L, 3L -> 2L, 2L -> 6L,
       6L -> 7L, 7L -> 6L, 6L -> 10L,
       10L -> 11L, 11L -> 10L)
     val err = intercept[IllegalStateException] {
-      sccOf(Seq(2, 3, 6, 7, 10, 11), es, maxOuter = 2)
+      sccOf(Seq(2, 3, 6, 7, 10, 11), es, maxOuter = 2, localFinishMaxRows = 0L)
     }
     assert(err.getMessage.contains("maxOuterRounds"))
+  }
+
+  test("local endgame and all-distributed path agree on a random digraph") {
+    // the Multistep hybrid's two phases must produce the SAME labeling:
+    // default budget (goes local immediately on this size) vs the forced
+    // distributed path (localFinishMaxRows = 0) — bit-identical maps.
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val es = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val vs = (0 until n).toSeq
+    assert(sccOf(vs, es) == sccOf(vs, es, localFinishMaxRows = 0L))
+  }
+
+  test("tarjanMinLabels matches Floyd–Warshall mutual reachability directly") {
+    val rnd = new scala.util.Random(99)
+    val n = 50
+    val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val reach = Array.fill(n, n)(false)
+    es.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k); j <- 0 until n)
+      if (reach(k)(j)) reach(i)(j) = true
+    val expect = (0 until n).map { v =>
+      v.toLong -> (0 until n).filter(u =>
+        u == v || (reach(v)(u) && reach(u)(v))).min.toLong
+    }.toMap
+    val got = Scc.tarjanMinLabels(
+      (0L until n.toLong).toArray, es.toArray).toMap
+    assert(got == expect)
+  }
+
+  test("tarjanMinLabels survives a deep chain (no recursion: DFS depth = |V|)") {
+    // a 200k-vertex path would overflow a recursive Tarjan's JVM stack;
+    // the explicit-stack version must not care. All singletons (no cycle).
+    val n = 200000
+    val ids = Array.tabulate(n)(_.toLong)
+    val es = Array.tabulate(n - 1)(i => (i.toLong, (i + 1).toLong))
+    val got = Scc.tarjanMinLabels(ids, es)
+    assert(got.length == n && got.forall { case (id, scc) => id == scc })
+  }
+
+  test("tarjanMinLabels induces on the vertex set (foreign-endpoint edges dropped)") {
+    // edge 1→99 with 99 absent must not crash or invent vertex 99
+    val got = Scc.tarjanMinLabels(Array(1L, 2L),
+      Array((1L, 2L), (2L, 1L), (1L, 99L), (99L, 1L))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
   private def levelsOf(es: Seq[(Long, Long)], maxRounds: Int = 60): Map[Long, Long] =
