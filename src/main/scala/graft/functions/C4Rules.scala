@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object C4Rules {
 
-  /** The line-survival predicate. */
+  /** The line-survival predicate. The terminal class includes the curly
+    * end quotation mark ” and apostrophe ’ — the typographic forms web
+    * text actually uses — alongside ASCII `.` `!` `?` `"` (Raffel §2.2's
+    * rule names the "end quotation mark"). */
   def lineKeep(line: Column): Column =
-    rtrim(line).rlike("[.!?\"]$") &&
+    rtrim(line).rlike("[.!?\"”’]$") &&
       size(split(trim(line), "\\s+")) >= 3 &&
       !lower(line).contains("javascript")
 

@@ -84,10 +84,37 @@ object RobotsTxt {
     */
   def verdictsStateless(urls: DataFrame, idCol: String, domainCol: String,
       pathCol: String, rules: Seq[(String, String, String, Option[Long])]): DataFrame = {
+    // The sort must replicate the ENGINE-side order exactly, or stream and
+    // batch can pick different winners on non-ASCII patterns: Spark's
+    // length() counts CODE POINTS (not Java's UTF-16 code units — they
+    // differ on supplementary-plane chars), and the batch tie-break
+    // col("prefix").asc compares UTF8String BYTES (= code-point order,
+    // while String.compareTo is UTF-16 order: surrogates sort below
+    // U+E000..U+FFFF). So: codePointCount + a UTF-8 byte-wise comparator.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     val byDomain: Map[String, Seq[(String, String)]] = rules.groupBy(_._1)
       .map { case (d, rs) =>
         d -> rs.map(r => (r._2, r._3))
-          .sortBy { case (k, p) => (-p.length, if (k == "allow") 0 else 1, p) }
+          .sortWith { case ((k1, p1), (k2, p2)) =>
+            val l1 = p1.codePointCount(0, p1.length)
+            val l2 = p2.codePointCount(0, p2.length)
+            if (l1 != l2) l1 > l2
+            else {
+              val r1 = if (k1 == "allow") 0 else 1
+              val r2 = if (k2 == "allow") 0 else 1
+              if (r1 != r2) r1 < r2 else utf8Lt(p1, p2)
+            }
+          }
       }
     val delays: Map[String, Long] =
       rules.flatMap(r => r._4.map(r._1 -> _)).groupMapReduce(_._1)(_._2)(math.min)

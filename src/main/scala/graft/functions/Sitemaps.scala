@@ -28,7 +28,12 @@ object Sitemaps {
       .select(col(domainCol).as("domain"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
       .select(col("domain"), col("pos"),
-        regexp_extract(col("raw"), "(?i)^\\s*sitemap:\\s*(\\S+)\\s*$", 1).as("sitemap_url"))
+        // trailing `# comment` is legal robots.txt and tolerated by the
+        // RobotsTxt parser — accept it here too instead of dropping the
+        // directive (the URL itself cannot contain an unencoded `#`:
+        // fragments are stripped before a sitemap URL is advertised)
+        regexp_extract(col("raw"),
+          "(?i)^\\s*sitemap:\\s*(\\S+)\\s*(?:#.*)?$", 1).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
       .withColumn("sitemap_idx", (row_number().over(w) - 1).cast("int"))
       .select(col("domain"), col("sitemap_idx"), col("sitemap_url"))

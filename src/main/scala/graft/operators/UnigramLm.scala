@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * MICRO-NAT BIGINT fixed point — logp_µ = floor(ln((cnt+α)/T)·1e6),
   * computed once per round on the driver over exact integer counts, so
   * the per-word DP is pure Long arithmetic with an exact tie-break
-  * (higher score, then fewer pieces, then lexicographically smaller
-  * piece sequence); re-running the round replays the identical
-  * segmentation. Gate fixtures must keep decision margins ≫ the ≤1 µnat
+  * (higher score, then fewer pieces, then the per-position smaller-final-
+  * piece rule — see [[viterbi]]); re-running the round replays the
+  * identical segmentation. Gate fixtures must keep decision margins ≫ the ≤1 µnat
   * floor error per piece (the t56 fixture's smallest margin is ~152k µ).
   *
   * Scale shape per round: the E-step runs once per DISTINCT word (the
@@ -426,10 +426,15 @@ object UnigramLm {
 
   /** Best segmentation of `w` under micro-nat piece scores: Long-exact
     * DP, O(len · maxPieceLen) lookups. Tie-break: higher score, then
-    * FEWER pieces, then lexicographically smaller piece sequence —
-    * total, so a re-run replays the identical path. A word containing a
-    * character absent from the table segments to the empty list (callers
-    * seed all single chars, so this only happens on foreign input). */
+    * FEWER pieces, then — applied at EVERY DP position independently —
+    * the smaller FINAL piece (the string ending at that position). This
+    * is total and deterministic (a re-run replays the identical path),
+    * but it is per-position, not a global lexicographic compare of the
+    * two full sequences: two equal-score equal-count segmentations that
+    * differ before their last piece resolve by the last piece alone.
+    * A word containing a character absent from the table segments to the
+    * empty list (callers seed all single chars, so this only happens on
+    * foreign input). */
   private[graft] def viterbi(
       w: String, logp: Map[String, Long], maxPieceLen: Int): List[String] = {
     val n = w.length

@@ -658,6 +658,16 @@ object PackingQueries {
     // bulks, the odd leftover 180 cascades to a 100, and the remaining
     // 180s/100s self-pair. Every per-doc assignment derives from
     // q = N div 10 alone, which the oracle computes live.
+    //
+    // ORACLE VALIDITY ASSUMES q EVEN (advisor finding, r14): the closed
+    // form's 180 branch `rk = q+1 → 180` and the absence of a
+    // pack-alone case hold only because with q even the odd leftover
+    // 180 cascades onto a 100 and no 100 is ever stranded alone. All
+    // driver SFs satisfy it (q = 50 / 500 / 5000 at N = 500/5k/50k);
+    // a NEW scale factor where N/10 is odd needs the oracle extended
+    // with the odd-q cascade (the t74 rem-handling pattern) BEFORE the
+    // gate can be trusted — it would diverge loudly, not silently, but
+    // the divergence would read as an engine bug when it is oracle debt.
     QueryDef.sql(
       "t68_pair_packing",
       """WITH qq AS (SELECT COUNT(*) // 10 AS q FROM documents),

@@ -395,7 +395,9 @@ object TextQueries {
     // predicate, the in-order reassembly, and the sentence proxy are
     // load-bearing in the hash. The fixture plants lines that fire each
     // rule both ways: three always-kept sentences + the ?-terminated
-    // short-but-3-word line + the doc's own text promoted to a sentence
+    // short-but-3-word line + the curly-”-terminated line (zero sentence
+    // marks inside — it must not disturb the %11 few_sentences design)
+    // + the doc's own text promoted to a sentence
     // survive; 2-word, unterminated, and javascript lines die; doc_id
     // mod 5/3/7 plant badword / brace / lorem page flags; doc_id%11
     // withholds the text line's terminator, dropping that page to 4
@@ -408,6 +410,7 @@ object TextQueries {
         |  'Another good line here.' || chr(10) || 'Too short' || chr(10) ||
         |  'This javascript line is long enough.' || chr(10) ||
         |  'No terminal punctuation here' || chr(10) || 'Is this ok?' || chr(10) ||
+        |  'He said ' || chr(8220) || 'quoted words here' || chr(8221) || chr(10) ||
         |  text || CASE WHEN doc_id % 11 = 0 THEN '' ELSE '.' END ||
         |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'this badword1 should flag pages.' ELSE '' END ||
         |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'brace { inside code.' ELSE '' END ||
@@ -415,7 +418,7 @@ object TextQueries {
         |  FROM documents),
         |k AS (SELECT doc_id, body,
         |  list_filter(string_split(body, chr(10)), x ->
-        |    regexp_matches(rtrim(x), '[.!?"]$')
+        |    regexp_matches(rtrim(x), '[.!?"”’]$')
         |    AND len(string_split_regex(trim(x), '\s+')) >= 3
         |    AND NOT contains(lower(x), 'javascript')) AS kept
         |  FROM b),
@@ -441,7 +444,8 @@ object TextQueries {
         lit("Alpha beta gamma delta.\nEpsilon zeta eta theta!\n" +
           "Another good line here.\nToo short\n" +
           "This javascript line is long enough.\n" +
-          "No terminal punctuation here\nIs this ok?\n"),
+          "No terminal punctuation here\nIs this ok?\n" +
+          "He said “quoted words here”\n"),
         col("text"),
         when(pmod(col("doc_id"), lit(11L)) === 0, lit("")).otherwise(lit(".")),
         when(pmod(col("doc_id"), lit(5L)) === 0,

@@ -20,11 +20,13 @@ class C4RulesSpec extends AnyFunSuite {
   test("line rules: terminal punct (incl. closing quote, trailing ws), 3 words, javascript") {
     val r = report(
       "One two three.\nends with quote \"\nOnly two.\nno punct at all here\n" +
-        "JavaScript is case-insensitive here.\nFour words stay fine!  ")
+        "JavaScript is case-insensitive here.\nFour words stay fine!  \n" +
+        "typographic curly close”\nand curly apostrophe’")
     assert(r.getAs[String]("kept_text") ==
-      "One two three.\nends with quote \"\nFour words stay fine!  ")
-    assert(r.getAs[Long]("n_lines") == 6L)
-    assert(r.getAs[Long]("n_lines_kept") == 3L)
+      "One two three.\nends with quote \"\nFour words stay fine!  \n" +
+        "typographic curly close”\nand curly apostrophe’")
+    assert(r.getAs[Long]("n_lines") == 8L)
+    assert(r.getAs[Long]("n_lines_kept") == 5L)
   }
 
   test("page flags: badword is an exact lowercased token, not a substring") {

@@ -55,7 +55,7 @@ class UnigramLmSpec extends AnyFunSuite {
     // [ab] (-150) beats [a][b] (-200)
     assert(UnigramLm.viterbi("ab", logp, 2) == List("ab"))
     // score tie: [ab][a] = [a][ab] = -250 → fewer-pieces equal (2 vs 2)
-    // → lexicographically smaller piece SEQUENCE wins via the last piece
+    // → the per-position rule picks the smaller FINAL piece ("a" < "ba")
     assert(UnigramLm.viterbi("aba", logp, 2) == List("ab", "a"))
     // fewer pieces wins an exact score tie
     val tie = Map("a" -> -100L, "aa" -> -200L)
