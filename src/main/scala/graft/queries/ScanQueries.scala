@@ -511,6 +511,59 @@ object ScanQueries {
           StructField("fewer_files", BooleanType, nullable = false))))
     },
 
+    // S22: WARC capture-triple → request-side WAT (io/WarcIo withCapture
+    // + readRequests/readMetadata) — completing ISO 28500 record-type
+    // coverage beside s17's responses: a real crawl archive stores
+    // request + response + metadata per capture, and the WAT the crawl
+    // community publishes includes the REQUEST headers (method, path,
+    // Host, User-Agent) and fetch metadata. End to end through real
+    // bytes (the s17 discipline): capture triples go INTO shards on
+    // disk, request records come back OUT through the Content-Length
+    // parser + the HTTP REQUEST-line splitter, warc-fields metadata
+    // parses per line, and the two views JOIN on WARC-Concurrent-To —
+    // the spec's record-linkage header, so the id plumbing is
+    // load-bearing in the hash. The oracle rebuilds every field in
+    // closed form, content_length by constructing the exact request
+    // payload string; a reader that returned responses too would add
+    // rows and fail. Scale shape: readers are one shard per task,
+    // no shuffle; the request⋈metadata join keys on the capture id
+    // (both sides record-scale — at 100 TB a sort-merge join on the
+    // id, no driver state).
+    QueryDef.sql(
+      "s22_warc_request_wat",
+      """WITH d AS (SELECT doc_id,
+        |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  '/doc/' || CAST(doc_id AS VARCHAR) AS pth FROM documents)
+        |SELECT uri AS target_uri,
+        |  '<urn:graft:req:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS concurrent_to,
+        |  CAST(strlen('GET ' || pth || ' HTTP/1.1' || chr(13) || chr(10) ||
+        |    'Host: example.com' || chr(13) || chr(10) ||
+        |    'User-Agent: graft-crawler/1.0' || chr(13) || chr(10) ||
+        |    'Accept: text/html' || chr(13) || chr(10) || chr(13) || chr(10))
+        |    AS BIGINT) AS content_length,
+        |  'GET' AS method, pth AS req_path, 'HTTP/1.1' AS http_version,
+        |  'example.com' AS host, 'graft-crawler/1.0' AS user_agent,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS fetch_time_ms
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import graft.io.WarcIo
+      val docs = Tables.load(spark, dir, "documents").select(
+        col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        col("text").as("body"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wat_req").toString
+      WarcIo.writeShards(docs.repartition(4, col("id")), tmp,
+        withCapture = true).collect()
+      val meta = WarcIo.readMetadata(spark, tmp)
+        .filter(col("field") === "fetchTimeMs")
+        .select(col("concurrent_to"), col("value").cast("long").as("fetch_time_ms"))
+      WarcIo.readRequests(spark, tmp).join(meta, Seq("concurrent_to"))
+        .select(col("target_uri"), col("record_id"), col("concurrent_to"),
+          col("content_length"), col("method"), col("req_path"),
+          col("http_version"), col("host"), col("user_agent"),
+          col("fetch_time_ms"))
+    },
+
     // Q12: the CRAWL funnel — the composition gate for the whole web-
     // input family (the q11 discipline applied to ingest): HTML pages →
     // REAL WARC bytes on disk → Content-Length parse + HTTP split →

@@ -44,7 +44,7 @@ class WarcIoSpec extends AnyFunSuite {
       payload ++ "\r\n\r\n".getBytes("UTF-8")
     val parsed = WarcIo.parseRecords(rec, "golden").toSeq
     assert(parsed.length == 1 && parsed.head._1 == "response" && parsed.head._2 == "u")
-    val (status, body) = WarcIo.parseHttp(parsed.head._5, "golden")
+    val (status, body) = WarcIo.parseHttp(parsed.head._6, "golden")
     assert(status == 404 && new String(body, "UTF-8") == "miss")
     // truncated payload
     val trunc = rec.dropRight(6)
@@ -54,6 +54,37 @@ class WarcIoSpec extends AnyFunSuite {
     val bad = "NOPE\r\n\r\n".getBytes("UTF-8")
     val e2 = intercept[IllegalArgumentException](WarcIo.parseRecords(bad, "b").toSeq)
     assert(e2.getMessage.contains("WARC/"), e2.getMessage)
+  }
+
+  test("capture triple: request/metadata records round-trip and link by Concurrent-To") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec_cap").toString
+    WarcIo.writeShards(
+      Seq((5L, "https://ex.org/a/b?q=1", "hello"),
+        (6L, "https://ex.org", "root")).toDF("id", "uri", "body"),
+      dir, withCapture = true).collect()
+    // responses unaffected by the extra record types
+    assert(WarcIo.readResponses(spark, dir).count() == 2L)
+    val req = WarcIo.readRequests(spark, dir)
+      .select(col("record_id"), col("concurrent_to"), col("method"),
+        col("req_path"), col("http_version"), col("host"), col("user_agent"))
+      .as[(String, String, String, String, String, String, String)]
+      .collect().sortBy(_._1)
+    assert(req.toSeq == Seq(
+      ("<urn:graft:req:5>", "<urn:graft:5>", "GET", "/a/b?q=1", "HTTP/1.1",
+        "ex.org", "graft-crawler/1.0"),
+      ("<urn:graft:req:6>", "<urn:graft:6>", "GET", "/", "HTTP/1.1",
+        "ex.org", "graft-crawler/1.0")), req.toSeq.toString)
+    val meta = WarcIo.readMetadata(spark, dir)
+      .select(col("concurrent_to"), col("field"), col("value"))
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(meta.toSeq == Seq(
+      ("<urn:graft:5>", "fetchTimeMs", "105"),
+      ("<urn:graft:6>", "fetchTimeMs", "106")), meta.toSeq.toString)
+    // default writer emits no request/metadata records at all; readers
+    // over such shards return empty, they do not refuse
+    val plain = write(Seq((1L, "https://a/1", "x")))
+    assert(WarcIo.readMetadata(spark, plain).count() == 0L)
+    assert(WarcIo.readRequests(spark, plain).count() == 0L)
   }
 
   test("re-export clears stale shards (the Arrow/TFRecord overwrite contract)") {
