@@ -607,6 +607,51 @@ object PackingQueries {
     // and q mod 3 computed live, so bulk-repetition arithmetic, the
     // availability cap on self-repeats, and the remainder templates are
     // all load-bearing.
+    // T78: CERTIFIED-OPTIMAL histogram packing (operators/OptimalPacking
+    // — the exact cutting-stock counterpart of t74's greedy): patterns
+    // enumerated canonically, the pattern LP solved by an EXACT BigInt-
+    // rational two-phase simplex (Bland's rule — deterministic, no
+    // floats), integrality certified by floor+residual against ⌈z*⌉.
+    // The fixture is a SEPARATING instance: budget 1000 with classes
+    // {500×2, 400×2, 300×4, 1000×2} per 10 ids — the only full patterns
+    // are [1000], [500,500], [400,300,300], so the LP optimum (2q, q,
+    // 2q; 5q packs, every pack at fill 1000) is UNIQUE and integral,
+    // while t74's greedy burns 4q + ⌈4q/3⌉ ≈ 5.33q packs on the same
+    // histogram ([400,400] greed strands the 300s — the spec pins the
+    // 4-vs-3 miniature). pack_id is pure rank arithmetic under the
+    // canonical pattern order, so the whole assignment — and the LP
+    // certificate columns n_packs = lp_bound = 5q — sit in the hash.
+    QueryDef.sql(
+      "t78_optimal_packing",
+      """WITH qq AS (SELECT COUNT(*) // 10 AS q FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 <= 1 THEN 500
+        |       WHEN doc_id % 10 <= 3 THEN 400
+        |       WHEN doc_id % 10 <= 7 THEN 300
+        |       ELSE 1000 END AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  row_number() OVER (PARTITION BY len ORDER BY doc_id) AS rk FROM d)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len, CAST(rk AS BIGINT) AS rank_in_len,
+        |  CAST(CASE len WHEN 1000 THEN rk
+        |                WHEN 500 THEN 2 * q + (rk + 1) // 2
+        |                WHEN 400 THEN 3 * q + rk
+        |                ELSE 3 * q + (rk + 1) // 2 END AS BIGINT) AS pack_id,
+        |  CAST(CASE len WHEN 1000 THEN 1 WHEN 500 THEN 2 ELSE 3 END AS BIGINT) AS pack_size,
+        |  CAST(1000 AS BIGINT) AS pack_fill,
+        |  CASE len WHEN 1000 THEN '1000' WHEN 500 THEN '500,500'
+        |    ELSE '400,300,300' END AS pack_csv,
+        |  CAST(5 * q AS BIGINT) AS n_packs, CAST(5 * q AS BIGINT) AS lp_bound
+        |FROM r CROSS JOIN qq""".stripMargin) { (spark, dir) =>
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val len = when(m10 <= 1, 500L).when(m10 <= 3, 400L)
+        .when(m10 <= 7, 300L).otherwise(1000L)
+      graft.operators.OptimalPacking.pack(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), len.as("n_tok")),
+        "doc_id", "n_tok", budget = 1000L)
+    },
+
     QueryDef.sql(
       "t74_greedy_packing",
       """WITH qq AS (SELECT COUNT(*) // 10 AS q, (COUNT(*) // 10) % 3 AS rem
