@@ -520,6 +520,89 @@ object Multimodal {
     }
   }
 
+  case class SceneKeyframe(media_id: Long, scene_idx: Long, start_frame: Long,
+      png: Array[Byte])
+
+  /** One PNG KEYFRAME per scene — the payoff composition after
+    * [[sceneChanges]] (sample one frame per SCENE, not per second), end
+    * to end through the real codec chain: RIFF demux → JDK JPEG decode →
+    * the SAME exact fixed-point Rec.601 cut detection as sceneChanges →
+    * the first frame of each scene re-encoded PNG (lossless, so the
+    * decoded JPEG pixels survive byte-for-byte into the keyframe).
+    * scene_idx is 0-based in scene order, start_frame the scene's first
+    * frame index. Partition-batched, no shuffle; keyframes distribute
+    * row-wise downstream. */
+  def sceneKeyframes(media: Dataset[MediaRow], thresholdFp: Long): Dataset[SceneKeyframe] = {
+    import media.sparkSession.implicits._
+    require(thresholdFp > 0, s"thresholdFp must be positive, got $thresholdFp")
+    media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
+      val (_, _, _, frames) = walkAvi(r.payload)
+      require(frames.nonEmpty, s"no video frames in media ${r.media_id}")
+      val imgs = frames.map { jpeg =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, "undecodable MJPEG frame payload")
+        img
+      }
+      val means = imgs.map { img =>
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+              29 * (rgb & 0xff)) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        sum * 1000000L / (img.getWidth.toLong * img.getHeight)
+      }
+      val starts = 0 +: (1 until means.length)
+        .filter(i => math.abs(means(i) - means(i - 1)) >= thresholdFp)
+      starts.zipWithIndex.map { case (f, si) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(imgs(f), "png", bos)
+        SceneKeyframe(r.media_id, si.toLong, f.toLong, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Keyframes re-wrapped as a media corpus (kind `image`, id =
+    * media_id·1000 + scene_idx) so the PNG payloads can flow back
+    * through [[extractFeatures]]' sniffing decode — the round-trip the
+    * m14 gate hashes. */
+  def keyframesAsMedia(kf: Dataset[SceneKeyframe]): Dataset[MediaRow] = {
+    import kf.sparkSession.implicits._
+    kf.map { k =>
+      require(k.scene_idx < 1000L, s"scene_idx ${k.scene_idx} overflows the id scheme")
+      MediaRow(k.media_id * 1000L + k.scene_idx, "image", 0, 0, k.png)
+    }(newMediaRowEncoder(kf.sparkSession))
+  }
+
+  /** PNG keyframe SINK: one `<media>_<scene>.png` file per keyframe,
+    * written attempt-unique + atomic-rename (the WarcIo shard
+    * discipline); returns the manifest (file, media_id, scene_idx,
+    * bytes). Files land byte-identical to the dataset payloads —
+    * pinned in MultimodalSpec by an ImageIO re-read from disk. */
+  def writeKeyframePngs(kf: Dataset[SceneKeyframe], path: String): DataFrame = {
+    import kf.sparkSession.implicits._
+    new java.io.File(path).mkdirs()
+    kf.mapPartitions { rows =>
+      val tc = org.apache.spark.TaskContext.get()
+      rows.map { k =>
+        val file = new java.io.File(path, s"${k.media_id}_${k.scene_idx}.png")
+        val tmp = new java.io.File(path,
+          s"${k.media_id}_${k.scene_idx}.png.tmp-${tc.taskAttemptId()}")
+        java.nio.file.Files.write(tmp.toPath, k.png)
+        java.nio.file.Files.move(tmp.toPath, file.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        (file.getPath, k.media_id, k.scene_idx, k.png.length.toLong)
+      }
+    }.toDF("file", "media_id", "scene_idx", "bytes")
+  }
+
   /** Real frame sampling for AVI payloads: demux every `everyN`-th `##dc`
     * frame as its standalone JPEG — the genuine version of the
     * fixed-slice [[sampleFrames]] stub contract. Frames distribute

@@ -796,6 +796,79 @@ object TextQueries {
         window = 16, thresholdAmp = 1000).toDF()
     },
 
+    // M13: resample-then-segment COMPOSITION — m12's silence
+    // segmentation over resampleWav(factor 2) output, the window
+    // arithmetic THROUGH the rate change: the silence corpus's 16-frame
+    // synthesis windows decimate to 8 frames each, so segmenting the
+    // resampled audio at window=8 must reproduce m12's exact segment
+    // plan (decimation keeps even frames: silent windows stay 0, the
+    // ±20000 square tone's surviving samples are all +20000 — still
+    // sound). The resampled frame count rides along from a REAL
+    // re-decode of the rewritten container (extractFeatures → WavDecoder
+    // width), so the fmt/data rewrite is load-bearing too: a rate
+    // rewrite that pads, truncates, or misaligns the data chunk shifts
+    // either the segment plan or the frame count and fails on a value.
+    QueryDef.sql(
+      "m13_resampled_silence",
+      """WITH r AS (SELECT range AS id FROM range(48)),
+        |c AS (SELECT id, 4 + id % 4 AS nw, 1 + id % 2 AS lead, id % 3 = 0 AS trail FROM r),
+        |s AS (
+        |  SELECT id, 0 AS seg_idx, 'silence' AS seg_kind, 0 AS start_window,
+        |    lead AS n_windows FROM c
+        |  UNION ALL SELECT id, 1, 'sound', lead,
+        |    nw - lead - CASE WHEN trail THEN 1 ELSE 0 END FROM c
+        |  UNION ALL SELECT id, 2, 'silence', nw - 1, 1 FROM c WHERE trail)
+        |SELECT s.id AS media_id, CAST(s.seg_idx AS BIGINT) AS seg_idx, s.seg_kind,
+        |  CAST(s.start_window AS BIGINT) AS start_window,
+        |  CAST(s.n_windows AS BIGINT) AS n_windows,
+        |  CAST(c.nw * 8 AS BIGINT) AS frames_resampled
+        |FROM s JOIN c ON c.id = s.id""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val resampled = Multimodal.resampleWav(
+        Multimodal.synthesizeSilenceWavCorpus(spark, 48), factor = 2)
+      val segs = Multimodal.silenceSegments(resampled,
+        window = 8, thresholdAmp = 1000).toDF()
+      val frames = Multimodal.extractFeatures(resampled).toDF()
+        .select(col("media_id"), col("width").cast("long").as("frames_resampled"))
+      segs.join(frames, "media_id")
+    },
+
+    // M14: scene-keyframe PNG extraction — the payoff composition after
+    // m11 (one frame per SCENE, not per second), end to end through
+    // THREE real codecs: RIFF demux → JDK JPEG decode → exact
+    // fixed-point cut detection → PNG re-encode, then each keyframe
+    // RE-DECODED through the sniffing PNG path for the gate. The scene
+    // corpus's closed-form plan states every row: scene starts 0 / c1 /
+    // (c1+2 for ids%4==0), keyframe dims = the AVI's frame dims, and
+    // the scene LABEL classifies the re-decoded brightness (solid ~40
+    // gray → histogram bin 2, ~200 → bin 12; the JPEG ±2 ripple cannot
+    // cross a 16-wide bin) — so a demux slip, a wrong keyframe index,
+    // or a lossy re-encode fails on a value. The PNG file sink itself
+    // is byte-pinned in MultimodalSpec.
+    QueryDef.sql(
+      "m14_scene_keyframes",
+      """WITH r AS (SELECT range AS id FROM range(60)),
+        |c AS (SELECT id, 16 + (id % 3) * 8 AS w, 16 + (id % 2) * 8 AS h,
+        |  2 + id % 3 AS c1, id % 4 = 0 AS two FROM r)
+        |SELECT id AS media_id, CAST(0 AS BIGINT) AS scene_idx,
+        |  CAST(0 AS BIGINT) AS start_frame, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, 'A' AS scene_label FROM c
+        |UNION ALL SELECT id, 1, CAST(c1 AS BIGINT), CAST(w AS INT), CAST(h AS INT), 'B' FROM c
+        |UNION ALL SELECT id, 2, CAST(c1 + 2 AS BIGINT), CAST(w AS INT), CAST(h AS INT), 'A'
+        |FROM c WHERE two""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      val kf = Multimodal.sceneKeyframes(
+        Multimodal.synthesizeSceneAviCorpus(spark, 60), thresholdFp = 80000000L)
+      val feats = Multimodal.extractFeatures(Multimodal.keyframesAsMedia(kf)).toDF()
+        .select(col("media_id").as("__kid"), col("width"), col("height"),
+          col("brightness"))
+      kf.toDF().select(col("media_id"), col("scene_idx"), col("start_frame"))
+        .join(feats, col("media_id") * 1000L + col("scene_idx") === col("__kid"))
+        .select(col("media_id"), col("scene_idx"), col("start_frame"),
+          col("width"), col("height"),
+          when(col("brightness") < 0.5, "A").otherwise("B").as("scene_label"))
+    },
+
     // T43: the sampler laws (t6/t21's hashed audit): the deterministic
     // hash-threshold design makes three properties THEOREMS — rate 1.0
     // keeps everything and an absent stratum keeps nothing (threshold

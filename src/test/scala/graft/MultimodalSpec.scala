@@ -301,4 +301,35 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(calm.forall(r => r.n_scenes == 1L && r.cuts_csv == ""))
   }
+
+  test("scene keyframes: one PNG per scene, byte-level file sink, overwrite-safe") {
+    import graft.multimodal.Multimodal
+    val kf = Multimodal.sceneKeyframes(
+      Multimodal.synthesizeSceneAviCorpus(spark, 8), thresholdFp = 80000000L)
+    val rows = kf.collect().map(k => (k.media_id, k.scene_idx) -> k).toMap
+    // id 0 (%4==0): scenes at 0/2/4; id 1: at 0/3
+    assert(rows.keySet.filter(_._1 == 0L) == Set((0L, 0L), (0L, 1L), (0L, 2L)))
+    assert(rows((1L, 1L)).start_frame == 3L)
+    // keyframe payloads are REAL PNGs at the AVI's frame dims with the
+    // scene's solid gray (JPEG ripple ≤ a few levels)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows((1L, 1L)).png))
+    assert(img != null && img.getWidth == 24 && img.getHeight == 24) // id 1: w=24,h=24
+    val g = img.getRGB(3, 3) & 0xff
+    assert(math.abs(g - 200) <= 4, s"scene-B keyframe gray $g far from 200")
+    // byte-level sink: files land byte-identical, atomic-renamed; re-run
+    // overwrites in place
+    val dir = java.nio.file.Files.createTempDirectory("graft_kf").toString
+    val manifest = Multimodal.writeKeyframePngs(kf, dir).collect()
+    assert(manifest.length == rows.size)
+    val f = new java.io.File(dir, "1_1.png")
+    assert(f.isFile)
+    assert(java.nio.file.Files.readAllBytes(f.toPath).toSeq ==
+      rows((1L, 1L)).png.toSeq, "file bytes must equal the dataset payload")
+    val disk = javax.imageio.ImageIO.read(f)
+    assert(disk.getWidth == 24 && disk.getHeight == 24)
+    Multimodal.writeKeyframePngs(kf, dir).collect() // idempotent re-run
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".png")) ==
+      rows.size)
+  }
 }
