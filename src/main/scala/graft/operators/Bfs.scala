@@ -46,17 +46,60 @@ object Bfs {
     * @return (v, dist) for every vertex within maxHops of a source;
     *         unreachable vertices are absent
     */
-  def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+  def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"maxHops must be in [0, 64], got $maxHops (for unbounded reachability use ConnectedComponents)")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = truncateLineage(
-      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-        .persist(MEMORY_AND_DISK))
-    var frontier = sources.select(col("v").cast("long").as("v")).distinct()
+    val eH = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .persist(MEMORY_AND_DISK)
-    var frontierRows = frontier.count()
-    frontier = truncateLineage(frontier)
+    val eRows = eH.count()
+    val e = truncateLineage(eH)
+    val frontierH = sources.select(col("v").cast("long").as("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+    var frontierRows = frontierH.count()
+    var frontier = truncateLineage(frontierH)
+    if (eRows + frontierRows <= localFinishMaxRows) {
+      // --- SERIAL ENDGAME (the Scc.components doctrine): the edge set
+      // and seed set fit the documented driver budget — one collect +
+      // queue BFS replaces up to maxHops fixed-overhead rounds. First
+      // discovery is shortest, so distances are unique → bit-identical
+      // to the distributed frontier expansion. 0 forces distributed.
+      val es = e.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val seeds = frontier.select(col("v")).collect().map(_.getLong(0))
+      Console.err.println(
+        s"[bfs] local-endgame seeds=${seeds.length} edges=${es.length}")
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (a, b) =>
+        var l = adj.get(a)
+        if (l == null) { l = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(a, l) }
+        l += b
+      }
+      val dist = new java.util.HashMap[Long, java.lang.Long]()
+      val queue = new java.util.ArrayDeque[Long]()
+      seeds.foreach { v => if (!dist.containsKey(v)) { dist.put(v, 0L); queue.add(v) } }
+      while (!queue.isEmpty) {
+        val v = queue.poll()
+        val d = dist.get(v).longValue
+        if (d < maxHops) {
+          val nb = adj.get(v)
+          if (nb != null) nb.foreach { w =>
+            if (!dist.containsKey(w)) { dist.put(w, d + 1L); queue.add(w) }
+          }
+        }
+      }
+      eH.unpersist(blocking = false)
+      frontierH.unpersist(blocking = false)
+      val rows = {
+        val it = dist.entrySet().iterator()
+        val buf = Seq.newBuilder[(Long, Long)]
+        while (it.hasNext) { val kv = it.next(); buf += ((kv.getKey, kv.getValue.longValue)) }
+        buf.result().sortBy(_._1)
+      }
+      return edges.sparkSession.createDataFrame(rows).toDF("v", "dist")
+        .select(col("v").cast("long"), col("dist").cast("long"))
+    }
     // settled levels: each element is a persisted RDD-leaf (v, dist) frame
     val levels = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("dist", lit(0L)))

@@ -35,6 +35,48 @@ object ConnectedComponents {
       maxIters: Int = 20): DataFrame =
     minLabelWithRelease(vertices, idCol, edges, srcCol, dstCol, maxIters)._1
 
+  /** Weighted union-find with path compression over collected (id, edge)
+    * arrays, labels = min id per component — the [[Scc.tarjanMinLabels]]
+    * doctrine applied to the undirected case: the serial endgame for
+    * graphs that fit the documented driver budget. Same unique labeling
+    * as the distributed rounds, so the two paths are bit-identical. */
+  private[graft] def unionFindMinLabels(
+      ids: Array[Long], edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val n = ids.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ai = idx.get(a); val bi = idx.get(b)
+      if (ai != null && bi != null) { // induced on the vertex set
+        val ra = find(ai); val rb = find(bi)
+        if (ra != rb) {
+          if (rank(ra) < rank(rb)) parent(ra) = rb
+          else if (rank(ra) > rank(rb)) parent(rb) = ra
+          else { parent(rb) = ra; rank(ra) += 1 }
+        }
+      }
+    }
+    val minId = new java.util.HashMap[Integer, java.lang.Long](n * 2)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      val cur = minId.get(r)
+      if (cur == null || ids(i) < cur.longValue) minId.put(r, ids(i))
+      i += 1
+    }
+    Array.tabulate(n)(k => (ids(k), minId.get(find(k)).longValue))
+  }
+
   /** Alternating large-star/small-star contraction — the O(log n)-round
     * variant for graphs whose diameter defeats [[minLabel]] (long chains),
     * after Kiveris et al., "Connected Components in MapReduce and Beyond"
@@ -136,10 +178,18 @@ object ConnectedComponents {
   private def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** @param localFinishMaxRows the serial-endgame cutover (the
+    *        [[Scc.components]] doctrine): when vertices + directed edge
+    *        rows fit under this count-scale driver budget, the graph is
+    *        collected once and labeled by weighted union-find instead of
+    *        paying per-round distributed actions — same min-id labels,
+    *        bit-identical output. 0 forces the all-distributed path
+    *        (the parity spec uses this). At 100 TB the entry check fails
+    *        and the label-propagation rounds run unchanged. */
   def minLabelWithRelease(
       vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 20): (DataFrame, () => Unit) = {
+      maxIters: Int = 20, localFinishMaxRows: Long = 4000000L): (DataFrame, () => Unit) = {
     // Persisted for the loop: every round's neighbor-min join reads the
     // edge set, and without the cache each labelSum action would re-run
     // the caller's whole edge-producing subplan (e.g. d13's pair
@@ -160,7 +210,7 @@ object ConnectedComponents {
     // whole edge-producing subplan in the round's plan text (the d21
     // lesson — Catalyst re-analysis is paid per round even though
     // execution reads the cache).
-    undirected.count()
+    val edgeRows = undirected.count()
     val undirectedLeaf = truncateLineage(undirected)
 
     // NULL on an empty frame (sum over zero rows) — handled below.
@@ -170,11 +220,35 @@ object ConnectedComponents {
     var labelsHandle = vertices
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("label"))
       .persist()
-    var prevSum = labelSum(labelsHandle)
+    // ONE materializing action carries both the convergence seed and the
+    // vertex count the endgame cutover needs
+    val first = labelsHandle
+      .agg(sum(col("label").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
+    var prevSum = first.getDecimal(0)
+    val vertexRows = first.getLong(1)
     if (prevSum == null) { // no vertices: trivially converged, nothing cached to keep
       undirected.unpersist()
       val empty = labelsHandle
       return (empty, () => { empty.unpersist(); () })
+    }
+    if (vertexRows + edgeRows <= localFinishMaxRows) {
+      // --- SERIAL ENDGAME (the Scc.components doctrine): the whole graph
+      // fits the documented driver budget — one collect + union-find
+      // replaces diameter-many fixed-overhead distributed rounds.
+      val ids = labelsHandle.select(col("id")).collect().map(_.getLong(0))
+      val es = undirectedLeaf.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      Console.err.println(
+        s"[cc] local-endgame vertices=${ids.length} directedEdges=${es.length}")
+      val labeled = unionFindMinLabels(ids, es)
+      undirected.unpersist()
+      labelsHandle.unpersist()
+      val out = vertices.sparkSession.createDataFrame(labeled.toSeq)
+        .toDF("id", "label")
+        .select(col("id").cast("long"), col("label").cast("long"))
+        .persist()
+      out.count()
+      return (truncateLineage(out), () => { out.unpersist(); () })
     }
     // Each round references `labels` twice, so lineage must be re-rooted
     // per round (see truncateLineage) or the logical plan grows

@@ -46,6 +46,17 @@ class BfsSpec extends AnyFunSuite {
     assert(got(4L) == 1L && got(2L) == 1L && got(3L) == 2L && got(10L) == 0L)
   }
 
+  test("serial endgame == forced distributed wave, including the maxHops cap") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 4L -> 5L, 5L -> 6L, 9L -> 1L)
+    def run(budget: Long) = Bfs.hopDistances(e, sources(1L), maxHops = 2,
+        localFinishMaxRows = budget)
+      .as[(Long, Long)].collect().toMap
+    val local = run(4000000L)
+    val dist = run(0L)
+    assert(local == dist, s"endgame $local vs distributed $dist")
+    assert(local == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
   test("round-count guard refuses an un-unrollable cap") {
     val e = edges(1L -> 2L)
     val err = intercept[IllegalArgumentException] {
