@@ -652,6 +652,53 @@ object PackingQueries {
         "doc_id", "n_tok", budget = 1000L)
     },
 
+    // T79: SPFHP / best-fit-decreasing histogram packing
+    // (operators/SpfhpPacking — Krell et al. 2021's published heuristic,
+    // completing the family between t74's greedy and t78's certified
+    // exact solve). The fixture (budget 1000; per 10 ids: 600×2, 500×2,
+    // 400×3, 200×3) walks every branch of the count-scale bulk
+    // arithmetic: 600s open, 500s open-PAIR (cascade within the fresh
+    // pack), 400s split — 2q best-fit the open [600]s, the rest
+    // open-pair to [400,400] — and the 200s split again: q/2 complete
+    // the [400,400]s (best fit at r200) and the remaining 5q/2 cascade
+    // five-deep into fresh packs. Every pack lands at fill 1000 and the
+    // rank boundaries (2q for the 400s, q/2 for the 200s) are pure
+    // q-arithmetic, so the oracle states the whole assignment closed
+    // form; all three SFs have q even and 5q/2 ≡ 0 (mod 5), which the
+    // plan depends on — same documented-assumption discipline as t68.
+    QueryDef.sql(
+      "t79_spfhp_packing",
+      """WITH qq AS (SELECT COUNT(*) // 10 AS q FROM documents),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 <= 1 THEN 600
+        |       WHEN doc_id % 10 <= 3 THEN 500
+        |       WHEN doc_id % 10 <= 6 THEN 400
+        |       ELSE 200 END AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, len,
+        |  row_number() OVER (PARTITION BY len ORDER BY doc_id) AS rk FROM d),
+        |p AS (SELECT doc_id, len, rk,
+        |  CASE WHEN len = 600 THEN '600,400'
+        |       WHEN len = 500 THEN '500,500'
+        |       WHEN len = 400 THEN
+        |         CASE WHEN rk <= 2 * q THEN '600,400' ELSE '400,400,200' END
+        |       ELSE CASE WHEN rk <= q // 2 THEN '400,400,200'
+        |                 ELSE '200,200,200,200,200' END
+        |  END AS pack_csv
+        |  FROM r CROSS JOIN qq)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len, CAST(rk AS BIGINT) AS rank_in_len,
+        |  CAST(len(string_split(pack_csv, ',')) AS BIGINT) AS pack_size,
+        |  CAST(1000 AS BIGINT) AS pack_fill, pack_csv
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val len = when(m10 <= 1, 600L).when(m10 <= 3, 500L)
+        .when(m10 <= 6, 400L).otherwise(200L)
+      graft.operators.SpfhpPacking.pack(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), len.as("n_tok")),
+        "doc_id", "n_tok", budget = 1000L)
+    },
+
     QueryDef.sql(
       "t74_greedy_packing",
       """WITH qq AS (SELECT COUNT(*) // 10 AS q, (COUNT(*) // 10) % 3 AS rem
