@@ -259,6 +259,30 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming WARC request ingest == batch reader over the same capture shards") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.io.WarcIo
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as("id"),
+        concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+        col("text").as("body"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_req_stream").toString
+    WarcIo.writeShards(docs.repartition(4, col("id")), tmp, withCapture = true).collect()
+    val q = WarcIo.readRequestsStream(spark, tmp)
+      .writeStream.format("memory").queryName("warc_req_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getString(4), r.getString(5),
+      r.getString(6), r.getString(7), r.getString(8))
+    val streamed = spark.table("warc_req_stream").collect().map(key).toSet
+    val batch = WarcIo.readRequests(spark, tmp).collect().map(key).toSet
+    assert(streamed == batch, "stream request parse must equal the batch reader")
+    assert(batch.size == 60, "all planted request records present")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming robots gate == batch verdicts, wildcard rules included") {
     val dir = "/root/testdata/sf0.001"
     import graft.functions.RobotsTxt
