@@ -42,17 +42,31 @@ object RandomWalks {
     ((seed % 1000003L) * 2654435761L + walk * 40503L + step * 65599L +
       (v % 1000003L) * 97L) % 1000000007L
 
+  /** Driver twin of [[mix]] — change both or neither (the d57 oracle
+    * replicates the same arithmetic a third time). */
+  private def mixLocal(seed: Long, walk: Long, step: Long, v: Long): Long =
+    ((seed % 1000003L) * 2654435761L + walk * 40503L + step * 65599L +
+      (v % 1000003L) * 97L) % 1000000007L
+
   /** @param edges        directed (src, dst) long ids; walk an undirected
     *                     graph by mirroring first
     * @param seeds        one column `v` — walk start vertices (dedup'd)
     * @param length       steps per walk (≤ 64; each walk emits length+1
     *                     rows unless it dies at a dangling vertex)
     * @param walksPerSeed parallel walks per seed, distinct `walk` ids
-    * @return (seed, walk, step, v) — step 0 is the seed itself
-    */
+    * @param localFinishMaxRows the serial-endgame cutover (the
+    *        [[Scc.components]] doctrine): when distinct edges + the FULL
+    *        walk output (seeds × walksPerSeed × (length+1)) fit under
+    *        this count-scale budget, the adjacency is collected once and
+    *        the hash-chosen walks replay on the driver — the transition
+    *        is deterministic integer arithmetic, so the rows are
+    *        bit-identical to the distributed steps. 0 forces the
+    *        all-distributed path (the parity spec uses this).
+    * @return (seed, walk, step, v) — step 0 is the seed itself */
   def deepWalks(
       edges: DataFrame, seeds: DataFrame,
-      length: Int, walksPerSeed: Int = 1): DataFrame = {
+      length: Int, walksPerSeed: Int = 1,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     require(length >= 1 && length <= 64,
       s"walk length must be in [1, 64], got $length")
     require(walksPerSeed >= 1 && walksPerSeed <= 128,
@@ -62,7 +76,54 @@ object RandomWalks {
     // dst-sorted neighbor index + degree, attached once: the step join
     // needs (src, idx) → dst and deg(src) together.
     import org.apache.spark.sql.expressions.Window
-    val adjH = e.distinct()
+    val eDistinctH = e.distinct().persist(MEMORY_AND_DISK)
+    val eRows = eDistinctH.count()
+    val seedsH = seeds.select(col("v").cast("long").as("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val seedRows = seedsH.count()
+    if (eRows + seedRows * walksPerSeed * (length + 1L) <= localFinishMaxRows) {
+      // --- SERIAL ENDGAME: collect the dst-sorted adjacency once and
+      // replay the deterministic hash-chosen walks on the driver.
+      val adjMap = new java.util.HashMap[Long, Array[Long]]()
+      eDistinctH.collect().foreach { r =>
+        val s = r.getLong(0)
+        val cur = adjMap.get(s)
+        adjMap.put(s,
+          if (cur == null) Array(r.getLong(1)) else cur :+ r.getLong(1))
+      }
+      val it = adjMap.entrySet().iterator()
+      while (it.hasNext) { java.util.Arrays.sort(it.next().getValue) }
+      val seedArr = seedsH.collect().map(_.getLong(0)).sorted
+      Console.err.println(
+        s"[walks] local-endgame seeds=${seedArr.length} edges=$eRows")
+      val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+      seedArr.foreach { seed =>
+        var w = 0L
+        while (w < walksPerSeed) {
+          var v = seed
+          rows += ((seed, w, 0L, v))
+          var s = 1L
+          var alive = true
+          while (s <= length && alive) {
+            val nb = adjMap.get(v)
+            if (nb == null) alive = false
+            else {
+              v = nb((mixLocal(seed, w, s, v) % nb.length).toInt)
+              rows += ((seed, w, s, v))
+              s += 1
+            }
+          }
+          w += 1
+        }
+      }
+      eDistinctH.unpersist(blocking = false)
+      seedsH.unpersist(blocking = false)
+      return seeds.sparkSession.createDataFrame(rows.result())
+        .toDF("seed", "walk", "step", "v")
+        .select(col("seed").cast("long"), col("walk").cast("long"),
+          col("step").cast("long"), col("v").cast("long"))
+    }
+    val adjH = truncateLineage(eDistinctH)
       .withColumn("idx",
         (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
           .cast("long"))
@@ -72,7 +133,7 @@ object RandomWalks {
     val adj = truncateLineage(adjH)
     val degs = adj.select(col("src"), col("deg")).distinct()
 
-    val frontier0 = seeds.select(col("v").cast("long").as("v")).distinct()
+    val frontier0 = truncateLineage(seedsH)
       .crossJoin(
         seeds.sparkSession.range(walksPerSeed.toLong).select(col("id").as("walk")))
       .select(col("v").as("seed"), col("walk"), col("v"))
@@ -117,6 +178,8 @@ object RandomWalks {
     val out = levels.reduce(_ unionAll _)
       .select(col("seed"), col("walk"), col("step"), col("v"))
     adjH.unpersist(blocking = false)
+    eDistinctH.unpersist(blocking = false)
+    seedsH.unpersist(blocking = false)
     // levels stay persisted (the Bfs contract): the caller reads the walk
     // corpus from cache; blocks age out via LRU.
     out

@@ -32,6 +32,22 @@ class RandomWalksSpec extends AnyFunSuite {
     assert(w1 == Seq(1L, 2L, 1L, 2L)) // hand-traced: walk 1 picks idx 0
   }
 
+  test("serial endgame == forced distributed walks, including dangling death") {
+    // a richer graph with a dangling sink (4): both paths must emit the
+    // identical (seed, walk, step, v) rows, truncation included
+    val es = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 1L, 3L -> 2L)
+    def run(budget: Long) = RandomWalks.deepWalks(
+        es.toDF("src", "dst"), Seq(1L, 2L, 3L, 4L).toDF("v"),
+        length = 6, walksPerSeed = 2, localFinishMaxRows = budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val local = run(4000000L)
+    val dist = run(0L)
+    assert(local == dist, s"endgame and distributed walks diverged")
+    assert(local.exists(r => r._1 == 4L && r._3 == 0L) &&
+      !local.exists(r => r._1 == 4L && r._3 > 0L),
+      "dangling seed emits only step 0 on both paths")
+  }
+
   test("every consecutive hop is a real edge; step 0 is the seed") {
     val rnd = new scala.util.Random(3)
     val es = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
