@@ -1,0 +1,169 @@
+package graft.operators
+
+import scala.collection.mutable.ListBuffer
+
+import graft.functions.expr.BpeMergePass
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece merge training (Schuster & Nakajima 2012; the trainer
+  * behind BERT's vocabulary — public algorithm), completing the third
+  * published subword family beside [[BpeTrain]] (frequency-ranked
+  * merges) and [[UnigramLm]] (EM pruning): WordPiece promotes the
+  * adjacent pair maximizing the LIKELIHOOD score
+  *
+  *   score(l, r) = count(l·r adjacent) / (count(l) · count(r))
+  *
+  * — the pair whose merge most increases corpus likelihood under a
+  * unigram LM, NOT the most frequent pair. The t80 fixture is built on
+  * exactly that difference: a rarer pair of rare symbols outscores the
+  * frequent pair of frequent symbols, so a frequency-ranked trainer
+  * (BPE) produces a different round-1 merge and fails the hash.
+  *
+  * Determinism: counts are exact longs; the score is ONE IEEE double
+  * division cnt / (double(lc) · double(rc)) — correctly rounded, so it
+  * depends only on the exact ratio and equal ratios stay EQUAL at every
+  * corpus scale (the fixture's round-2 tie: 3N/(4N·3N) = N/(2N·2N) =
+  * 1/4N — both sides round the same real). Ties break (left, right)
+  * ASC; candidates need pair count ≥ 2 (the BpeTrain stopping rationale:
+  * rarer merges memorize single documents). The oracle replays the
+  * identical arithmetic, so the ranking rule itself is in the hash.
+  *
+  * Scale shape per round: one pair-count aggregate + one symbol-count
+  * aggregate (both map-side combined, shuffle rows bounded by distinct
+  * pairs/symbols), a broadcast-joined score, a 1-ROW argmax collect, and
+  * one embarrassingly-parallel [[BpeMergePass]] rewrite. Same RDD-leaf
+  * iteration hygiene as [[BpeTrain]].
+  */
+object WordPiece {
+
+  /** @param docs     corpus frame
+    * @param tokenCol array<string> column of pre-split symbols
+    * @param rounds   merge table size to learn
+    * @return (round, left, right, pair_count, left_count, right_count) —
+    *         one row per learned merge in training order (the score's
+    *         exact integer inputs ride along so gates can pin the
+    *         ranking); stops early when no pair repeats
+    */
+  def train(docs: DataFrame, tokenCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
+    val h0 = docs.select(col(tokenCol).cast("array<string>").as("toks"))
+      .persist()
+    h0.count()
+    var cur = truncate(h0)
+    val handles = ListBuffer(h0)
+    val merges = ListBuffer.empty[(Int, String, String, Long, Long, Long)]
+    try {
+      var round = 1
+      var exhausted = false
+      while (round <= rounds && !exhausted) {
+        val pairs = cur.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+        val units = cur.select(explode(col("toks")).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("uc"))
+        val top = pairs
+          .join(broadcast(units.select(col("s").as("l"), col("uc").as("lc"))), Seq("l"))
+          .join(broadcast(units.select(col("s").as("r"), col("uc").as("rc"))), Seq("r"))
+          .select(col("l"), col("r"), col("cnt"), col("lc"), col("rc"),
+            (col("cnt").cast("double") /
+              (col("lc").cast("double") * col("rc").cast("double"))).as("score"))
+          .orderBy(col("score").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) {
+          exhausted = true // no pair occurs twice
+        } else {
+          val t = top(0) // explicit select order: l, r, cnt, lc, rc, score
+          val (l, r) = (t.getString(0), t.getString(1))
+          merges += ((round, l, r, t.getLong(2), t.getLong(3), t.getLong(4)))
+          val next = cur.select(BpeMergePass(col("toks"), l, r).as("toks"))
+            .persist()
+          next.count()
+          val leaf = truncate(next)
+          handles += next
+          cur = leaf
+          handles.remove(0).unpersist(blocking = false)
+          round += 1
+        }
+      }
+    } finally handles.foreach(_.unpersist(blocking = false))
+    merges.toSeq.toDF("round", "left", "right", "pair_count", "left_count", "right_count")
+      .withColumn("round", col("round").cast("long"))
+  }
+
+  /** Greedy longest-match-first segmentation — the published WordPiece
+    * INFERENCE rule (BERT's tokenizer): at each position take the
+    * LONGEST vocab piece matching the remaining suffix; pieces past
+    * position 0 match with the `##` continuation prefix. If some
+    * position matches nothing, the WHOLE word is unknown (Nil here; the
+    * caller substitutes its unk token) — the published all-or-nothing
+    * rule, not a partial fallback. */
+  private[graft] def greedyPieces(
+      w: String, vocab: Set[String], maxPieceLen: Int): List[String] = {
+    val out = ListBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(maxPieceLen, w.length - i)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val raw = w.substring(i, i + l)
+        val cand = if (i == 0) raw else "##" + raw
+        if (vocab.contains(cand)) found = cand
+        l -= 1
+      }
+      if (found == null) return Nil
+      out += found
+      i += (if (i == 0) found.length else found.length - 2)
+    }
+    out.toList
+  }
+
+  /** Corpus-scale WordPiece encoding: lowercased whitespace words, each
+    * segmented ONCE per distinct word (the BpeEncode/UnigramLm Zipf
+    * memoization — distributed, vocab-scale) against a broadcast piece
+    * set, joined back and reassembled in document order. Unknown words
+    * become one `unk` token (the published rule).
+    *
+    * @return (idCol, toks array<string>, n_tokens); empty-text rows keep
+    *         an empty array */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int = 64,
+      unk: String = "<unk>"): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(maxPieceLen >= 1 && maxPieceLen <= 256,
+      s"maxPieceLen=$maxPieceLen out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    val maxLen = maxPieceLen
+    val theUnk = unk
+    val words = docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextTokens.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val pieces = words.select(col("w")).distinct().as[String]
+      .map { w =>
+        val segs = greedyPieces(w, bc.value, maxLen)
+        (w, if (segs.isEmpty) Array(theUnk) else segs.toArray)
+      }
+      .toDF("w", "subtoks")
+    val assembled = words.join(pieces, "w")
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subtoks"))))
+        .getField("subtoks")).as("toks"))
+    docs.select(col(idCol).as("id"))
+      .join(assembled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("toks"), array().cast("array<string>")).as("toks"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"))
+  }
+}

@@ -459,6 +459,73 @@ object PackingQueries {
           col("right").as("merge_right"), col("pair_count"))
     },
 
+    // T80: WordPiece merge training (operators/WordPiece — Schuster &
+    // Nakajima 2012, the BERT-family trainer), completing the third
+    // published subword family beside BPE (t45) and unigram-LM (t56):
+    // merges rank by the LIKELIHOOD score cnt/(count(l)·count(r)), not
+    // raw frequency. The fixture is the inversion the algorithm exists
+    // for — every supplier row carries [a b a b a b c d c d a], where
+    // (a,b) is the most FREQUENT pair (3N, score 1/(4N)) but (c,d)
+    // (2N, score 1/(2N)) wins round 1: a frequency-ranked trainer
+    // produces a different first merge and fails the hash. Round 2 is
+    // an EXACT IEEE tie (ab at 3N/(4N·3N) vs cd-cd at N/(2N·2N), both
+    // the real 1/(4N) — correctly-rounded division keeps them equal at
+    // every N) broken by (l,r) ASC; round 3's winner (cd,a) needs the
+    // unit counts of the REWRITTEN corpus. The score's integer inputs
+    // (pair/left/right counts) ride in the output, so the oracle pins
+    // the ranking arithmetic, all N-scaled closed form.
+    QueryDef.sql(
+      "t80_wordpiece_training",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+        |tr AS (SELECT * FROM (VALUES
+        |    (1, 'c', 'd', 2, 2, 2),
+        |    (2, 'a', 'b', 3, 4, 3),
+        |    (3, 'cd', 'a', 1, 2, 1)
+        |  ) t(round, l, r, cnt, lc, rc))
+        |SELECT CAST(tr.round AS BIGINT) AS round, tr.l AS left, tr.r AS right,
+        |  CAST(tr.cnt * n.n AS BIGINT) AS pair_count,
+        |  CAST(tr.lc * n.n AS BIGINT) AS left_count,
+        |  CAST(tr.rc * n.n AS BIGINT) AS right_count
+        |FROM tr CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "supplier").select(
+        typedLit(Seq("a", "b", "a", "b", "a", "b", "c", "d", "c", "d", "a"))
+          .as("toks"))
+      graft.operators.WordPiece.train(docs, "toks", rounds = 3)
+    },
+
+    // T81: WordPiece ENCODE — the published greedy longest-match-first
+    // inference (BERT's tokenizer) against a planted piece vocabulary,
+    // completing the t80 trainer the way t46 completes t45 and t58
+    // completes t56. Word classes by k = s_suppkey%4 walk every rule:
+    // 'unable' → [un, ##able] (longest FIRST piece), 'able' →
+    // [a, ##ble] (no word-initial 'able': the ## distinction between
+    // initial and continuation matches is load-bearing), 'bx' → <unk>
+    // (a mid-word dead end voids the WHOLE word — the all-or-nothing
+    // rule, not a partial fallback), 'unableable' → [un, ##able,
+    // ##able] (continuation re-use). The joined token stream AND the
+    // count are in the hash; a longest-match off-by-one or a partial
+    // unk fails on a value.
+    QueryDef.sql(
+      "t81_wordpiece_encode",
+      """WITH k AS (SELECT s_suppkey AS id, s_suppkey % 4 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CASE k WHEN 0 THEN 'un ##able' WHEN 1 THEN 'a ##ble'
+        |         WHEN 2 THEN '<unk>' ELSE 'un ##able ##able' END AS toks_joined,
+        |  CAST(CASE k WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END
+        |    AS BIGINT) AS n_tokens
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val word = when(pmod(col("s_suppkey"), lit(4L)) === 0, "unable")
+        .when(pmod(col("s_suppkey"), lit(4L)) === 1, "able")
+        .when(pmod(col("s_suppkey"), lit(4L)) === 2, "bx")
+        .otherwise("unableable")
+      graft.operators.WordPiece.encodeCorpus(
+        Tables.load(spark, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("id"), word.as("text")),
+        "id", "text", vocab = Seq("un", "a", "b", "##able", "##ble", "##e"))
+        .select(col("id"), concat_ws(" ", col("toks")).as("toks_joined"),
+          col("n_tokens"))
+    },
+
     // T46: BPE ENCODE — the trained merge table APPLIED back to the
     // corpus via the native whole-table BpeApply expression (train →
     // collect the vocab-scale table → encode is the production shape:

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BpeTrain, WordPiece}
+import org.apache.spark.sql.functions._
+
+class WordPieceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // per-row symbol stream: ab×3 among a×4/b×3 (score 1/4N), cd×2 among
+  // c×2/d×2 (score 1/2N) — the likelihood ranking INVERTS the raw-count
+  // ranking, which is the whole point of WordPiece vs BPE
+  private val stream = Seq("a", "b", "a", "b", "a", "b", "c", "d", "c", "d", "a")
+
+  private def corpus(k: Int) = Seq.fill(k)(stream).toDF("toks")
+
+  test("hand-traced training: score-ranked merges, exact-double tie, early stop") {
+    val got = WordPiece.train(corpus(3), "toks", rounds = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // r1: cd wins on score (1/(2K)) over the more frequent ab (1/(4K));
+    // r2: ab vs cd-cd is an EXACT double tie (both 1/(4K)) → (l,r) asc →
+    // ab; r3+: every once-per-row pair has count K = 3 ≥ 2, so training
+    // correctly collapses each row to one symbol — the rarest-units
+    // score keeps preferring the low-frequency side at every step
+    // (hand-verified round by round):
+    assert(got == Seq(
+      (1L, "c", "d", 6L, 6L, 6L),
+      (2L, "a", "b", 9L, 12L, 9L),
+      (3L, "cd", "a", 3L, 6L, 3L),
+      (4L, "cd", "cda", 3L, 3L, 3L),
+      (5L, "ab", "cdcda", 3L, 9L, 3L),
+      (6L, "ab", "abcdcda", 3L, 6L, 3L),
+      (7L, "ab", "ababcdcda", 3L, 3L, 3L)), got.toString)
+  }
+
+  test("the ranking is the load-bearing difference from BPE on the same corpus") {
+    val bpe = BpeTrain.train(corpus(3), "toks", rounds = 1)
+      .as[(Long, String, String, Long)].collect().head
+    assert((bpe._2, bpe._3) == (("a", "b")), "BPE merges the most FREQUENT pair first")
+    val wp = WordPiece.train(corpus(3), "toks", rounds = 1)
+      .as[(Long, String, String, Long, Long, Long)].collect().head
+    assert((wp._2, wp._3) == (("c", "d")), "WordPiece merges the best-SCORING pair first")
+  }
+
+  test("counts scale with the corpus; the merge order does not") {
+    val small = WordPiece.train(corpus(2), "toks", rounds = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val big = WordPiece.train(corpus(14), "toks", rounds = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(small.map(m => (m._1, m._2, m._3)) == big.map(m => (m._1, m._2, m._3)))
+    assert(big.map(_._4) == small.map(_._4 / 2 * 14))
+  }
+
+  test("greedy encoding: longest match, ## continuations, all-or-nothing unk") {
+    val v = Set("un", "a", "b", "unb", "##able", "##ble", "##e")
+    def enc(w: String) = WordPiece.greedyPieces(w, v, maxPieceLen = 8)
+    assert(enc("unable") == List("un", "##able"))
+    assert(enc("able") == List("a", "##ble"), "longest FIRST piece is 'a' (no 'able')")
+    // 'unb' beats 'un' at position 0 (longest match) — and then "a" is
+    // NOT a continuation piece ('##a' absent), so the word dead-ends
+    assert(enc("unba") == Nil)
+    assert(enc("unb") == List("unb"))
+    // a mid-word dead end voids the WHOLE word (published rule)
+    assert(enc("bx") == Nil)
+    assert(enc("ablee") == List("a", "##ble", "##e"))
+  }
+
+  test("encodeCorpus: document order, unk substitution, empty docs kept") {
+    val v = Seq("un", "a", "b", "##able", "##ble", "##e")
+    val docs = Seq((1L, "unable able"), (2L, "bx"), (3L, "")).toDF("id", "text")
+    val got = WordPiece.encodeCorpus(docs, "id", "text", v)
+      .select(col("id"), concat_ws(" ", col("toks")).as("t"), col("n_tokens"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "un ##able a ##ble", 4L),
+      (2L, "<unk>", 1L),
+      (3L, "", 0L)), got.toString)
+  }
+
+  test("rounds guard refuses loudly; unrepeatable corpus learns nothing") {
+    val e = intercept[IllegalArgumentException](
+      WordPiece.train(corpus(1), "toks", rounds = 0))
+    assert(e.getMessage.contains("rounds"), e.getMessage)
+    val none = WordPiece.train(
+      Seq(Seq("x", "y", "z")).toDF("toks"), "toks", rounds = 5)
+    assert(none.count() == 0L, "no pair repeats — nothing to merge")
+  }
+}
