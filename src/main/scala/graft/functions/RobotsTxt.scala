@@ -39,6 +39,41 @@ object RobotsTxt {
     * dropped per the RFC — plus (domain, crawl_delay) carried on every
     * row (null when absent). */
   def starGroupRules(robots: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val grouped = parsedGroups(robots, domainCol, textCol)
+    rulesOf(grouped, grouped
+      .filter(col("key") === "user-agent" && col("value") === "*")
+      .select(col("domain"), col("grp")).distinct())
+  }
+
+  /** Group selection for a NAMED crawler (RFC 9309 §2.2.1): groups whose
+    * `User-agent` value equals the crawler's product token
+    * case-insensitively are chosen, MULTIPLE matching groups COMBINE
+    * into one rule set, and a domain with no matching group falls back
+    * to its `*` groups (a crawler its robots.txt never names obeys the
+    * star rules — [[starGroupRules]] is exactly the `agent = "*"` view).
+    * Output schema is identical to [[starGroupRules]], so verdicts and
+    * the stream gate compose unchanged. Google's longest-prefix token
+    * extension is out of scope — the RFC specifies exact match. */
+  def agentGroupRules(robots: DataFrame, domainCol: String, textCol: String,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty, "empty agent product token")
+    val grouped = parsedGroups(robots, domainCol, textCol)
+    val named = grouped
+      .filter(col("key") === "user-agent" &&
+        lower(col("value")) === agent.toLowerCase(java.util.Locale.ROOT))
+      .select(col("domain"), col("grp")).distinct()
+    val star = grouped
+      .filter(col("key") === "user-agent" && col("value") === "*")
+      .select(col("domain"), col("grp")).distinct()
+    val chosen = named.unionAll(
+      star.join(named.select(col("domain")).distinct(), Seq("domain"), "left_anti"))
+    rulesOf(grouped, chosen)
+  }
+
+  /** Shared RFC grouping parse: lines → (domain, pos, key, value, grp)
+    * with the consecutive-User-agent grouping rule applied. */
+  private def parsedGroups(
+      robots: DataFrame, domainCol: String, textCol: String): DataFrame = {
     val lines = robots
       .select(col(domainCol).as("domain"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
@@ -47,19 +82,21 @@ object RobotsTxt {
         trim(regexp_extract(col("raw"), "^[^:#]+:(.*)$", 1)).as("value"))
       .filter(col("key").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val byPos = Window.partitionBy(col("domain")).orderBy(col("pos"))
-    val grouped = lines
+    lines
       .withColumn("prev_key", lag(col("key"), 1).over(byPos))
       .withColumn("starts_group",
         (col("key") === "user-agent" &&
           (col("prev_key").isNull || col("prev_key") =!= "user-agent")).cast("long"))
       .withColumn("grp", sum(col("starts_group")).over(byPos))
-    val starGroups = grouped
-      .filter(col("key") === "user-agent" && col("value") === "*")
-      .select(col("domain"), col("grp")).distinct()
-    val inStar = grouped.join(starGroups, Seq("domain", "grp"), "left_semi")
-    val delay = inStar.filter(col("key") === "crawl-delay")
+  }
+
+  /** Rules + crawl-delay of the chosen (domain, grp) set — the shared
+    * tail of [[starGroupRules]]/[[agentGroupRules]]. */
+  private def rulesOf(grouped: DataFrame, chosenGroups: DataFrame): DataFrame = {
+    val inChosen = grouped.join(chosenGroups, Seq("domain", "grp"), "left_semi")
+    val delay = inChosen.filter(col("key") === "crawl-delay")
       .groupBy(col("domain")).agg(min(col("value").cast("long")).as("crawl_delay"))
-    inStar
+    inChosen
       .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
       .select(col("domain"), col("key").as("kind"), col("value").as("prefix"))
       .join(delay, Seq("domain"), "left")

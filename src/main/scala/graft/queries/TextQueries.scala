@@ -1318,6 +1318,54 @@ object TextQueries {
           expr("(n_docs * 1000000) div t").as("share_fp"))
     },
 
+    // T82: NAMED-agent group selection (RobotsTxt.agentGroupRules — the
+    // RFC 9309 §2.2.1 rule t61's star-only view skipped): groups whose
+    // User-agent equals the crawler's product token case-insensitively
+    // are chosen, MULTIPLE matches COMBINE, and domains that never name
+    // the crawler fall back to their `*` group. Fixture: even-length
+    // sources carry two 'graftbot' groups (one Disallow /g/ +
+    // Crawl-delay, one spelled 'GraftBot' with Allow /g/pub — the
+    // combine AND the case fold are load-bearing) plus a star group
+    // whose /x/ rule must NOT leak into the named view; odd-length
+    // sources have only the star group. Verdicts for agent 'GraftBot':
+    // the oracle states every row closed-form from (parity, doc_id%4) —
+    // a selector that prefix-matches, skips the second named group, or
+    // lets the star rules bleed through fails on a value.
+    QueryDef.sql(
+      "t82_robots_agent_groups",
+      """WITH d AS (SELECT doc_id, source, strlen(source) % 2 = 0 AS named,
+        |  CAST(doc_id % 4 AS INT) AS m FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS id, source AS domain,
+        |  CASE m WHEN 0 THEN '/g/a' WHEN 1 THEN '/g/pub/f'
+        |         WHEN 2 THEN '/x/a' ELSE '/ok' END AS path,
+        |  CASE WHEN named AND m = 0 THEN 'disallow'
+        |       WHEN named AND m = 1 THEN 'allow'
+        |       WHEN NOT named AND m = 2 THEN 'disallow' END AS matched_kind,
+        |  CASE WHEN named AND m = 0 THEN '/g/'
+        |       WHEN named AND m = 1 THEN '/g/pub'
+        |       WHEN NOT named AND m = 2 THEN '/x/' END AS matched_prefix,
+        |  CASE WHEN named THEN CAST(7 AS BIGINT) END AS crawl_delay,
+        |  NOT ((named AND m = 0) OR (NOT named AND m = 2)) AS allowed
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import graft.functions.RobotsTxt
+      val docs = Tables.load(spark, dir, "documents")
+      val named = octet_length(col("source")) % 2 === 0
+      val robots = docs.select(col("source").as("domain")).distinct()
+        .select(col("domain"),
+          when(octet_length(col("domain")) % 2 === 0, lit(
+            "User-agent: graftbot\nDisallow: /g/\nCrawl-delay: 7\n\n" +
+              "User-agent: GraftBot\nAllow: /g/pub\n\n" +
+              "User-agent: *\nDisallow: /x/"))
+            .otherwise(lit("User-agent: *\nDisallow: /x/")).as("txt"))
+      val m4 = pmod(col("doc_id"), lit(4L))
+      val urls = docs.select(col("doc_id").cast("long").as("id"),
+        col("source").as("domain"),
+        when(m4 === 0, "/g/a").when(m4 === 1, "/g/pub/f")
+          .when(m4 === 2, "/x/a").otherwise("/ok").as("path"))
+      RobotsTxt.verdicts(urls, "id", "domain", "path",
+        RobotsTxt.agentGroupRules(robots, "domain", "txt", agent = "GraftBot"))
+    },
+
     // T61: robots.txt crawl-permission verdicts (functions/RobotsTxt —
     // RFC 9309), completing the crawl-politeness family beside t50's
     // canonicalization and t55's per-owner quotas. The ENGINE parses

@@ -82,6 +82,37 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(got(3)._7 == true && got(3)._4 == null, "anchored .pdf$ must not match .pdfz")
   }
 
+  test("named-agent groups: exact case-insensitive match, combine, star fallback") {
+    val robots =
+      "User-agent: graftbot\nDisallow: /g/\nCrawl-delay: 7\n\n" +
+        "User-agent: GraftBot\nAllow: /g/pub\n\n" +
+        "User-agent: graftbot-news\nDisallow: /news\n\n" +
+        "User-agent: *\nDisallow: /x/"
+    def verdictsFor(agent: String, paths: Seq[String]) = {
+      val rules = RobotsTxt.agentGroupRules(
+        Seq(("d", robots)).toDF("domain", "txt"), "domain", "txt", agent)
+      RobotsTxt.verdicts(
+        paths.zipWithIndex.map { case (p, i) => (i.toLong, "d", p) }
+          .toDF("id", "domain", "path"),
+        "id", "domain", "path", rules)
+        .as[(Long, String, String, String, String, java.lang.Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+    }
+    // BOTH graftbot groups combine (case-insensitive); star is ignored
+    val g = verdictsFor("GRAFTBOT", Seq("/g/a", "/g/pub/f", "/x/a"))
+    assert(g(0)._7 == false && g(0)._5 == "/g/")
+    assert(g(1)._7 == true && g(1)._5 == "/g/pub", "combined second group's Allow")
+    assert(g(2)._7 == true && g(2)._4 == null,
+      "star Disallow /x/ must NOT apply when a named group matched")
+    assert(g(0)._6 == 7L, "the named group's crawl-delay rides along")
+    // exact match, not prefix: 'graftbot' ≠ 'graftbot-news' and vice versa
+    val n = verdictsFor("graftbot-news", Seq("/news/1", "/g/a"))
+    assert(n(0)._7 == false && n(1)._7 == true)
+    // unnamed crawler falls back to the star group
+    val o = verdictsFor("otherbot", Seq("/x/a", "/g/a"))
+    assert(o(0)._7 == false && o(0)._5 == "/x/" && o(1)._7 == true)
+  }
+
   test("stateless == batch on non-ASCII patterns (codepoint length, UTF-8 tie order)") {
     // Patterns chosen to split the Java-String and engine orderings:
     //  - "/𐀀" (U+10000, ONE codepoint / TWO UTF-16 units) vs "/é" — equal
