@@ -22,14 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `left`/`right` are per-round constants, so each training round plans
   * one new literal-parameterized operator, not a data-dependent join.
   */
-case class BpeMergePass(child: Expression, left: String, right: String)
-  extends UnaryExpression with CodegenFallback {
+case class BpeMergePass(child: Expression, left: String, right: String,
+    merged: String = null) extends UnaryExpression with CodegenFallback {
 
   require(left.nonEmpty && right.nonEmpty, "BPE merge tokens must be non-empty")
 
   @transient private lazy val l = UTF8String.fromString(left)
   @transient private lazy val r = UTF8String.fromString(right)
-  @transient private lazy val lr = UTF8String.fromString(left + right)
+  // the merged symbol defaults to plain concatenation (BPE); WordPiece's
+  // ##-continuation merges override it (l + r minus the right's ## prefix)
+  @transient private lazy val lr =
+    UTF8String.fromString(if (merged == null) left + right else merged)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -68,6 +71,9 @@ case class BpeMergePass(child: Expression, left: String, right: String)
 object BpeMergePass {
   def apply(tokens: Column, left: String, right: String): Column =
     GraftBridge.column(BpeMergePass(GraftBridge.expression(tokens), left, right))
+  def apply(tokens: Column, left: String, right: String, merged: String): Column =
+    GraftBridge.column(
+      BpeMergePass(GraftBridge.expression(tokens), left, right, merged))
 }
 
 /** Applies a whole trained MERGE TABLE (in training order) to one token

@@ -45,16 +45,39 @@ object WordPiece {
     *         exact integer inputs ride along so gates can pin the
     *         ranking); stops early when no pair repeats
     */
-  def train(docs: DataFrame, tokenCol: String, rounds: Int): DataFrame = {
+  def train(docs: DataFrame, tokenCol: String, rounds: Int): DataFrame =
+    trainLoop(docs.select(col(tokenCol).cast("array<string>").as("toks")),
+      rounds, (l, r) => l + r)
+
+  /** WordPiece training FROM WORDS — the production entry point (the
+    * trainer BERT vocabularies actually come from): lowercased
+    * whitespace words seed as [c0, ##c1, ##c2, …] (first char bare,
+    * continuations ##-prefixed), each word its own symbol stream so
+    * merges never cross word boundaries, and a merge's new symbol is
+    * l + r WITHOUT the right's ## ("##ow"+"##e" → "##owe",
+    * "l"+"##ow" → "low") — so the learned table plus the seed chars IS
+    * a [[encodeCorpus]] vocabulary, closing the train → encode loop.
+    * Same score/tie/stopping semantics as [[train]]. */
+  def trainFromWords(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val streams = docs
+      .select(explode(graft.functions.TextTokens.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(transform(split(col("w"), ""),
+        (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))).as("toks"))
+    trainLoop(streams, rounds,
+      (l, r) => l + (if (r.startsWith("##")) r.substring(2) else r))
+  }
+
+  private def trainLoop(symbols: DataFrame, rounds: Int,
+      mergedSymbol: (String, String) => String): DataFrame = {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
-    val spark = docs.sparkSession
+    val spark = symbols.sparkSession
     import spark.implicits._
 
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
 
-    val h0 = docs.select(col(tokenCol).cast("array<string>").as("toks"))
-      .persist()
+    val h0 = symbols.persist()
     h0.count()
     var cur = truncate(h0)
     val handles = ListBuffer(h0)
@@ -86,7 +109,8 @@ object WordPiece {
           val t = top(0) // explicit select order: l, r, cnt, lc, rc, score
           val (l, r) = (t.getString(0), t.getString(1))
           merges += ((round, l, r, t.getLong(2), t.getLong(3), t.getLong(4)))
-          val next = cur.select(BpeMergePass(col("toks"), l, r).as("toks"))
+          val next = cur
+            .select(BpeMergePass(col("toks"), l, r, mergedSymbol(l, r)).as("toks"))
             .persist()
           next.count()
           val leaf = truncate(next)

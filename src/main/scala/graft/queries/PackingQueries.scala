@@ -493,6 +493,39 @@ object PackingQueries {
       graft.operators.WordPiece.train(docs, "toks", rounds = 3)
     },
 
+    // T83: WordPiece training FROM WORDS (WordPiece.trainFromWords —
+    // the production entry point BERT vocabularies come from): words
+    // seed as [c0, ##c1, …], merges strip the right's ## (so the table
+    // + seeds IS a t81 encoder vocabulary), and merges never cross word
+    // boundaries. The classic low/low/lower/lowest corpus per supplier
+    // row: the likelihood score crystallizes the RARE suffixes first
+    // (##st, ##er, ##est) before the frequent ##ow stem — a
+    // frequency-ranked trainer starts at (##o,##w) and fails round 1 —
+    // and the trace crosses a four-way exact tie (round 4) plus three
+    // right-asc ties, all K-invariant (every score scales 1/K, exact
+    // doubles stay exactly tied). The oracle states all nine rounds
+    // closed form scaled by N.
+    QueryDef.sql(
+      "t83_wordpiece_word_training",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+        |tr AS (SELECT * FROM (VALUES
+        |    (1, '##s', '##t', 1, 1, 1), (2, '##e', '##r', 1, 2, 1),
+        |    (3, '##e', '##st', 1, 1, 1), (4, '##o', '##w', 4, 4, 4),
+        |    (5, '##ow', '##er', 1, 4, 1), (6, '##ow', '##est', 1, 3, 1),
+        |    (7, 'l', '##ow', 2, 4, 2), (8, 'l', '##ower', 1, 2, 1),
+        |    (9, 'l', '##owest', 1, 1, 1)
+        |  ) t(round, l, r, cnt, lc, rc))
+        |SELECT CAST(tr.round AS BIGINT) AS round, tr.l AS left, tr.r AS right,
+        |  CAST(tr.cnt * n.n AS BIGINT) AS pair_count,
+        |  CAST(tr.lc * n.n AS BIGINT) AS left_count,
+        |  CAST(tr.rc * n.n AS BIGINT) AS right_count
+        |FROM tr CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      graft.operators.WordPiece.trainFromWords(
+        Tables.load(spark, dir, "supplier")
+          .select(lit("low low lower lowest").as("text")),
+        "text", rounds = 20)
+    },
+
     // T81: WordPiece ENCODE — the published greedy longest-match-first
     // inference (BERT's tokenizer) against a planted piece vocabulary,
     // completing the t80 trainer the way t46 completes t45 and t58

@@ -53,6 +53,44 @@ class WordPieceSpec extends AnyFunSuite {
     assert(big.map(_._4) == small.map(_._4 / 2 * 14))
   }
 
+  test("trainFromWords: the low/lower/lowest trace with ##-stripping merges") {
+    // words per doc: low low lower lowest → seeds [l,##o,##w]×2,
+    // [l,##o,##w,##e,##r], [l,##o,##w,##e,##s,##t]. The likelihood
+    // score makes RARE pairs of RARE symbols win first — the suffixes
+    // crystallize before the frequent stem (hand-verified round by
+    // round, incl. the four-way 0.125 tie at r4 broken '##o' first
+    // and the right-asc ties at r5/r7/r8):
+    val docs = Seq.fill(2)("low low lower lowest").toDF("text")
+    val got = WordPiece.trainFromWords(docs, "text", rounds = 20)
+      .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "##s", "##t", 2L, 2L, 2L),
+      (2L, "##e", "##r", 2L, 4L, 2L),
+      (3L, "##e", "##st", 2L, 2L, 2L),
+      (4L, "##o", "##w", 8L, 8L, 8L),
+      (5L, "##ow", "##er", 2L, 8L, 2L),
+      (6L, "##ow", "##est", 2L, 6L, 2L),
+      (7L, "l", "##ow", 4L, 8L, 4L),
+      (8L, "l", "##ower", 2L, 4L, 2L),
+      (9L, "l", "##owest", 2L, 2L, 2L)), got.toString)
+  }
+
+  test("train -> encode loop: the learned vocab drives the greedy encoder") {
+    val docs = Seq("low low lower lowest").toDF("text")
+    val merged = WordPiece.trainFromWords(docs, "text", rounds = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(m => m._2 + (if (m._3.startsWith("##")) m._3.drop(2) else m._3))
+    val seeds = Seq("l", "##o", "##w", "##e", "##r", "##s", "##t")
+    val vocab = seeds ++ merged
+    val enc = WordPiece.encodeCorpus(
+        Seq((1L, "lowest low lowly")).toDF("id", "text"), "id", "text", vocab)
+      .select(concat_ws(" ", col("toks"))).as[String].head()
+    // K=1: once-per-corpus suffix pairs fail the cnt ≥ 2 bar, so the
+    // vocab is {##ow, ##owe, low, lowe} — lowest → lowe+##s+##t, and
+    // lowly dead-ends after 'low' ('##l' was never a seed piece)
+    assert(enc == "lowe ##s ##t low <unk>", enc)
+  }
+
   test("greedy encoding: longest match, ## continuations, all-or-nothing unk") {
     val v = Set("un", "a", "b", "unb", "##able", "##ble", "##e")
     def enc(w: String) = WordPiece.greedyPieces(w, v, maxPieceLen = 8)
