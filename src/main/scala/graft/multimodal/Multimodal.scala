@@ -480,6 +480,32 @@ object Multimodal {
   case class SceneReport(media_id: Long, n_frames: Long, cuts_csv: String,
       n_scenes: Long)
 
+  /** Exact 1e-6 fixed-point Rec.601 mean luminance of one decoded frame —
+    * the ONE copy [[sceneChanges]] and [[sceneKeyframes]] both score with
+    * (their cut lists must agree bit-for-bit; a drifted duplicate would
+    * silently break the m11/m14 gate relationship). */
+  private def frameMeanFp(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    sum * 1000000L / (img.getWidth.toLong * img.getHeight)
+  }
+
+  private def decodeJpeg(jpeg: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    require(img != null, "undecodable MJPEG frame payload")
+    img
+  }
+
   /** Scene-change detection over the REAL MJPEG decode — the shot-
     * boundary primitive of video curation (sample one frame per scene,
     * not per second): per-frame mean luminance in exact 1e-6 fixed
@@ -495,23 +521,7 @@ object Multimodal {
       rows.map { r =>
         val (_, _, _, frames) = walkAvi(r.payload)
         require(frames.nonEmpty, s"no video frames in media ${r.media_id}")
-        val means = frames.map { jpeg =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
-          require(img != null, "undecodable MJPEG frame payload")
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
-                29 * (rgb & 0xff)) >> 8
-              x += 1
-            }
-            y += 1
-          }
-          sum * 1000000L / (img.getWidth.toLong * img.getHeight)
-        }
+        val means = frames.map(jpeg => frameMeanFp(decodeJpeg(jpeg)))
         val cuts = (1 until means.length)
           .filter(i => math.abs(means(i) - means(i - 1)) >= thresholdFp)
         SceneReport(r.media_id, means.length.toLong,
@@ -538,31 +548,15 @@ object Multimodal {
     media.filter(col("kind") === "video").as[MediaRow].flatMap { r =>
       val (_, _, _, frames) = walkAvi(r.payload)
       require(frames.nonEmpty, s"no video frames in media ${r.media_id}")
-      val imgs = frames.map { jpeg =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
-        require(img != null, "undecodable MJPEG frame payload")
-        img
-      }
-      val means = imgs.map { img =>
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
-              29 * (rgb & 0xff)) >> 8
-            x += 1
-          }
-          y += 1
-        }
-        sum * 1000000L / (img.getWidth.toLong * img.getHeight)
-      }
+      // ONE decoded frame held at a time for the means pass (holding all
+      // rasters would be O(video) memory — self-review finding), then
+      // only the |scenes| start frames decode a second time for the PNG
+      val means = frames.map(jpeg => frameMeanFp(decodeJpeg(jpeg)))
       val starts = 0 +: (1 until means.length)
         .filter(i => math.abs(means(i) - means(i - 1)) >= thresholdFp)
       starts.zipWithIndex.map { case (f, si) =>
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(imgs(f), "png", bos)
+        javax.imageio.ImageIO.write(decodeJpeg(frames(f)), "png", bos)
         SceneKeyframe(r.media_id, si.toLong, f.toLong, bos.toByteArray)
       }
     }

@@ -45,7 +45,12 @@ object ConnectedComponents {
     val n = ids.length
     val idx = new java.util.HashMap[Long, Integer](n * 2)
     var i = 0
-    while (i < n) { idx.put(ids(i), i); i += 1 }
+    // FIRST occurrence wins the slot: the caller's vertex frame is not
+    // required to be distinct (the distributed rounds tolerate duplicate
+    // rows — both copies get the same label), so duplicates must SHARE a
+    // union-find slot rather than shadow it (a put-always here mislabeled
+    // the shadowed copy as its own singleton; found by self-review)
+    while (i < n) { idx.putIfAbsent(ids(i), i); i += 1 }
     val parent = Array.tabulate(n)(identity)
     val rank = new Array[Int](n)
     def find(x: Int): Int = {
@@ -69,12 +74,14 @@ object ConnectedComponents {
     val minId = new java.util.HashMap[Integer, java.lang.Long](n * 2)
     i = 0
     while (i < n) {
-      val r = find(i)
-      val cur = minId.get(r)
-      if (cur == null || ids(i) < cur.longValue) minId.put(r, ids(i))
+      val slot = find(idx.get(ids(i))) // canonical slot, duplicate-safe
+      val cur = minId.get(slot)
+      if (cur == null || ids(i) < cur.longValue) minId.put(slot, ids(i))
       i += 1
     }
-    Array.tabulate(n)(k => (ids(k), minId.get(find(k)).longValue))
+    // one output row per INPUT row (duplicates keep their multiplicity,
+    // matching the distributed path's per-row labeling)
+    Array.tabulate(n)(k => (ids(k), minId.get(find(idx.get(ids(k)))).longValue))
   }
 
   /** Alternating large-star/small-star contraction — the O(log n)-round

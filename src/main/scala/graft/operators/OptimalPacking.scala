@@ -137,21 +137,23 @@ object OptimalPacking {
       }
       basis(pr) = pc
     }
-    // reduced cost of column j under cost vector `cost`
-    def reduced(cost: Int => Rat)(j: Int): Rat = {
-      var r = cost(j)
-      var i = 0
-      while (i < m) { r = r - cost(basis(i)) * t(i)(j); i += 1 }
-      r
-    }
     def phase(cost: Int => Rat, cols: Int): Unit = {
+      // reduced-cost row built ONCE per phase (O(n·m)) and MAINTAINED per
+      // pivot (O(n)) — recomputing every column from the basis on every
+      // Bland scan was O(n·m) rational ops per scan (self-review finding)
+      val z = Array.tabulate(n + m) { j =>
+        var r = cost(j)
+        var i = 0
+        while (i < m) { r = r - cost(basis(i)) * t(i)(j); i += 1 }
+        r
+      }
       var improving = true
       while (improving) {
         improving = false
         var enter = -1
         var j = 0
         while (j < cols && enter < 0) { // Bland: first negative
-          if (reduced(cost)(j) < Rat.Zero) enter = j
+          if (z(j) < Rat.Zero) enter = j
           j += 1
         }
         if (enter >= 0) {
@@ -170,6 +172,16 @@ object OptimalPacking {
           }
           require(leave >= 0, "packing LP unbounded — impossible for a covering objective")
           pivot(leave, enter)
+          // the pivot row is normalized in place, so the standard update
+          // z ← z − z_enter · t(leave)(·) zeroes z(enter) exactly
+          val f = z(enter)
+          if (!f.isZero) {
+            var k = 0
+            while (k < n + m) {
+              if (!t(leave)(k).isZero) z(k) = z(k) - f * t(leave)(k)
+              k += 1
+            }
+          }
           improving = true
         }
       }
@@ -278,18 +290,23 @@ object OptimalPacking {
     val (z, x) = simplexMin(a, b, c)
     val lpBound = z.ceil.toLong
     val base = x.map(_.floor)
-    // exact residual: h − A·⌊x⌋, expanded to individual items
-    val residual = lengths.indices.flatMap { i =>
+    // exact residual NEEDS first (h − A·⌊x⌋ per length), the cap checked
+    // BEFORE any expansion — materializing first could OOM or Int-wrap
+    // right where the loud refusal was promised (self-review finding)
+    val needs = lengths.indices.map { i =>
       val covered = patterns.indices.foldLeft(BigInt(0)) { (s, j) =>
         s + base(j) * patterns(j).count(_ == lengths(i))
       }
       val need = BigInt(live(lengths(i))) - covered
       require(need >= 0, "floor over-covered — impossible")
-      Seq.fill(need.toLong.toInt)(lengths(i))
+      need
     }
-    require(residual.length <= maxResidualItems,
-      s"${residual.length} residual items exceed maxResidualItems=$maxResidualItems — " +
+    val totalNeed = needs.sum
+    require(totalNeed <= maxResidualItems,
+      s"$totalNeed residual items exceed maxResidualItems=$maxResidualItems — " +
         "instance outside the certified regime; use PairPacking.packGreedy")
+    val residual = lengths.indices.flatMap(i =>
+      Seq.fill(needs(i).toInt)(lengths(i)))
     // solve the residual exactly — the search returns the best PARTITION,
     // so its bins become pattern uses directly
     val resPartition = residualPack(residual, budget)

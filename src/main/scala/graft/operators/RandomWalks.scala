@@ -84,15 +84,26 @@ object RandomWalks {
     if (eRows + seedRows * walksPerSeed * (length + 1L) <= localFinishMaxRows) {
       // --- SERIAL ENDGAME: collect the dst-sorted adjacency once and
       // replay the deterministic hash-chosen walks on the driver.
-      val adjMap = new java.util.HashMap[Long, Array[Long]]()
+      // buffer-then-sort: a per-edge Array append would be O(degree²) on
+      // skewed hubs (self-review finding) — the buffer keeps it linear
+      val adjBuf = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
       eDistinctH.collect().foreach { r =>
         val s = r.getLong(0)
-        val cur = adjMap.get(s)
-        adjMap.put(s,
-          if (cur == null) Array(r.getLong(1)) else cur :+ r.getLong(1))
+        var cur = adjBuf.get(s)
+        if (cur == null) {
+          cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          adjBuf.put(s, cur)
+        }
+        cur += r.getLong(1)
       }
-      val it = adjMap.entrySet().iterator()
-      while (it.hasNext) { java.util.Arrays.sort(it.next().getValue) }
+      val adjMap = new java.util.HashMap[Long, Array[Long]](adjBuf.size() * 2)
+      val it = adjBuf.entrySet().iterator()
+      while (it.hasNext) {
+        val e2 = it.next()
+        val arr = e2.getValue.toArray
+        java.util.Arrays.sort(arr)
+        adjMap.put(e2.getKey, arr)
+      }
       val seedArr = seedsH.collect().map(_.getLong(0)).sorted
       Console.err.println(
         s"[walks] local-endgame seeds=${seedArr.length} edges=$eRows")
@@ -106,9 +117,14 @@ object RandomWalks {
           var alive = true
           while (s <= length && alive) {
             val nb = adjMap.get(v)
-            if (nb == null) alive = false
+            val pick = if (nb == null) -1L else mixLocal(seed, w, s, v) % nb.length
+            // negative ids make the mix (Java %) negative — the engine's
+            // (src, idx) join then matches NO index and the walk dies;
+            // the driver twin must die identically, not throw (parity
+            // divergence found by self-review)
+            if (nb == null || pick < 0L) alive = false
             else {
-              v = nb((mixLocal(seed, w, s, v) % nb.length).toInt)
+              v = nb(pick.toInt)
               rows += ((seed, w, s, v))
               s += 1
             }

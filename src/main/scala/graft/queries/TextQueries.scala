@@ -1349,7 +1349,6 @@ object TextQueries {
         |FROM d""".stripMargin) { (spark, dir) =>
       import graft.functions.RobotsTxt
       val docs = Tables.load(spark, dir, "documents")
-      val named = octet_length(col("source")) % 2 === 0
       val robots = docs.select(col("source").as("domain")).distinct()
         .select(col("domain"),
           when(octet_length(col("domain")) % 2 === 0, lit(

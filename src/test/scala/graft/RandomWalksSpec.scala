@@ -82,6 +82,19 @@ class RandomWalksSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("negative ids: endgame dies where the distributed join dies, never throws") {
+    // a negative vertex id makes the Java-% mix negative; the engine's
+    // (src, idx) join matches nothing and the walk truncates — the
+    // driver twin must truncate identically (it used to throw AIOOBE;
+    // self-review bug)
+    val es = Seq(-9L -> 2L, 2L -> -9L, 2L -> 3L)
+    def run(budget: Long) = RandomWalks.deepWalks(
+        es.toDF("src", "dst"), Seq(-9L, 2L).toDF("v"),
+        length = 5, walksPerSeed = 2, localFinishMaxRows = budget)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(run(4000000L) == run(0L), "negative-id parity")
+  }
+
   test("length and fan-out guards refuse loudly") {
     assert(intercept[IllegalArgumentException] {
       walks(diamond, Seq(1L), length = 65)
