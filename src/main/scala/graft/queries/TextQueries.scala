@@ -869,6 +869,43 @@ object TextQueries {
           when(col("brightness") < 0.5, "A").otherwise("B").as("scene_label"))
     },
 
+    // M15: VIDEO dedup via keyframe fingerprints — the composition
+    // m9/m10/m14 point at: extract one PNG keyframe per scene (m14's
+    // real demux→JPEG→cut→PNG chain), fingerprint the bytes, cluster.
+    // The scene corpus makes the clusters CLOSED FORM: the AVI is a
+    // pure function of id%12, and a scene-A keyframe (gray 40) is
+    // byte-identical across classes sharing (id%3, id%2) — i.e. id%6 —
+    // so A-clusters span the {c, c+6} class pair (size 15 when either
+    // class cuts back to A, c even; else 10) and B-clusters are always
+    // 10, both keyed by cluster_min = id%6. The gate therefore pins
+    // BYTE-determinism of the whole decode→encode chain ACROSS media
+    // (a nondeterministic PNG encoder, a JPEG decode drift, or a
+    // demux slip splits a cluster and fails on a value) plus the
+    // dedup-composition itself. One md5-keyed window, linear.
+    QueryDef.sql(
+      "m15_keyframe_dedup",
+      """WITH r AS (SELECT range AS id FROM range(60)),
+        |c AS (SELECT id, id % 6 AS c6, id % 4 = 0 AS two FROM r),
+        |s AS (SELECT id, c6, 0 AS scene_idx, TRUE AS is_a FROM c
+        |  UNION ALL SELECT id, c6, 1, FALSE FROM c
+        |  UNION ALL SELECT id, c6, 2, TRUE FROM c WHERE two)
+        |SELECT id AS media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  CAST(c6 AS BIGINT) AS cluster_min,
+        |  CAST(CASE WHEN is_a AND c6 % 2 = 0 THEN 15 ELSE 10 END AS BIGINT)
+        |    AS cluster_size
+        |FROM s""".stripMargin) { (spark, _) =>
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.expressions.Window
+      val kf = Multimodal.sceneKeyframes(
+        Multimodal.synthesizeSceneAviCorpus(spark, 60), thresholdFp = 80000000L)
+      val w = Window.partitionBy(col("__fp"))
+      kf.toDF()
+        .select(col("media_id"), col("scene_idx"), md5(col("png")).as("__fp"))
+        .select(col("media_id"), col("scene_idx"),
+          min(col("media_id")).over(w).as("cluster_min"),
+          count(lit(1)).over(w).as("cluster_size"))
+    },
+
     // T43: the sampler laws (t6/t21's hashed audit): the deterministic
     // hash-threshold design makes three properties THEOREMS — rate 1.0
     // keeps everything and an absent stratum keeps nothing (threshold
