@@ -1257,53 +1257,41 @@ object AggWindowQueries {
             col("at_or_below") * 10000 >= col("n") * 4999).as("rank_ok"))
     },
 
-    // A33: Count-Min sketch frequency audit (functions/CountMin —
-    // Cormode & Muthukrishnan 2005, completing the sketch family beside
-    // a11's HLL, a13's GK, and the d29/d36 Blooms): the sketch is a
-    // RELATIONAL aggregate — d bucket coordinates posexplode per item,
-    // ONE map-side-combined groupBy; partial aggregates ARE partial
-    // sketches and the shuffle merge is counter addition. Buckets ride
-    // the engine-portable md5-prefix hash (the s13 convention), so the
-    // oracle replays the ENTIRE d×w=4×256 sketch in SQL: exact top-12
-    // token counts, the replayed cell sums, the min-over-rows estimate,
-    // and the one-sided law est ≥ exact — all in the hash. A bucket
-    // off-by-one, a hash drift, or a merge losing a partial fails on a
-    // value, not a tolerance.
+    // A34: Misra–Gries heavy-hitter audit (operators/MisraGries — the
+    // DETERMINISTIC-bound counterpart of a33's Count-Min: per-partition
+    // k-counter summaries, driver-merged per Agarwal et al.'s mergeable-
+    // summaries rule). Which NON-heavy survivors the summary carries is
+    // partition-order-dependent, so the gate hashes the INVARIANTS (the
+    // a31/a32 sketch-audit pattern) over the deterministic heavy set:
+    // item = 'hot'||(doc_id%8) on even ids (≈N/8 each, above the
+    // N/(k+1) threshold at k=12 → presence GUARANTEED) and a unique
+    // 'u'||id tail forcing eviction. Per heavy token: the closed-form
+    // exact count, in_summary, and the two-sided bound
+    // exact − N/13 ≤ est ≤ exact — a summary that loses a heavy item,
+    // overcounts, or merges partials wrong fails on a value.
     QueryDef.sql(
-      "a33_countmin_audit",
-      """WITH e AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-        |           FROM documents),
-        |t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM e
-        |      WHERE token <> '' GROUP BY 1),
-        |cells AS (SELECT r.range AS r,
-        |    CAST('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || ':' || token), 1, 15)
-        |      AS BIGINT) % 256 AS b,
-        |    CAST(SUM(cnt) AS BIGINT) AS c
-        |  FROM t CROSS JOIN range(4) r GROUP BY 1, 2),
-        |top AS (SELECT token, cnt FROM t ORDER BY cnt DESC, token LIMIT 12),
-        |est AS (SELECT top.token, top.cnt, MIN(cells.c) AS est
-        |  FROM top CROSS JOIN range(4) r
-        |  JOIN cells ON cells.r = r.range AND cells.b =
-        |    CAST('0x' || substring(md5('cms' || CAST(r.range AS VARCHAR) || ':' || top.token), 1, 15)
-        |      AS BIGINT) % 256
-        |  GROUP BY 1, 2)
-        |SELECT token, cnt AS exact_cnt, CAST(est AS BIGINT) AS cms_est,
-        |  est >= cnt AS over_ok
-        |FROM est""".stripMargin) { (spark, dir) =>
-      import graft.functions.{CountMin, TextTokens}
-      // vocab-scale exact counts once (bounded registry); the sketch
-      // builds from the WEIGHTED counts — identical cells, one corpus scan
-      val tf = graft.engine.BoundedCaches.persist(
-        Tables.load(spark, dir, "documents")
-          .select(explode(TextTokens.tokens(col("text"))).as("token"))
-          .filter(col("token") =!= "")
-          .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
-      val sketch = CountMin.buildWeighted(tf, "token", "cnt", depth = 4, width = 256)
-      val top = tf.orderBy(col("cnt").desc, col("token")).limit(12)
-      CountMin.estimate(sketch, top, "token", depth = 4, width = 256)
-        .join(top, Seq("token"))
-        .select(col("token"), col("cnt").as("exact_cnt"),
-          col("cnt_est").as("cms_est"), (col("cnt_est") >= col("cnt")).as("over_ok"))
+      "a34_misra_gries_audit",
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT 'hot' || CAST(j AS VARCHAR) AS token,
+        |  CAST((n - j + 7) // 8 AS BIGINT) AS exact_cnt,
+        |  TRUE AS in_summary, TRUE AS bound_ok
+        |FROM nn CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS j) t""".stripMargin) {
+      (spark, dir) =>
+      import graft.operators.MisraGries
+      val items = Tables.load(spark, dir, "documents").select(
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("hot"), pmod(col("doc_id"), lit(8L))))
+          .otherwise(concat(lit("u"), col("doc_id"))).as("t"))
+      val n = items.count()
+      val summ = MisraGries.summary(items, "t", k = 12)
+        .select(col("item").as("token"), col("count_est"))
+      items.groupBy(col("t").as("token")).agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") * 13 > n)
+        .join(broadcast(summ), Seq("token"), "left")
+        .select(col("token"), col("exact_cnt"),
+          col("count_est").isNotNull.as("in_summary"),
+          (col("count_est").isNotNull && col("count_est") <= col("exact_cnt") &&
+            col("count_est") * 13 >= col("exact_cnt") * 13 - n).as("bound_ok"))
     },
 
     // A37: grouped higher MOMENTS — skewness + excess kurtosis, the
