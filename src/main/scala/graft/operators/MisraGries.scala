@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * no longer fits an aggregate.
   *
   * Distributed shape: one mapPartitions pass builds a k-counter summary
-  * per partition (O(k) state, decrement-by-min eviction), and the
+  * per partition (O(k) state, the classic decrement-by-one eviction), and the
   * driver merges the ≤ k·partitions partial counters with the paper's
   * merge — add counters, subtract the (k+1)-th largest value, drop the
   * non-positive — which preserves the bound across any merge tree.
@@ -36,11 +36,16 @@ object MisraGries {
         case Some(c) => counters(x) = c + 1
         case None if counters.size < k => counters(x) = 1L
         case None =>
-          // decrement-by-min: subtract the minimum counter from all and
-          // drop the zeros (batched form of the classic decrement-all)
-          val m = counters.valuesIterator.min
-          val dead = counters.collect { case (t, c) if c == m => t }.toSeq
-          counters.mapValuesInPlace((_, c) => c - m)
+          // classic decrement-by-ONE: the k resident counters AND the
+          // arriving singleton all lose 1 (the arrival dies at 0, so it
+          // is never inserted) and zeros drop. Each evicting arrival
+          // removes exactly k+1 units of stream mass, which is what the
+          // c(x) − N/(k+1) ≤ ĉ(x) bound counts; subtracting the full
+          // minimum m>1 per single arrival would shed m·k+1 units for
+          // one unit of error budget and break the bound (k=2 stream
+          // [a,a,b,b,c] would empty the table while c(a)=2 > N/3).
+          val dead = counters.collect { case (t, 1L) => t }.toSeq
+          counters.mapValuesInPlace((_, c) => c - 1)
           dead.foreach(counters.remove)
       }
     }

@@ -1258,7 +1258,7 @@ object AggWindowQueries {
     },
 
     // A34: Misra–Gries heavy-hitter audit (operators/MisraGries — the
-    // DETERMINISTIC-bound counterpart of a33's Count-Min: per-partition
+    // DETERMINISTIC-bound counterpart of t20's Count-Min: per-partition
     // k-counter summaries, driver-merged per Agarwal et al.'s mergeable-
     // summaries rule). Which NON-heavy survivors the summary carries is
     // partition-order-dependent, so the gate hashes the INVARIANTS (the

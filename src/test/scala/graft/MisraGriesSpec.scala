@@ -22,10 +22,17 @@ class MisraGriesSpec extends AnyFunSuite {
     summ.keys.foreach(t => assert(exact.contains(t), s"phantom item $t"))
   }
 
-  test("local pass: exact below k distinct; decrement-by-min eviction above") {
+  test("local pass: exact below k distinct; decrement-by-one eviction above") {
     // 3 distinct ≤ k=4: exact counting
     val s1 = Seq("a", "b", "a", "c", "a")
     assert(MisraGries.local(s1.iterator, 4) == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // the decrement-by-min counterexample: k=2, [a,a,b,b,c] — subtracting
+    // the full min=2 would empty the table (ĉ(a)=0 < c(a)−N/(k+1)=1/3);
+    // the classic decrement-by-one must keep {a:1, b:1}
+    val s0 = Seq("a", "a", "b", "b", "c")
+    val g0 = MisraGries.local(s0.iterator, 2)
+    assert(g0 == Map("a" -> 1L, "b" -> 1L), g0.toString)
+    bounds(s0, g0, 2)
     // eviction regime: bounds hold on an adversarial unique tail
     val s2 = Seq.fill(30)("hot") ++ (1 to 60).map("u" + _) ++ Seq.fill(10)("hot")
     bounds(s2, MisraGries.local(s2.iterator, 5), 5)
