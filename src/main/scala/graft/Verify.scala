@@ -18,6 +18,7 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = queries.toSeq.flatMap { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
@@ -26,13 +27,19 @@ object Verify {
         // stderr timing line per query: the cheap way to spot a
         // pathological non-headline query at any SF (the driver parses
         // stdout only)
-        System.err.println(f"[verify-timing] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        timings += name -> sec
+        System.err.println(f"[verify-timing] $name $sec%.2f s")
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
       }
     }
+    // one summary line for the build log: a d54-class heavy gate must be
+    // visible the round it lands, not discovered in a later bench sweep
+    System.err.println("[verify-timing-top10] " + timings.sortBy(-_._2).take(10)
+      .map { case (n, s) => f"$n=$s%.2fs" }.mkString(" "))
     // A query that errors writes no output and would silently vanish from
     // the driver's tally (the r7 TIMESTAMP_NTZ drift cost 9 queries this
     // way) — so the dump ends with an unmissable count line, and

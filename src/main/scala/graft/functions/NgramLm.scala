@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  private def bigrams(df: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column], textCol: String) = {
+    val ts = TextTokens.tokens(col(textCol))
+    df.select(cols :+ when(size(ts) >= 2,
+        zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"): _*)
+  }
+
   /** Score `target` docs under a bigram LM trained on `reference`.
     *
     * @return (idCol, n_scored, logprob_fp6) — `n_scored` is the number
@@ -38,14 +47,6 @@ object NgramLm {
     */
   def scoreBigram(reference: DataFrame, refTextCol: String,
       target: DataFrame, idCol: String, textCol: String): DataFrame = {
-
-    def bigrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column], textCol: String) = {
-      val ts = TextTokens.tokens(col(textCol))
-      df.select(cols :+ when(size(ts) >= 2,
-          zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"): _*)
-    }
 
     val refBg = bigrams(reference, Seq.empty, refTextCol)
       .select(explode(col("bg")).as("p"))
@@ -78,6 +79,99 @@ object NgramLm {
           round(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
             (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
             .cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+
+  /** KNESER-NEY smoothed bigram perplexity (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 — the smoothing KenLM
+    * ships and CCNet's reference LM actually uses, beside
+    * [[scoreBigram]]'s add-one baseline):
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1)·p_cont(w2)
+    *   λ(w1)    = D · N1+(w1,·)/c(w1)
+    *
+    * where N1+(w1,·) counts DISTINCT continuations of w1 and the
+    * continuation distribution ranks w2 by how many DISTINCT contexts
+    * precede it — the published insight add-one cannot express: a word
+    * frequent after only one context ("francisco") scores low in a new
+    * context, while a modest word seen after many contexts ("york")
+    * scores high. The spec pins the resulting rank INVERSION vs
+    * [[scoreBigram]] on exactly that fixture.
+    *
+    * Two documented deviations keep scoring total and exactly hashable:
+    *   - p_cont is add-one smoothed over the N1+(·,·) mass:
+    *     p_cont(w2) = (N1+(·,w2) + 1)/(B + V) with B = distinct bigrams,
+    *     V = vocab size — still sums to 1 over the vocabulary (Σ N1+ =
+    *     B), and OOV words take the 1/(B+V) floor instead of ln(0).
+    *   - an UNSEEN context scores the bare p_cont(w2) (the no-history
+    *     backoff), again total.
+    *
+    * Determinism (the t48 discipline): the discount is the RATIONAL
+    * Dn/Dd (default 3/4 — Chen & Goodman's standard absolute discount),
+    * every count expression stays exact BIGINT (max(c2·Dd − Dn, 0),
+    * Dd·c1, Dn·N1f, N1r+1, B+V — none can overflow a long at any corpus
+    * a long can count), and the probability lowers to double in ONE
+    * pinned op sequence — two correctly-rounded divisions and one add —
+    * before the single ln and the 1e-6 fixed-point rounding, so the
+    * oracle replays the arithmetic bit for bit. Per-doc sums are BIGINT
+    * micro-nats: partition- and join-order-independent.
+    *
+    * Distributed shape: identical to [[scoreBigram]] plus one rollup —
+    * c1 and N1f come from ONE groupBy of the persisted bigram counts,
+    * N1r from another (both vocab-scale, map-side combined), totals are
+    * two 1-row aggregates broadcast to the scoring join.
+    *
+    * @return (idCol, n_scored, logprob_fp6) — [[scoreBigram]]'s contract
+    */
+  def scoreKneserNey(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String,
+      discountNum: Long = 3L, discountDen: Long = 4L): DataFrame = {
+    require(discountNum > 0 && discountNum < discountDen && discountDen <= 1000,
+      s"discount must be a rational in (0,1) with denominator <= 1000, " +
+        s"got $discountNum/$discountDen")
+    val dn = lit(discountNum)
+    val dd = lit(discountDen)
+
+    val refBg = bigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("bg")).as("p"))
+    val c2 = graft.engine.BoundedCaches.persist(
+      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
+    // c1 (context token count) and N1+(w1,·) from ONE rollup of c2
+    val cn = c2.groupBy(col("w1").as("ctx"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    // N1+(·,w2): distinct contexts preceding w2
+    val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
+    val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
+      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count_distinct(col("w")).as("v")))
+
+    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("bg")).as("p"))
+    // the pinned op order (mirrored verbatim in the oracle SQL):
+    //   known ctx:  max(c2·Dd − Dn, 0)/ (Dd·c1)
+    //             + (Dn·n1f)·(n1r+1) / ((Dd·c1)·(B+V))
+    //   unseen ctx: (n1r+1)/(B+V)
+    val contNum = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double")
+    val contDen = (col("b") + col("v")).cast("double")
+    val p = when(col("c1").isNull, contNum / contDen)
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+          (dd * col("c1")).cast("double") +
+        ((dn * col("n1f")).cast("double") * contNum) /
+          ((dd * col("c1")).cast("double") * contDen))
+    val scored = tgt
+      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
+      .join(cn, tgt("p.w1") === cn("ctx"), "left")
+      .join(nr, tgt("p.w2") === nr("nw2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("p"),
+        when(col("p").isNotNull,
+          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
       .groupBy(col("id"))
       .agg(count(col("p")).as("n_scored"),
         coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))

@@ -276,6 +276,10 @@ object OptimalPacking {
     * floor+residual construction cannot meet the LP bound. */
   private[graft] def planOptimal(hist: Map[Long, Long], budget: Long,
       maxPatterns: Int = 20000, maxResidualItems: Int = 64): (Seq[PatternUse], Long) = {
+    // pattern multiplicities materialize via List.fill(k.toInt) with
+    // k ≤ budget/len — an Int.MaxValue budget cap keeps that exact
+    require(budget >= 1 && budget <= Int.MaxValue,
+      s"budget must be in [1, ${Int.MaxValue}], got $budget")
     require(hist.keys.forall(l => l > 0 && l <= budget),
       s"lengths must be in (0, $budget]: ${hist.keys.filterNot(l => l > 0 && l <= budget).take(3)}")
     val live = hist.filter(_._2 > 0)
@@ -383,8 +387,10 @@ object OptimalPacking {
         ranked("len") === spanDf("len") &&
           col("rank_in_len") >= col("__from") && col("rank_in_len") <= col("__to"))
       .select(ranked(idCol), ranked("len"), col("rank_in_len"),
-        (col("__base") + floor((col("rank_in_len") - col("__from")) / col("__uses"))
-          .cast("long") + lit(1L)).as("pack_id"),
+        // integer `div`, NOT `/`+floor: Spark's `/` on longs is IEEE double
+        // division, so rank offsets past 2^53 would round before the floor
+        (col("__base") + expr("(rank_in_len - __from) div __uses")
+          + lit(1L)).as("pack_id"),
         col("pack_size"), col("pack_fill"), col("pack_csv"),
         lit(nPacks).as("n_packs"), lit(lpBound).as("lp_bound"))
   }

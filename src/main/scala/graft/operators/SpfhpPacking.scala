@@ -46,6 +46,10 @@ object SpfhpPacking {
   /** The count-scale SPFHP plan: final pack classes in creation order. */
   private[graft] def planSpfhp(hist: Map[Long, Long], budget: Long,
       maxClasses: Int = 100000): Seq[SpfhpClass] = {
+    // cascade depths materialize via List.fill(t.toInt) with t ≤ budget —
+    // an Int.MaxValue budget cap keeps the truncation impossible
+    require(budget >= 1 && budget <= Int.MaxValue,
+      s"budget must be in [1, ${Int.MaxValue}], got $budget")
     require(hist.keys.forall(l => l > 0 && l <= budget),
       s"lengths must be in (0, $budget]: ${hist.keys.filterNot(l => l > 0 && l <= budget).take(3)}")
     val classes = scala.collection.mutable.ArrayBuffer.empty[SpfhpClass]

@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable.ListBuffer
 
 import graft.functions.expr.BpeMergePass
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** WordPiece merge training (Schuster & Nakajima 2012; the trainer
@@ -20,19 +20,25 @@ import org.apache.spark.sql.functions._
   * frequent pair of frequent symbols, so a frequency-ranked trainer
   * (BPE) produces a different round-1 merge and fails the hash.
   *
-  * Determinism: counts are exact longs; the score is ONE IEEE double
-  * division cnt / (double(lc) · double(rc)) — correctly rounded, so it
-  * depends only on the exact ratio and equal ratios stay EQUAL at every
-  * corpus scale (the fixture's round-2 tie: 3N/(4N·3N) = N/(2N·2N) =
-  * 1/4N — both sides round the same real). Ties break (left, right)
-  * ASC; candidates need pair count ≥ 2 (the BpeTrain stopping rationale:
-  * rarer merges memorize single documents). The oracle replays the
-  * identical arithmetic, so the ranking rule itself is in the hash.
+  * Determinism: counts are exact longs, and the ranking is EXACT
+  * INTEGER arithmetic — score(a) vs score(b) compares by BigInt
+  * cross-multiplication cnt_a·lc_b·rc_b vs cnt_b·lc_a·rc_a, never a
+  * float. (An IEEE double cnt/(lc.toDouble·rc.toDouble) rounds the
+  * product once it exceeds 2^53, so at ~2^26.5-scale counts
+  * exactly-equal ratios could diverge or distinct ones collide and
+  * silently flip the tie-break path; cross-multiplication makes the
+  * documented tie semantics hold at EVERY corpus scale — the fixture's
+  * round-2 tie 3N/(4N·3N) = N/(2N·2N) ties exactly by construction.)
+  * Ties break (left, right) ASC; candidates need pair count ≥ 2 (the
+  * BpeTrain stopping rationale: rarer merges memorize single documents).
   *
   * Scale shape per round: one pair-count aggregate + one symbol-count
   * aggregate (both map-side combined, shuffle rows bounded by distinct
-  * pairs/symbols), a broadcast-joined score, a 1-ROW argmax collect, and
-  * one embarrassingly-parallel [[BpeMergePass]] rewrite. Same RDD-leaf
+  * pairs/symbols), a broadcast-joined candidate frame, and an exact
+  * distributed argmax — per-partition reduceOption to ≤ one candidate
+  * each, then a ≤ numPartitions-row driver pick (count-scale, same
+  * collect budget as the old 1-row orderBy·limit) — then one
+  * embarrassingly-parallel [[BpeMergePass]] rewrite. Same RDD-leaf
   * iteration hygiene as [[BpeTrain]].
   */
 object WordPiece {
@@ -95,18 +101,30 @@ object WordPiece {
           .filter(col("cnt") >= 2)
         val units = cur.select(explode(col("toks")).as("s"))
           .groupBy(col("s")).agg(count(lit(1)).as("uc"))
-        val top = pairs
+        val cands = pairs
           .join(broadcast(units.select(col("s").as("l"), col("uc").as("lc"))), Seq("l"))
           .join(broadcast(units.select(col("s").as("r"), col("uc").as("rc"))), Seq("r"))
-          .select(col("l"), col("r"), col("cnt"), col("lc"), col("rc"),
-            (col("cnt").cast("double") /
-              (col("lc").cast("double") * col("rc").cast("double"))).as("score"))
-          .orderBy(col("score").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
+          .select(col("l"), col("r"), col("cnt"), col("lc"), col("rc"))
+        // exact argmax of cnt/(lc·rc): BigInt cross-multiplication, ties
+        // (l, r) ASC — per-partition partial best, driver pick over the
+        // ≤ numPartitions survivors
+        def better(a: Row, b: Row): Row = {
+          val c = (BigInt(a.getLong(2)) * BigInt(b.getLong(3)) * BigInt(b.getLong(4)))
+            .compare(BigInt(b.getLong(2)) * BigInt(a.getLong(3)) * BigInt(a.getLong(4)))
+          if (c != 0) { if (c > 0) a else b }
+          else {
+            val lc = a.getString(0).compareTo(b.getString(0))
+            if (lc != 0) { if (lc < 0) a else b }
+            else if (a.getString(1).compareTo(b.getString(1)) <= 0) a else b
+          }
+        }
+        val top = cands.rdd
+          .mapPartitions(it => it.reduceOption(better).iterator)
+          .collect().reduceOption(better)
         if (top.isEmpty) {
           exhausted = true // no pair occurs twice
         } else {
-          val t = top(0) // explicit select order: l, r, cnt, lc, rc, score
+          val t = top.get // explicit select order: l, r, cnt, lc, rc
           val (l, r) = (t.getString(0), t.getString(1))
           merges += ((round, l, r, t.getLong(2), t.getLong(3), t.getLong(4)))
           val next = cur

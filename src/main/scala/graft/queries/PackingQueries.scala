@@ -468,9 +468,10 @@ object PackingQueries {
     // (a,b) is the most FREQUENT pair (3N, score 1/(4N)) but (c,d)
     // (2N, score 1/(2N)) wins round 1: a frequency-ranked trainer
     // produces a different first merge and fails the hash. Round 2 is
-    // an EXACT IEEE tie (ab at 3N/(4N·3N) vs cd-cd at N/(2N·2N), both
-    // the real 1/(4N) — correctly-rounded division keeps them equal at
-    // every N) broken by (l,r) ASC; round 3's winner (cd,a) needs the
+    // an EXACT tie (ab at 3N/(4N·3N) vs cd-cd at N/(2N·2N), both the
+    // real 1/(4N) — the trainer's BigInt cross-multiplication ranking
+    // keeps them equal at every N, float-free) broken by (l,r) ASC;
+    // round 3's winner (cd,a) needs the
     // unit counts of the REWRITTEN corpus. The score's integer inputs
     // (pair/left/right counts) ride in the output, so the oracle pins
     // the ranking arithmetic, all N-scaled closed form.
@@ -556,6 +557,63 @@ object PackingQueries {
           .select(col("s_suppkey").cast("long").as("id"), word.as("text")),
         "id", "text", vocab = Seq("un", "a", "b", "##able", "##ble", "##e"))
         .select(col("id"), concat_ws(" ", col("toks")).as("toks_joined"),
+          col("n_tokens"))
+    },
+
+    // T84: BYTE-LEVEL BPE training (operators/ByteBpe — the GPT-2
+    // tokenizer, Radford et al. 2019; the byte-level row beside t45's
+    // char-level BPE, t56's unigram-LM and t80's WordPiece). The
+    // fixture separates byte-level from char-level merges: per supplier
+    // row the text is 'aé bé', so é seeds as TWO base symbols (Ã ©) —
+    // round 1 merges INSIDE the character (impossible at char level,
+    // where é is atomic) at weighted count 2N; rounds 2/3 are an exact
+    // N-count tie broken left-ASC (a < b < Ġ in UTF-8 order); round 4
+    // forms the Ġ-prefixed word token (the leading-space merge only a
+    // byte-level alphabet can express); round 5 finds no repeating pair
+    // and training stops early. Counts are pretoken-frequency weighted
+    // (the published trainer shape: corpus-scale work is ONE pretoken
+    // count, every round is vocab-scale).
+    QueryDef.sql(
+      "t84_byte_bpe_training",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+        |tr AS (SELECT * FROM (VALUES
+        |    (1, 'Ã', '©', 2),
+        |    (2, 'a', 'Ã©', 1),
+        |    (3, 'b', 'Ã©', 1),
+        |    (4, 'Ġ', 'bÃ©', 1)
+        |  ) t(round, l, r, m))
+        |SELECT CAST(tr.round AS BIGINT) AS round, tr.l AS left, tr.r AS right,
+        |  CAST(tr.m * n.n AS BIGINT) AS pair_count
+        |FROM tr CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      graft.operators.ByteBpe.train(
+        Tables.load(spark, dir, "supplier").select(lit("aé bé").as("text")),
+        "text", rounds = 6)
+    },
+
+    // T85: BYTE-LEVEL BPE encoding — the t84 table applied back through
+    // ByteBpe.encodeCorpus (distinct-pretoken memoized, the t46/t81
+    // Zipf shape). Word classes by k = s_suppkey%3 walk the rules:
+    // 'aé bé' fully merges to [aÃ©, ĠbÃ©]; 'aé x' leaves the unlearned
+    // ' x' as its raw base symbols [Ġ, x] — NO unk exists at byte
+    // level, unknown material degrades to bytes; 'Bé!' pins case
+    // preservation (B stays uppercase — byte-level tokenizers never
+    // lowercase, unlike t46's word pipeline) and punctuation pretokens.
+    QueryDef.sql(
+      "t85_byte_bpe_encode",
+      """WITH k AS (SELECT s_suppkey AS id, s_suppkey % 3 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CASE k WHEN 0 THEN 'aÃ©|ĠbÃ©' WHEN 1 THEN 'aÃ©|Ġ|x'
+        |         ELSE 'B|Ã©|!' END AS toks_joined,
+        |  CAST(CASE k WHEN 0 THEN 2 ELSE 3 END AS BIGINT) AS n_tokens
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val text = when(pmod(col("s_suppkey"), lit(3L)) === 0, "aé bé")
+        .when(pmod(col("s_suppkey"), lit(3L)) === 1, "aé x")
+        .otherwise("Bé!")
+      graft.operators.ByteBpe.encodeCorpus(
+        Tables.load(spark, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("id"), text.as("text")),
+        "id", "text", byteBpeFixtureMerges(spark, dir))
+        .select(col("id"), array_join(col("toks"), "|").as("toks_joined"),
           col("n_tokens"))
     },
 
@@ -1021,6 +1079,21 @@ object PackingQueries {
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
     mergeMemo.computeIfAbsent(dir, _ =>
       graft.operators.BpeTrain.train(bpeFixtureDocs(spark, dir), "toks", rounds = 4)
+        .orderBy(col("round"))
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq)
+
+  /** The t84/t85 byte-level merge table — trained once per data dir on
+    * the 'aé bé' fixture, shipped vocab-scale like [[bpeFixtureMerges]]. */
+  private val byteMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def byteBpeFixtureMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    byteMergeMemo.computeIfAbsent(dir, _ =>
+      graft.operators.ByteBpe.train(
+        Tables.load(spark, dir, "supplier").select(lit("aé bé").as("text")),
+        "text", rounds = 6)
         .orderBy(col("round"))
         .collect()
         .map(r => (r.getString(1), r.getString(2)))

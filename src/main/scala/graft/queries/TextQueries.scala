@@ -2792,6 +2792,51 @@ object TextQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     },
 
+    // T86: KNESER-NEY smoothed bigram perplexity (NgramLm.scoreKneserNey
+    // — Kneser & Ney 1995 / Chen & Goodman 1998 interpolated form, the
+    // smoothing KenLM ships; CCNet's published scorer) beside t48's
+    // add-one baseline, on t48's exact split: even docs train, odd docs
+    // score. The whole discount arithmetic is in the hash — the D=3/4
+    // rational discount as exact BIGINT expressions (max(4·c2 − 3, 0),
+    // 4·c1, 3·N1f, N1r+1, B+V), TWO correctly-rounded double divisions
+    // + one add in pinned order, one ln, 1e-6 fixed point, BIGINT
+    // micro-nat doc sums. The continuation distribution (distinct-
+    // context counts — what separates KN from add-one) and both backoff
+    // paths (unseen bigram in a known context → pure λ·p_cont; unseen
+    // context → bare p_cont) all execute on real odd-doc transitions at
+    // every SF. KneserNeySpec pins the add-one-vs-KN rank INVERSION on
+    // the york/francisco fixture.
+    QueryDef.sql(
+      "t86_kneser_ney_perplexity",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+        |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cn AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+        |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
+        |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+        |tg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg WHERE doc_id % 2 = 1),
+        |s AS (SELECT tg.doc_id,
+        |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
+        |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+        |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * cn.c1 AS DOUBLE)
+        |             + (CAST(3 * cn.n1f AS DOUBLE) * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
+        |               / (CAST(4 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+        |          END) * 1000000.0) AS BIGINT) AS lp
+        |      FROM tg LEFT JOIN c2 ON tg.w1 = c2.w1 AND tg.w2 = c2.w2
+        |              LEFT JOIN cn ON tg.w1 = cn.w1
+        |              LEFT JOIN nr ON tg.w2 = nr.w2
+        |              CROSS JOIN tot)
+        |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+        |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+        |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+        |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.NgramLm.scoreKneserNey(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    },
+
     // T51: DSIR-style importance weighting for data selection (Xie et
     // al. 2023 — public method; functions/NgramLm.importanceWeights):
     // weight(x) = log p_target(x) − log p_raw(x) under two add-one

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.NgramLm
+import org.apache.spark.sql.functions._
+
+class KneserNeySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The continuation-count fixture: 'francisco' appears after ONE
+    * context, 'york' after three; 'the' continues into 8 distinct words,
+    * 'q' into one (c1: the=8, q=4). Reference counts: B = 13 distinct
+    * bigrams, V = 17 vocab words (the, a1–a8, q, z, new, big, old, san,
+    * york, francisco), so B+V = 30. */
+  private def reference = (
+    (1 to 8).map(i => s"the a$i") ++ Seq.fill(4)("q z") ++
+      Seq("new york", "big york", "old york", "san francisco")
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("hand-computed probabilities: both backoff paths and the seen path") {
+    val targets = Seq(
+      (1L, "the york"),      // unseen bigram, known ctx: pure λ·p_cont
+      (2L, "q francisco"),   // unseen bigram, known ctx, weak continuation
+      (3L, "q z"),           // seen bigram: discounted + λ·p_cont
+      (4L, "zzz york")       // UNSEEN context: bare p_cont
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    def fp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    // the york: 0 + (3·8)·(3+1) / ((4·8)·(13+17)) = 96/960
+    assert(got(0) == ((1L, 1L, fp6((3.0 * 8) * 4 / ((4.0 * 8) * 30)))), got(0).toString)
+    // q francisco: 0 + (3·1)·(1+1) / ((4·4)·30) = 6/480
+    assert(got(1) == ((2L, 1L, fp6((3.0 * 1) * 2 / ((4.0 * 4) * 30)))), got(1).toString)
+    // q z (c2=4, c1=4, n1f=1, n1r(z)=1): (4·4−3)/(4·4) + (3·1)·2/((4·4)·30)
+    assert(got(2) == ((3L, 1L,
+      fp6(13.0 / 16 + (3.0 * 1) * 2 / ((4.0 * 4) * 30)))), got(2).toString)
+    // zzz york: (3+1)/(13+17)
+    assert(got(3) == ((4L, 1L, fp6(4.0 / 30))), got(3).toString)
+  }
+
+  test("the published inversion: KN reorders docs vs add-one smoothing") {
+    // add-one sees only context counts: 'q francisco' (c1=4) outranks
+    // 'the york' (c1=8). KN sees continuation counts: 'york' follows 3
+    // distinct contexts and 'the' carries 8× the λ mass, so the order
+    // FLIPS — the Kneser-Ney insight, and the reason it exists.
+    val targets = Seq((1L, "the york"), (2L, "q francisco")).toDF("doc_id", "text")
+    val addOne = NgramLm.scoreBigram(reference, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val kn = NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(addOne(0)._3 < addOne(1)._3,
+      s"add-one must prefer the rare context: ${addOne.toSeq}")
+    assert(kn(0)._3 > kn(1)._3,
+      s"KN must prefer the many-context continuation: ${kn.toSeq}")
+  }
+
+  test("the model is a proper distribution over the reference vocabulary") {
+    // Σ_w2∈vocab p(w2|w1) = 1 for every known context: the discounted
+    // mass (c1 − D·n1f)/c1 plus λ·Σ p_cont, with Σ_vocab (n1r+1) = B+V
+    val vocab = Seq("the", "q", "z", "new", "big", "old", "san",
+      "york", "francisco") ++ (1 to 8).map(i => s"a$i")
+    assert(vocab.size == 17) // exactly the reference vocabulary, each word once
+    val ctxs = Seq("the", "q", "san")
+    val targets = (for ((c, ci) <- ctxs.zipWithIndex; (w, wi) <- vocab.zipWithIndex)
+      yield ((ci * 100 + wi).toLong, s"$c $w")).toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    ctxs.zipWithIndex.foreach { case (c, ci) =>
+      val mass = got.filter(r => r._1 / 100 == ci)
+        .map(r => math.exp(r._3 / 1e6)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"context '$c' mass = $mass")
+    }
+  }
+
+  test("short docs, unseen everything, and the discount guard") {
+    val targets = Seq((1L, "one"), (2L, ""), (3L, "zz qq")).toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 0L, 0L)))
+    assert(got(1) == ((2L, 0L, 0L)))
+    // zz qq: unseen ctx, unseen w2 → the 1/(B+V) = 1/30 floor, never ln(0)
+    assert(got(2)._2 == 1L)
+    assert(got(2)._3 == math.round(math.log(1.0 / 30) * 1e6), got(2).toString)
+    val e = intercept[IllegalArgumentException](
+      NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text",
+        discountNum = 5, discountDen = 4))
+    assert(e.getMessage.contains("discount"), e.getMessage)
+  }
+}

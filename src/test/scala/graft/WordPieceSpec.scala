@@ -16,7 +16,7 @@ class WordPieceSpec extends AnyFunSuite {
 
   private def corpus(k: Int) = Seq.fill(k)(stream).toDF("toks")
 
-  test("hand-traced training: score-ranked merges, exact-double tie, early stop") {
+  test("hand-traced training: score-ranked merges, exact cross-multiplied tie, early stop") {
     val got = WordPiece.train(corpus(3), "toks", rounds = 10)
       .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     // r1: cd wins on score (1/(2K)) over the more frequent ab (1/(4K));
