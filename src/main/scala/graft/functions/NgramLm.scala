@@ -178,6 +178,84 @@ object NgramLm {
     scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
   }
 
+  /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020
+    * §4.3 — the published pipeline's headline mechanism: per language,
+    * order documents by reference-LM perplexity and cut into thirds;
+    * "head" is the training-data keep set, "tail" the discard).
+    *
+    * Input is a scored frame carrying (idCol, langCol, n_scored,
+    * logprob_fp6) — [[scoreBigram]]/[[scoreKneserNey]] output joined
+    * with its language column. Ordering key is the per-transition
+    * log-prob logprob_fp6/n_scored DESC (higher = cleaner = head),
+    * ONE double division computed identically on both engines, doc-id
+    * tiebreak; the cut is EXACT integer rank arithmetic,
+    * bucket = (3·(rank−1)) div n_lang — no quantile sketch in the gate
+    * hash. Docs with no scored transition take 'unscored' (CCNet drops
+    * them before bucketing; keeping the row makes the operator total).
+    *
+    * Scale: one window per language partition — exactly the published
+    * per-language-shard sort (languages are the partition key; CCNet
+    * sorts each language shard the same way). For a single language
+    * dominating a 100 TB corpus, production would cut on GK-sketch
+    * quantiles (the a13/a32 machinery) instead of exact rank — the
+    * exact-rank form here is the oracle-able contract the sketch is
+    * validated against.
+    *
+    * @return (idCol, langCol, n_scored, logprob_fp6, bucket) */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE pass, no self-join: unscored rows ride a separate window
+    // partition (the n_scored > 0 flag is a partition key), so the
+    // scoring subtree plans exactly once — a filter + join-back here
+    // would duplicate the upstream LM plan (measured: doubled the
+    // scalar-fold count in the t87 audit)
+    val scoredFlag = col("n_scored") > 0
+    // the division is GUARDED, not bare: unscored rows sit in their own
+    // partition so their key is never consulted, but ANSI mode evaluates
+    // the sort key for every row and 0/0 would throw
+    val w = Window.partitionBy(col(langCol), scoredFlag)
+      .orderBy(when(scoredFlag,
+          col("logprob_fp6").cast("double") / col("n_scored")).desc,
+        col(idCol).asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col(langCol), scoredFlag)))
+      .withColumn("tertile", expr("(3 * (rnk - 1)) div n_lang"))
+      .select(col(idCol), col(langCol), col("n_scored"), col("logprob_fp6"),
+        when(!scoredFlag, "unscored")
+          .when(col("tertile") === 0, "head")
+          .when(col("tertile") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Chen & Goodman (1998)'s estimated absolute discount for Kneser-Ney,
+    * D = n1/(n1 + 2·n2) with n1/n2 = the number of bigram types seen
+    * exactly once/twice in the reference — computed distributed (one
+    * 1-row fold over the bigram counts) and rounded half-up to the
+    * nearest thousandth, returned as a (num, 1000) rational that plugs
+    * straight into [[scoreKneserNey]]'s exact-integer discount guard
+    * (clamped to [1, 999]: D must stay inside (0, 1) for the discounted
+    * mass to remain a probability). */
+  def estimateDiscount(reference: DataFrame, refTextCol: String): (Long, Long) = {
+    val refBg = bigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("bg")).as("p"))
+    val row = refBg.groupBy(col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("c2"))
+      .agg(sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"))
+      .collect()(0)
+    val n1 = row.getLong(0)
+    val n2 = row.getLong(1)
+    require(n1 > 0,
+      "no singleton bigrams in the reference — the Chen-Goodman estimate " +
+        "is undefined; pass an explicit discount to scoreKneserNey")
+    val den = BigInt(n1) + 2 * BigInt(n2)
+    val num = ((BigInt(2000) * n1 + den) / (2 * den)).toLong // round half-up
+    (math.max(1L, math.min(999L, num)), 1000L)
+  }
+
   /** DSIR-style importance weighting for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling" —
     * public method): weight(x) = log p_target(x) − log p_raw(x), with

@@ -2837,6 +2837,64 @@ object TextQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     },
 
+    // T87: CCNet PERPLEXITY BUCKETING (NgramLm.perplexityBuckets —
+    // Wenzek et al. 2020 §4.3, the published pipeline's headline move:
+    // per language, order by reference-LM perplexity, cut into thirds;
+    // head = keep). Composes t86 end-to-end: the KN scores of the odd
+    // docs, joined with their language, ranked per language by
+    // per-transition log-prob (ONE identical double division both
+    // engines, doc-id tiebreak) and cut by EXACT integer rank
+    // arithmetic (3·(rank−1) div n_lang) — cut boundaries are in the
+    // hash, so an off-by-one in the tertile split or a rank-order
+    // divergence fails on a value. Unscorable docs (< 2 tokens) take
+    // 'unscored' rather than vanishing.
+    QueryDef.sql(
+      "t87_ccnet_buckets",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+        |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cn AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+        |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
+        |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+        |tg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg WHERE doc_id % 2 = 1),
+        |s AS (SELECT tg.doc_id,
+        |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
+        |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+        |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * cn.c1 AS DOUBLE)
+        |             + (CAST(3 * cn.n1f AS DOUBLE) * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
+        |               / (CAST(4 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+        |          END) * 1000000.0) AS BIGINT) AS lp
+        |      FROM tg LEFT JOIN c2 ON tg.w1 = c2.w1 AND tg.w2 = c2.w2
+        |              LEFT JOIN cn ON tg.w1 = cn.w1
+        |              LEFT JOIN nr ON tg.w2 = nr.w2
+        |              CROSS JOIN tot),
+        |sc AS (SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+        |              CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+        |       FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+        |       WHERE t.doc_id % 2 = 1 GROUP BY 1),
+        |sl AS (SELECT sc.doc_id, d.lang, sc.n_scored, sc.logprob_fp6
+        |       FROM sc JOIN documents d USING (doc_id)),
+        |b AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY CAST(logprob_fp6 AS DOUBLE) / n_scored DESC, doc_id) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        |      FROM sl WHERE n_scored > 0)
+        |SELECT sl.doc_id, sl.lang, sl.n_scored, sl.logprob_fp6,
+        |  CASE WHEN b.doc_id IS NULL THEN 'unscored'
+        |       WHEN (3 * (rnk - 1)) // n_lang = 0 THEN 'head'
+        |       WHEN (3 * (rnk - 1)) // n_lang = 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sl LEFT JOIN b USING (doc_id)""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val scored = graft.functions.NgramLm.scoreKneserNey(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.functions.NgramLm.perplexityBuckets(
+        scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "lang")
+    },
+
     // T51: DSIR-style importance weighting for data selection (Xie et
     // al. 2023 — public method; functions/NgramLm.importanceWeights):
     // weight(x) = log p_target(x) − log p_raw(x) under two add-one

@@ -74,6 +74,57 @@ class KneserNeySpec extends AnyFunSuite {
     }
   }
 
+  test("perplexityBuckets: exact tertile cuts, per-language, unscored kept") {
+    // lang A: 5 scored docs with strictly ordered per-transition scores
+    // (−1, −2, −3, −4, −5 micro-nat ppl keys) → tertiles by rank:
+    // (3·(r−1)) div 5 = 0,0,1,1,2 → head,head,middle,middle,tail.
+    // lang B: 1 doc → head. One n_scored=0 doc → 'unscored'.
+    val scored = Seq(
+      (1L, "A", 2L, -2000000L),  // key −1e6 → rank 1
+      (2L, "A", 1L, -2000000L),  // key −2e6 → rank 2
+      (3L, "A", 2L, -6000000L),  // key −3e6 → rank 3
+      (4L, "A", 1L, -4000000L),  // key −4e6 → rank 4
+      (5L, "A", 1L, -5000000L),  // key −5e6 → rank 5
+      (6L, "B", 1L, -9000000L),
+      (7L, "A", 0L, 0L)
+    ).toDF("doc_id", "lang", "n_scored", "logprob_fp6")
+    val got = NgramLm.perplexityBuckets(scored, "doc_id", "lang")
+      .orderBy("doc_id").as[(Long, String, Long, Long, String)].collect()
+    assert(got.map(_._5).toSeq ==
+      Seq("head", "head", "middle", "middle", "tail", "head", "unscored"),
+      got.toSeq.toString)
+  }
+
+  test("perplexityBuckets tiebreak: equal keys order by doc id") {
+    val scored = (1L to 3L).map(i => (i, "A", 1L, -1000000L))
+      .toDF("doc_id", "lang", "n_scored", "logprob_fp6")
+    val got = NgramLm.perplexityBuckets(scored, "doc_id", "lang")
+      .orderBy("doc_id").as[(Long, String, Long, Long, String)].collect()
+    assert(got.map(_._5).toSeq == Seq("head", "middle", "tail"), got.toSeq.toString)
+  }
+
+  test("estimateDiscount: Chen-Goodman n1/(n1+2*n2) rounded to thousandths") {
+    // reference: n1 = 12 singleton bigram types, n2 = 0 doubles → D = 1,
+    // clamped to 999/1000 (D must stay inside (0,1))
+    assert(NgramLm.estimateDiscount(reference, "text") == ((999L, 1000L)))
+    // a mixed corpus: bigrams (a,b)×1, (c,d)×2 → n1=1, n2=1 →
+    // D = 1/3 = 0.333…, half-up → 333
+    val mixed = Seq("a b", "c d", "c d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(NgramLm.estimateDiscount(mixed, "text") == ((333L, 1000L)))
+    // no singletons → loud refusal
+    val e = intercept[IllegalArgumentException](
+      NgramLm.estimateDiscount(
+        Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text"), "text"))
+    assert(e.getMessage.contains("singleton"), e.getMessage)
+    // the estimate plugs into the scorer's guard
+    val (dn, dd) = NgramLm.estimateDiscount(mixed, "text")
+    val s = NgramLm.scoreKneserNey(mixed, "text",
+      Seq((1L, "c d")).toDF("doc_id", "text"), "doc_id", "text", dn, dd)
+      .as[(Long, Long, Long)].head()
+    assert(s._2 == 1L && s._3 < 0L)
+  }
+
   test("short docs, unseen everything, and the discount guard") {
     val targets = Seq((1L, "one"), (2L, ""), (3L, "zz qq")).toDF("doc_id", "text")
     val got = NgramLm.scoreKneserNey(reference, "text", targets, "doc_id", "text")
