@@ -178,6 +178,151 @@ object NgramLm {
     scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
   }
 
+  /** MODIFIED Kneser-Ney (Chen & Goodman 1998 §3 — the three-discount
+    * variant that is SRILM's and KenLM's default smoothing, completing
+    * the family beside [[scoreBigram]] (add-one) and [[scoreKneserNey]]
+    * (single absolute discount)): bigrams seen once, twice, and three-
+    * or-more times take DIFFERENT discounts, each estimated from the
+    * count-of-count statistics n1..n4 (the number of bigram TYPES seen
+    * exactly 1..4 times):
+    *
+    *   Y  = n1/(n1 + 2·n2)
+    *   D1 = 1 − 2·Y·n2/n1  (= Y exactly, after simplification)
+    *   D2 = 2 − 3·Y·n3/n2
+    *   D3+ = 3 − 4·Y·n4/n3
+    *   λ(w1) = (D1·N1(w1) + D2·N2(w1) + D3+·N3+(w1)) / c(w1)
+    *
+    * with Ni(w1) = #continuation types of w1 seen exactly i times
+    * (N3+ = at least 3). The continuation distribution and both backoff
+    * paths are [[scoreKneserNey]]'s (documented add-one-smoothed p_cont
+    * keeps scoring total).
+    *
+    * Determinism: each discount is an exact RATIONAL of n1..n4 — the
+    * numerators/denominators stay BigInt, the value rounds HALF-UP to
+    * thousandths (the [[estimateDiscount]] convention), clamps into
+    * [1, 1000·i] (above: a discount exceeding its bucket's count would
+    * leave negative mass, and the max(·,0) scorer guard makes that
+    * belt-and-braces; below: a zero discount would zero λ for contexts
+    * whose continuations all sit in the bucket and send an
+    * unseen-bigram probability to exact 0 — ln(0)), and an EMPTY bucket
+    * (n2 = 0 or n3 = 0 globally — then no bigram has that count, the
+    * discount is never consulted, and its λ term multiplies a zero Ni)
+    * pins to 0. The per-transition
+    * probability is then the t86 pattern verbatim with 1000 as the
+    * denominator scale:
+    *
+    *   known ctx:  max(c2·1000 − d(c2), 0)/(1000·c1)
+    *             + (d1·N1 + d2·N2 + d3·N3+)·(n1r+1) / ((1000·c1)·(B+V))
+    *   unseen ctx: (n1r+1)/(B+V)
+    *
+    * — exact BIGINT integer expressions, two correctly-rounded double
+    * divisions + one add in pinned order, one ln, micro-nat sums. The
+    * count-of-count fold (n1..n4) is the only addition to
+    * [[scoreKneserNey]]'s shape: a second 1-row aggregate over the
+    * persisted bigram counts, collected count-scale to compute the
+    * three discount constants, which then ride the plan as literals.
+    *
+    * @return (idCol, n_scored, logprob_fp6) — [[scoreBigram]]'s contract
+    */
+  def scoreModifiedKneserNey(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val refBg = bigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("bg")).as("p"))
+    val c2 = graft.engine.BoundedCaches.persist(
+      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
+    // count-of-counts: one 1-row fold over the (vocab-scale) type counts
+    val nn = c2.agg(
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("c2") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("c2") === 4, 1L).otherwise(0L)).as("n4"),
+      sum(when(col("c2") >= 3, 1L).otherwise(0L)).as("n3p")).collect()(0)
+    val (n1, n2, n3, n4, n3p) =
+      (nn.getLong(0), nn.getLong(1), nn.getLong(2), nn.getLong(3), nn.getLong(4))
+    require(n1 > 0,
+      "no singleton bigrams in the reference — the count-of-count " +
+        "discount estimates are undefined; use scoreKneserNey with an " +
+        "explicit discount")
+    val (d1, d2, d3) = modifiedDiscounts(n1, n2, n3, n4, n3p)
+    val dc1 = lit(d1); val dc2 = lit(d2); val dc3 = lit(d3)
+
+    // per-context rollup: token count c1 and the three bucketed
+    // continuation-type counts the λ numerator needs
+    val cn = c2.groupBy(col("w1").as("ctx")).agg(
+      sum(col("c2")).as("c1"),
+      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("nc1"),
+      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("nc2"),
+      sum(when(col("c2") >= 3, 1L).otherwise(0L)).as("nc3p"))
+    val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
+    val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
+      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count_distinct(col("w")).as("v")))
+
+    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("bg")).as("p"))
+    val cc = coalesce(col("c2"), lit(0L))
+    val disc = when(cc === 0L, lit(0L))
+      .when(cc === 1L, dc1).when(cc === 2L, dc2).otherwise(dc3)
+    val contNum = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double")
+    val contDen = (col("b") + col("v")).cast("double")
+    val p = when(col("c1").isNull, contNum / contDen)
+      .otherwise(
+        greatest(cc * lit(1000L) - disc, lit(0L)).cast("double") /
+          (lit(1000L) * col("c1")).cast("double") +
+        ((dc1 * col("nc1") + dc2 * col("nc2") + dc3 * col("nc3p")).cast("double") *
+          contNum) /
+          ((lit(1000L) * col("c1")).cast("double") * contDen))
+    val scored = tgt
+      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
+      .join(cn, tgt("p.w1") === cn("ctx"), "left")
+      .join(nr, tgt("p.w2") === nr("nw2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("p"),
+        when(col("p").isNotNull,
+          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+
+  /** The three modified-KN discounts as thousandths, exact-rational then
+    * half-up rounded, clamped into [1, 1000·i] for a NONEMPTY bucket and
+    * pinned to 0 for an empty one (then no bigram has that count, so the
+    * discount is never consulted and its λ term multiplies a zero Ni).
+    * The minimum of one thousandth is load-bearing, found by the t88
+    * oracle at sf0.01: a negative Chen-Goodman estimate clamped to ZERO
+    * would zero λ for any context whose continuation types all sit in
+    * that bucket, making an unseen-bigram probability exactly 0 —
+    * ln(0), which Spark's `log` nulls SILENTLY (dropping the transition
+    * from the micro-nat sum) and DuckDB refuses loudly. Exposed for the
+    * spec and the oracle parity argument. */
+  private[graft] def modifiedDiscounts(
+      n1: Long, n2: Long, n3: Long, n4: Long, n3p: Long): (Long, Long, Long) = {
+    def rhu(num: BigInt, den: BigInt): Long = // num ≥ 0, den > 0
+      ((BigInt(2000) * num + den) / (2 * den)).toLong
+    def clampRat(num: BigInt, den: BigInt, hi: Long): Long =
+      if (num <= 0) 1L else math.max(1L, math.min(hi, rhu(num, den)))
+    val y = BigInt(n1) + 2 * BigInt(n2) // D1 = n1/(n1+2n2), exactly Y
+    val d1 = clampRat(BigInt(n1), y, 999L)
+    // d2's bucket is EXACT (count == 2): n2 = 0 means it is empty
+    val d2 = if (n2 == 0) 0L
+      else clampRat(2 * y * n2 - 3 * BigInt(n1) * n3, y * n2, 2000L)
+    // d3's bucket is OPEN-ENDED (count >= 3): emptiness is n3p = 0, NOT
+    // n3 = 0 — a corpus with count-4 types but no count-3 type (the t88
+    // oracle found one at sf0.01) still consults d3. When the Chen-
+    // Goodman estimate is undefined there (n3 = 0 divides by zero), fall
+    // back to the nearest defined lower discount (d2, else d1) —
+    // documented, deterministic, and mirrored in the oracle SQL.
+    val d3 =
+      if (n3p == 0) 0L
+      else if (n3 == 0) { if (n2 > 0) d2 else d1 }
+      else clampRat(3 * y * n3 - 4 * BigInt(n1) * n4, y * n3, 3000L)
+    (d1, d2, d3)
+  }
+
   /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020
     * §4.3 — the published pipeline's headline mechanism: per language,
     * order documents by reference-LM perplexity and cut into thirds;

@@ -2837,6 +2837,75 @@ object TextQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     },
 
+    // T88: MODIFIED Kneser-Ney perplexity (NgramLm.scoreModifiedKneserNey
+    // — Chen & Goodman 1998 §3, the three-discount variant SRILM/KenLM
+    // default to; completes the smoothing family beside t48 add-one and
+    // t86 single-discount KN). The count-of-count estimation is IN the
+    // hash: the oracle recomputes n1..n4 over the bigram type counts and
+    // replays the exact rational→thousandths rounding (HUGEINT
+    // cross-products, half-up, the empty-bucket pin and the [0,1000·i]
+    // clamps) before the t86 arithmetic pattern with the three discounts
+    // as CASE constants — so a wrong Y, a wrong bucket boundary, or a
+    // rounding drift fails on a value at every SF.
+    QueryDef.sql(
+      "t88_modified_kn_perplexity",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+        |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cc AS (SELECT CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |              CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+        |              CAST(SUM(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
+        |              CAST(SUM(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS HUGEINT) AS n4,
+        |              CAST(SUM(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3p
+        |       FROM c2),
+        |dd0 AS (SELECT n1, n2, n3, n4, n3p,
+        |    CAST(GREATEST(1, LEAST(999, (2000 * n1 + (n1 + 2 * n2)) // (2 * (n1 + 2 * n2)))) AS BIGINT) AS d1,
+        |    CAST(CASE WHEN n2 = 0 THEN 0
+        |         WHEN 2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3 <= 0 THEN 1
+        |         ELSE GREATEST(1, LEAST(2000, (2000 * (2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3) + (n1 + 2 * n2) * n2)
+        |                          // (2 * (n1 + 2 * n2) * n2))) END AS BIGINT) AS d2
+        |  FROM cc),
+        |dd AS (SELECT d1, d2,
+        |    CAST(CASE WHEN n3p = 0 THEN 0
+        |         WHEN n3 = 0 THEN (CASE WHEN n2 > 0 THEN d2 ELSE d1 END)
+        |         WHEN 3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4 <= 0 THEN 1
+        |         ELSE GREATEST(1, LEAST(3000, (2000 * (3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4) + (n1 + 2 * n2) * n3)
+        |                          // (2 * (n1 + 2 * n2) * n3))) END AS BIGINT) AS d3
+        |  FROM dd0),
+        |cn AS (SELECT w1, SUM(c2) AS c1,
+        |              SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS nc1,
+        |              SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS nc2,
+        |              SUM(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS nc3p
+        |       FROM c2 GROUP BY 1),
+        |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
+        |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+        |tg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg WHERE doc_id % 2 = 1),
+        |s AS (SELECT tg.doc_id,
+        |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
+        |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+        |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 1000 -
+        |                 (CASE COALESCE(c2.c2, 0) WHEN 0 THEN 0 WHEN 1 THEN dd.d1
+        |                       WHEN 2 THEN dd.d2 ELSE dd.d3 END), 0) AS DOUBLE)
+        |               / CAST(1000 * cn.c1 AS DOUBLE)
+        |             + (CAST(dd.d1 * cn.nc1 + dd.d2 * cn.nc2 + dd.d3 * cn.nc3p AS DOUBLE)
+        |                 * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
+        |               / (CAST(1000 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+        |          END) * 1000000.0) AS BIGINT) AS lp
+        |      FROM tg LEFT JOIN c2 ON tg.w1 = c2.w1 AND tg.w2 = c2.w2
+        |              LEFT JOIN cn ON tg.w1 = cn.w1
+        |              LEFT JOIN nr ON tg.w2 = nr.w2
+        |              CROSS JOIN tot CROSS JOIN dd)
+        |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+        |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+        |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+        |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      graft.functions.NgramLm.scoreModifiedKneserNey(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    },
+
     // T87: CCNet PERPLEXITY BUCKETING (NgramLm.perplexityBuckets —
     // Wenzek et al. 2020 §4.3, the published pipeline's headline move:
     // per language, order by reference-LM perplexity, cut into thirds;

@@ -74,6 +74,65 @@ class KneserNeySpec extends AnyFunSuite {
     }
   }
 
+  test("modifiedDiscounts: exact rationals, rounding, clamps, empty buckets") {
+    // n=(4,2,1,1): Y-den=8 → D1 = 4/8 → 500; D2 = (2·8·2 − 3·4·1)/(8·2)
+    // = 20/16 = 1.25 → 1250; D3 = (3·8·1 − 4·4·1)/(8·1) = 8/8 → 1000
+    assert(NgramLm.modifiedDiscounts(4, 2, 1, 1, 2) == ((500L, 1250L, 1000L)))
+    // n=(1,1,1,1): y=3 → D1 = 1/3 → 333; D2 = (6−3)/3 = 1 → 1000;
+    // D3 = (9−4)/3 = 5/3 → 1667
+    assert(NgramLm.modifiedDiscounts(1, 1, 1, 1, 2) == ((333L, 1000L, 1667L)))
+    // empty buckets pin to 0; n2=0 → D1 = n1/n1 = 1 → clamps to 999
+    assert(NgramLm.modifiedDiscounts(5, 0, 0, 0, 0) == ((999L, 0L, 0L)))
+    // a negative D2 numerator (huge n3) clamps to the 1-thousandth floor
+    // (zero would send some unseen-bigram probability to exact 0: ln(0))
+    assert(NgramLm.modifiedDiscounts(1, 1, 100, 0, 100)._2 == 1L)
+    // the OPEN-ENDED d3 bucket: n3 = 0 with count-4 types present is NOT
+    // empty (the t88 oracle found this shape at sf0.01) — the undefined
+    // estimate falls back to d2 (else d1), never to a λ-zeroing 0
+    assert(NgramLm.modifiedDiscounts(11, 1, 0, 1, 1) == ((846L, 2000L, 2000L)))
+    assert(NgramLm.modifiedDiscounts(11, 0, 0, 1, 1)._3 == 999L) // no d2 → d1
+  }
+
+  test("modified KN: hand-computed scores across all three count buckets") {
+    // one bigram type at each count 1..4: n1=n2=n3=n4=1 → d=(333,1000,1667);
+    // B=4 types, V=8 words → B+V=12
+    val ref = (Seq("p q") ++ Seq.fill(2)("r s") ++ Seq.fill(3)("t u") ++
+      Seq.fill(4)("v w")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "t u"),  // count-3 bucket: d3
+      (2L, "r s"),  // count-2 bucket: d2
+      (3L, "p x"),  // unseen bigram, known ctx: pure λ·p_cont with d1·nc1
+      (4L, "v w")   // count-4: also the d3 bucket
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreModifiedKneserNey(ref, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    def fp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    assert(got(0)._3 == fp6(1333.0 / 3000 + 1667.0 * 2 / (3000.0 * 12)), got(0).toString)
+    assert(got(1)._3 == fp6(1000.0 / 2000 + 1000.0 * 2 / (2000.0 * 12)), got(1).toString)
+    assert(got(2)._3 == fp6(0.0 / 1000 + 333.0 * 1 / (1000.0 * 12)), got(2).toString)
+    assert(got(3)._3 == fp6(2333.0 / 4000 + 1667.0 * 2 / (4000.0 * 12)), got(3).toString)
+  }
+
+  test("modified KN differs from single-discount KN where buckets separate") {
+    val ref = (Seq("p q") ++ Seq.fill(2)("r s") ++ Seq.fill(3)("t u") ++
+      Seq.fill(4)("v w")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq((1L, "t u")).toDF("doc_id", "text")
+    val kn = NgramLm.scoreKneserNey(ref, "text", targets, "doc_id", "text")
+      .as[(Long, Long, Long)].head()
+    val mkn = NgramLm.scoreModifiedKneserNey(ref, "text", targets, "doc_id", "text")
+      .as[(Long, Long, Long)].head()
+    // single-D discounts count-3 bigrams by 0.75; modified by 1.667 —
+    // the same transition must score differently
+    assert(kn._3 != mkn._3, s"kn=$kn mkn=$mkn")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.scoreModifiedKneserNey(
+        Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text"), "text",
+        targets, "doc_id", "text"))
+    assert(e.getMessage.contains("singleton"), e.getMessage)
+  }
+
   test("perplexityBuckets: exact tertile cuts, per-language, unscored kept") {
     // lang A: 5 scored docs with strictly ordered per-transition scores
     // (−1, −2, −3, −4, −5 micro-nat ppl keys) → tertiles by rank:
