@@ -106,7 +106,19 @@ object Bench {
     "d57_deepwalk_corpus",
     // the d×d sufficient-statistics fold (TypedImperativeAggregate with a
     // ~2k-long buffer — a map-side-combine profile no other query has)
-    "d58_embedding_gram")
+    "d58_embedding_gram",
+    // r16: the round's new shapes — byte-level BPE training (per-round
+    // vocab-scale rewrites: the frequency-weighted trainer profile),
+    // modified Kneser-Ney (the t48 join shape plus the count-of-count
+    // driver fold and the widest per-context rollup), and the CCNet
+    // tertile cut (the per-language window over the KN-scored stream).
+    // t86 stays GATE-ONLY (t88 is the same shape plus strictly more
+    // work, so it is the better canary); t84/t85 likewise (t84's
+    // fixture trains in 4 rounds — the trainer's bench profile is
+    // d57-style iterative hygiene, already covered; a realistic-corpus
+    // training bench would dominate the whole pass).
+    "t88_modified_kn_perplexity",
+    "t87_ccnet_buckets")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

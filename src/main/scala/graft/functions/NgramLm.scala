@@ -37,6 +37,57 @@ object NgramLm {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"): _*)
   }
 
+  /** Shared scaffold of the Kneser-Ney FAMILY ([[scoreKneserNey]],
+    * [[scoreModifiedKneserNey]]): persisted bigram type counts, a
+    * caller-shaped per-context rollup, continuation counts N1+(·,w2),
+    * the B/V totals broadcast, the 4-way scoring join, and the
+    * micro-nat per-doc reduce — ONE copy of the pinned-arithmetic
+    * plumbing, so a fix to the op order or the persist discipline
+    * cannot drift between the variants (they differ only in the
+    * per-context aggregate columns and the probability expression).
+    * `pFor` receives the persisted bigram-count frame (modified KN
+    * folds its count-of-counts over it before building the plan) and
+    * returns the per-transition probability over the post-join names
+    * (c2, c1, the cn extras, n1r, b, v). */
+  private def knScaffold(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String,
+      cnAggs: Seq[org.apache.spark.sql.Column],
+      pFor: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+    val refBg = bigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("bg")).as("p"))
+    val c2 = graft.engine.BoundedCaches.persist(
+      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c2")))
+    val cn = c2.groupBy(col("w1").as("ctx")).agg(cnAggs.head, cnAggs.tail: _*)
+    val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
+    val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
+      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count_distinct(col("w")).as("v")))
+    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("bg")).as("p"))
+    val p = pFor(c2)
+    val scored = tgt
+      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
+      .join(cn, tgt("p.w1") === cn("ctx"), "left")
+      .join(nr, tgt("p.w2") === nr("nw2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("p"),
+        when(col("p").isNotNull,
+          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+
+  /** The add-one-smoothed continuation probability shared by the KN
+    * family: ((n1r + 1)/(B + V)) as (numerator, denominator) doubles in
+    * the pinned cast order. */
+  private def contTerms: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    ((coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double"),
+      (col("b") + col("v")).cast("double"))
+
   /** Score `target` docs under a bigram LM trained on `reference`.
     *
     * @return (idCol, n_scored, logprob_fp6) — `n_scored` is the number
@@ -134,48 +185,22 @@ object NgramLm {
         s"got $discountNum/$discountDen")
     val dn = lit(discountNum)
     val dd = lit(discountDen)
-
-    val refBg = bigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("bg")).as("p"))
-    val c2 = graft.engine.BoundedCaches.persist(
-      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("c2")))
-    // c1 (context token count) and N1+(w1,·) from ONE rollup of c2
-    val cn = c2.groupBy(col("w1").as("ctx"))
-      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
-    // N1+(·,w2): distinct contexts preceding w2
-    val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
-    val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
-      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-        .filter(col("w") =!= "")
-        .agg(count_distinct(col("w")).as("v")))
-
-    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
-      .select(col("id"), explode_outer(col("bg")).as("p"))
     // the pinned op order (mirrored verbatim in the oracle SQL):
     //   known ctx:  max(c2·Dd − Dn, 0)/ (Dd·c1)
     //             + (Dn·n1f)·(n1r+1) / ((Dd·c1)·(B+V))
     //   unseen ctx: (n1r+1)/(B+V)
-    val contNum = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double")
-    val contDen = (col("b") + col("v")).cast("double")
-    val p = when(col("c1").isNull, contNum / contDen)
-      .otherwise(
-        greatest(coalesce(col("c2"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
-          (dd * col("c1")).cast("double") +
-        ((dn * col("n1f")).cast("double") * contNum) /
-          ((dd * col("c1")).cast("double") * contDen))
-    val scored = tgt
-      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
-      .join(cn, tgt("p.w1") === cn("ctx"), "left")
-      .join(nr, tgt("p.w2") === nr("nw2"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("id"), col("p"),
-        when(col("p").isNotNull,
-          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
-      .groupBy(col("id"))
-      .agg(count(col("p")).as("n_scored"),
-        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
-    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+    knScaffold(reference, refTextCol, target, idCol, textCol,
+      // c1 (context token count) and N1+(w1,·) from ONE rollup of c2
+      cnAggs = Seq(sum(col("c2")).as("c1"), count(lit(1)).as("n1f")),
+      pFor = { _ =>
+        val (contNum, contDen) = contTerms
+        when(col("c1").isNull, contNum / contDen)
+          .otherwise(
+            greatest(coalesce(col("c2"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+              (dd * col("c1")).cast("double") +
+            ((dn * col("n1f")).cast("double") * contNum) /
+              ((dd * col("c1")).cast("double") * contDen))
+      })
   }
 
   /** MODIFIED Kneser-Ney (Chen & Goodman 1998 §3 — the three-discount
@@ -200,11 +225,13 @@ object NgramLm {
     * Determinism: each discount is an exact RATIONAL of n1..n4 — the
     * numerators/denominators stay BigInt, the value rounds HALF-UP to
     * thousandths (the [[estimateDiscount]] convention), clamps into
-    * [1, 1000·i] (above: a discount exceeding its bucket's count would
-    * leave negative mass, and the max(·,0) scorer guard makes that
-    * belt-and-braces; below: a zero discount would zero λ for contexts
-    * whose continuations all sit in the bucket and send an
-    * unseen-bigram probability to exact 0 — ln(0)), and an EMPTY bucket
+    * [1, 999] for D1 and [1, 1000·i] for D2/D3+ (above: D1 must stay
+    * strictly inside (0,1) for singleton mass to survive, and a D2/D3+
+    * exceeding its bucket's count would leave negative mass — the
+    * max(·,0) scorer guard makes that belt-and-braces; below: a zero
+    * discount would zero λ for contexts whose continuations all sit in
+    * the bucket and send an unseen-bigram probability to exact 0 —
+    * ln(0)), and an EMPTY bucket
     * (n2 = 0 or n3 = 0 globally — then no bigram has that count, the
     * discount is never consulted, and its λ term multiplies a zero Ni)
     * pins to 0. The per-transition
@@ -225,12 +252,16 @@ object NgramLm {
     * @return (idCol, n_scored, logprob_fp6) — [[scoreBigram]]'s contract
     */
   def scoreModifiedKneserNey(reference: DataFrame, refTextCol: String,
-      target: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val refBg = bigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("bg")).as("p"))
-    val c2 = graft.engine.BoundedCaches.persist(
-      refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("c2")))
+      target: DataFrame, idCol: String, textCol: String): DataFrame =
+    knScaffold(reference, refTextCol, target, idCol, textCol,
+      // per-context rollup: token count c1 and the three bucketed
+      // continuation-type counts the λ numerator needs
+      cnAggs = Seq(
+        sum(col("c2")).as("c1"),
+        sum(when(col("c2") === 1, 1L).otherwise(0L)).as("nc1"),
+        sum(when(col("c2") === 2, 1L).otherwise(0L)).as("nc2"),
+        sum(when(col("c2") >= 3, 1L).otherwise(0L)).as("nc3p")),
+      pFor = { c2 =>
     // count-of-counts: one 1-row fold over the (vocab-scale) type counts
     val nn = c2.agg(
       sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
@@ -238,58 +269,31 @@ object NgramLm {
       sum(when(col("c2") === 3, 1L).otherwise(0L)).as("n3"),
       sum(when(col("c2") === 4, 1L).otherwise(0L)).as("n4"),
       sum(when(col("c2") >= 3, 1L).otherwise(0L)).as("n3p")).collect()(0)
-    val (n1, n2, n3, n4, n3p) =
-      (nn.getLong(0), nn.getLong(1), nn.getLong(2), nn.getLong(3), nn.getLong(4))
+    // SUM over an EMPTY frame is NULL — read defensively so a bigram-less
+    // reference reaches the loud require below instead of an NPE
+    def nl(i: Int): Long = if (nn.isNullAt(i)) 0L else nn.getLong(i)
+    val (n1, n2, n3, n4, n3p) = (nl(0), nl(1), nl(2), nl(3), nl(4))
     require(n1 > 0,
       "no singleton bigrams in the reference — the count-of-count " +
         "discount estimates are undefined; use scoreKneserNey with an " +
         "explicit discount")
     val (d1, d2, d3) = modifiedDiscounts(n1, n2, n3, n4, n3p)
     val dc1 = lit(d1); val dc2 = lit(d2); val dc3 = lit(d3)
-
-    // per-context rollup: token count c1 and the three bucketed
-    // continuation-type counts the λ numerator needs
-    val cn = c2.groupBy(col("w1").as("ctx")).agg(
-      sum(col("c2")).as("c1"),
-      sum(when(col("c2") === 1, 1L).otherwise(0L)).as("nc1"),
-      sum(when(col("c2") === 2, 1L).otherwise(0L)).as("nc2"),
-      sum(when(col("c2") >= 3, 1L).otherwise(0L)).as("nc3p"))
-    val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
-    val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
-      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-        .filter(col("w") =!= "")
-        .agg(count_distinct(col("w")).as("v")))
-
-    val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
-      .select(col("id"), explode_outer(col("bg")).as("p"))
     val cc = coalesce(col("c2"), lit(0L))
     val disc = when(cc === 0L, lit(0L))
       .when(cc === 1L, dc1).when(cc === 2L, dc2).otherwise(dc3)
-    val contNum = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double")
-    val contDen = (col("b") + col("v")).cast("double")
-    val p = when(col("c1").isNull, contNum / contDen)
+    val (contNum, contDen) = contTerms
+    when(col("c1").isNull, contNum / contDen)
       .otherwise(
         greatest(cc * lit(1000L) - disc, lit(0L)).cast("double") /
           (lit(1000L) * col("c1")).cast("double") +
         ((dc1 * col("nc1") + dc2 * col("nc2") + dc3 * col("nc3p")).cast("double") *
           contNum) /
           ((lit(1000L) * col("c1")).cast("double") * contDen))
-    val scored = tgt
-      .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
-      .join(cn, tgt("p.w1") === cn("ctx"), "left")
-      .join(nr, tgt("p.w2") === nr("nw2"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("id"), col("p"),
-        when(col("p").isNotNull,
-          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
-      .groupBy(col("id"))
-      .agg(count(col("p")).as("n_scored"),
-        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
-    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
-  }
+      })
 
   /** The three modified-KN discounts as thousandths, exact-rational then
-    * half-up rounded, clamped into [1, 1000·i] for a NONEMPTY bucket and
+    * half-up rounded, clamped into [1, 999] (D1) / [1, 1000·i] (D2/D3+) for a NONEMPTY bucket and
     * pinned to 0 for an empty one (then no bigram has that count, so the
     * discount is never consulted and its λ term multiplies a zero Ni).
     * The minimum of one thousandth is load-bearing, found by the t88
@@ -299,12 +303,19 @@ object NgramLm {
     * ln(0), which Spark's `log` nulls SILENTLY (dropping the transition
     * from the micro-nat sum) and DuckDB refuses loudly. Exposed for the
     * spec and the oracle parity argument. */
+  /** Half-up rounding of num/den to thousandths (num ≥ 0, den > 0) —
+    * the ONE rounding convention every discount in the file uses. */
+  private def rhuThousandths(num: BigInt, den: BigInt): Long =
+    ((BigInt(2000) * num + den) / (2 * den)).toLong
+
+  /** Thousandths of num/den clamped into [1, hi]; non-positive → 1. */
+  private def clampThousandths(num: BigInt, den: BigInt, hi: Long): Long =
+    if (num <= 0) 1L else math.max(1L, math.min(hi, rhuThousandths(num, den)))
+
   private[graft] def modifiedDiscounts(
       n1: Long, n2: Long, n3: Long, n4: Long, n3p: Long): (Long, Long, Long) = {
-    def rhu(num: BigInt, den: BigInt): Long = // num ≥ 0, den > 0
-      ((BigInt(2000) * num + den) / (2 * den)).toLong
     def clampRat(num: BigInt, den: BigInt, hi: Long): Long =
-      if (num <= 0) 1L else math.max(1L, math.min(hi, rhu(num, den)))
+      clampThousandths(num, den, hi)
     val y = BigInt(n1) + 2 * BigInt(n2) // D1 = n1/(n1+2n2), exactly Y
     val d1 = clampRat(BigInt(n1), y, 999L)
     // d2's bucket is EXACT (count == 2): n2 = 0 means it is empty
@@ -391,14 +402,14 @@ object NgramLm {
       .agg(sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("c2") === 2, 1L).otherwise(0L)).as("n2"))
       .collect()(0)
-    val n1 = row.getLong(0)
-    val n2 = row.getLong(1)
+    // SUM over an EMPTY frame is NULL — reach the loud require, not an NPE
+    val n1 = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val n2 = if (row.isNullAt(1)) 0L else row.getLong(1)
     require(n1 > 0,
       "no singleton bigrams in the reference — the Chen-Goodman estimate " +
         "is undefined; pass an explicit discount to scoreKneserNey")
     val den = BigInt(n1) + 2 * BigInt(n2)
-    val num = ((BigInt(2000) * n1 + den) / (2 * den)).toLong // round half-up
-    (math.max(1L, math.min(999L, num)), 1000L)
+    (clampThousandths(BigInt(n1), den, 999L), 1000L)
   }
 
   /** DSIR-style importance weighting for data selection (Xie et al. 2023,

@@ -106,16 +106,24 @@ object WordPiece {
           .join(broadcast(units.select(col("s").as("r"), col("uc").as("rc"))), Seq("r"))
           .select(col("l"), col("r"), col("cnt"), col("lc"), col("rc"))
         // exact argmax of cnt/(lc·rc): BigInt cross-multiplication, ties
-        // (l, r) ASC — per-partition partial best, driver pick over the
-        // ≤ numPartitions survivors
+        // (l, r) ASC in UTF-8 BYTE order — the ordering the replaced
+        // engine-side orderBy (UTF8String) used and DuckDB's memcmp
+        // uses; java.lang.String.compareTo is UTF-16 code-unit order,
+        // which ranks supplementary-plane symbols (surrogates start
+        // 0xD800) BELOW U+E000..U+FFFF while UTF-8 ranks them above —
+        // a tie between such symbols would silently pick the other
+        // merge (spec-pinned)
+        def u8cmp(x: String, y: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
         def better(a: Row, b: Row): Row = {
           val c = (BigInt(a.getLong(2)) * BigInt(b.getLong(3)) * BigInt(b.getLong(4)))
             .compare(BigInt(b.getLong(2)) * BigInt(a.getLong(3)) * BigInt(a.getLong(4)))
           if (c != 0) { if (c > 0) a else b }
           else {
-            val lc = a.getString(0).compareTo(b.getString(0))
+            val lc = u8cmp(a.getString(0), b.getString(0))
             if (lc != 0) { if (lc < 0) a else b }
-            else if (a.getString(1).compareTo(b.getString(1)) <= 0) a else b
+            else if (u8cmp(a.getString(1), b.getString(1)) <= 0) a else b
           }
         }
         val top = cands.rdd

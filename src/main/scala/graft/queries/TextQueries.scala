@@ -2843,8 +2843,8 @@ object TextQueries {
     // t86 single-discount KN). The count-of-count estimation is IN the
     // hash: the oracle recomputes n1..n4 over the bigram type counts and
     // replays the exact rational→thousandths rounding (HUGEINT
-    // cross-products, half-up, the empty-bucket pin and the [0,1000·i]
-    // clamps) before the t86 arithmetic pattern with the three discounts
+    // cross-products, half-up, the empty-bucket pin, the open-ended ≥3
+    // bucket's d2→d1 fallback, and the [1,999]/[1,1000·i] clamps) before the t86 arithmetic pattern with the three discounts
     // as CASE constants — so a wrong Y, a wrong bucket boundary, or a
     // rounding drift fails on a value at every SF.
     QueryDef.sql(

@@ -49,13 +49,16 @@ class CoverageDocSpec extends AnyFunSuite {
     (green, gated)
   }
 
-  private def correctnessFiles: Map[Int, java.nio.file.Path] =
-    java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      .iterator().asScala
-      .flatMap { p =>
-        "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString)
-          .map(m => m.group(1).toInt -> p)
-      }.toMap
+  private def correctnessFiles: Map[Int, java.nio.file.Path] = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    try {
+      stream.iterator().asScala
+        .flatMap { p =>
+          "CORRECTNESS_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString)
+            .map(m => m.group(1).toInt -> p)
+        }.toMap
+    } finally stream.close()
+  }
 
   test("COVERAGE.md cites DRIVER gate numbers that match CORRECTNESS_r*.json") {
     // Round-11 verdict: SURVEY/COVERAGE recorded the LOCAL mirror's

@@ -35,6 +35,22 @@ class WordPieceSpec extends AnyFunSuite {
       (7L, "ab", "ababcdcda", 3L, 3L, 3L)), got.toString)
   }
 
+  test("exact ties break in UTF-8 byte order, not UTF-16 code-unit order") {
+    // two independent pairs with IDENTICAL scores 2/(2·2): left symbols
+    // U+FFFD (UTF-8 EF BF BD; UTF-16 code unit 0xFFFD) vs U+20000
+    // (UTF-8 F0 A0 80 80; UTF-16 starts with surrogate 0xD840). UTF-8
+    // byte order puts U+FFFD FIRST; String.compareTo would pick the
+    // surrogate-leading U+20000 — the divergence the u8cmp tie-break
+    // exists to prevent (the engine orderBy and DuckDB both compare
+    // UTF-8 bytes)
+    val supp = new String(Character.toChars(0x20000))
+    val docs = (Seq.fill(2)(Seq(supp, "x")) ++ Seq.fill(2)(Seq("�", "y")))
+      .toDF("toks")
+    val got = WordPiece.train(docs, "toks", rounds = 1)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(got.head._2 == "�" && got.head._3 == "y", got.toSeq.toString)
+  }
+
   test("the ranking is the load-bearing difference from BPE on the same corpus") {
     val bpe = BpeTrain.train(corpus(3), "toks", rounds = 1)
       .as[(Long, String, String, Long)].collect().head
