@@ -334,6 +334,121 @@ object NgramLm {
     (d1, d2, d3)
   }
 
+  /** TRIGRAM recursive Kneser-Ney (the order-3 interpolated model of
+    * Chen & Goodman 1998 — what a production KenLM actually scores
+    * with, completing the family's RECURSION beside the bigram
+    * [[scoreKneserNey]]): the trigram level discounts and interpolates
+    * into a bigram CONTINUATION model built from ADJUSTED counts — the
+    * defining KN property at order 3 is that the lower order counts
+    * distinct extending contexts, not raw occurrences:
+    *
+    *   p3(w3|w1w2) = max(c3 − D, 0)/c12 + D·N1+(w1w2·)/c12 · p2(w3|w2)
+    *   p2(w3|w2)   = max(c′ − D, 0)/ctx′ + D·N1+′(w2·)/ctx′ · p_cont(w3)
+    *   c′(w2,w3)   = |{w1 : c3(w1w2w3) > 0}|   (adjusted count)
+    *
+    * with ctx′(w2) = Σ_w3 c′, N1+′(w2·) = distinct w3 with c′ > 0, and
+    * p_cont the add-one-smoothed unigram continuation over the adjusted
+    * bigram mass (N1+(·w3)′ + 1)/(B2 + V) — the same documented
+    * totality convention as [[scoreKneserNey]]. c12 is Σ_w3 c3 (the
+    * continuation-consistent context mass, so each level is a proper
+    * distribution over the vocabulary). Backoff paths: unseen (w1,w2)
+    * context → p2; unseen w2 entirely → p_cont; every path is strictly
+    * positive, so ln never sees 0.
+    *
+    * Determinism: the t86 discipline at BOTH levels — the rational
+    * discount Dn/Dd stays exact BIGINT in every count expression, each
+    * level lowers to double in ONE pinned sequence (two divisions + an
+    * add at level 2; a division, a multiply by the level-2 value, and
+    * an add at level 3), one ln, micro-nat BIGINT sums. The oracle
+    * replays the nested CASE arithmetic op for op.
+    *
+    * Distributed shape: trigram type counts persist once; c12, the
+    * adjusted-count frame c′ (persisted — it feeds three rollups and
+    * the scoring join), ctx′, and the continuation counts are all
+    * vocab-scale map-side-combined rollups of those two frames; totals
+    * are two 1-row folds broadcast to the 5-way scoring join. Does NOT
+    * share [[knScaffold]]: the join tree is trigram-keyed with two
+    * model levels, a genuinely different shape.
+    *
+    * @return (idCol, n_scored, logprob_fp6) — n_scored counts TRIGRAM
+    *         transitions (tokens − 2); docs under 3 tokens carry 0 */
+  def scoreKneserNeyTrigram(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String,
+      discountNum: Long = 3L, discountDen: Long = 4L): DataFrame = {
+    require(discountNum > 0 && discountNum < discountDen && discountDen <= 1000,
+      s"discount must be a rational in (0,1) with denominator <= 1000, " +
+        s"got $discountNum/$discountDen")
+    val dn = lit(discountNum)
+    val dd = lit(discountDen)
+
+    def trigrams(df: DataFrame,
+        cols: Seq[org.apache.spark.sql.Column], tc: String) = {
+      val ts = TextTokens.tokens(col(tc))
+      df.select(cols :+ when(size(ts) >= 3,
+          zip_with(
+            zip_with(slice(ts, lit(1), size(ts) - 2), slice(ts, lit(2), size(ts) - 2),
+              (a, b) => struct(a.as("w1"), b.as("w2"))),
+            slice(ts, lit(3), size(ts) - 2),
+            (ab, c) => struct(ab.getField("w1").as("w1"),
+              ab.getField("w2").as("w2"), c.as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .as("tg"): _*)
+    }
+
+    val refT = trigrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("tg")).as("p"))
+    val c3 = graft.engine.BoundedCaches.persist(
+      refT.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+        .agg(count(lit(1)).as("c3")))
+    // trigram context mass + N1+(w1w2·) from ONE rollup
+    val c12 = c3.groupBy(col("w1").as("cw1"), col("w2").as("cw2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3f"))
+    // the ADJUSTED bigram counts: c′(w2,w3) = distinct w1 — persisted,
+    // it feeds two rollups and the scoring join
+    val cp = graft.engine.BoundedCaches.persist(
+      c3.groupBy(col("w2").as("bw2"), col("w3").as("bw3"))
+        .agg(count(lit(1)).as("cp")))
+    val ctx2 = cp.groupBy(col("bw2").as("xw2"))
+      .agg(sum(col("cp")).as("ctx2"), count(lit(1)).as("n2f"))
+    val nrc = cp.groupBy(col("bw3").as("rw3")).agg(count(lit(1)).as("n1rc"))
+    val tot = cp.agg(count(lit(1)).as("b2")).crossJoin(
+      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count_distinct(col("w")).as("v")))
+
+    val tgt = trigrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("tg")).as("p"))
+    val contNum = (coalesce(col("n1rc"), lit(0L)) + lit(1L)).cast("double")
+    val contDen = (col("b2") + col("v")).cast("double")
+    val pc = contNum / contDen
+    val p2 = when(col("ctx2").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("cp"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+          (dd * col("ctx2")).cast("double") +
+        ((dn * col("n2f")).cast("double") * contNum) /
+          ((dd * col("ctx2")).cast("double") * contDen))
+    val p = when(col("c12").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("c3"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+          (dd * col("c12")).cast("double") +
+        ((dn * col("n3f")).cast("double") / (dd * col("c12")).cast("double")) * p2)
+    val scored = tgt
+      .join(c3, tgt("p.w1") === c3("w1") && tgt("p.w2") === c3("w2") &&
+        tgt("p.w3") === c3("w3"), "left")
+      .join(c12, tgt("p.w1") === col("cw1") && tgt("p.w2") === col("cw2"), "left")
+      .join(cp, tgt("p.w2") === col("bw2") && tgt("p.w3") === col("bw3"), "left")
+      .join(ctx2, tgt("p.w2") === col("xw2"), "left")
+      .join(nrc, tgt("p.w3") === col("rw3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("p"),
+        when(col("p").isNotNull,
+          round(log(p) * lit(1000000.0)).cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+
   /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020
     * §4.3 — the published pipeline's headline mechanism: per language,
     * order documents by reference-LM perplexity and cut into thirds;

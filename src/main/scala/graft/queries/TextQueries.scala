@@ -2837,6 +2837,62 @@ object TextQueries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     },
 
+    // T89: TRIGRAM recursive Kneser-Ney (NgramLm.scoreKneserNeyTrigram —
+    // the Chen & Goodman order-3 interpolated model, the production
+    // KenLM shape): the trigram level discounts into a bigram model
+    // built from ADJUSTED counts (c′(w2,w3) = distinct extending w1 —
+    // the defining KN recursion), which interpolates into the add-one
+    // unigram continuation. The oracle replays the nested CASE
+    // arithmetic with the p2 expression generated ONCE (both its inline
+    // occurrences — the bare backoff and the λ3-multiplied one — come
+    // from the same string, so they cannot drift); every backoff path
+    // (unseen trigram context → p2, unseen w2 → p_cont) executes on
+    // real odd-doc transitions at every SF.
+    {
+      val p2Sql =
+        """CASE WHEN ctx2.ctx2 IS NULL
+          |  THEN CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE) / CAST(tot.b2 + tot.v AS DOUBLE)
+          |  ELSE CAST(greatest(COALESCE(cp.cp, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * ctx2.ctx2 AS DOUBLE)
+          |     + (CAST(3 * ctx2.n2f AS DOUBLE) * CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE))
+          |       / (CAST(4 * ctx2.ctx2 AS DOUBLE) * CAST(tot.b2 + tot.v AS DOUBLE))
+          |  END""".stripMargin
+      QueryDef.sql(
+        "t89_trigram_kn_perplexity",
+        s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents),
+          |tg3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]})) AS p FROM t),
+          |c3 AS (SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, COUNT(*) AS c3 FROM tg3 WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+          |c12 AS (SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS n3f FROM c3 GROUP BY 1, 2),
+          |cp AS (SELECT w2, w3, COUNT(*) AS cp FROM c3 GROUP BY 1, 2),
+          |ctx2 AS (SELECT w2, SUM(cp) AS ctx2, COUNT(*) AS n2f FROM cp GROUP BY 1),
+          |nrc AS (SELECT w3, COUNT(*) AS n1rc FROM cp GROUP BY 1),
+          |tot AS (SELECT (SELECT COUNT(*) FROM cp) AS b2,
+          |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+          |tq AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg3 WHERE doc_id % 2 = 1),
+          |s AS (SELECT tq.doc_id,
+          |        CAST(round(ln(CASE WHEN c12.c12 IS NULL THEN
+          |          $p2Sql
+          |        ELSE
+          |          CAST(greatest(COALESCE(c3.c3, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * c12.c12 AS DOUBLE)
+          |          + (CAST(3 * c12.n3f AS DOUBLE) / CAST(4 * c12.c12 AS DOUBLE)) *
+          |            ($p2Sql)
+          |        END) * 1000000.0) AS BIGINT) AS lp
+          |      FROM tq LEFT JOIN c3 ON tq.w1 = c3.w1 AND tq.w2 = c3.w2 AND tq.w3 = c3.w3
+          |              LEFT JOIN c12 ON tq.w1 = c12.w1 AND tq.w2 = c12.w2
+          |              LEFT JOIN cp ON tq.w2 = cp.w2 AND tq.w3 = cp.w3
+          |              LEFT JOIN ctx2 ON tq.w2 = ctx2.w2
+          |              LEFT JOIN nrc ON tq.w3 = nrc.w3
+          |              CROSS JOIN tot)
+          |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+          |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+          |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+          |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+        val docs = Tables.load(spark, dir, "documents")
+        graft.functions.NgramLm.scoreKneserNeyTrigram(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      }
+    },
+
     // T88: MODIFIED Kneser-Ney perplexity (NgramLm.scoreModifiedKneserNey
     // — Chen & Goodman 1998 §3, the three-discount variant SRILM/KenLM
     // default to; completes the smoothing family beside t48 add-one and

@@ -42,6 +42,7 @@ object PlanBudget {
     "t86_kneser_ney_perplexity" -> (2, 2), // 1-row distinct-bigram (B) + vocab (V) folds, crossJoined then broadcast back
     "t87_ccnet_buckets" -> (2, 2), // inherits t86's two scalar folds (KN scoring feeds the bucketing)
     "t88_modified_kn_perplexity" -> (2, 2), // t86's B + V folds (the n1..n4 fold is a separate driver collect)
+    "t89_trigram_kn_perplexity" -> (2, 2), // the adjusted-bigram-mass (B2) + vocab (V) folds
     "t51_dsir_selection" -> (2, 2),  // two LMs ⇒ two 1-row vocab folds
     "d58_embedding_gram" -> (1, 0),  // d×d Gram fold: buffer bounded by dim², not data
     "a36_t_closeness" -> (3, 3),     // |bins|-row global cum + N/m 1-row folds & broadcasts

@@ -133,6 +133,54 @@ class KneserNeySpec extends AnyFunSuite {
     assert(e.getMessage.contains("singleton"), e.getMessage)
   }
 
+  test("trigram KN: hand-computed scores through every backoff path") {
+    // reference: (a,b,c)×2, (x,b,c)×1, (p,q,r)×1. Adjusted counts:
+    // c′(b,c)=2 (a and x extend it), c′(q,r)=1 → ctx′(b)=2, ctx′(q)=1,
+    // B2=2, V=7 → B2+V=9. n1rc: c→1, r→1.
+    val ref = (Seq.fill(2)("a b c") ++ Seq("x b c", "p q r")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "a b c"),  // seen trigram: full 3-level interpolation
+      (2L, "z b c"),  // unseen (z,b) context → pure p2
+      (3L, "a b r"),  // known (a,b), unseen trigram AND unseen bigram (b,r)
+      (4L, "z z r"),  // w2 unknown entirely → unigram continuation
+      (5L, "a b")     // 2 tokens: no trigram transition
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNeyTrigram(ref, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    def fp6(p: Double): Long = math.round(math.log(p) * 1e6)
+    // p2(c|b) = max(2·4−3,0)/(4·2) + (3·1)·(1+1)/((4·2)·9)
+    val p2cb = 5.0 / 8 + (3.0 * 1) * 2 / (8.0 * 9)
+    // p3(c|ab) = max(2·4−3,0)/(4·2) + ((3·1)/(4·2))·p2
+    assert(got(0) == ((1L, 1L, fp6(5.0 / 8 + (3.0 / 8) * p2cb))), got(0).toString)
+    assert(got(1) == ((2L, 1L, fp6(p2cb))), got(1).toString)
+    // p2(r|b): cp(b,r) unseen → 0-mass first term + (3·1)·(1+1)/((4·2)·9);
+    // p3 = 0 + (3/8)·p2
+    val p2rb = 0.0 / 8 + (3.0 * 1) * 2 / (8.0 * 9)
+    assert(got(2) == ((3L, 1L, fp6(0.0 / 8 + (3.0 / 8) * p2rb))), got(2).toString)
+    // unknown w2=z → p_cont(r) = (1+1)/9
+    assert(got(3) == ((4L, 1L, fp6(2.0 / 9))), got(3).toString)
+    assert(got(4) == ((5L, 0L, 0L)), got(4).toString)
+  }
+
+  test("trigram KN: per-context properness and the discount guard") {
+    val ref = (Seq.fill(2)("a b c") ++ Seq("x b c", "p q r", "a b d"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // Σ_w3∈vocab p3(w3|a,b) = 1: both levels are proper distributions
+    // over the vocabulary (the add-one continuation sums to 1 there)
+    val vocab = Seq("a", "b", "c", "d", "p", "q", "r", "x")
+    val targets = vocab.zipWithIndex
+      .map { case (w, i) => (i.toLong, s"a b $w") }.toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNeyTrigram(ref, "text", targets, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val mass = got.map(r => math.exp(r._3 / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"p3(·|a,b) mass = $mass")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.scoreKneserNeyTrigram(ref, "text", targets, "doc_id", "text",
+        discountNum = 4, discountDen = 4))
+    assert(e.getMessage.contains("discount"), e.getMessage)
+  }
+
   test("perplexityBuckets: exact tertile cuts, per-language, unscored kept") {
     // lang A: 5 scored docs with strictly ordered per-transition scores
     // (−1, −2, −3, −4, −5 micro-nat ppl keys) → tertiles by rank:
