@@ -66,7 +66,15 @@ object NgramLm {
         .agg(count_distinct(col("w")).as("v")))
     val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
       .select(col("id"), explode_outer(col("bg")).as("p"))
-    val p = pFor(c2)
+    // degenerate-reference guard: a token-less reference makes the
+    // continuation denominator B+V zero → p_cont = +Infinity → ln(Inf)
+    // would CAST to Long.MaxValue micro-nats, a silently absurd score
+    // (DuckDB fails the cast instead — engine divergence). The guard is
+    // a lazy CaseWhen branch: green-path arithmetic is byte-identical.
+    val p = when((col("b") + col("v")) === 0L,
+        raise_error(lit("empty reference corpus — B+V is 0; the " +
+          "Kneser-Ney family needs a tokenized reference")))
+      .otherwise(pFor(c2))
     val scored = tgt
       .join(c2, tgt("p.w1") === c2("w1") && tgt("p.w2") === c2("w2"), "left")
       .join(cn, tgt("p.w1") === cn("ctx"), "left")
@@ -126,7 +134,10 @@ object NgramLm {
         // integer-add, one double division, one ln — then micro-nats.
         // NULL (not 0) for the no-bigram explode_outer row, so short
         // docs keep a row without a phantom transition in the sum
-        when(col("p").isNotNull,
+        when(col("p").isNotNull && col("v") === 0L,
+          raise_error(lit("empty reference corpus — vocab size is 0; " +
+            "add-one scoring needs a tokenized reference")))
+        .when(col("p").isNotNull,
           round(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
             (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
             .cast("long")).as("lp"))
@@ -404,7 +415,7 @@ object NgramLm {
     val c12 = c3.groupBy(col("w1").as("cw1"), col("w2").as("cw2"))
       .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3f"))
     // the ADJUSTED bigram counts: c′(w2,w3) = distinct w1 — persisted,
-    // it feeds two rollups and the scoring join
+    // it feeds three rollups (ctx2, nrc, the b2 total) and the scoring join
     val cp = graft.engine.BoundedCaches.persist(
       c3.groupBy(col("w2").as("bw2"), col("w3").as("bw3"))
         .agg(count(lit(1)).as("cp")))
@@ -427,7 +438,12 @@ object NgramLm {
           (dd * col("ctx2")).cast("double") +
         ((dn * col("n2f")).cast("double") * contNum) /
           ((dd * col("ctx2")).cast("double") * contDen))
-    val p = when(col("c12").isNull, p2)
+    // same degenerate-reference guard as knScaffold (B2+V = 0 →
+    // Infinity → silent Long.MaxValue); lazy branch, green path unchanged
+    val p = when((col("b2") + col("v")) === 0L,
+        raise_error(lit("empty reference corpus — B2+V is 0; the " +
+          "Kneser-Ney family needs a tokenized reference")))
+      .when(col("c12").isNull, p2)
       .otherwise(
         greatest(coalesce(col("c3"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
           (dd * col("c12")).cast("double") +

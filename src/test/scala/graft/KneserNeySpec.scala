@@ -181,6 +181,28 @@ class KneserNeySpec extends AnyFunSuite {
     assert(e.getMessage.contains("discount"), e.getMessage)
   }
 
+  test("empty reference refuses loudly in every scorer (never ln(Inf))") {
+    // a token-less reference makes the continuation/vocab denominator 0;
+    // unguarded, p_cont = +Infinity and ln(Inf) CASTS to Long.MaxValue —
+    // a silently absurd score (and DuckDB fails the cast: divergence)
+    val emptyRef = Seq((1L, " "), (2L, "")).toDF("doc_id", "text")
+    val targets = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    def msgOf(f: => Unit): String = {
+      val e = intercept[Exception](f)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    assert(msgOf(NgramLm.scoreBigram(emptyRef, "text", targets, "doc_id", "text")
+      .collect()).contains("empty reference"))
+    assert(msgOf(NgramLm.scoreKneserNey(emptyRef, "text", targets, "doc_id", "text")
+      .collect()).contains("empty reference"))
+    assert(msgOf(NgramLm.scoreKneserNeyTrigram(emptyRef, "text", targets,
+      "doc_id", "text").collect()).contains("empty reference"))
+    // modified KN already refuses at the count-of-count fold
+    assert(msgOf(NgramLm.scoreModifiedKneserNey(emptyRef, "text", targets,
+      "doc_id", "text")).contains("singleton"))
+  }
+
   test("perplexityBuckets: exact tertile cuts, per-language, unscored kept") {
     // lang A: 5 scored docs with strictly ordered per-transition scores
     // (−1, −2, −3, −4, −5 micro-nat ppl keys) → tertiles by rank:
