@@ -617,6 +617,43 @@ object PackingQueries {
           col("n_tokens"))
     },
 
+    // T90: byte-level BPE ROUND-TRIP audit on REAL text — the t84/t85
+    // fixtures pin the trainer/encoder arithmetic closed-form; this
+    // gate pins the byte-level CONTRACT itself on arbitrary corpus
+    // text (the a31/a32 invariant-audit pattern): a 12-round table
+    // trained on the even docs encodes every odd doc, the token stream
+    // DECODES back (distributed, one vocab-scale map per distinct
+    // token plus a per-doc reassembly), and the hash carries
+    // lossless = (decode(encode(text)) == text) — the no-unk totality
+    // property that defines the GPT-2 tokenizer — plus the byte bound
+    // n_tokens ≤ n_bytes (merges only ever shrink the stream). A
+    // pretokenizer that drops a character class, a non-bijective byte
+    // table, or an encoder that substitutes unk fails on a value.
+    QueryDef.sql(
+      "t90_byte_bpe_roundtrip",
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  TRUE AS lossless, TRUE AS bound_ok
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.load(spark, dir, "documents")
+      val merges = graft.operators.ByteBpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", rounds = 12)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      graft.operators.ByteBpe.encodeCorpus(odd, "doc_id", "text", merges)
+        .join(odd, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("toks"), col("n_tokens"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .as[(Long, String, Seq[String], Long, Long)]
+        .map { case (id, text, toks, nTok, nBytes) =>
+          (id, nBytes, graft.operators.ByteBpe.decode(toks) == text,
+            nTok <= nBytes && (nBytes == 0L || nTok >= 1L))
+        }
+        .toDF("doc_id", "n_bytes", "lossless", "bound_ok")
+    },
+
     // T46: BPE ENCODE — the trained merge table APPLIED back to the
     // corpus via the native whole-table BpeApply expression (train →
     // collect the vocab-scale table → encode is the production shape:
