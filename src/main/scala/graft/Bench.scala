@@ -118,7 +118,10 @@ object Bench {
     // d57-style iterative hygiene, already covered; a realistic-corpus
     // training bench would dominate the whole pass).
     "t88_modified_kn_perplexity",
-    "t87_ccnet_buckets")
+    "t87_ccnet_buckets",
+    // the family's heaviest: order-3 recursion = a 5-way scoring join
+    // over two persisted count frames — the widest LM join tree
+    "t89_trigram_kn_perplexity")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers
