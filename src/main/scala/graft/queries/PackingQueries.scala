@@ -636,10 +636,8 @@ object PackingQueries {
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val docs = Tables.load(spark, dir, "documents")
-      val merges = graft.operators.ByteBpe.train(
-        docs.filter(col("doc_id") % 2 === 0), "text", rounds = 12)
-        .orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = collectMerges(graft.operators.ByteBpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", rounds = 12))
       val odd = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
       graft.operators.ByteBpe.encodeCorpus(odd, "doc_id", "text", merges)
@@ -648,8 +646,11 @@ object PackingQueries {
           length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as[(Long, String, Seq[String], Long, Long)]
         .map { case (id, text, toks, nTok, nBytes) =>
+          // bound_ok is EXACTLY the documented invariant (merges only
+          // shrink the stream); a zero-token regression on non-empty
+          // text is already caught by lossless (decode([]) != text)
           (id, nBytes, graft.operators.ByteBpe.decode(toks) == text,
-            nTok <= nBytes && (nBytes == 0L || nTok >= 1L))
+            nTok <= nBytes)
         }
         .toDF("doc_id", "n_bytes", "lossless", "bound_ok")
     },
@@ -1121,6 +1122,15 @@ object PackingQueries {
         .map(r => (r.getString(1), r.getString(2)))
         .toSeq)
 
+  /** Collect a trained merge table in training order — the ONE place
+    * that knows ByteBpe/BpeTrain's (round, left, right, …) positional
+    * layout, so a schema change breaks a single helper, not every
+    * caller. Vocab-scale, the way a production tokenizer ships it. */
+  private def collectMerges(
+      trained: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    trained.orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** The t84/t85 byte-level merge table — trained once per data dir on
     * the 'aé bé' fixture, shipped vocab-scale like [[bpeFixtureMerges]]. */
   private val byteMergeMemo =
@@ -1128,13 +1138,9 @@ object PackingQueries {
   private def byteBpeFixtureMerges(
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
     byteMergeMemo.computeIfAbsent(dir, _ =>
-      graft.operators.ByteBpe.train(
+      collectMerges(graft.operators.ByteBpe.train(
         Tables.load(spark, dir, "supplier").select(lit("aé bé").as("text")),
-        "text", rounds = 6)
-        .orderBy(col("round"))
-        .collect()
-        .map(r => (r.getString(1), r.getString(2)))
-        .toSeq)
+        "text", rounds = 6)))
 
   /** The t58 inventory: the t56 fixture TRAINED to its fixed point, the
     * final round's (piece, piece_count) rows collected the way a
