@@ -303,6 +303,15 @@ object NgramLm {
           ((lit(1000L) * col("c1")).cast("double") * contDen))
       })
 
+  /** Half-up rounding of num/den to thousandths (num ≥ 0, den > 0) —
+    * the ONE rounding convention every discount in the file uses. */
+  private def rhuThousandths(num: BigInt, den: BigInt): Long =
+    ((BigInt(2000) * num + den) / (2 * den)).toLong
+
+  /** Thousandths of num/den clamped into [1, hi]; non-positive → 1. */
+  private def clampThousandths(num: BigInt, den: BigInt, hi: Long): Long =
+    if (num <= 0) 1L else math.max(1L, math.min(hi, rhuThousandths(num, den)))
+
   /** The three modified-KN discounts as thousandths, exact-rational then
     * half-up rounded, clamped into [1, 999] (D1) / [1, 1000·i] (D2/D3+) for a NONEMPTY bucket and
     * pinned to 0 for an empty one (then no bigram has that count, so the
@@ -314,15 +323,6 @@ object NgramLm {
     * ln(0), which Spark's `log` nulls SILENTLY (dropping the transition
     * from the micro-nat sum) and DuckDB refuses loudly. Exposed for the
     * spec and the oracle parity argument. */
-  /** Half-up rounding of num/den to thousandths (num ≥ 0, den > 0) —
-    * the ONE rounding convention every discount in the file uses. */
-  private def rhuThousandths(num: BigInt, den: BigInt): Long =
-    ((BigInt(2000) * num + den) / (2 * den)).toLong
-
-  /** Thousandths of num/den clamped into [1, hi]; non-positive → 1. */
-  private def clampThousandths(num: BigInt, den: BigInt, hi: Long): Long =
-    if (num <= 0) 1L else math.max(1L, math.min(hi, rhuThousandths(num, den)))
-
   private[graft] def modifiedDiscounts(
       n1: Long, n2: Long, n3: Long, n4: Long, n3p: Long): (Long, Long, Long) = {
     def clampRat(num: BigInt, den: BigInt, hi: Long): Long =
