@@ -28,10 +28,18 @@ object BpeTrain {
   /** @param docs     corpus frame
     * @param tokenCol array<string> column of pre-split tokens
     * @param rounds   merge table size to learn
+    * @param localFinishMaxRows the serial-endgame cutover (the Scc/Bfs
+    *        doctrine, see [[ByteBpe.train]]): when the symbol-stream
+    *        rows + total symbols fit this budget, collect once and run
+    *        the merge loop driver-side in [[LocalSubword]] — the cure
+    *        for the one-job-per-merge scheduling wall; above budget the
+    *        distributed per-round loop remains. Bit-identical paths
+    *        (`SubwordEndgameSpec`).
     * @return (round, left, right, pair_count) — one row per learned
     *         merge, in training order; stops early when no pair repeats
     */
-  def train(docs: DataFrame, tokenCol: String, rounds: Int): DataFrame = {
+  def train(docs: DataFrame, tokenCol: String, rounds: Int,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -41,7 +49,19 @@ object BpeTrain {
 
     val h0 = docs.select(col(tokenCol).cast("array<string>").as("toks"))
       .persist()
-    h0.count()
+    val st = h0.agg(count(lit(1)), coalesce(sum(size(col("toks"))), lit(0L)))
+      .collect()(0)
+    val (hRows, hSyms) = (st.getLong(0), st.getLong(1))
+    if (hRows + hSyms <= localFinishMaxRows) {
+      val rows = h0.select(col("toks")).collect()
+      h0.unpersist(blocking = false)
+      Console.err.println(
+        s"[bpe] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")
+      val toks = rows.map(_.getSeq[String](0).toArray)
+      return LocalSubword.bpeLocal(toks, Array.fill(toks.length)(1L), rounds)
+        .toDF("round", "left", "right", "pair_count")
+        .withColumn("round", col("round").cast("long"))
+    }
     var cur = truncate(h0)
     // handles hold the PERSISTED frames (unpersist on a truncated leaf
     // would be a no-op on the original's storage)

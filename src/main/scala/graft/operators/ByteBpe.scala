@@ -93,11 +93,22 @@ object ByteBpe {
 
   /** Learn `rounds` byte-level merges from `docs(textCol)`.
     *
+    * @param localFinishMaxRows the serial-endgame cutover (the Scc/Bfs
+    *        doctrine): when the distinct-pretoken histogram's rows +
+    *        total symbols fit this budget, it is collected ONCE and the
+    *        merge loop runs driver-side in [[LocalSubword]] (incremental
+    *        pair counts, occurrence-indexed rewrites) — killing the
+    *        one-Spark-job-per-merge scheduling wall at production vocab
+    *        sizes (32k–100k merges ≈ 10⁵ sequential jobs); above budget
+    *        the distributed per-round loop remains the default. Bit-
+    *        identical paths (`SubwordEndgameSpec` forces budget=0 and
+    *        compares).
     * @return (round, left, right, pair_count) — one row per merge in
     *         training order, pair_count frequency-weighted; stops early
     *         when no pair reaches weighted count 2
     */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -113,7 +124,24 @@ object ByteBpe {
       .map { case (w, f) => (toByteSymbols(w), f) }
       .toDF("toks", "freq")
       .persist()
-    h0.count()
+    // budget probe (one pass, also materializes the cache): rows + total
+    // symbols — the driver holds symbol ARRAYS, so rows alone undercount
+    val st = h0.agg(count(lit(1)), coalesce(sum(size(col("toks"))), lit(0L)))
+      .collect()(0)
+    val (hRows, hSyms) = (st.getLong(0), st.getLong(1))
+    if (hRows + hSyms <= localFinishMaxRows) {
+      // --- LOCAL ENDGAME: collect the vocab-scale histogram once and
+      // finish in LocalSubword (see scaladoc above / the Scc doctrine)
+      val rows = h0.select(col("toks"), col("freq")).collect()
+      h0.unpersist(blocking = false)
+      Console.err.println(
+        s"[bytebpe] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")
+      val toks = rows.map(_.getSeq[String](0).toArray)
+      val ws = rows.map(_.getLong(1))
+      return LocalSubword.bpeLocal(toks, ws, rounds)
+        .toDF("round", "left", "right", "pair_count")
+        .withColumn("round", col("round").cast("long"))
+    }
     var cur = truncate(h0)
     val handles = ListBuffer(h0)
     val merges = ListBuffer.empty[(Int, String, String, Long)]

@@ -51,9 +51,10 @@ object WordPiece {
     *         exact integer inputs ride along so gates can pin the
     *         ranking); stops early when no pair repeats
     */
-  def train(docs: DataFrame, tokenCol: String, rounds: Int): DataFrame =
+  def train(docs: DataFrame, tokenCol: String, rounds: Int,
+      localFinishMaxRows: Long = 4000000L): DataFrame =
     trainLoop(docs.select(col(tokenCol).cast("array<string>").as("toks")),
-      rounds, (l, r) => l + r)
+      rounds, (l, r) => l + r, localFinishMaxRows)
 
   /** WordPiece training FROM WORDS — the production entry point (the
     * trainer BERT vocabularies actually come from): lowercased
@@ -64,18 +65,21 @@ object WordPiece {
     * "l"+"##ow" → "low") — so the learned table plus the seed chars IS
     * a [[encodeCorpus]] vocabulary, closing the train → encode loop.
     * Same score/tie/stopping semantics as [[train]]. */
-  def trainFromWords(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def trainFromWords(docs: DataFrame, textCol: String, rounds: Int,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     val streams = docs
       .select(explode(graft.functions.TextTokens.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .select(transform(split(col("w"), ""),
         (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))).as("toks"))
     trainLoop(streams, rounds,
-      (l, r) => l + (if (r.startsWith("##")) r.substring(2) else r))
+      (l, r) => l + (if (r.startsWith("##")) r.substring(2) else r),
+      localFinishMaxRows)
   }
 
   private def trainLoop(symbols: DataFrame, rounds: Int,
-      mergedSymbol: (String, String) => String): DataFrame = {
+      mergedSymbol: (String, String) => String,
+      localFinishMaxRows: Long = 4000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 10000, s"rounds=$rounds out of range")
     val spark = symbols.sparkSession
     import spark.implicits._
@@ -84,7 +88,27 @@ object WordPiece {
       spark.createDataFrame(df.rdd, df.schema)
 
     val h0 = symbols.persist()
-    h0.count()
+    // serial-endgame cutover (the Scc/Bfs doctrine, see ByteBpe.train):
+    // under the rows+symbols budget, collect once and finish in
+    // LocalSubword. WordPiece's likelihood score makes this the ONLY
+    // sound fast path — a lazy max-heap is unsound here because
+    // cnt/(lc*rc) can INCREASE when a unit count drops (LocalSubword
+    // scans the candidate map instead), and distributed rounds above
+    // budget pay one full argmax aggregate each anyway.
+    val stw = h0.agg(count(lit(1)), coalesce(sum(size(col("toks"))), lit(0L)))
+      .collect()(0)
+    val (hRows, hSyms) = (stw.getLong(0), stw.getLong(1))
+    if (hRows + hSyms <= localFinishMaxRows) {
+      val rows = h0.select(col("toks")).collect()
+      h0.unpersist(blocking = false)
+      Console.err.println(
+        s"[wordpiece] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")
+      val toks = rows.map(_.getSeq[String](0).toArray)
+      return LocalSubword
+        .wordPieceLocal(toks, Array.fill(toks.length)(1L), rounds, mergedSymbol)
+        .toDF("round", "left", "right", "pair_count", "left_count", "right_count")
+        .withColumn("round", col("round").cast("long"))
+    }
     var cur = truncate(h0)
     val handles = ListBuffer(h0)
     val merges = ListBuffer.empty[(Int, String, String, Long, Long, Long)]

@@ -655,6 +655,61 @@ object PackingQueries {
         .toDF("doc_id", "n_bytes", "lossless", "bound_ok")
     },
 
+    // T92: DEEP byte-level BPE training on the REAL corpus — 100 merge
+    // rounds (the r16 advisory's scale axis: a production vocab is
+    // 32k–100k merges, so round COUNT, not per-round data, is the wall).
+    // Under the serial-endgame cutover the whole loop runs driver-side
+    // over the collected pretoken histogram (LocalSubword — incremental
+    // pair counts, occurrence-indexed rewrites; budget-gated, parity-
+    // pinned by SubwordEndgameSpec), so 100 rounds is milliseconds of
+    // merge work instead of 100 sequential Spark jobs. The oracle can't
+    // replay training, so the gate hashes the trainer's ALGEBRAIC
+    // INVARIANTS, each a value that fails on a real defect:
+    //   mono_ok — chosen pair_count is non-increasing over rounds
+    //     (merging can only shrink other pairs' counts, and a new pair's
+    //     count is bounded by its parent's — an argmax or incremental-
+    //     count bug breaks the chain);
+    //   count_ok — every merge reached weighted count ≥ 2 (the stopping
+    //     rule never admits a singleton);
+    //   parents_known — each side is a base-alphabet symbol or the
+    //     concatenation of an EARLIER merge (training order is a valid
+    //     derivation chain — a round-ordering bug surfaces here);
+    // and exactly 100 rows pins that deep training neither stops early
+    // on this corpus nor overruns. The windows/joins run on the 100-row
+    // merge table (count-scale, the bounded-build contract).
+    QueryDef.sql(
+      "t92_byte_bpe_deep_train",
+      """SELECT CAST(r AS BIGINT) AS round, TRUE AS mono_ok, TRUE AS count_ok,
+        |  TRUE AS parents_known
+        |FROM range(1, 101) t(r)""".stripMargin) { (spark, dir) =>
+      val merges = graft.operators.ByteBpe.train(
+        Tables.load(spark, dir, "documents").select(col("text")),
+        "text", rounds = 100)
+      val w = Window.orderBy(col("round")) // 100 rows — count-scale
+      val baseAlphabet = typedLit(graft.operators.ByteBpe.byteChar.toSeq)
+      // first round each learned symbol appears (two merges CAN concat to
+      // the same string — ("a","bc") and ("ab","c") — so dedupe by min)
+      val syms = merges
+        .select(concat(col("left"), col("right")).as("sym"), col("round").as("srnd"))
+        .groupBy(col("sym")).agg(min(col("srnd")).as("first_round"))
+      def known(side: String) = {
+        val renamed = syms.select(col("sym").as(s"${side}_sym"),
+          col("first_round").as(s"${side}_first"))
+        (m: org.apache.spark.sql.DataFrame) => m
+          .join(broadcast(renamed), m(side) === renamed(s"${side}_sym"), "left")
+          .withColumn(s"${side}_known",
+            array_contains(baseAlphabet, col(side)) ||
+              (col(s"${side}_first").isNotNull && col(s"${side}_first") < col("round")))
+      }
+      known("right")(known("left")(merges))
+        .withColumn("mono_ok",
+          coalesce(lag(col("pair_count"), 1).over(w) >= col("pair_count"), lit(true)))
+        .select(col("round"),
+          col("mono_ok"),
+          (col("pair_count") >= 2).as("count_ok"),
+          (col("left_known") && col("right_known")).as("parents_known"))
+    },
+
     // T46: BPE ENCODE — the trained merge table APPLIED back to the
     // corpus via the native whole-table BpeApply expression (train →
     // collect the vocab-scale table → encode is the production shape:
