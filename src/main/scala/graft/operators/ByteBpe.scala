@@ -186,25 +186,74 @@ object ByteBpe {
     * every byte is in the base alphabet, so encoding is total. Case is
     * preserved (byte-level tokenizers do not lowercase).
     *
+    * SPECIAL TOKENS (`specials` — the published GPT-2/tiktoken
+    * `allowed_special` behavior, e.g. the `<|endoftext|>` document
+    * separator a sequence packer's boundary semantics need): the text
+    * first splits ON the reserved strings (longest-first, so an
+    * overlapping pair like `<|end|>`/`<|endoftext|>` resolves to the
+    * longer literal), each occurrence passes through UNSPLIT as one
+    * atomic token — the pretokenizer never sees it, merges never touch
+    * it (a 1-element symbol array has no adjacent pair), and
+    * [[decode]] inverts it transparently because ASCII specials map
+    * through the printable-identity rows of the byte table. Plumbing:
+    * occurrences are fenced with a NUL (\\u0000) sentinel (regexp_replace
+    * — NUL cannot appear in the alphabet or in text that survives any
+    * sane ingest; split on it yields segments that are either a
+    * reserved literal or plain text), then the per-segment pretoken
+    * explode nests under the segment position so document order is
+    * (segment, pretoken) — all native expressions, no UDF.
+    *
     * @return (idCol, toks array<string>, n_tokens); empty-text rows
     *         keep an empty array
     */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Seq.empty): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs.select(col(idCol).as("id"),
-        posexplode(pretokens(col(textCol))).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
+    require(specials.forall(s => s.nonEmpty && !s.contains("\u0000")),
+      "special tokens must be non-empty and NUL-free")
+    val words =
+      if (specials.isEmpty)
+        docs.select(col(idCol).as("id"), lit(0).as("spos"),
+            posexplode(pretokens(col(textCol))).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+      else {
+        val sentinel = "\u0000"
+        // ONE alternation pass, longest literal first: Java alternation
+        // is ordered, so at any position the longest reserved string
+        // wins, and a single pass can never re-match inside an already
+        // fenced occurrence (a sequential per-special fold could — a
+        // shorter special that is a substring of a longer one would
+        // corrupt the longer's fence)
+        val alternation = specials.sortBy(-_.length)
+          .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
+        val fenced = regexp_replace(col(textCol).cast("string"),
+          lit(alternation), lit(sentinel + "$1" + sentinel))
+        val specialSet = typedLit(specials)
+        docs.select(col(idCol).as("id"),
+            posexplode(split(fenced, sentinel)).as(Seq("spos", "seg")))
+          .filter(col("seg") =!= "")
+          .select(col("id"), col("spos"),
+            posexplode(when(array_contains(specialSet, col("seg")),
+                array(col("seg")))
+              .otherwise(pretokens(col("seg")))).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+      }
+    val specialSeeds = specials.toSet
     val seeded = words.select(col("w")).distinct().as[String]
-      .map(w => (w, toByteSymbols(w)))
-      .toDF("w", "seed")
+      .map(w => (w, if (specialSeeds(w)) Seq(w) else toByteSymbols(w),
+        specialSeeds(w)))
+      .toDF("w", "seed", "is_special")
     val vocab =
       if (merges.isEmpty) seeded.select(col("w"), col("seed").as("subtoks"))
-      else seeded.select(col("w"), BpeApply(col("seed"), merges).as("subtoks"))
+      else seeded.select(col("w"),
+        when(col("is_special"), col("seed"))
+          .otherwise(BpeApply(col("seed"), merges)).as("subtoks"))
     val assembled = words.join(vocab, "w")
       .groupBy(col("id"))
-      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("subtoks"))))
+      .agg(flatten(array_sort(
+        collect_list(struct(col("spos"), col("pos"), col("subtoks"))))
         .getField("subtoks")).as("toks"))
     docs.select(col(idCol).as("id"))
       .join(assembled, Seq("id"), "left")

@@ -435,6 +435,129 @@ object PackingQueries {
           (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
     },
 
+    // T94: the END-TO-END corpus→training-batches composition — the
+    // artifact the whole LLM-pipeline catalog exists to produce, every
+    // published stage chained in ONE gate: d9's clean keep-set
+    // (language → quality → exact dedup) → t86/t87's CCNet perplexity
+    // HEAD bucket (KN-scored against the even-doc reference, per-
+    // language tertile cut via the bucketed GroupedRank) → t85's
+    // byte-level BPE encode → t34's concat-and-chunk sequence packing
+    // over the BPE token counts → t38's deterministic reshard. The
+    // oracle replays the entire chain, so a drift ANYWHERE (a gate
+    // threshold, the KN arithmetic, the tertile boundary, a token
+    // count, an offset, a shard key) fails on a value.
+    //
+    // The encode uses the 2-merge table [(e,r),(t,h)] — REAL byte-BPE
+    // machinery (pretokenize → byte symbols → greedy merge passes →
+    // vocab join-back), chosen because its token count is CLOSED-FORM
+    // for the oracle: the pairs share no symbols and cannot self-
+    // overlap, pretoken boundaries never split adjacent letters on this
+    // corpus (no contractions), so n_tok = bytes − #er − #th by
+    // disjoint substring count. (Production-size tables are gated by
+    // t84/t90/t92; this gate pins the COMPOSITION.)
+    //
+    // Single-pass discipline (the t87 audit rule): the keep-set
+    // persists once and feeds scoring, the head join-back, and the
+    // encoder; the LM subtree computes ONCE (GroupedRank persists its
+    // input before the quantile probe); the encoded counts persist
+    // before the packing prefix-sum's boundary probe. The reshard
+    // window partitions by shard (bounded training-file units — t38's
+    // documented scale knob).
+    QueryDef.sql(
+      "t94_corpus_to_batches",
+      s"""WITH ${graft.queries.DedupQueries.cleanCorpusSql},
+         |surv AS (SELECT doc_id FROM f WHERE rn = 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+         |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |cn AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+         |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
+         |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+         |tgk AS (SELECT bg.doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg JOIN surv USING (doc_id)),
+         |s AS (SELECT tgk.doc_id,
+         |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
+         |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+         |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * cn.c1 AS DOUBLE)
+         |             + (CAST(3 * cn.n1f AS DOUBLE) * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
+         |               / (CAST(4 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+         |          END) * 1000000.0) AS BIGINT) AS lp
+         |      FROM tgk LEFT JOIN c2 ON tgk.w1 = c2.w1 AND tgk.w2 = c2.w2
+         |              LEFT JOIN cn ON tgk.w1 = cn.w1
+         |              LEFT JOIN nr ON tgk.w2 = nr.w2
+         |              CROSS JOIN tot),
+         |sc AS (SELECT surv.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+         |              CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+         |       FROM surv LEFT JOIN s ON s.doc_id = surv.doc_id GROUP BY 1),
+         |sl AS (SELECT sc.doc_id, d.lang, sc.n_scored, sc.logprob_fp6
+         |       FROM sc JOIN documents d USING (doc_id)),
+         |rb AS (SELECT doc_id,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY CAST(logprob_fp6 AS DOUBLE) / n_scored DESC, doc_id) AS rnk,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |       FROM sl WHERE n_scored > 0),
+         |head AS (SELECT doc_id FROM rb WHERE (3 * (rnk - 1)) // n_lang = 0),
+         |e AS (SELECT d.doc_id,
+         |        CAST(strlen(d.text)
+         |          - (strlen(d.text) - strlen(replace(d.text, 'er', ''))) // 2
+         |          - (strlen(d.text) - strlen(replace(d.text, 'th', ''))) // 2 AS BIGINT) AS n_tok
+         |      FROM documents d JOIN head USING (doc_id)),
+         |w AS (SELECT doc_id, n_tok,
+         |        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM e),
+         |pk AS (SELECT doc_id, n_tok, cum, cum - n_tok AS tok_start,
+         |         (cum - n_tok) // $SeqLen AS seq_first,
+         |         (cum - 1) // $SeqLen AS seq_last
+         |       FROM w),
+         |sh AS (SELECT pk.*, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM pk)
+         |SELECT doc_id,
+         |  CAST((ascii(substr(k, 1, 1)) * 256 + ascii(substr(k, 2, 1))) % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY (ascii(substr(k, 1, 1)) * 256 + ascii(substr(k, 2, 1))) % 8
+         |    ORDER BY k, doc_id) AS INT) AS pos,
+         |  n_tok, tok_start, seq_first, seq_last,
+         |  seq_last - seq_first + 1 AS n_seqs
+         |FROM sh""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      // stage 1 — keep set, persisted: feeds scoring, the head
+      // join-back, and the encoder
+      val kept = graft.engine.BoundedCaches.persist(
+        docs.join(graft.queries.DedupQueries.cleanCorpus(spark, dir)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text")))
+      // stage 2 — CCNet head bucket over KN scores (even-doc reference)
+      val scored = graft.functions.NgramLm.scoreKneserNey(
+        docs.filter(col("doc_id") % 2 === 0), "text", kept, "doc_id", "text")
+      val head = graft.functions.NgramLm.perplexityBuckets(
+          scored.join(kept.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          "doc_id", "lang")
+        .filter(col("bucket") === "head").select(col("doc_id"))
+      // stage 3 — byte-BPE encode (oracle-closed 2-merge table);
+      // persisted so the packing probe + shuffle read it once
+      val enc = graft.engine.BoundedCaches.persist(
+        graft.operators.ByteBpe.encodeCorpus(
+            kept.join(head, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", Seq(("e", "r"), ("t", "h")))
+          .select(col("doc_id"), col("n_tokens").as("n_tok")))
+      // stage 4 — t34 packing arithmetic over the BPE token counts
+      val packed = PrefixSum.withRunningSum(enc, "doc_id",
+          descending = false, tieBreak = Seq.empty,
+          value = col("n_tok"), out = "cum")
+        .withColumn("tok_start", col("cum") - col("n_tok"))
+        .withColumn("seq_first", expr(s"tok_start div ${SeqLen}L"))
+        .withColumn("seq_last", expr(s"(cum - 1) div ${SeqLen}L"))
+      // stage 5 — t38 deterministic reshard
+      val keyed = packed.withColumn("k",
+          md5(concat(col("doc_id").cast("string"), lit(":seed42"))))
+        .withColumn("shard", pmod(ascii(substring(col("k"), 1, 1)) * 256 +
+          ascii(substring(col("k"), 2, 1)), lit(8)))
+      keyed.select(col("doc_id"), col("shard").cast("int").as("shard"),
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("int").as("pos"),
+        col("n_tok"), col("tok_start"), col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+    },
+
     // T45: iterative BPE MERGE TRAINING (operators/BpeTrain — t40 gates
     // one round's pair counts; this gates the LOOP: count → argmax with
     // deterministic tie-break → greedy merge pass → repeat). The corpus
@@ -614,6 +737,41 @@ object PackingQueries {
           .select(col("s_suppkey").cast("long").as("id"), text.as("text")),
         "id", "text", byteBpeFixtureMerges(spark, dir))
         .select(col("id"), array_join(col("toks"), "|").as("toks_joined"),
+          col("n_tokens"))
+    },
+
+    // T93: byte-level BPE SPECIAL TOKENS — the published GPT-2/tiktoken
+    // reserved-string behavior the t94 packer boundary semantics need:
+    // `<|endoftext|>` passes through the pretokenizer UNSPLIT as one
+    // atomic token, merges never touch it, and ASCII specials decode
+    // transparently (printable-identity byte rows). Word classes by
+    // k = s_suppkey%3 pin the exact failure modes: k=0 puts the special
+    // ADJACENT to mergeable text on both sides (no spaces — the t84
+    // merges must still fire on both neighbors), k=1 pins the
+    // space-boundary interaction (the " bé" after the special keeps its
+    // Ġ and merges to the t84 round-4 word token; the pre-special space
+    // stands alone), k=2 pins that a PARTIAL prefix of the special
+    // ("<|en") is ordinary text (punct-run + letter pretokens) while
+    // the full literal at the end is still atomic — a naive
+    // startsWith-based splitter fails on a value here.
+    QueryDef.sql(
+      "t93_byte_bpe_special_tokens",
+      """WITH k AS (SELECT s_suppkey AS id, s_suppkey % 3 AS k FROM supplier)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CASE k WHEN 0 THEN 'aÃ©~<|endoftext|>~bÃ©'
+        |         WHEN 1 THEN 'aÃ©~Ġ~<|endoftext|>~ĠbÃ©'
+        |         ELSE '<~|~e~n~Ġ~aÃ©~<|endoftext|>' END AS toks_joined,
+        |  CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 7 END AS BIGINT) AS n_tokens
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val text = when(pmod(col("s_suppkey"), lit(3L)) === 0, "aé<|endoftext|>bé")
+        .when(pmod(col("s_suppkey"), lit(3L)) === 1, "aé <|endoftext|> bé")
+        .otherwise("<|en aé<|endoftext|>")
+      graft.operators.ByteBpe.encodeCorpus(
+        Tables.load(spark, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("id"), text.as("text")),
+        "id", "text", byteBpeFixtureMerges(spark, dir),
+        specials = Seq("<|endoftext|>"))
+        .select(col("id"), array_join(col("toks"), "~").as("toks_joined"),
           col("n_tokens"))
     },
 

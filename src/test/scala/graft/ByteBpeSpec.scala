@@ -126,4 +126,28 @@ class ByteBpeSpec extends AnyFunSuite {
       ByteBpe.train(Seq("x").toDF("text"), "text", 0))
     assert(e.getMessage.contains("rounds"), e.getMessage)
   }
+
+  test("special tokens: atomic, decode-transparent, longest-first") {
+    // OVERLAPPING specials: <|end|> is a PREFIX-SHARING sibling of
+    // <|endoftext|> — the single-alternation fence must pick the longer
+    // literal at the same position (a per-special sequential replace
+    // could corrupt the longer's fence)
+    val specials = Seq("<|end|>", "<|endoftext|>")
+    val text = "ab<|endoftext|>cd<|end|>ef <|en gh"
+    val doc = Seq((1L, text)).toDF("id", "text")
+    val enc = ByteBpe.encodeCorpus(doc, "id", "text",
+        merges = Seq(("a", "b")), specials = specials)
+      .as[(Long, Seq[String], Long)].head()
+    // the merge fires on ab; both specials are single atomic tokens;
+    // the partial "<|en" is ordinary text
+    assert(enc._2.contains("<|endoftext|>") && enc._2.contains("<|end|>"),
+      enc._2.toString)
+    assert(enc._2.count(_ == "<|endoftext|>") == 1, enc._2.toString)
+    assert(enc._2.head == "ab", enc._2.toString)
+    // ASCII specials decode transparently (printable-identity byte rows)
+    assert(ByteBpe.decode(enc._2) == text)
+    val e = intercept[IllegalArgumentException](
+      ByteBpe.encodeCorpus(doc, "id", "text", Nil, specials = Seq("")))
+    assert(e.getMessage.contains("special"), e.getMessage)
+  }
 }
