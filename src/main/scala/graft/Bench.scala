@@ -121,7 +121,19 @@ object Bench {
     "t87_ccnet_buckets",
     // the family's heaviest: order-3 recursion = a 5-way scoring join
     // over two persisted count frames — the widest LM join tree
-    "t89_trigram_kn_perplexity")
+    "t89_trigram_kn_perplexity",
+    // r17: the round's new shapes — trigram MODIFIED KN (t89's join tree
+    // plus two count-of-count driver folds and the bucketed per-context
+    // rollups at both orders: the family's true heaviest), deep byte-BPE
+    // training (the serial-endgame profile: one corpus pretoken count +
+    // a 100-round driver merge loop — regressions in the cutover or the
+    // incremental counts surface here), and the corpus→batches
+    // composition (d9 + KN + bucketing + encode + packing + reshard in
+    // ONE plan — the end-to-end artifact; t93 stays GATE-ONLY, a
+    // fixture-scale encode variant).
+    "t91_trigram_modified_kn",
+    "t92_byte_bpe_deep_train",
+    "t94_corpus_to_batches")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers

@@ -46,10 +46,11 @@ import org.apache.spark.sql.functions._
   * Requirements (the PrefixSum contract): `keyCol` must be numeric and
   * non-null (callers pre-coalesce; a NaN would bucket deterministically
   * but sort NaN-last vs NaN-greatest differently across engines — no
-  * current caller can produce one), group columns must be non-null
-  * (they become broadcast-join keys), and `tieBreak` must make the
+  * current caller can produce one), and `tieBreak` must make the
   * per-group order total — `row_number` over a non-total order is not
-  * deterministic under ANY implementation, windowed or bucketed.
+  * deterministic under ANY implementation, windowed or bucketed. Group
+  * columns MAY be null: the rejoin is null-safe (`<=>`), so null keys
+  * form one group exactly like `Window.partitionBy` would.
   */
 object GroupedRank {
 
@@ -152,7 +153,11 @@ object GroupedRank {
     val offsets = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(offRows.toSeq: _*), offSchema)
 
-    val joinCond = (groupCols.map(c => local(c) === offsets("_gr_" + c)) :+
+    // NULL-SAFE group equality: Window.partitionBy groups null keys
+    // together, so the broadcast rejoin must too — a plain === here
+    // would inner-join null-group rows into NOTHING (silent row loss,
+    // not even a wrong rank)
+    val joinCond = (groupCols.map(c => local(c) <=> offsets("_gr_" + c)) :+
       (local(pid) === offsets(pid))).reduce(_ && _)
     local.join(broadcast(offsets), joinCond)
       .withColumn(outRank, col(outRank) + col(poff))

@@ -53,7 +53,8 @@ object WordPiece {
     */
   def train(docs: DataFrame, tokenCol: String, rounds: Int,
       localFinishMaxRows: Long = 4000000L): DataFrame =
-    trainLoop(docs.select(col(tokenCol).cast("array<string>").as("toks")),
+    trainLoop(docs.select(col(tokenCol).cast("array<string>").as("toks"),
+        lit(1L).as("freq")),
       rounds, (l, r) => l + r, localFinishMaxRows)
 
   /** WordPiece training FROM WORDS — the production entry point (the
@@ -64,19 +65,34 @@ object WordPiece {
     * l + r WITHOUT the right's ## ("##ow"+"##e" → "##owe",
     * "l"+"##ow" → "low") — so the learned table plus the seed chars IS
     * a [[encodeCorpus]] vocabulary, closing the train → encode loop.
-    * Same score/tie/stopping semantics as [[train]]. */
+    * Same score/tie/stopping semantics as [[train]].
+    *
+    * Scale shape (r17): the word stream HISTOGRAMS first — one corpus-
+    * scale map-side-combined count, then every training round (pair
+    * aggregate, unit aggregate, rewrite) runs over the DISTINCT-word
+    * frame with counts weighted by word frequency (the ByteBpe trainer
+    * shape; exactly equal counts by construction since identical
+    * streams contribute identically). Zipf makes that vocab-scale —
+    * sublinear in corpus size — and brings a REAL corpus under the
+    * serial-endgame budget, where the per-occurrence stream would stay
+    * corpus-bound on both paths. */
   def trainFromWords(docs: DataFrame, textCol: String, rounds: Int,
       localFinishMaxRows: Long = 4000000L): DataFrame = {
     val streams = docs
       .select(explode(graft.functions.TextTokens.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(transform(split(col("w"), ""),
-        (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))).as("toks"))
+        (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))).as("toks"),
+        col("freq"))
     trainLoop(streams, rounds,
       (l, r) => l + (if (r.startsWith("##")) r.substring(2) else r),
       localFinishMaxRows)
   }
 
+  /** `symbols` carries (toks array<string>, freq long) — a WEIGHTED
+    * symbol-stream histogram; counts are per-occurrence sums weighted
+    * by freq on both the distributed and endgame paths. */
   private def trainLoop(symbols: DataFrame, rounds: Int,
       mergedSymbol: (String, String) => String,
       localFinishMaxRows: Long = 4000000L): DataFrame = {
@@ -99,13 +115,14 @@ object WordPiece {
       .collect()(0)
     val (hRows, hSyms) = (stw.getLong(0), stw.getLong(1))
     if (hRows + hSyms <= localFinishMaxRows) {
-      val rows = h0.select(col("toks")).collect()
+      val rows = h0.select(col("toks"), col("freq")).collect()
       h0.unpersist(blocking = false)
       Console.err.println(
         s"[wordpiece] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")
       val toks = rows.map(_.getSeq[String](0).toArray)
+      val ws = rows.map(_.getLong(1))
       return LocalSubword
-        .wordPieceLocal(toks, Array.fill(toks.length)(1L), rounds, mergedSymbol)
+        .wordPieceLocal(toks, ws, rounds, mergedSymbol)
         .toDF("round", "left", "right", "pair_count", "left_count", "right_count")
         .withColumn("round", col("round").cast("long"))
     }
@@ -116,15 +133,15 @@ object WordPiece {
       var round = 1
       var exhausted = false
       while (round <= rounds && !exhausted) {
-        val pairs = cur.select(explode(zip_with(
+        val pairs = cur.select(col("freq"), explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("freq")).as("cnt"))
           .filter(col("cnt") >= 2)
-        val units = cur.select(explode(col("toks")).as("s"))
-          .groupBy(col("s")).agg(count(lit(1)).as("uc"))
+        val units = cur.select(col("freq"), explode(col("toks")).as("s"))
+          .groupBy(col("s")).agg(sum(col("freq")).as("uc"))
         val cands = pairs
           .join(broadcast(units.select(col("s").as("l"), col("uc").as("lc"))), Seq("l"))
           .join(broadcast(units.select(col("s").as("r"), col("uc").as("rc"))), Seq("r"))
@@ -160,7 +177,8 @@ object WordPiece {
           val (l, r) = (t.getString(0), t.getString(1))
           merges += ((round, l, r, t.getLong(2), t.getLong(3), t.getLong(4)))
           val next = cur
-            .select(BpeMergePass(col("toks"), l, r, mergedSymbol(l, r)).as("toks"))
+            .select(BpeMergePass(col("toks"), l, r, mergedSymbol(l, r)).as("toks"),
+              col("freq"))
             .persist()
           next.count()
           val leaf = truncate(next)

@@ -61,6 +61,30 @@ class GroupedRankSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.contains("_gr_pid"), s"group-only window: $w"))
   }
 
+  test("null group keys form one group, exactly like Window.partitionBy") {
+    // the broadcast rejoin must be null-safe: a plain === would
+    // inner-join null-group rows into NOTHING — silent row LOSS
+    val withNulls = spark.range(300)
+      .select(
+        when(col("id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(lit("x")).as("g"),
+        (col("id") % 17).cast("double").as("k"),
+        col("id").as("tb"))
+    val got = GroupedRank.withGroupRank(withNulls, Seq("g"), "k",
+        descending = false, tieBreak = Seq(col("tb").asc),
+        outRank = "rnk", outCount = "n", buckets = 8)
+      .orderBy(col("tb")).select(col("g"), col("rnk"), col("n"))
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(got.size == 300, s"row loss: ${got.size}")
+    val want = withNulls.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("k").asc, col("tb").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .orderBy(col("tb")).select(col("g"), col("rnk"), col("n"))
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("the slice-budget guard fails loudly, never silently truncates") {
     val e = intercept[IllegalArgumentException] {
       GroupedRank.withGroupRank(data, Seq("g"), "k", descending = false,
