@@ -40,9 +40,20 @@ object PlanBudget {
     "d47_hybrid_rrf_fusion" -> (1, 2), // BM25 stats fold + dense exact-baseline query broadcast
     "t48_lm_perplexity" -> (1, 1),   // 1-row vocab-size fold
     "t86_kneser_ney_perplexity" -> (2, 2), // 1-row distinct-bigram (B) + vocab (V) folds, crossJoined then broadcast back
-    "t87_ccnet_buckets" -> (2, 2), // inherits t86's two scalar folds (KN scoring feeds the bucketing)
+    // t87/t94 counts are TEXTUAL: this spec regex-counts the plan STRING,
+    // and a cached frame's InMemoryRelation block REPRINTS its child plan
+    // — nested caches (GroupedRank's keyed+bucketed pair over the KN
+    // subtree; t94 adds the keep-set, encoded-counts and PrefixSum
+    // caches) multiply the SAME two bounded 1-row folds (t86's B + V)
+    // into 8 / 96 textual occurrences. Each fold EXECUTES once, at cache
+    // materialization; the inflated number is still a pin — any real new
+    // SinglePartition/BNLJ (or a lost cache) moves it and fails here.
+    "t87_ccnet_buckets" -> (8, 8),
+    "t94_corpus_to_batches" -> (96, 96),
     "t88_modified_kn_perplexity" -> (2, 2), // t86's B + V folds (the n1..n4 fold is a separate driver collect)
     "t89_trigram_kn_perplexity" -> (2, 2), // the adjusted-bigram-mass (B2) + vocab (V) folds
+    "t91_trigram_modified_kn" -> (2, 2),   // t89's B2 + V folds (both count-of-count folds are driver collects)
+    "t92_byte_bpe_deep_train" -> (1, 0),   // ONE ordered window over the 100-row merge table (count-scale)
     "t51_dsir_selection" -> (2, 2),  // two LMs ⇒ two 1-row vocab folds
     "d58_embedding_gram" -> (1, 0),  // d×d Gram fold: buffer bounded by dim², not data
     "a36_t_closeness" -> (3, 3),     // |bins|-row global cum + N/m 1-row folds & broadcasts
