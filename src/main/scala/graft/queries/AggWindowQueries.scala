@@ -11,6 +11,35 @@ import org.apache.spark.sql.types._
   */
 object AggWindowQueries {
 
+  /** Exact rank-function derivations from a bucketed per-group
+    * (row_number, count) — [[graft.operators.GroupedRank]]'s outputs —
+    * under a UNIQUE total order, where rank = dense_rank = row_number
+    * and the remaining ranking family is closed-form integer/rational
+    * arithmetic of (rn, n). These let the low-cardinality-group window
+    * queries (event_type, o_orderstatus, c_mktsegment, p_brand — each a
+    * handful of values over a FACT table, i.e. one giant sort task per
+    * group at 100 TB: the t87 class) ride the bucketed rank instead of
+    * `Window.partitionBy(group)`, with hash-identical outputs (the
+    * DuckDB oracles still compute the native window functions). */
+  /** SQL-standard NTILE from (rn, n) column NAMES: q = n div k,
+    * r = n mod k; the first r buckets hold q+1 rows. Exact BIGINT `div`
+    * throughout (a double floor(x/y) goes lossy past 2^53 — the t34
+    * rule). The q = 0 case (n < k) always takes the first branch
+    * (rn <= n = r·1), so the else-division by q is never by zero. */
+  private def ntileOf(k: Int, rn: String, n: String): org.apache.spark.sql.Column =
+    expr(s"""CASE WHEN $rn <= ($n % $k) * (($n div $k) + 1)
+             THEN ($rn - 1) div (($n div $k) + 1) + 1
+             ELSE ($n % $k) + ($rn - ($n % $k) * (($n div $k) + 1) - 1) div ($n div $k) + 1 END""")
+
+  private def percentRankOf(rn: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(n === 1, lit(0.0))
+      .otherwise((rn - 1).cast("double") / (n - 1).cast("double"))
+
+  private def cumeDistOf(rn: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rn.cast("double") / n.cast("double")
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1/A2: group-by + collect values into list (src/core.py:1334,1363).
@@ -261,10 +290,13 @@ object AggWindowQueries {
       """SELECT p_partkey,
         |  CASE WHEN rn > 1 THEN p_brand || ' (' || CAST(rn - 1 AS VARCHAR) || ')' ELSE p_brand END AS disambiguated_name
         |FROM (SELECT p_partkey, p_brand, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS INT) AS rn FROM part) t""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
-      Tables.load(spark, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-        .withColumn("rn", row_number().over(w))
+      // p_brand is ~25 values over the part FACT table: the bucketed
+      // GroupedRank, never Window.partitionBy(p_brand) (one giant sort
+      // task per brand at scale — the t87 class)
+      graft.operators.GroupedRank.withGroupRank(
+          Tables.load(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+          Seq("p_brand"), "p_partkey", descending = false,
+          tieBreak = Seq.empty, outRank = "rn", outCount = "_n")
         .select(
           col("p_partkey"),
           when(col("rn") > 1,
@@ -350,14 +382,23 @@ object AggWindowQueries {
         |  round(percent_rank() OVER w, 6) AS prank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.load(spark, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        rank().over(w).cast("int").as("rnk"),
-        dense_rank().over(w).cast("int").as("drnk"),
-        ntile(4).over(w).cast("int").as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"))
+      // o_orderstatus has THREE values over the orders fact table — the
+      // t87 class. Under the UNIQUE total order (o_totalprice DESC,
+      // o_orderkey), rank = dense_rank = row_number and ntile /
+      // percent_rank are closed-form in (rn, n), so the whole ranking
+      // family rides ONE bucketed GroupedRank pass; the oracle still
+      // computes the native window functions, so the derivations are in
+      // the hash.
+      graft.operators.GroupedRank.withGroupRank(
+          Tables.load(spark, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          Seq("o_orderstatus"), "o_totalprice", descending = true,
+          tieBreak = Seq(col("o_orderkey").asc), outRank = "rn", outCount = "n")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("rn").cast("int").as("rnk"),
+          col("rn").cast("int").as("drnk"),
+          ntileOf(4, "rn", "n").cast("int").as("quartile"),
+          round(percentRankOf(col("rn"), col("n")), 6).as("prank"))
     },
 
     // §2.8: global sort + limit (deterministic via unique tiebreak).
@@ -500,12 +541,16 @@ object AggWindowQueries {
         |  CAST(SUM(CAST(LEAST(GREATEST(r."value", b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_winsor,
         |  COUNT(CASE WHEN r."value" < b.lo OR r."value" > b.hi THEN 1 END) AS n_clipped
         |FROM r JOIN b USING (event_type) GROUP BY r.event_type, b.lo, b.hi""".stripMargin) { (spark, dir) =>
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val r = Tables.load(spark, dir, "events").select(
-        col("event_type"), col("value"),
-        row_number().over(wOrd).cast("long").as("rn"),
-        count(lit(1)).over(wAll).as("n"))
+      // event_type is a handful of values over the events fact table —
+      // the rank and group count ride the bucketed GroupedRank (t87
+      // class); its internal cache also serves r's TWO consumers (the
+      // boundary filter and the final join), where the window form
+      // re-sorted per consumer
+      val r = graft.operators.GroupedRank.withGroupRank(
+        Tables.load(spark, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), "value", descending = false,
+        tieBreak = Seq(col("event_id").asc), outRank = "rn", outCount = "n")
       val b = r.filter(
           col("rn") === greatest(lit(1L), ceil(col("n") * 0.05).cast("long")) ||
           col("rn") === ceil(col("n") * 0.95).cast("long"))
@@ -536,9 +581,15 @@ object AggWindowQueries {
         |  FROM events)
         |SELECT event_type, bin, COUNT(*) AS n, MIN("value") AS lo, MAX("value") AS hi
         |FROM r GROUP BY event_type, bin""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      Tables.load(spark, dir, "events")
-        .select(col("event_type"), col("value"), ntile(10).over(w).as("bin"))
+      // deciles from the bucketed per-group rank (t87 class): ntile(10)
+      // is closed-form exact-BIGINT arithmetic of (rn, n)
+      graft.operators.GroupedRank.withGroupRank(
+          Tables.load(spark, dir, "events")
+            .select(col("event_type"), col("value"), col("event_id")),
+          Seq("event_type"), "value", descending = false,
+          tieBreak = Seq(col("event_id").asc), outRank = "rn", outCount = "n")
+        .select(col("event_type"), col("value"),
+          ntileOf(10, "rn", "n").cast("int").as("bin"))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
     },
@@ -659,18 +710,21 @@ object AggWindowQueries {
         |FROM r2 JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
       val medianRank = floor((col("n") + 1) / 2.0).cast(LongType)
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val r = Tables.load(spark, dir, "events").select(
-        col("event_type"), col("event_id"), col("value"),
-        row_number().over(wOrd).cast("long").as("rn"),
-        count(lit(1)).over(wAll).as("n"))
+      // both order-statistic ranks (value, then deviation) ride the
+      // bucketed GroupedRank — event_type over the events fact table is
+      // the t87 class, and the dev rank's input is itself data-scale
+      val r = graft.operators.GroupedRank.withGroupRank(
+        Tables.load(spark, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", descending = false,
+        tieBreak = Seq(col("event_id").asc), outRank = "rn", outCount = "n")
       val med = r.filter(col("rn") === medianRank)
         .groupBy(col("event_type")).agg(min(col("value")).as("med"))
       val r2 = r.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
-      val wDev = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))
-      val mad = r2.withColumn("drn", row_number().over(wDev).cast("long"))
+      val mad = graft.operators.GroupedRank.withGroupRank(
+          r2, Seq("event_type"), "dev", descending = false,
+          tieBreak = Seq(col("event_id").asc), outRank = "drn", outCount = "_n2")
         .filter(col("drn") === medianRank)
         .groupBy(col("event_type")).agg(min(col("dev")).as("mad"))
       r2.join(broadcast(mad), "event_type")
@@ -758,12 +812,12 @@ object AggWindowQueries {
         |  FROM orders)
         |SELECT o_orderstatus, o_totalprice AS median_price, n AS n_rows
         |FROM r WHERE rn = (n + 1) // 2""".stripMargin) { (spark, dir) =>
-      val byStatus = Window.partitionBy(col("o_orderstatus"))
-      val w = byStatus.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.load(spark, dir, "orders")
-        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(byStatus))
+      // 3-value group over the fact table — bucketed rank (t87 class)
+      graft.operators.GroupedRank.withGroupRank(
+          Tables.load(spark, dir, "orders")
+            .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+          Seq("o_orderstatus"), "o_totalprice", descending = false,
+          tieBreak = Seq(col("o_orderkey").asc), outRank = "rn", outCount = "n")
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
           col("n").as("n_rows"))
@@ -984,13 +1038,18 @@ object AggWindowQueries {
         |  CAST(ntile(10) OVER w AS INT) AS decile
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.load(spark, dir, "customer")
+      // 5-value segment over the customer fact table (t87 class): under
+      // the UNIQUE order (c_acctbal, c_custkey), percent_rank, cume_dist
+      // and ntile are all closed-form in the bucketed (rn, n)
+      graft.operators.GroupedRank.withGroupRank(
+          Tables.load(spark, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          Seq("c_mktsegment"), "c_acctbal", descending = false,
+          tieBreak = Seq(col("c_custkey").asc), outRank = "rn", outCount = "n")
         .select(col("c_custkey"), col("c_mktsegment"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
-          ntile(10).over(w).cast("int").as("decile"))
+          round(percentRankOf(col("rn"), col("n")), 6).as("pr"),
+          round(cumeDistOf(col("rn"), col("n")), 6).as("cd"),
+          ntileOf(10, "rn", "n").cast("int").as("decile"))
     },
 
     // A24: per-group IQR outlier detection (Tukey fences) — the profiling
@@ -1023,12 +1082,16 @@ object AggWindowQueries {
       val t = Tables.load(spark, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type").as("g"), col("value").as("v"))
-      val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("g"))
-      val q = t.select(col("g"), col("v"),
-          count(lit(1)).over(wOrd).as("cum"),
-          count(lit(1)).over(wAll).as("tot"))
+      // the running count over (g, v-order) IS a rank — bucketed
+      // GroupedRank, not a per-group window (t87 class). No tiebreak ON
+      // PURPOSE: the crossing test is tie-robust by construction (it can
+      // only flip inside a run of equal v, where v is constant), so any
+      // order consistent with v — including arbitrary rank assignment
+      // within a tie run, which never splits a bucket — yields the same
+      // q1/q3
+      val q = graft.operators.GroupedRank.withGroupRank(
+          t, Seq("g"), "v", descending = false, tieBreak = Seq.empty,
+          outRank = "cum", outCount = "tot")
         .groupBy(col("g"))
         .agg(
           min(when(lit(4) * col("cum") >= col("tot"), col("v"))).as("q1"),

@@ -398,13 +398,19 @@ object EventQueries {
         |      FROM m)
         |SELECT event_id, event_type, "value", round(z, 4) AS z
         |FROM v WHERE abs(z) > 1.5""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("event_type"))
       val dec = Num.dec2(col("value"))
-      val m = Tables.load(spark, dir, "events").select(
-        col("event_id"), col("event_type"), col("value"),
-        sum(dec).over(w).cast("double").as("sx"),
-        sum(dec * dec).over(w).cast("double").as("sxx"),
-        count(lit(1)).over(w).cast("double").as("n"))
+      // groupBy + broadcast join-back, NOT Window.partitionBy(event_type):
+      // a handful of event types over the fact table is the t87 class (one
+      // task buffers a whole type), and the rollup is strictly cheaper —
+      // the map-side-combined aggregate shuffles |types| rows and the fact
+      // side never exchanges at all (the window exchanged ALL of it)
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        sum(dec).cast("double").as("sx"),
+        sum(dec * dec).cast("double").as("sxx"),
+        count(lit(1)).cast("double").as("n"))
+      val m = ev.join(broadcast(stats), "event_type")
       val mu = col("sx") / col("n")
       // A zero-variance group (all values identical, incl. singletons) must
       // yield z = NULL in BOTH engines: Spark's Divide already NULLs on a
@@ -599,11 +605,18 @@ object EventQueries {
         |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
         |  round(CAST(SUM(gap_us) AS BIGINT) / 1000000.0 / COUNT(gap_us), 6) AS avg_gap_s
         |FROM d WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-      Tables.load(spark, dir, "events")
-        .select(col("event_type"), col("ts"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      // lag over a handful of event types spanning the fact table is the
+      // t87 class — GroupedLag buckets the time range, lags within each
+      // (type, bucket) slice, and stitches slice boundaries with the
+      // previous slice's last timestamp (driver-folded, broadcast back).
+      // (ts, event_id) order == (us, event_id): unix_micros is monotone.
+      graft.operators.GroupedLag.withLag(
+          Tables.load(spark, dir, "events")
+            .select(col("event_type"), col("ts"), col("event_id"),
+              unix_micros(col("ts")).as("us")),
+          Seq("event_type"), "us", tieBreak = Seq(col("event_id")),
+          value = col("us"), out = "prev_us")
+        .withColumn("gap_us", col("us") - col("prev_us"))
         .filter(col("gap_us").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
