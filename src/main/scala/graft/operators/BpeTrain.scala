@@ -53,7 +53,11 @@ object BpeTrain {
       .collect()(0)
     val (hRows, hSyms) = (st.getLong(0), st.getLong(1))
     if (hRows + hSyms <= localFinishMaxRows) {
-      val rows = h0.select(col("toks")).collect()
+      // null token arrays contribute nothing on the distributed path
+      // (explode/zip_with of null yields no rows) — drop them here too,
+      // or getSeq would NPE and the same input would crash or not
+      // depending on which side of the budget it lands
+      val rows = h0.select(col("toks")).filter(col("toks").isNotNull).collect()
       h0.unpersist(blocking = false)
       Console.err.println(
         s"[bpe] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")

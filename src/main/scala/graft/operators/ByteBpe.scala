@@ -211,8 +211,16 @@ object ByteBpe {
       specials: Seq[String] = Seq.empty): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(specials.forall(s => s.nonEmpty && !s.contains("\u0000")),
-      "special tokens must be non-empty and NUL-free")
+    // printable-ASCII-only is LOAD-BEARING, not stylistic: decode maps a
+    // special's codepoints through the byte table's printable-identity
+    // rows — a space (cp 32, remapped) would throw on decode, and a
+    // Latin-1 char (cp 233 IS a table key) would silently decode to a
+    // lone invalid-UTF-8 byte (mojibake). Published reserved tokens
+    // (<|endoftext|> et al.) are exactly this class.
+    require(specials.forall(s =>
+        s.nonEmpty && s.forall(c => c >= 33 && c <= 126)),
+      "special tokens must be non-empty printable ASCII (33..126) — " +
+        "other characters break decode through the byte table")
     val words =
       if (specials.isEmpty)
         docs.select(col(idCol).as("id"), lit(0).as("spos"),
@@ -228,7 +236,17 @@ object ByteBpe {
         // corrupt the longer's fence)
         val alternation = specials.sortBy(-_.length)
           .map(java.util.regex.Pattern.quote).mkString("(", "|", ")")
-        val fenced = regexp_replace(col(textCol).cast("string"),
+        // the fence must be LOUD on collision: a raw NUL already in the
+        // text would act as a fence separator and its byte would vanish
+        // from the token stream — silently breaking the no-unk totality
+        // contract (decode∘encode = id). The no-specials path keeps NUL
+        // (it rides a pretoken into the byte alphabet; t90 pins that).
+        val safeText = when(contains(col(textCol).cast("string"), lit(sentinel)),
+            raise_error(lit("text contains NUL (\u0000), which the " +
+              "special-token fence reserves — scrub NUL bytes before " +
+              "encoding with specials, or encode without specials")))
+          .otherwise(col(textCol).cast("string"))
+        val fenced = regexp_replace(safeText,
           lit(alternation), lit(sentinel + "$1" + sentinel))
         val specialSet = typedLit(specials)
         docs.select(col(idCol).as("id"),

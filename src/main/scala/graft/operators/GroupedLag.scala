@@ -43,6 +43,15 @@ object GroupedLag {
       maxCollectedSlices: Long = 1000000L): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(buckets > 0, "buckets must be positive")
+    // sibling-contract trap, made loud: GroupedRank takes DIRECTION-
+    // BEARING sort columns (col(x).asc), this operator takes PLAIN
+    // ascending columns — they feed a lexicographic max_by struct, where
+    // a SortOrder is not a value expression
+    require(!tieBreak.exists(c => org.apache.spark.sql.GraftBridge
+        .expression(c).isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SortOrder]),
+      "GroupedLag tieBreak takes PLAIN columns (ascending implied), " +
+        "not .asc/.desc sort orders — unlike GroupedRank")
     val pid = "_gl_pid"
     val prevCol = "_gl_prev"
     val rnCol = "_gl_rn"
@@ -50,22 +59,8 @@ object GroupedLag {
 
     val cached = graft.engine.BoundedCaches.persist(df.withColumn(valCol, value))
 
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else cached.stat.approxQuantile(keyCol, probes, relativeError)
-        .distinct.sorted(Ordering.Double.TotalOrdering)
-    val v = col(keyCol).cast("double")
-    def lowerBound(pred: Double => Column, lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(pred(bounds(mid)), lowerBound(pred, lo, mid))
-          .otherwise(lowerBound(pred, mid + 1, hi))
-      }
-    val pidExpr =
-      if (bounds.isEmpty) lit(0)
-      else lowerBound(b => lit(b) >= v, 0, bounds.length)
+    val bounds = KeyBuckets.probe(cached, keyCol, buckets, relativeError)
+    val pidExpr = KeyBuckets.pidExpr(bounds, keyCol, descending = false)
 
     val slice = groupCols.map(col) :+ col(pid)
     val parted = graft.engine.BoundedCaches.persist(

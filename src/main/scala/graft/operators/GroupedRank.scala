@@ -82,25 +82,8 @@ object GroupedRank {
 
     val cached = graft.engine.BoundedCaches.persist(df)
 
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else cached.stat.approxQuantile(keyCol, probes, relativeError)
-        .distinct.sorted(Ordering.Double.TotalOrdering)
-    // monotone bucket id by nested-CASE binary search — PrefixSum's
-    // construction verbatim (see its scaladoc for why not a HOF scan)
-    val v = col(keyCol).cast("double")
-    def lowerBound(pred: Double => Column, lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(pred(bounds(mid)), lowerBound(pred, lo, mid))
-          .otherwise(lowerBound(pred, mid + 1, hi))
-      }
-    val pidExpr =
-      if (bounds.isEmpty) lit(0)
-      else if (descending) lit(bounds.length) - lowerBound(b => lit(b) > v, 0, bounds.length)
-      else lowerBound(b => lit(b) >= v, 0, bounds.length)
+    val bounds = KeyBuckets.probe(cached, keyCol, buckets, relativeError)
+    val pidExpr = KeyBuckets.pidExpr(bounds, keyCol, descending)
 
     val slice = groupCols.map(col) :+ col(pid)
     // persisted post-shuffle: the clustered frame feeds BOTH the counts

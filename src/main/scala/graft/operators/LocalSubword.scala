@@ -44,7 +44,10 @@ private[operators] object LocalSubword {
 
   type Pair = (String, String)
 
-  private def u8cmp(x: String, y: String): Int =
+  /** UTF-8 BYTE order — the order the distributed orderBy (UTF8String)
+    * and DuckDB's memcmp use; shared with WordPiece's distributed argmax
+    * (one copy, one tie semantics). */
+  private[operators] def u8cmp(x: String, y: String): Int =
     UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
 
   /** BpeMergePass.nullSafeEval, driver-side, verbatim semantics. */

@@ -91,32 +91,11 @@ object PrefixSum {
     val ptot = "_ps_tot"
     val poff = "_ps_off"
 
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else probe.getOrElse(df).stat.approxQuantile(rangeCol, probes, relativeError)
-        .distinct.sorted(Ordering.Double.TotalOrdering)
-    // Monotone bucket id: count of boundaries strictly passed in scan
-    // order, found by a nested-CASE binary search (O(log buckets) scalar
-    // comparisons, whole-stage-codegen friendly; a higher-order
-    // filter(array, lambda) scan would also trip Catalyst constraint
-    // inference — the lambda's outer reference lands in an unbindable
-    // inferred filter on the far join side). double-cast is monotone over
-    // numerics, so a lossy cast can only merge adjacent buckets, never
-    // reorder them.
-    val v = col(rangeCol).cast("double")
-    // first index in bounds[lo..hi) where `pred(bound)` holds, else hi
-    def lowerBound(pred: Double => Column, lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(pred(bounds(mid)), lowerBound(pred, lo, mid))
-          .otherwise(lowerBound(pred, mid + 1, hi))
-      }
-    val pidExpr =
-      if (bounds.isEmpty) lit(0)
-      else if (descending) lit(bounds.length) - lowerBound(b => lit(b) > v, 0, bounds.length)
-      else lowerBound(b => lit(b) >= v, 0, bounds.length)
+    // boundary probe + monotone bucket id: the shared [[KeyBuckets]]
+    // construction (see its scaladoc — one copy for all three bucketed
+    // window operators)
+    val bounds = KeyBuckets.probe(probe.getOrElse(df), rangeCol, buckets, relativeError)
+    val pidExpr = KeyBuckets.pidExpr(bounds, rangeCol, descending)
 
     val ordering =
       (if (descending) col(rangeCol).desc else col(rangeCol).asc) +: tieBreak

@@ -115,7 +115,10 @@ object WordPiece {
       .collect()(0)
     val (hRows, hSyms) = (stw.getLong(0), stw.getLong(1))
     if (hRows + hSyms <= localFinishMaxRows) {
-      val rows = h0.select(col("toks"), col("freq")).collect()
+      // null arrays: same rationale as BpeTrain's endgame (distributed
+      // path drops them via explode; the collect must match)
+      val rows = h0.select(col("toks"), col("freq"))
+        .filter(col("toks").isNotNull).collect()
       h0.unpersist(blocking = false)
       Console.err.println(
         s"[wordpiece] local-endgame rows=$hRows symbols=$hSyms rounds<=$rounds")
@@ -154,9 +157,7 @@ object WordPiece {
         // 0xD800) BELOW U+E000..U+FFFF while UTF-8 ranks them above —
         // a tie between such symbols would silently pick the other
         // merge (spec-pinned)
-        def u8cmp(x: String, y: String): Int =
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)
-            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+        def u8cmp(x: String, y: String): Int = LocalSubword.u8cmp(x, y)
         def better(a: Row, b: Row): Row = {
           val c = (BigInt(a.getLong(2)) * BigInt(b.getLong(3)) * BigInt(b.getLong(4)))
             .compare(BigInt(b.getLong(2)) * BigInt(a.getLong(3)) * BigInt(a.getLong(4)))

@@ -406,11 +406,15 @@ object EventQueries {
       // side never exchanges at all (the window exchanged ALL of it)
       val ev = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      val stats = ev.groupBy(col("event_type")).agg(
+      val stats = ev.groupBy(col("event_type").as("_et")).agg(
         sum(dec).cast("double").as("sx"),
         sum(dec * dec).cast("double").as("sxx"),
         count(lit(1)).cast("double").as("n"))
-      val m = ev.join(broadcast(stats), "event_type")
+      // NULL-SAFE join-back: groupBy keeps a null-type group (as the
+      // window form did), so the rejoin must too — a plain equi-join
+      // would drop null-type rows (the GroupedRank <=> doctrine)
+      val m = ev.join(broadcast(stats), col("event_type") <=> col("_et"))
+        .drop("_et")
       val mu = col("sx") / col("n")
       // A zero-variance group (all values identical, incl. singletons) must
       // yield z = NULL in BOTH engines: Spark's Divide already NULLs on a
