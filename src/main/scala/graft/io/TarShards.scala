@@ -145,21 +145,50 @@ object TarShards {
     * (shard_idx, n_samples, n_entries, payload) — tar bytes ready for
     * `ObjectStore.upload` or a binary file sink.
     *
-    * Scale shape: the rank is a vertex-scale window over DISTINCT keys
-    * (never the payload rows), the heavy bytes shuffle exactly once on
-    * their target shard id, and each shard assembles in one task via the
-    * deterministic writer. Entries within a shard are laid out sorted by
-    * name, keeping each sample's modalities adjacent — the webdataset
-    * sequential-read contract. */
+    * Scale shape: the rank runs over DISTINCT keys (never the payload
+    * rows) — but at corpus scale distinct keys ≈ samples, so a bare
+    * `Window.orderBy(key)` (one SinglePartition sort of every sample id
+    * — the r17 banned-window sweep's last member) is replaced by the
+    * bucketed doctrine on a RANGE partition: `repartitionByRange(key)` +
+    * per-partition `row_number` (reuses the range clustering — no
+    * second exchange) + per-partition counts folded on the driver into
+    * exclusive offsets and broadcast back. Range-sampling quality only
+    * affects balance, never the rank: ranges are disjoint and ordered,
+    * and keys are distinct, so offset + local rank IS the global rank
+    * regardless of where the sampled boundaries fall. The heavy bytes
+    * then shuffle exactly once on their target shard id, and each shard
+    * assembles in one task via the deterministic writer. Entries within
+    * a shard are laid out sorted by name, keeping each sample's
+    * modalities adjacent — the webdataset sequential-read contract. */
   def packShards(entries: DataFrame, samplesPerShard: Int): DataFrame = {
     require(samplesPerShard >= 1)
     import entries.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val keyed = entries.withColumn("key", regexp_extract(col("name"), "^([^.]+)", 1))
-    // global key rank: ordered window over the distinct-key frame only
-    val keyRank = keyed.select(col("key")).distinct()
-      .withColumn("rk", row_number().over(Window.orderBy(col("key"))) - 1)
-      .withColumn("shard_idx", (col("rk") / samplesPerShard).cast("long"))
+    val parts = math.max(1, keyed.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = graft.engine.BoundedCaches.persist(
+      keyed.select(col("key")).distinct()
+        .repartitionByRange(parts, col("key"))
+        .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    var acc = 0L
+    for ((p, c) <- counts) { offRows += org.apache.spark.sql.Row(p, acc); acc += c }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsets = keyed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offRows.toSeq: _*), offSchema)
+    val keyRank = ranged
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(col("key")))
+          .cast("long"))
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rk", col("_rn") + col("_off") - 1)
+      .withColumn("shard_idx", expr(s"rk div $samplesPerShard"))
       .select(col("key"), col("shard_idx"))
     keyed.join(keyRank, Seq("key"))
       .select(col("shard_idx"), col("key"), col("name"), col("payload"))

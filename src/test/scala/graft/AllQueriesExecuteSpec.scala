@@ -73,7 +73,6 @@ object PlanBudget {
     "q4_join_fanout" -> (2, 0),
     "q5_functional_dependency" -> (3, 0),
     "q9_column_profile" -> (1, 0),
-    "s11_tar_reshard" -> (1, 0),
     "s1_full_scan" -> (1, 0),
     "t11_tfidf_top_terms" -> (1, 1),
     "t14_rare_token_fraction" -> (1, 1),
