@@ -149,27 +149,49 @@ object TarShards {
     * rows) — but at corpus scale distinct keys ≈ samples, so a bare
     * `Window.orderBy(key)` (one SinglePartition sort of every sample id
     * — the r17 banned-window sweep's last member) is replaced by the
-    * bucketed doctrine on a RANGE partition: `repartitionByRange(key)` +
-    * per-partition `row_number` (reuses the range clustering — no
-    * second exchange) + per-partition counts folded on the driver into
-    * exclusive offsets and broadcast back. Range-sampling quality only
-    * affects balance, never the rank: ranges are disjoint and ordered,
-    * and keys are distinct, so offset + local rank IS the global rank
-    * regardless of where the sampled boundaries fall. The heavy bytes
-    * then shuffle exactly once on their target shard id, and each shard
-    * assembles in one task via the deterministic writer. Entries within
-    * a shard are laid out sorted by name, keeping each sample's
-    * modalities adjacent — the webdataset sequential-read contract. */
+    * bucketed doctrine ([[graft.operators.KeyBuckets]]): the bucket id
+    * is a PURE MONOTONE FUNCTION of the key — a 7-byte zero-padded
+    * prefix proxy (UTF-8 bytes compare unsigned-bytewise, exactly
+    * Spark's string order, so the proxy is order-preserving; prefix
+    * collisions only MERGE adjacent buckets, never reorder) bucketed by
+    * quantile boundaries collected ONCE and baked into the plan as
+    * literals. Per-bucket `row_number` + per-bucket counts folded on
+    * the driver into exclusive offsets and broadcast back give
+    * offset + local rank = exact global rank. Boundary quality only
+    * affects balance, never the rank.
+    *
+    * Why not `repartitionByRange` + `spark_partition_id()` (the r17
+    * form): there the bucket id came from the PHYSICAL shuffle
+    * assignment, so correctness rested on the counts job and the
+    * output job seeing the identical partition layout — an implicit
+    * Spark-internals guarantee (shuffle reuse surviving cache
+    * eviction / executor loss). With literal boundaries the id is a
+    * value-level function: any recomputation of any branch re-derives
+    * the SAME bucket for every key (r17 advice).
+    *
+    * The heavy bytes then shuffle exactly once on their target shard
+    * id, and each shard assembles in one task via the deterministic
+    * writer. Entries within a shard are laid out sorted by name,
+    * keeping each sample's modalities adjacent — the webdataset
+    * sequential-read contract. */
   def packShards(entries: DataFrame, samplesPerShard: Int): DataFrame = {
     require(samplesPerShard >= 1)
     import entries.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val keyed = entries.withColumn("key", regexp_extract(col("name"), "^([^.]+)", 1))
     val parts = math.max(1, keyed.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = graft.engine.BoundedCaches.persist(
-      keyed.select(col("key")).distinct()
-        .repartitionByRange(parts, col("key"))
-        .withColumn("_pid", spark_partition_id()))
+    // order-preserving numeric proxy of the key's string order: first 7
+    // UTF-8 bytes, zero-padded (shorter keys must not outrank longer
+    // siblings), as a 56-bit unsigned value — fits a BIGINT
+    val proxy = expr("conv(hex(rpad(cast(key as binary), 7, x'00')), 16, 10)")
+      .cast("long")
+    val distinctKeys = graft.engine.BoundedCaches.persist(
+      keyed.select(col("key")).distinct().withColumn("_kp", proxy))
+    val bounds = graft.operators.KeyBuckets.probe(distinctKeys, "_kp", parts, 0.01)
+    val ranged = distinctKeys.withColumn("_pid",
+      graft.operators.KeyBuckets.pidExpr(bounds, "_kp", descending = false)
+        .cast("int"))
+      .repartition(col("_pid"))
     val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offRows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]

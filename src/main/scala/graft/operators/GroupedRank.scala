@@ -51,6 +51,18 @@ import org.apache.spark.sql.functions._
   * deterministic under ANY implementation, windowed or bucketed. Group
   * columns MAY be null: the rejoin is null-safe (`<=>`), so null keys
   * form one group exactly like `Window.partitionBy` would.
+  *
+  * CONSTRUCT-TIME SNAPSHOT (PrefixSum-family doctrine): this method runs
+  * driver ACTIONS while building the plan — the quantile probe and the
+  * slice-count fold — and bakes their results into the returned lazy
+  * frame as literals / a broadcast LocalRelation. The returned frame is
+  * therefore correct for execution over the input AS IT WAS at
+  * construction: re-executing it after the underlying source changed
+  * (a pure `Window.partitionBy` would silently re-derive) computes ranks
+  * against STALE offsets with no error. Callers hold the usual repo
+  * contract — immutable parquet inputs, plan built and executed within
+  * one query — and must not retain the frame across source rewrites.
+  * [[GroupedLag]] and [[PrefixSum]] share this semantics.
   */
 object GroupedRank {
 

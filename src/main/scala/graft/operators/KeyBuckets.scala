@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *    degenerate single-value key collapses to one hot bucket, the
   *    same as a range partitioner.
   */
-private[operators] object KeyBuckets {
+private[graft] object KeyBuckets {
 
   /** Boundary probe: ≤ buckets−1 quantiles of `keyCol`, deduped/sorted. */
   def probe(df: DataFrame, keyCol: String, buckets: Int,

@@ -1081,16 +1081,18 @@ object AggWindowQueries {
         |FROM t JOIN q ON t.g = q.g GROUP BY 1""".stripMargin) { (spark, dir) =>
       val t = Tables.load(spark, dir, "events")
         .filter(col("value").isNotNull)
-        .select(col("event_type").as("g"), col("value").as("v"))
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("event_id"))
       // the running count over (g, v-order) IS a rank — bucketed
-      // GroupedRank, not a per-group window (t87 class). No tiebreak ON
-      // PURPOSE: the crossing test is tie-robust by construction (it can
-      // only flip inside a run of equal v, where v is constant), so any
-      // order consistent with v — including arbitrary rank assignment
-      // within a tie run, which never splits a bucket — yields the same
-      // q1/q3
+      // GroupedRank, not a per-group window (t87 class). The q1/q3
+      // crossing test is tie-robust (it can only flip inside a run of
+      // equal v, where v is constant), but GroupedRank's contract
+      // requires a TOTAL per-group order — the event_id tiebreak costs
+      // one long in the slice sort and keeps `cum` itself deterministic
+      // for any future consumer (r17 advice)
       val q = graft.operators.GroupedRank.withGroupRank(
-          t, Seq("g"), "v", descending = false, tieBreak = Seq.empty,
+          t, Seq("g"), "v", descending = false,
+          tieBreak = Seq(col("event_id")),
           outRank = "cum", outCount = "tot")
         .groupBy(col("g"))
         .agg(

@@ -403,7 +403,14 @@ object EventQueries {
       // a handful of event types over the fact table is the t87 class (one
       // task buffers a whole type), and the rollup is strictly cheaper —
       // the map-side-combined aggregate shuffles |types| rows and the fact
-      // side never exchanges at all (the window exchanged ALL of it)
+      // side never exchanges at all (the window exchanged ALL of it).
+      // `ev` is DELIBERATELY not persisted although two consumers scan it
+      // (the stats aggregate and the join-back): it is a column-pruned
+      // 3-column parquet scan, and at the target scale caching the fact
+      // table costs more (memory/disk for ~100 TB of blocks) than the
+      // second scan — the exchange, not the scan, was the window form's
+      // bottleneck. BoundedCaches stays reserved for frames with EXPENSIVE
+      // lineage (GroupedRank's scored subtrees), not bare scans.
       val ev = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       val stats = ev.groupBy(col("event_type").as("_et")).agg(

@@ -101,6 +101,50 @@ class TarShardsSpec extends AnyFunSuite {
     assert(again.toSeq == packed.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
   }
 
+  test("pack bucket id is a value-level function: cache-evicted re-execution is identical") {
+    // r17 advice pin: the global key rank must NOT depend on two jobs
+    // seeing the same physical shuffle layout. The bucket id is a pure
+    // function of the key (7-byte-prefix proxy vs literal boundaries), so
+    // executing the SAME plan again after every cached block is gone — the
+    // worst case of FIFO eviction / executor loss mid-query — must
+    // reproduce byte-identical shards.
+    val dir = java.nio.file.Files.createTempDirectory("reshard_evict")
+    (1 to 2).foreach { s =>
+      java.nio.file.Files.write(
+        dir.resolve(f"shard-$s%04d.tar"), TarShards.tarBytes(entriesFor(s)))
+    }
+    val entries = TarShards.readEntries(spark, dir.toString + "/*.tar")
+    val plan = TarShards.packShards(entries, samplesPerShard = 3)
+    val first = plan.collect().sortBy(_.getLong(0))
+      .map(_.getAs[Array[Byte]]("payload").toSeq)
+    spark.catalog.clearCache()
+    val second = plan.collect().sortBy(_.getLong(0))
+      .map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(second.toSeq == first.toSeq)
+  }
+
+  test("pack shard order follows exact string order for adversarial keys") {
+    // the 7-byte proxy must be ORDER-PRESERVING under Spark's UTF-8
+    // byte-wise comparison: prefix-of-sibling keys ("b" vs "ab" — the case
+    // a left-aligned unpadded numeric encoding gets backwards) and keys
+    // whose first 7 bytes collide (resolved by the in-bucket sort, merged
+    // buckets never reorder). Keys stay ASCII — the ustar name field is
+    // ASCII by contract — but '~' (0x7E, the highest printable) pins the
+    // upper byte range the shard fixtures never touch.
+    val keys = Seq("b", "ab", "abcdefgh_1", "abcdefgh_0", "z~a", "zz",
+      "abcdefg", "a")
+    val entries = keys.map(k => ("x.tar", s"$k.txt", 1L, Array(k.length.toByte)))
+      .toDF("shard", "name", "n_bytes", "payload")
+    val packed = TarShards.packShards(entries, samplesPerShard = 2)
+      .collect().sortBy(_.getLong(0))
+    val inOrder = packed.flatMap(r =>
+      TarShards.parseTar(r.getAs[Array[Byte]]("payload")).map(_._1))
+    // UTF8 byte order == java String compareTo for these (no surrogates)
+    val expected = keys.sorted.map(_ + ".txt")
+    assert(inOrder.toSeq == expected,
+      s"global shard traversal must equal the exact sorted key order")
+  }
+
   test("ustar prefix field (long external paths) honored on read") {
     // hand-build a header using the prefix split, as external tools do
     val data = "deep".getBytes
