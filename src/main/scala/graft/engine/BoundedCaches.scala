@@ -20,7 +20,11 @@ object BoundedCaches {
   // of the previous one). Six holds the deepest current composition plus
   // one; the frames are pre-aggregated/count-scale, so the memory bound
   // stays far under executor budget at any gate SF.
-  private val MaxLive = 6
+  // SPARK_GRAFT_MAXLIVE overrides for A/B measurement (the r17 verdict's
+  // MaxLive-vs-drift experiment) and for deployments whose compositions
+  // run deeper or whose executors run tighter than the default assumes.
+  private val MaxLive =
+    sys.env.get("SPARK_GRAFT_MAXLIVE").map(_.toInt).getOrElse(6)
   private val live = new java.util.ArrayDeque[DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for bounded retire.

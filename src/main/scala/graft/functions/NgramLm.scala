@@ -582,6 +582,186 @@ object NgramLm {
       })
   }
 
+  /** ORDER-N MODIFIED Kneser-Ney — [[scoreModifiedKneserNeyTrigram]]'s
+    * recursion generalized to any order (KenLM's production DEFAULT is
+    * order 5, the shape CCNet's published filter actually trains;
+    * Wenzek et al. 2020 §4.1 / Chen & Goodman 1998 §3). Level N holds
+    * the raw n-gram type counts; every level below holds ADJUSTED
+    * counts — the count of DISTINCT one-word-longer contexts, the
+    * defining KN recursion applied N−2 times:
+    *
+    *   a_{k}(w_{N−k+1}..w_N) = |{w_{N−k} : a_{k+1}(w_{N−k}..w_N) > 0}|
+    *
+    * (a_N = raw counts). Each level k estimates its OWN three discounts
+    * from ITS OWN count-of-counts over a_k ([[modifiedDiscounts]]
+    * verbatim: thousandths, half-up, empty-bucket pin, open-bucket
+    * fallback, the [1,999]/[1,1000·i] clamps), and interpolates:
+    *
+    *   p_k = max(a_k·1000 − d_k(a_k), 0)/(1000·ctx_k)
+    *       + (d_k1·N1 + d_k2·N2 + d_k3·N3+)(ctx)/(1000·ctx_k) · p_{k−1}
+    *
+    * down to the add-one unigram continuation p_cont(w_N) =
+    * (N1+(·w_N)+1)/(B+V) over the level-2 adjusted mass. Backoff at
+    * every level: unseen context → the level below, so every path stays
+    * strictly positive and ln never sees 0.
+    *
+    * Arithmetic discipline is t91's, made UNIFORM across levels: exact
+    * BIGINT count expressions; per level ONE pinned double sequence —
+    * discounted-mass division, λ division, one multiply by the level
+    * below, one add — then one ln and micro-nat BIGINT sums, so the
+    * oracle replays the chain level by level (a linear CTE chain, not
+    * the exponentially-nested CASE the order-3 oracle could still
+    * afford). NOTE the level-2 λ term is (λ/(1000·ctx))·p_cont here,
+    * algebraically equal to t88/t91's fused (λ·contNum)/((1000·ctx)·
+    * contDen) but NOT bit-identical — a deliberate, documented shape
+    * difference confined to this entry point (its own oracle replays
+    * the uniform shape; the t88/t91 oracles pin theirs).
+    *
+    * Distributed shape: N−1 persisted type-count frames (each feeds the
+    * next rollup, its ctx rollup, a 1-row count-of-count fold, and the
+    * scoring join), vocab-scale ctx/continuation rollups (map-side
+    * combined), two 1-row totals broadcast, one (2N−1)-way scoring
+    * join. The 3·(N−1) discount constants ride the plan as literals —
+    * the construct-time-snapshot doctrine ([[graft.operators
+    * .GroupedRank]]).
+    *
+    * @return (idCol, n_scored, logprob_fp6) — n_scored counts order-N
+    *         transitions (tokens − N + 1); docs under N tokens carry 0
+    */
+  def scoreModifiedKneserNeyOrderN(reference: DataFrame, refTextCol: String,
+      target: DataFrame, idCol: String, textCol: String,
+      order: Int): DataFrame = {
+    require(order >= 3 && order <= 8,
+      s"order must be in [3, 8], got $order (order 2 is " +
+        "scoreModifiedKneserNey; above 8 the count frames stop paying " +
+        "for their sparsity)")
+    val N = order
+
+    def ngrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
+        tc: String) = {
+      val ts = TextTokens.tokens(col(tc))
+      val typ = s"array<struct<${(1 to N).map(k => s"w$k:string").mkString(",")}>>"
+      df.select(cols :+ when(size(ts) >= N,
+          transform(sequence(lit(1), size(ts) - lit(N - 1)),
+            i => struct((1 to N).map(k =>
+              element_at(ts, i + lit(k - 1)).as(s"w$k")): _*)))
+        .otherwise(array().cast(typ)).as("ng"): _*)
+    }
+
+    val refNg = ngrams(reference, Seq.empty, refTextCol)
+      .select(explode(col("ng")).as("p"))
+    // level N: raw type counts, key (w1..wN); levels N−1..2: adjusted
+    // counts, each a count(1) rollup of the level above (every row of the
+    // upper frame IS a distinct extension)
+    val frames = scala.collection.mutable.Map[Int, DataFrame](
+      N -> graft.engine.BoundedCaches.persist(
+        refNg.groupBy((1 to N).map(k => col(s"p.w$k").as(s"w$k")): _*)
+          .agg(count(lit(1)).as("cnt"))))
+    for (k <- (N - 1) to 2 by -1)
+      frames(k) = graft.engine.BoundedCaches.persist(
+        frames(k + 1).groupBy(((N - k + 1) to N).map(j => col(s"w$j")): _*)
+          .agg(count(lit(1)).as("cnt")))
+
+    // per-level context rollup: drop the last key word; carries the mass
+    // and the three bucketed continuation-type counts the λ numerator needs
+    val ctxFrames = (2 to N).map { k =>
+      val ctxKeys = (N - k + 1) to (N - 1)
+      k -> frames(k)
+        .groupBy(ctxKeys.map(j => col(s"w$j").as(s"x${k}_w$j")): _*)
+        .agg(sum(col("cnt")).as(s"ctx$k"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as(s"b${k}_1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as(s"b${k}_2"),
+          sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as(s"b${k}_3p"))
+    }.toMap
+
+    val nrc = frames(2).groupBy(col(s"w$N").as("rwN"))
+      .agg(count(lit(1)).as("n1rc"))
+    val tot = frames(2).agg(count(lit(1)).as("b2")).crossJoin(
+      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
+        .filter(col("w") =!= "")
+        .agg(count_distinct(col("w")).as("v")))
+
+    // one count-of-count fold PER LEVEL, each over its own persisted
+    // type-count frame (1-row collects — count-scale, the t88 shape)
+    val discs: Map[Int, (Long, Long, Long)] = (2 to N).map { k =>
+      val nn = frames(k).agg(
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("n4"),
+        sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n3p")).collect()(0)
+      def nl(i: Int): Long = if (nn.isNullAt(i)) 0L else nn.getLong(i)
+      require(nl(0) > 0,
+        s"no singleton level-$k types in the reference — the " +
+          "count-of-count discount estimates are undefined; lower the " +
+          "order or use scoreKneserNeyTrigram with an explicit discount")
+      k -> modifiedDiscounts(nl(0), nl(1), nl(2), nl(3), nl(4))
+    }.toMap
+
+    val tgt = ngrams(target, Seq(col(idCol).as("id")), textCol)
+      .select(col("id"), explode_outer(col("ng")).as("p"))
+    var joined = tgt
+    for (k <- N to 2 by -1) {
+      val keys = (N - k + 1) to N
+      val fr = frames(k).select(
+        keys.map(j => col(s"w$j").as(s"k${k}_w$j")) :+
+          col("cnt").as(s"cnt$k"): _*)
+      joined = joined.join(fr,
+        keys.map(j => tgt(s"p.w$j") === fr(s"k${k}_w$j")).reduce(_ && _),
+        "left")
+    }
+    for (k <- N to 2 by -1) {
+      val ctxKeys = (N - k + 1) to (N - 1)
+      val cf = ctxFrames(k)
+      joined = joined.join(cf,
+        ctxKeys.map(j => tgt(s"p.w$j") === cf(s"x${k}_w$j")).reduce(_ && _),
+        "left")
+    }
+    joined = joined
+      .join(nrc, tgt(s"p.w$N") === nrc("rwN"), "left")
+      .crossJoin(broadcast(tot))
+
+    def discFor(k: Int, cnt: org.apache.spark.sql.Column) = {
+      val (d1, d2, d3) = discs(k)
+      when(cnt === 0L, lit(0L)).when(cnt === 1L, lit(d1))
+        .when(cnt === 2L, lit(d2)).otherwise(lit(d3))
+    }
+    def lambdaNum(k: Int) = {
+      val (d1, d2, d3) = discs(k)
+      lit(d1) * col(s"b${k}_1") + lit(d2) * col(s"b${k}_2") +
+        lit(d3) * col(s"b${k}_3p")
+    }
+    // the uniform per-level double sequence, folded from p_cont upward;
+    // each level's backoff (unseen context → level below) is a lazy
+    // CaseWhen branch
+    var p: org.apache.spark.sql.Column =
+      (coalesce(col("n1rc"), lit(0L)) + lit(1L)).cast("double") /
+        (col("b2") + col("v")).cast("double")
+    for (k <- 2 to N) {
+      val ck = coalesce(col(s"cnt$k"), lit(0L))
+      val pk =
+        greatest(ck * lit(1000L) - discFor(k, ck), lit(0L)).cast("double") /
+          (lit(1000L) * col(s"ctx$k")).cast("double") +
+        (lambdaNum(k).cast("double") /
+          (lit(1000L) * col(s"ctx$k")).cast("double")) * p
+      p = when(col(s"ctx$k").isNull, p).otherwise(pk)
+    }
+    // same degenerate-reference guard as the rest of the family (B+V = 0
+    // → Infinity → silent Long.MaxValue); lazy branch, green path unchanged
+    val pAll = when((col("b2") + col("v")) === 0L,
+        raise_error(lit("empty reference corpus — B+V is 0; the " +
+          "Kneser-Ney family needs a tokenized reference")))
+      .otherwise(p)
+    val scored = joined
+      .select(col("id"), col("p"),
+        when(col("p").isNotNull,
+          round(log(pAll) * lit(1000000.0)).cast("long")).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(col("p")).as("n_scored"),
+        coalesce(sum(col("lp")), lit(0L)).as("logprob_fp6"))
+    scored.select(col("id").as(idCol), col("n_scored"), col("logprob_fp6"))
+  }
+
   /** CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al. 2020
     * §4.3 — the published pipeline's headline mechanism: per language,
     * order documents by reference-LM perplexity and cut into thirds;

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded, content-independent corpus reshard with the shard COUNT derived
+  * from a TOKEN BUDGET — the t38 deterministic-shuffle shape promoted to an
+  * operator contract (r17 verdict item 5: `TarShards.packShards` sizes
+  * shards by `samplesPerShard`; this is the md5-reshard sibling sized by
+  * `tokensPerShard`).
+  *
+  * Why the contract matters at 100 TB: the within-shard position is a
+  * `row_number` window PARTITIONED BY SHARD, so a shard must stay one
+  * bounded training-file unit. With a caller-fixed shard count that bound
+  * is caller DISCIPLINE (pin 8 shards and grow the corpus 1000× and each
+  * window partition holds 1/8th of the corpus); with a token budget it is
+  * construction: nShards = ceil(Σweight / tokensPerShard), so the expected
+  * per-shard mass is `tokensPerShard` REGARDLESS of corpus size — the
+  * shard count, not the shard size, absorbs growth.
+  *
+  * Determinism (the t38 doctrine): the key is md5(id ":" seed) — content-
+  * independent, retry/recompute-stable (no Math.random, no
+  * monotonically_increasing_id; both are partition-layout-dependent). The
+  * shard id takes the key's first 12 hex digits BY VALUE (a 48-bit
+  * uniform integer — not the ascii-code arithmetic of the t38 fixture,
+  * whose 16-of-256 ascii values are only near-uniform for tiny moduli)
+  * mod nShards, and the within-shard order is (key, id) — a total order.
+  *
+  * CONSTRUCT-TIME SNAPSHOT (the [[GroupedRank]] doctrine): the Σweight
+  * fold is ONE driver action at plan-construction time and nShards rides
+  * the returned lazy plan as a literal; re-executing the frame after the
+  * source changed would shard against the stale total. Same 1-row-fold
+  * contract as PrefixSum's offsets.
+  */
+object DeterministicShuffle {
+
+  /** Adds `shard` (INT, in [0, nShards)) and `pos` (INT, 1-based within
+    * the shard by (key, id) order) to `df`.
+    *
+    * @param weightCol  non-negative per-row cost (token or char count);
+    *                   the shard budget is in ITS unit
+    * @param tokensPerShard target Σweight per shard; nShards =
+    *                   max(1, ceil(total / tokensPerShard))
+    */
+  def reshardByBudget(df: DataFrame, idCol: String, weightCol: String,
+      tokensPerShard: Long, seed: String): DataFrame = {
+    require(tokensPerShard >= 1, s"tokensPerShard must be >= 1, got $tokensPerShard")
+    // ONE 1-row fold: the total mass (for the shard count) and the min
+    // weight (a negative weight would silently corrupt the budget
+    // semantics — refuse loudly on the same action)
+    val row = df.agg(sum(col(weightCol)).cast("long").as("total"),
+      min(col(weightCol)).cast("long").as("mn")).collect()(0)
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    require(row.isNullAt(1) || row.getLong(1) >= 0L,
+      s"negative $weightCol weight — the shard budget needs non-negative costs")
+    val nShards = math.max(1L, (total + tokensPerShard - 1L) / tokensPerShard)
+
+    val k = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    // first 12 md5 hex digits BY VALUE → a uniform 48-bit integer
+    // (hex digit i contributes digit · 16^(12−i); ascii('a'..'f') − 87,
+    // ascii('0'..'9') − 48)
+    def hexDigit(i: Int): Column = {
+      val a = ascii(substring(k, i, 1))
+      a - when(a >= 97, lit(87)).otherwise(lit(48))
+    }
+    val hv = (1 to 12).map(i => hexDigit(i) * lit(1L << (4 * (12 - i))))
+      .reduce(_ + _)
+    df.withColumn("_ds_k", k)
+      .withColumn("shard", pmod(hv, lit(nShards)).cast("int"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("_ds_k"), col(idCol)))
+          .cast("int"))
+      .drop("_ds_k")
+  }
+}

@@ -28,6 +28,44 @@ object PackingQueries {
     * shape (production values are 2k-128k; the arithmetic is identical). */
   private val SeqLen = 512L
 
+  /** The t94 composition's HEAD-SET CTE prefix — d9 keep-set → even-doc
+    * KN scoring → per-language tertile cut, ending in `head(doc_id)` —
+    * shared VERBATIM by the t94 fixture-table gate and the t97
+    * trained-table sibling, so the two oracles can never drift on the
+    * upstream chain. */
+  private lazy val headSetSql: String =
+    s"""${graft.queries.DedupQueries.cleanCorpusSql},
+       |surv AS (SELECT doc_id FROM f WHERE rn = 1),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
+       |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |cn AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+       |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
+       |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+       |tgk AS (SELECT bg.doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg JOIN surv USING (doc_id)),
+       |s AS (SELECT tgk.doc_id,
+       |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
+       |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+       |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * cn.c1 AS DOUBLE)
+       |             + (CAST(3 * cn.n1f AS DOUBLE) * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
+       |               / (CAST(4 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+       |          END) * 1000000.0) AS BIGINT) AS lp
+       |      FROM tgk LEFT JOIN c2 ON tgk.w1 = c2.w1 AND tgk.w2 = c2.w2
+       |              LEFT JOIN cn ON tgk.w1 = cn.w1
+       |              LEFT JOIN nr ON tgk.w2 = nr.w2
+       |              CROSS JOIN tot),
+       |sc AS (SELECT surv.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+       |              CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+       |       FROM surv LEFT JOIN s ON s.doc_id = surv.doc_id GROUP BY 1),
+       |sl AS (SELECT sc.doc_id, d.lang, sc.n_scored, sc.logprob_fp6
+       |       FROM sc JOIN documents d USING (doc_id)),
+       |rb AS (SELECT doc_id,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY CAST(logprob_fp6 AS DOUBLE) / n_scored DESC, doc_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |       FROM sl WHERE n_scored > 0),
+       |head AS (SELECT doc_id FROM rb WHERE (3 * (rnk - 1)) // n_lang = 0)""".stripMargin
+
   /** Shared per-doc packing frame: token count, exclusive global token
     * offset (docs concatenated in doc_id order), and the first/last
     * training-sequence ids the doc lands in. One [[PrefixSum]] pass —
@@ -267,7 +305,10 @@ object PackingQueries {
     // dependent). The window partitions BY SHARD: a shard is the natural
     // training-file unit, so deployments size shard count (here 8, test
     // scale) to thousands, keeping each window partition one bounded
-    // file's worth — never a global order-by.
+    // file's worth — never a global order-by. The deployment-facing
+    // contract is operators/DeterministicShuffle.reshardByBudget (t96):
+    // shard count DERIVED from a token budget, so the bound is
+    // construction, not caller discipline.
     QueryDef.sql(
       "t38_deterministic_shuffle",
       """WITH a AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM documents),
@@ -286,6 +327,41 @@ object PackingQueries {
       s.select(col("doc_id"), col("shard").cast("int").as("shard"),
         row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("k"), col("doc_id"))).as("pos"))
+    },
+
+    // T96: BUDGET-DERIVED deterministic reshard
+    // (operators/DeterministicShuffle.reshardByBudget — r17 verdict item
+    // 5): t38's md5 shuffle with the shard COUNT derived from a token
+    // budget instead of caller-fixed — nShards = ceil(Σn_chars / budget),
+    // so the per-shard row_number window is a bounded training-file unit
+    // BY CONSTRUCTION at any corpus size (the count absorbs growth, not
+    // the shard). The oracle re-derives the shard count from the same
+    // 1-row total (exact ceil-division in HUGEINT), replays the
+    // 48-bit-by-value key prefix (hex digits by VALUE — uniform mod any
+    // realistic shard count, unlike t38's ascii-code fixture arithmetic)
+    // and the (key, id) window order, so a drifted total, digit map, or
+    // modulus fails on a value. At sf0.1 this derives hundreds of shards
+    // — the count scales across the 3 SFs while the oracle stays fixed.
+    {
+      val digitSql = (1 to 12).map { i =>
+        // CAST the digit to BIGINT before the scale multiply — DuckDB
+        // would otherwise overflow INT32 at digit · 16^7 and up
+        s"CAST(ascii(substr(k, $i, 1)) - CASE WHEN ascii(substr(k, $i, 1)) >= 97 THEN 87 ELSE 48 END AS BIGINT) * ${1L << (4 * (12 - i))}"
+      }.mkString(" + ")
+      QueryDef.sql(
+        "t96_budget_reshard",
+        s"""WITH a AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM documents),
+          |n AS (SELECT CAST(GREATEST(1, (SUM(n_chars) + 49999) // 50000) AS BIGINT) AS nshards FROM documents),
+          |v AS (SELECT doc_id, k, $digitSql AS hv FROM a),
+          |s AS (SELECT doc_id, k, hv % n.nshards AS shard FROM v CROSS JOIN n)
+          |SELECT doc_id, CAST(shard AS INT) AS shard,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+          |FROM s""".stripMargin) { (spark, dir) =>
+        graft.operators.DeterministicShuffle.reshardByBudget(
+            Tables.load(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", tokensPerShard = 50000L, seed = "seed42")
+          .select(col("doc_id"), col("shard"), col("pos"))
+      }
     },
 
     // D38: corpus drift — total-variation distance between the token
@@ -465,37 +541,7 @@ object PackingQueries {
     // documented scale knob).
     QueryDef.sql(
       "t94_corpus_to_batches",
-      s"""WITH ${graft.queries.DedupQueries.cleanCorpusSql},
-         |surv AS (SELECT doc_id FROM f WHERE rn = 1),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> {'w1': ts[i], 'w2': ts[i+1]})) AS p FROM t),
-         |c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-         |cn AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
-         |nr AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY 1),
-         |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS b,
-         |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
-         |tgk AS (SELECT bg.doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg JOIN surv USING (doc_id)),
-         |s AS (SELECT tgk.doc_id,
-         |        CAST(round(ln(CASE WHEN cn.c1 IS NULL
-         |          THEN CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
-         |          ELSE CAST(greatest(COALESCE(c2.c2, 0) * 4 - 3, 0) AS DOUBLE) / CAST(4 * cn.c1 AS DOUBLE)
-         |             + (CAST(3 * cn.n1f AS DOUBLE) * CAST(COALESCE(nr.n1r, 0) + 1 AS DOUBLE))
-         |               / (CAST(4 * cn.c1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
-         |          END) * 1000000.0) AS BIGINT) AS lp
-         |      FROM tgk LEFT JOIN c2 ON tgk.w1 = c2.w1 AND tgk.w2 = c2.w2
-         |              LEFT JOIN cn ON tgk.w1 = cn.w1
-         |              LEFT JOIN nr ON tgk.w2 = nr.w2
-         |              CROSS JOIN tot),
-         |sc AS (SELECT surv.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
-         |              CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
-         |       FROM surv LEFT JOIN s ON s.doc_id = surv.doc_id GROUP BY 1),
-         |sl AS (SELECT sc.doc_id, d.lang, sc.n_scored, sc.logprob_fp6
-         |       FROM sc JOIN documents d USING (doc_id)),
-         |rb AS (SELECT doc_id,
-         |         row_number() OVER (PARTITION BY lang
-         |           ORDER BY CAST(logprob_fp6 AS DOUBLE) / n_scored DESC, doc_id) AS rnk,
-         |         COUNT(*) OVER (PARTITION BY lang) AS n_lang
-         |       FROM sl WHERE n_scored > 0),
-         |head AS (SELECT doc_id FROM rb WHERE (3 * (rnk - 1)) // n_lang = 0),
+      s"""WITH $headSetSql,
          |e AS (SELECT d.doc_id,
          |        CAST(strlen(d.text)
          |          - (strlen(d.text) - strlen(replace(d.text, 'er', ''))) // 2
@@ -556,6 +602,101 @@ object PackingQueries {
           .orderBy(col("k"), col("doc_id"))).cast("int").as("pos"),
         col("n_tok"), col("tok_start"), col("seq_first"), col("seq_last"),
         (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+    },
+
+    // T97: the t94 composition at PRODUCTION TOKENIZER SHAPE (r17
+    // verdict item 4): the same end-to-end chain — d9 keep-set → CCNet
+    // head bucket → byte-BPE encode → t34 packing → t38 reshard — but
+    // the encoder runs the t84/t90-style TRAINED 12-round merge table
+    // (collected once at construct time from the even-doc reference,
+    // travelling like a broadcast dim) instead of t94's oracle-closed
+    // 2-merge fixture. Trained token counts are not SQL-replayable, so
+    // the gate splits the hash the t90/t92 way: everything upstream of
+    // the encode — the HEAD MEMBERSHIP (the shared `headSetSql` CTE
+    // prefix, verbatim t94's) — plus the token-count-independent reshard
+    // (shard = f(doc_id, seed), pos = (key, id) rank within the head
+    // set) and n_bytes are pinned EXACTLY; the trained encode and the
+    // packing over it are pinned by per-doc INVARIANTS the oracle fixes
+    // to TRUE: lossless = decode(encode(text)) == text (the no-unk
+    // totality that defines the byte-level tokenizer), bound_ok =
+    // 1 ≤ n_tok ≤ n_bytes (merges only shrink, nothing vanishes), and
+    // seqs_ok = ceil(n_tok/S) ≤ n_seqs ≤ floor(n_tok/S)+1 (the packing
+    // window arithmetic stays consistent with the trained counts).
+    //
+    // Single-pass discipline is t94's verbatim: kept persists once
+    // (scoring target, head join-back, encoder input, final text join),
+    // enc persists once (packing boundary probe + shuffle + final toks
+    // join) — BoundedCaches registrations unchanged vs t94.
+    QueryDef.sql(
+      "t97_corpus_to_batches_trained",
+      s"""WITH $headSetSql,
+         |e AS (SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes
+         |      FROM documents d JOIN head USING (doc_id)),
+         |sh AS (SELECT doc_id, n_bytes, md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM e)
+         |SELECT doc_id,
+         |  CAST((ascii(substr(k, 1, 1)) * 256 + ascii(substr(k, 2, 1))) % 8 AS INT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY (ascii(substr(k, 1, 1)) * 256 + ascii(substr(k, 2, 1))) % 8
+         |    ORDER BY k, doc_id) AS INT) AS pos,
+         |  n_bytes, TRUE AS lossless, TRUE AS bound_ok, TRUE AS seqs_ok
+         |FROM sh""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.load(spark, dir, "documents")
+      val kept = graft.engine.BoundedCaches.persist(
+        docs.join(graft.queries.DedupQueries.cleanCorpus(spark, dir)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text")))
+      val scored = graft.functions.NgramLm.scoreKneserNey(
+        docs.filter(col("doc_id") % 2 === 0), "text", kept, "doc_id", "text")
+      val head = graft.functions.NgramLm.perplexityBuckets(
+          scored.join(kept.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          "doc_id", "lang")
+        .filter(col("bucket") === "head").select(col("doc_id"))
+      // the trained table — t90's production shape, collected at
+      // construct time (construct-time-snapshot doctrine)
+      val merges = collectMerges(graft.operators.ByteBpe.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", rounds = 12))
+      val headDocs = kept.join(head, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      val enc = graft.engine.BoundedCaches.persist(
+        graft.operators.ByteBpe.encodeCorpus(headDocs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("toks"), col("n_tokens").as("n_tok")))
+      val packed = PrefixSum.withRunningSum(
+          enc.select(col("doc_id"), col("n_tok")), "doc_id",
+          descending = false, tieBreak = Seq.empty,
+          value = col("n_tok"), out = "cum")
+        .withColumn("tok_start", col("cum") - col("n_tok"))
+        .withColumn("seq_first", expr(s"tok_start div ${SeqLen}L"))
+        .withColumn("seq_last", expr(s"(cum - 1) div ${SeqLen}L"))
+        .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      val keyed = packed.withColumn("k",
+          md5(concat(col("doc_id").cast("string"), lit(":seed42"))))
+        .withColumn("shard", pmod(ascii(substring(col("k"), 1, 1)) * 256 +
+          ascii(substring(col("k"), 2, 1)), lit(8)))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("k"), col("doc_id"))).cast("int"))
+      keyed
+        .join(enc.select(col("doc_id"), col("toks")), Seq("doc_id"))
+        .join(kept.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("shard").cast("int").as("shard"),
+          col("pos"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          col("text"), col("toks"), col("n_tok"), col("n_seqs"))
+        .as[(Long, Int, Int, Long, String, Seq[String], Long, Long)]
+        .map { case (id, shard, pos, nBytes, text, toks, nTok, nSeqs) =>
+          (id, shard, pos, nBytes,
+            graft.operators.ByteBpe.decode(toks) == text,
+            nTok >= 1L && nTok <= nBytes,
+            // a span of n tokens at any block offset touches between
+            // ceil(n/S) and (n + 2S − 2) div S sequence blocks (the
+            // upper bound is tight when the span starts one token
+            // before a boundary — n/S + 1 would miss that case)
+            nSeqs >= (nTok + SeqLen - 1L) / SeqLen &&
+              nSeqs <= (nTok + 2L * SeqLen - 2L) / SeqLen)
+        }
+        .toDF("doc_id", "shard", "pos", "n_bytes", "lossless", "bound_ok",
+          "seqs_ok")
     },
 
     // T45: iterative BPE MERGE TRAINING (operators/BpeTrain — t40 gates

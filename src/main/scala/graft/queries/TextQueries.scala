@@ -47,6 +47,35 @@ object TextQueries {
     }
   }
 
+  /** The modified-KN discount-estimation SQL block, parameterized per
+    * order (shared by the t91 and t95 oracles — ONE copy of the exact
+    * HUGEINT cross-products, half-up thousandths, empty-bucket 0 pin,
+    * open-bucket o3→o2→o1 fallback, and the [1,999]/[1,1000·i] clamps,
+    * mirroring [[graft.functions.NgramLm.modifiedDiscounts]] op for op):
+    * count-of-counts CTE `cc` over (`src`.`cnt`), discounts (o1,o2,o3). */
+  private def mknDiscSql(cc: String, src: String, cnt: String,
+      pre: String, o1: String, o2: String, o3: String): String =
+    s"""$cc AS (SELECT CAST(SUM(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+       |              CAST(SUM(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+       |              CAST(SUM(CASE WHEN $cnt = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
+       |              CAST(SUM(CASE WHEN $cnt = 4 THEN 1 ELSE 0 END) AS HUGEINT) AS n4,
+       |              CAST(SUM(CASE WHEN $cnt >= 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3p
+       |       FROM $src),
+       |${pre}0 AS (SELECT n1, n2, n3, n4, n3p,
+       |    CAST(GREATEST(1, LEAST(999, (2000 * n1 + (n1 + 2 * n2)) // (2 * (n1 + 2 * n2)))) AS BIGINT) AS $o1,
+       |    CAST(CASE WHEN n2 = 0 THEN 0
+       |         WHEN 2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3 <= 0 THEN 1
+       |         ELSE GREATEST(1, LEAST(2000, (2000 * (2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3) + (n1 + 2 * n2) * n2)
+       |                          // (2 * (n1 + 2 * n2) * n2))) END AS BIGINT) AS $o2
+       |  FROM $cc),
+       |$pre AS (SELECT $o1, $o2,
+       |    CAST(CASE WHEN n3p = 0 THEN 0
+       |         WHEN n3 = 0 THEN (CASE WHEN n2 > 0 THEN $o2 ELSE $o1 END)
+       |         WHEN 3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4 <= 0 THEN 1
+       |         ELSE GREATEST(1, LEAST(3000, (2000 * (3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4) + (n1 + 2 * n2) * n3)
+       |                          // (2 * (n1 + 2 * n2) * n3))) END AS BIGINT) AS $o3
+       |  FROM ${pre}0)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Language ID: marker-word argmax with fixed tie priority.
@@ -2921,32 +2950,11 @@ object TextQueries {
           |         * CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE))
           |       / (CAST(1000 * ctx2.ctx2 AS DOUBLE) * CAST(tot.b2 + tot.v AS DOUBLE))
           |  END""".stripMargin
-      // the t88 estimation block, parameterized per order: count-of-
-      // counts cte `cc` over (src.cnt), discounts (o1,o2,o3) — exact
-      // HUGEINT cross-products, half-up thousandths, empty-bucket 0 pin,
-      // open-bucket o3→o2→o1 fallback, [1,999]/[1,1000·i] clamps
+      // the t88 estimation block per order — [[mknDiscSql]], shared with
+      // the t95 order-5 oracle
       def discSql(cc: String, src: String, cnt: String,
           pre: String, o1: String, o2: String, o3: String) =
-        s"""$cc AS (SELECT CAST(SUM(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
-           |              CAST(SUM(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
-           |              CAST(SUM(CASE WHEN $cnt = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
-           |              CAST(SUM(CASE WHEN $cnt = 4 THEN 1 ELSE 0 END) AS HUGEINT) AS n4,
-           |              CAST(SUM(CASE WHEN $cnt >= 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3p
-           |       FROM $src),
-           |${pre}0 AS (SELECT n1, n2, n3, n4, n3p,
-           |    CAST(GREATEST(1, LEAST(999, (2000 * n1 + (n1 + 2 * n2)) // (2 * (n1 + 2 * n2)))) AS BIGINT) AS $o1,
-           |    CAST(CASE WHEN n2 = 0 THEN 0
-           |         WHEN 2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3 <= 0 THEN 1
-           |         ELSE GREATEST(1, LEAST(2000, (2000 * (2 * (n1 + 2 * n2) * n2 - 3 * n1 * n3) + (n1 + 2 * n2) * n2)
-           |                          // (2 * (n1 + 2 * n2) * n2))) END AS BIGINT) AS $o2
-           |  FROM $cc),
-           |$pre AS (SELECT $o1, $o2,
-           |    CAST(CASE WHEN n3p = 0 THEN 0
-           |         WHEN n3 = 0 THEN (CASE WHEN n2 > 0 THEN $o2 ELSE $o1 END)
-           |         WHEN 3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4 <= 0 THEN 1
-           |         ELSE GREATEST(1, LEAST(3000, (2000 * (3 * (n1 + 2 * n2) * n3 - 4 * n1 * n4) + (n1 + 2 * n2) * n3)
-           |                          // (2 * (n1 + 2 * n2) * n3))) END AS BIGINT) AS $o3
-           |  FROM ${pre}0)""".stripMargin
+        mknDiscSql(cc, src, cnt, pre, o1, o2, o3)
       QueryDef.sql(
         "t91_trigram_modified_kn",
         s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents),
@@ -2995,6 +3003,93 @@ object TextQueries {
         graft.functions.NgramLm.scoreModifiedKneserNeyTrigram(
           docs.filter(col("doc_id") % 2 === 0), "text",
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      }
+    },
+
+    // T95: ORDER-5 MODIFIED Kneser-Ney — the KenLM production DEFAULT
+    // shape (NgramLm.scoreModifiedKneserNeyOrderN at order 5; Wenzek et
+    // al.'s CCNet trains exactly this): the Chen & Goodman three-
+    // discount estimate at all four interpolation levels, the lower
+    // three over ADJUSTED (distinct-extending-context) counts. The
+    // oracle replays the whole chain LINEARLY — count frames c5→a4→a3→
+    // a2, four mknDiscSql estimation blocks, per-level context/bucket
+    // rollups, then one CTE per interpolation level (s2..s4) so each
+    // p_k expression is generated ONCE from the same pSql builder the
+    // level above references by column name (the t91 nested-CASE form
+    // is exponential in the order — at order 5 it would inline p2
+    // sixteen times). Every backoff path (unseen context at each of the
+    // four levels, unseen w5 entirely) executes on real odd-doc
+    // transitions at every SF. KneserNeySpec pins the separating
+    // fixture: order-4/5 context mass reorders documents vs t91.
+    {
+      val levels = Seq(5, 4, 3, 2)
+      val srcName = Map(5 -> "c5", 4 -> "a4", 3 -> "a3", 2 -> "a2")
+      def keyWords(k: Int) = (5 - k + 1) to 5
+      def ctxWords(k: Int) = (5 - k + 1) to 4
+      val c5Sql = s"c5 AS (SELECT ${(1 to 5).map(j => s"p.w$j AS w$j").mkString(", ")}, " +
+        s"COUNT(*) AS cnt FROM g5 WHERE doc_id % 2 = 0 GROUP BY ${(1 to 5).mkString(", ")})"
+      val adjSql = Seq(4, 3, 2).map { k =>
+        s"${srcName(k)} AS (SELECT ${keyWords(k).map(j => s"w$j").mkString(", ")}, " +
+          s"COUNT(*) AS cnt FROM ${srcName(k + 1)} GROUP BY ${(1 to keyWords(k).size).mkString(", ")})"
+      }
+      val discSqls = levels.map(k =>
+        mknDiscSql(s"cc$k", srcName(k), "cnt", s"dd$k", s"d${k}_1", s"d${k}_2", s"d${k}_3"))
+      val ctxSqls = levels.map { k =>
+        s"x$k AS (SELECT ${ctxWords(k).map(j => s"w$j").mkString(", ")}, SUM(cnt) AS ctx$k, " +
+          s"SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS b${k}_1, " +
+          s"SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS b${k}_2, " +
+          s"SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS b${k}_3p " +
+          s"FROM ${srcName(k)} GROUP BY ${(1 to ctxWords(k).size).mkString(", ")})"
+      }
+      val s0Select = (Seq("tq.doc_id") ++
+        levels.map(k => s"${srcName(k)}.cnt AS cnt$k") ++
+        levels.flatMap(k => Seq(s"x$k.ctx$k", s"x$k.b${k}_1", s"x$k.b${k}_2", s"x$k.b${k}_3p")) ++
+        Seq("nrc.n1rc", "tot.b2", "tot.v") ++
+        levels.flatMap(k => Seq(s"dd$k.d${k}_1", s"dd$k.d${k}_2", s"dd$k.d${k}_3")) ++
+        Seq("CAST(COALESCE(nrc.n1rc, 0) + 1 AS DOUBLE) / CAST(tot.b2 + tot.v AS DOUBLE) AS pc"))
+        .mkString(", ")
+      val s0Joins = (levels.map { k =>
+        s"LEFT JOIN ${srcName(k)} ON " +
+          keyWords(k).map(j => s"tq.w$j = ${srcName(k)}.w$j").mkString(" AND ")
+      } ++ levels.map { k =>
+        s"LEFT JOIN x$k ON " +
+          ctxWords(k).map(j => s"tq.w$j = x$k.w$j").mkString(" AND ")
+      } ++ Seq("LEFT JOIN nrc ON tq.w5 = nrc.w5", "CROSS JOIN tot") ++
+        levels.map(k => s"CROSS JOIN dd$k")).mkString(" ")
+      // the uniform per-level arithmetic, generated ONCE per level; the
+      // level below is a COLUMN REFERENCE, so the chain stays linear
+      def pSql(k: Int, pPrev: String) =
+        s"""CASE WHEN ctx$k IS NULL THEN $pPrev ELSE
+           |  CAST(greatest(COALESCE(cnt$k, 0) * 1000 -
+           |    (CASE COALESCE(cnt$k, 0) WHEN 0 THEN 0 WHEN 1 THEN d${k}_1 WHEN 2 THEN d${k}_2 ELSE d${k}_3 END), 0) AS DOUBLE)
+           |    / CAST(1000 * ctx$k AS DOUBLE)
+           |  + (CAST(d${k}_1 * b${k}_1 + d${k}_2 * b${k}_2 + d${k}_3 * b${k}_3p AS DOUBLE)
+           |    / CAST(1000 * ctx$k AS DOUBLE)) * ($pPrev) END""".stripMargin
+      QueryDef.sql(
+        "t95_order5_modified_kn",
+        s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents),
+          |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3), i -> {'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2], 'w4': ts[i+3], 'w5': ts[i+4]})) AS p FROM t),
+          |$c5Sql,
+          |${adjSql.mkString(",\n")},
+          |${discSqls.mkString(",\n")},
+          |${ctxSqls.mkString(",\n")},
+          |nrc AS (SELECT w5, COUNT(*) AS n1rc FROM a2 GROUP BY 1),
+          |tot AS (SELECT (SELECT COUNT(*) FROM a2) AS b2,
+          |               (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 2 = 0) WHERE w <> '') AS v),
+          |tq AS (SELECT doc_id, ${(1 to 5).map(j => s"p.w$j AS w$j").mkString(", ")} FROM g5 WHERE doc_id % 2 = 1),
+          |s0 AS (SELECT $s0Select FROM tq $s0Joins),
+          |s2 AS (SELECT *, ${pSql(2, "pc")} AS p2 FROM s0),
+          |s3 AS (SELECT *, ${pSql(3, "p2")} AS p3 FROM s2),
+          |s4 AS (SELECT *, ${pSql(4, "p3")} AS p4 FROM s3),
+          |s AS (SELECT doc_id, CAST(round(ln(${pSql(5, "p4")}) * 1000000.0) AS BIGINT) AS lp FROM s4)
+          |SELECT t.doc_id, CAST(COUNT(s.lp) AS BIGINT) AS n_scored,
+          |       CAST(COALESCE(SUM(s.lp), 0) AS BIGINT) AS logprob_fp6
+          |FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+          |WHERE t.doc_id % 2 = 1 GROUP BY 1""".stripMargin) { (spark, dir) =>
+        val docs = Tables.load(spark, dir, "documents")
+        graft.functions.NgramLm.scoreModifiedKneserNeyOrderN(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", order = 5)
       }
     },
 

@@ -50,9 +50,14 @@ object PlanBudget {
     // SinglePartition/BNLJ (or a lost cache) moves it and fails here.
     "t87_ccnet_buckets" -> (8, 8),
     "t94_corpus_to_batches" -> (96, 96),
+    // t97 = t94's chain + two more consumers of the cached kept/enc
+    // frames (the toks and text joins for the invariant map), each
+    // reprinting the same two bounded 1-row folds once more
+    "t97_corpus_to_batches_trained" -> (144, 144),
     "t88_modified_kn_perplexity" -> (2, 2), // t86's B + V folds (the n1..n4 fold is a separate driver collect)
     "t89_trigram_kn_perplexity" -> (2, 2), // the adjusted-bigram-mass (B2) + vocab (V) folds
     "t91_trigram_modified_kn" -> (2, 2),   // t89's B2 + V folds (both count-of-count folds are driver collects)
+    "t95_order5_modified_kn" -> (2, 2),    // the level-2 mass (B) + vocab (V) folds (all four count-of-count folds are driver collects)
     "t92_byte_bpe_deep_train" -> (1, 0),   // ONE ordered window over the 100-row merge table (count-scale)
     "t51_dsir_selection" -> (2, 2),  // two LMs ⇒ two 1-row vocab folds
     "d58_embedding_gram" -> (1, 0),  // d×d Gram fold: buffer bounded by dim², not data

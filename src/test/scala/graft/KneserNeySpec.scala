@@ -156,6 +156,63 @@ class KneserNeySpec extends AnyFunSuite {
       s"modified must prefer the lightly-discounted singleton: ${mod.toSeq}")
   }
 
+  test("order-5 modified KN: higher-order context mass REORDERS docs vs t91") {
+    // the separating fixture (r17 verdict item 3): doc B's trigrams are
+    // 10×-frequent but come from 3-TOKEN reference docs, which contribute
+    // NOTHING to the 5-gram model's count frames; doc A's full 5-gram is
+    // a reference singleton. Order 3 ranks B far above A (ln(~0.9) per
+    // transition vs a heavily-discounted singleton path). Order 5:
+    // A telescopes through matched contexts at every level down to the
+    // stronger continuation p_cont(z) = (1+1)/(B2+V), while B's contexts
+    // are unseen at EVERY level and it bottoms out at p_cont(e) =
+    // (0+1)/(B2+V) — half A's mass. The ranking FLIPS: order-4/5 context
+    // mass is information order 3 cannot see.
+    val ref = (Seq("v w x y z") ++
+      Seq.fill(10)("a b c") ++ Seq.fill(10)("b c d") ++ Seq.fill(10)("c d e"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val targets = Seq((1L, "v w x y z"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val o3 = NgramLm.scoreModifiedKneserNeyTrigram(
+        ref, "text", targets, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val o5 = NgramLm.scoreModifiedKneserNeyOrderN(
+        ref, "text", targets, "doc_id", "text", order = 5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // per-transition mean — the t87 ordering key (n_scored differs
+    // across orders: 3 trigram vs 1 five-gram transitions per doc)
+    def mean(r: (Long, Long, Long)) = r._3.toDouble / r._2
+    assert(mean(o3(0)) < mean(o3(1)),
+      s"order-3 must prefer the frequent-trigram doc: ${o3.toSeq}")
+    assert(mean(o5(0)) > mean(o5(1)),
+      s"order-5 must prefer the matched-5-gram-context doc: ${o5.toSeq}")
+  }
+
+  test("order-5 modified KN: per-level singleton guard and short-doc totals") {
+    val ref5 = (Seq("v w x y z") ++ Seq.fill(10)("a b c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // docs under 5 tokens score n_scored = 0 with a zero sum — total, not
+    // dropped; unseen-everything 5-grams bottom out at p_cont (finite)
+    val targets = Seq((1L, "too short"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.scoreModifiedKneserNeyOrderN(
+        ref5, "text", targets, "doc_id", "text", order = 5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 0L, 0L)), got(0).toString)
+    assert(got(1)._2 == 1L && got(1)._3 < 0L, got(1).toString)
+    // a reference whose level-5 types all repeat (no singletons) refuses
+    // loudly, naming the level
+    val noSingle = (Seq.fill(2)("v w x y z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      NgramLm.scoreModifiedKneserNeyOrderN(
+        noSingle, "text", targets, "doc_id", "text", order = 5))
+    assert(e.getMessage.contains("singleton level-5"), e.getMessage)
+    // order bounds are validated up front
+    val e2 = intercept[IllegalArgumentException](
+      NgramLm.scoreModifiedKneserNeyOrderN(
+        ref5, "text", targets, "doc_id", "text", order = 2))
+    assert(e2.getMessage.contains("order must be in [3, 8]"), e2.getMessage)
+  }
+
   test("trigram modified KN: each order's singleton guard refuses loudly") {
     // no singleton TRIGRAM types (both types count 2) → the order-3
     // estimate is undefined and must refuse naming the order
