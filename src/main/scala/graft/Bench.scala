@@ -137,8 +137,12 @@ object Bench {
     // r18: the LM family's new heaviest — order-5 modified KN is FOUR
     // count-of-count folds, four persisted count frames, and a 9-way
     // scoring join (t91's profile ×2 in joins); regressions in the
-    // persist ladder or the join ordering surface here first.
-    "t95_order5_modified_kn")
+    // persist ladder or the join ordering surface here first. And the
+    // trained-vocab composition twin: t94's chain with a real 12-round
+    // BPE train + encode + decode-audit map — the end-to-end profile a
+    // production nightly actually pays.
+    "t95_order5_modified_kn",
+    "t97_corpus_to_batches_trained")
 
   /** Timed iterations per query (after one warm run). Medians absorb the
     * session-level noise that made round-over-round single-shot numbers
@@ -267,10 +271,17 @@ object Bench {
         // (quickselect, PageRank) release their persists on exit, but a
         // failure path or executor-side stragglers can leave blocks behind;
         // this is a dedicated bench session, so a global wipe evicts
-        // nothing anyone else owns. Then warm once (whole-stage-codegen
-        // class compilation is a per-plan, not per-run, cost) and time
-        // Iters steady-state runs.
+        // nothing anyone else owns. releaseAll also DROPS the BoundedCaches
+        // references — clearCache evicts blocks but the registry would
+        // still root each composed query's plan tree, and accumulated
+        // rooted plans degrade the GC-heaviest queries (r17 drift, A/B'd:
+        // d21 second-round 6.7 → 11.6 s with 6 rooted frames, flat
+        // without). One explicit gc puts every query on the same heap
+        // floor. Then warm once (whole-stage-codegen class compilation is
+        // a per-plan, not per-run, cost) and time Iters steady-state runs.
+        graft.engine.BoundedCaches.releaseAll()
         spark.catalog.clearCache()
+        System.gc()
         run(name)
         var ok = true
         def timed(): Double = {

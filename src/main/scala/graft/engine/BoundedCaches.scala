@@ -46,4 +46,18 @@ object BoundedCaches {
       df
     }
   }
+
+  /** Release every registered frame NOW and drop the references. Bench
+    * hygiene (the r17 drift A/B): `clearCache()` between queries evicts
+    * the BLOCKS, but the deque still roots each frame's QueryExecution —
+    * for the composed pipelines those are large plan trees with
+    * broadcast references, and holding MaxLive of them across a long
+    * bench session measurably degrades the GC-heaviest queries
+    * (d21 second-round medians 6.7 → 11.6 s with 6 rooted frames; flat
+    * at 4). A dedicated bench session owns every cache, so dropping all
+    * registrations between queries is safe and makes each measurement
+    * start from the same heap state. */
+  def releaseAll(): Unit = synchronized {
+    while (!live.isEmpty) live.pollFirst().unpersist(blocking = false)
+  }
 }

@@ -46,6 +46,10 @@ object DeterministicShuffle {
   def reshardByBudget(df: DataFrame, idCol: String, weightCol: String,
       tokensPerShard: Long, seed: String): DataFrame = {
     require(tokensPerShard >= 1, s"tokensPerShard must be >= 1, got $tokensPerShard")
+    // withColumn REPLACES silently — an input already carrying the output
+    // names would lose a column without a trace
+    Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — rename it before resharding"))
     // ONE 1-row fold: the total mass (for the shard count) and the min
     // weight (a negative weight would silently corrupt the budget
     // semantics — refuse loudly on the same action)
