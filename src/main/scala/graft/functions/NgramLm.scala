@@ -639,13 +639,22 @@ object NgramLm {
 
     def ngrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
         tc: String) = {
-      val ts = TextTokens.tokens(col(tc))
+      // MATERIALIZE the token array under a name before the HOF lambda
+      // (the TextTokens.wordShinglesFromTokens contract): higher-order
+      // functions are interpreted, so an inline split tree inside the
+      // lambda re-executes at every position × every element_at — the
+      // O(tokens²) class. As a named column the lambda binds an
+      // attribute, and CollapseProject keeps the multiply-referenced
+      // non-cheap split out of the lambda body.
+      val ts = col("_ng_toks")
       val typ = s"array<struct<${(1 to N).map(k => s"w$k:string").mkString(",")}>>"
-      df.select(cols :+ when(size(ts) >= N,
+      df.select(cols :+ TextTokens.tokens(col(tc)).as("_ng_toks"): _*)
+        .withColumn("ng", when(size(ts) >= N,
           transform(sequence(lit(1), size(ts) - lit(N - 1)),
             i => struct((1 to N).map(k =>
               element_at(ts, i + lit(k - 1)).as(s"w$k")): _*)))
-        .otherwise(array().cast(typ)).as("ng"): _*)
+        .otherwise(array().cast(typ)))
+        .drop("_ng_toks")
     }
 
     val refNg = ngrams(reference, Seq.empty, refTextCol)
