@@ -27,7 +27,23 @@ object BoundedCaches {
     sys.env.get("SPARK_GRAFT_MAXLIVE").map(_.toInt).getOrElse(6)
   private val live = new java.util.ArrayDeque[DataFrame]
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for bounded retire.
+  // r18: every persisted frame is handed back RE-ROOTED on its cache
+  // entry (logical plan = the InMemoryRelation leaf, not the full
+  // lineage) — see GraftBridge.rerootOnCache. The un-truncated lineage
+  // made composed-pipeline plans grow multiplicatively (t94's formatted
+  // plan: 14k lines) and the DRIVER became the per-iteration bottleneck:
+  // DeduplicateRelations re-analysis at each composition step and full
+  // plan-string rendering at each execution start / AQE update (stack-
+  // sampled; t94 warm iteration = 3.2 s construction vs 0.5 s execution
+  // before this change). SPARK_GRAFT_REROOT=0 restores the old behavior
+  // for A/B measurement.
+  private val Reroot =
+    sys.env.get("SPARK_GRAFT_REROOT").forall(_ != "0")
+  private def reroot(df: DataFrame): DataFrame =
+    if (Reroot) org.apache.spark.sql.GraftBridge.rerootOnCache(df) else df
+
+  /** Persist `df` (MEMORY_AND_DISK), register it for bounded retire, and
+    * return it re-rooted on the cache entry (plan-truncation, above).
     *
     * Re-invocations of the same query build plan-identical frames that
     * all resolve to ONE cacheManager entry — registering each would let
@@ -35,15 +51,20 @@ object BoundedCaches {
     * rely on (observed as a plan-pin flake when a full test session runs
     * the query more than MaxLive times). `storageLevel` is the
     * cacheManager lookup by canonical plan, so an already-live entry is
-    * returned as-is and registered exactly once. */
+    * re-rooted and returned without registering again. */
   def persist(df: DataFrame): DataFrame = synchronized {
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) reroot(df)
     else {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // named cacheQuery, not df.persist: an unnamed persist renders the
+      // FULL logical-plan treeString on the driver just to label the
+      // cache entry (see GraftBridge.persistNamed) — for the composed
+      // pipelines that render alone was a measurable construct-time cost.
+      org.apache.spark.sql.GraftBridge.persistNamed(df, "graft.bounded",
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       live.addLast(df)
       while (live.size > MaxLive)
         live.removeFirst().unpersist(blocking = false)
-      df
+      reroot(df)
     }
   }
 

@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  // r18: native one-pass n-gram struct stream (WordNgramStructs) instead
+  // of the interpreted zip_with-over-slices HOF — higher-order functions
+  // are CodegenFallback and dispatched a lambda + two array slices per
+  // position on the hottest LM scan; the native expression is one tight
+  // loop per document over the same pinned-parity tokenizer (short docs →
+  // empty array, identical to the old when(size>=2) guard; parity spec:
+  // NgramStructParitySpec).
   private def bigrams(df: DataFrame,
-      cols: Seq[org.apache.spark.sql.Column], textCol: String) = {
-    val ts = TextTokens.tokens(col(textCol))
-    df.select(cols :+ when(size(ts) >= 2,
-        zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("bg"): _*)
-  }
+      cols: Seq[org.apache.spark.sql.Column], textCol: String) =
+    df.select(cols :+
+      graft.functions.expr.WordNgramStructs(col(textCol), 2).as("bg"): _*)
 
   /** Shared scaffold of the Kneser-Ney FAMILY ([[scoreKneserNey]],
     * [[scoreModifiedKneserNey]]): persisted bigram type counts, a
@@ -435,19 +438,12 @@ object NgramLm {
       pFor: (DataFrame, DataFrame) =>
         (org.apache.spark.sql.Column, org.apache.spark.sql.Column)): DataFrame = {
 
+    // r18: native n-gram struct stream — see [[bigrams]]; replaces the
+    // doubly-interpreted nested zip_with.
     def trigrams(df: DataFrame,
-        cols: Seq[org.apache.spark.sql.Column], tc: String) = {
-      val ts = TextTokens.tokens(col(tc))
-      df.select(cols :+ when(size(ts) >= 3,
-          zip_with(
-            zip_with(slice(ts, lit(1), size(ts) - 2), slice(ts, lit(2), size(ts) - 2),
-              (a, b) => struct(a.as("w1"), b.as("w2"))),
-            slice(ts, lit(3), size(ts) - 2),
-            (ab, c) => struct(ab.getField("w1").as("w1"),
-              ab.getField("w2").as("w2"), c.as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-        .as("tg"): _*)
-    }
+        cols: Seq[org.apache.spark.sql.Column], tc: String) =
+      df.select(cols :+
+        graft.functions.expr.WordNgramStructs(col(tc), 3).as("tg"): _*)
 
     val refT = trigrams(reference, Seq.empty, refTextCol)
       .select(explode(col("tg")).as("p"))
@@ -637,25 +633,13 @@ object NgramLm {
         "for their sparsity)")
     val N = order
 
+    // r18: native one-pass n-gram struct stream — replaces the
+    // interpreted transform(sequence)+element_at formulation (lambda
+    // dispatch + element_at per position per word; see [[bigrams]]).
     def ngrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column],
-        tc: String) = {
-      // MATERIALIZE the token array under a name before the HOF lambda
-      // (the TextTokens.wordShinglesFromTokens contract): higher-order
-      // functions are interpreted, so an inline split tree inside the
-      // lambda re-executes at every position × every element_at — the
-      // O(tokens²) class. As a named column the lambda binds an
-      // attribute, and CollapseProject keeps the multiply-referenced
-      // non-cheap split out of the lambda body.
-      val ts = col("_ng_toks")
-      val typ = s"array<struct<${(1 to N).map(k => s"w$k:string").mkString(",")}>>"
-      df.select(cols :+ TextTokens.tokens(col(tc)).as("_ng_toks"): _*)
-        .withColumn("ng", when(size(ts) >= N,
-          transform(sequence(lit(1), size(ts) - lit(N - 1)),
-            i => struct((1 to N).map(k =>
-              element_at(ts, i + lit(k - 1)).as(s"w$k")): _*)))
-        .otherwise(array().cast(typ)))
-        .drop("_ng_toks")
-    }
+        tc: String) =
+      df.select(cols :+
+        graft.functions.expr.WordNgramStructs(col(tc), N).as("ng"): _*)
 
     val refNg = ngrams(reference, Seq.empty, refTextCol)
       .select(explode(col("ng")).as("p"))

@@ -23,12 +23,17 @@ private[expr] object ShingleTok {
     * n times, and a per-read UTF8String→String decode would triple the
     * allocation on the hottest scan path. */
   def tokens(input: UTF8String): Array[String] = {
-    val ts = input.trim().toLowerCase().split(WS, -1)
+    val ts = tokensU8(input)
     val out = new Array[String](ts.length)
     var i = 0
     while (i < ts.length) { out(i) = ts(i).toString; i += 1 }
     out
   }
+
+  /** Raw UTF8String tokens — for consumers that emit tokens back into
+    * InternalRows ([[WordNgramStructs]]); skips the String decode. */
+  def tokensU8(input: UTF8String): Array[UTF8String] =
+    input.trim().toLowerCase().split(WS, -1)
 }
 
 /** One-pass hashed word-shingling: lowercase+trim the text, split on
@@ -164,4 +169,60 @@ object WordShingleStrings {
   /** String shingles of `text`; `distinct` keeps first-occurrence order. */
   def apply(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftBridge.column(WordShingleStrings(GraftBridge.expression(text), n, distinct))
+}
+
+/** One-pass word n-gram STRUCT stream — the Kneser-Ney-family sibling of
+  * [[WordShingleStrings]]: array<struct<w1..wn:string>> of every n-gram
+  * window, duplicates kept, document order. Short documents (< n tokens)
+  * yield an empty array, exactly like the `when(size(ts) >= n, …)
+  * .otherwise(empty)` HOF guard it replaces.
+  *
+  * Exists because the HOF formulations — zip_with over slices (orders 2
+  * and 3) and transform(sequence)+element_at (order N) — are interpreted
+  * (higher-order functions are CodegenFallback) and dispatch a lambda per
+  * position with per-element array allocation; on the LM family's target
+  * stream that interpretation was the single largest execution cost
+  * (measured: the order-5 scoring join spends its scan time here). This
+  * is one tight loop per document over [[ShingleTok]]'s pinned-parity
+  * tokenizer; the emitted UTF8String tokens are SHARED across the up-to-n
+  * windows that contain them instead of re-sliced per window.
+  */
+case class WordNgramStructs(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 2 && n <= 8, "n-gram order must be in [2, 8]")
+
+  override def dataType: DataType = ArrayType(
+    StructType((1 to n).map(k => StructField(s"w$k", StringType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"WordNgramStructs needs string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ShingleTok.tokensU8(input.asInstanceOf[UTF8String])
+    val m = toks.length - (n - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) { vals(j) = toks(i + j); j += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramStructs =
+    copy(child = newChild)
+}
+
+object WordNgramStructs {
+  def apply(text: Column, n: Int): Column =
+    GraftBridge.column(WordNgramStructs(GraftBridge.expression(text), n))
 }

@@ -36,7 +36,7 @@ object Bfs {
     * un-truncated lineage would nest every prior round's plan text into
     * each new one. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** @param edges   directed (src, dst) long ids; mirror before calling
     *                for an undirected walk

@@ -45,7 +45,7 @@ object BpeTrain {
     import spark.implicits._
 
     def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+      graft.engine.Lineage.truncate(df)
 
     val h0 = docs.select(col(tokenCol).cast("array<string>").as("toks"))
       .persist()

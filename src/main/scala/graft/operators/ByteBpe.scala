@@ -114,7 +114,7 @@ object ByteBpe {
     import spark.implicits._
 
     def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+      graft.engine.Lineage.truncate(df)
 
     // corpus-scale once: pretoken frequencies (ONE map-side-combined
     // shuffle); everything after is vocab-scale

@@ -183,7 +183,7 @@ object ConnectedComponents {
     * its predecessor more than once). RDD lineage remains fault-tolerant
     * and linear. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** @param localFinishMaxRows the serial-endgame cutover (the
     *        [[Scc.components]] doctrine): when vertices + directed edge

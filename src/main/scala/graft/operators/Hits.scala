@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** Hook-less form for one-shot processes; see [[runWithRelease]]. */
   def run(edges: DataFrame, rounds: Int): DataFrame =

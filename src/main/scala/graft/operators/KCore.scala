@@ -49,7 +49,7 @@ object KCore {
     * plan tripled per round — d31's plan text carried 2376 nested scans
     * before truncation, re-analyzed every round. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** One survivor re-induction: both endpoints must survive — two hash
     * SEMI-joins on node ids, never a nested loop (KCoreSpec pins this

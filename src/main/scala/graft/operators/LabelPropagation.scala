@@ -44,7 +44,7 @@ object LabelPropagation {
     * though execution reads the caches (measured on d45: the returned
     * plan text carried 1592 nested scans before truncation). */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   def run(vertices: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -40,7 +40,7 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object Mis {
 
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** Round-r priority — REPLICATED in the d63 oracle; change both or
     * neither. */

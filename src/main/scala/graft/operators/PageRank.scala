@@ -41,7 +41,7 @@ object PageRank {
     * and Catalyst re-analysis of that tree is paid EVERY round even
     * though execution reads the caches. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** Hook-less form for one-shot processes; see [[runWithRelease]]. */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame =

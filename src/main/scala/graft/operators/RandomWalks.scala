@@ -33,7 +33,7 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object RandomWalks {
 
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** The walk's deterministic transition mix — REPLICATED in the d57
     * oracle; change both or neither. Inputs are reduced mod 1e6+3 before

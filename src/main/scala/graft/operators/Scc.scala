@@ -65,7 +65,7 @@ object Scc {
     * reference each round's state more than once, so un-truncated lineage
     * would nest geometrically. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** persist → materialize → RDD-leaf view. Returns (view, handle, rows):
     * read through the view, unpersist through the handle; the row count is

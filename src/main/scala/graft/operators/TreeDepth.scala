@@ -38,7 +38,7 @@ object TreeDepth {
     * alone was costing seconds by round 5 (measured: round times grew
     * 0.3 → 3.3 s while the data size stayed flat). */
   private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    graft.engine.Lineage.truncate(df)
 
   /** One action per round: (unresolved-pointer count, total row count).
     * The total detects SILENT node loss — a node whose parent is neither

@@ -66,7 +66,7 @@ object UnigramLm {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist()
     wcDf.count()
-    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    val wc = graft.engine.Lineage.truncate(wcDf).as[(String, Long)]
     try {
       // seed inventory: substring occurrence counts × word frequency —
       // one explode over the DISTINCT words, one piece-keyed aggregate
@@ -147,7 +147,7 @@ object UnigramLm {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist()
     wcDf.count()
-    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    val wc = graft.engine.Lineage.truncate(wcDf).as[(String, Long)]
     try {
       val seed = wc.toDF("w", "n")
         .select(explode(flatten(transform(
@@ -322,7 +322,7 @@ object UnigramLm {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .persist()
     wcDf.count()
-    val wc = spark.createDataFrame(wcDf.rdd, wcDf.schema).as[(String, Long)]
+    val wc = graft.engine.Lineage.truncate(wcDf).as[(String, Long)]
     try {
       val seed = wc.toDF("w", "n")
         .select(explode(flatten(transform(

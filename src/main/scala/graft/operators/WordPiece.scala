@@ -101,7 +101,7 @@ object WordPiece {
     import spark.implicits._
 
     def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+      graft.engine.Lineage.truncate(df)
 
     val h0 = symbols.persist()
     // serial-endgame cutover (the Scc/Bfs doctrine, see ByteBpe.train):

@@ -488,7 +488,14 @@ class PlanSpec extends AnyFunSuite {
     assert(fileScans == cachedDefs && fileScans > 0,
       s"every corpus scan must be the cached pair-aggregate's definition " +
         s"($fileScans scans vs $cachedDefs cache defs):\n$p")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+    // r18: BoundedCaches registers NAMED cache entries and re-roots
+    // consumers on them, so the cache read renders as "Scan In-memory
+    // table graft.bounded" (logical form) / "InMemoryTableScan"
+    // (physical form) depending on where in the plan text it appears —
+    // count both spellings.
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).size +
+      "Scan In-memory table".r.findAllIn(p).size
+    assert(cacheReads >= 3,
       s"c_ab, c_w, and N must all read the shared cached frame:\n$p")
   }
 
