@@ -52,7 +52,14 @@ object Triangles {
   /** (node, n_triangles) for every node that participates in ≥1 triangle.
     * `edges` must be canonical: src < dst, no duplicates. */
   def perNode(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val o = orientByDegree(edges, src, dst)
+    // r18: persisted (bounded registry) — the oriented edge frame is
+    // consumed THREE times (both wedge branches + the closure join), and
+    // each uncached consumer re-derived the caller's whole edge pipeline
+    // (for d24 that is the full shingle pair stage, measured ~3× the
+    // query's floor). The frame is edge-scale — output-proportional for
+    // the near-dup pair graphs this serves, the same bound
+    // ConnectedComponents already persists at.
+    val o = graft.engine.BoundedCaches.persist(orientByDegree(edges, src, dst))
     val wedges = o.select(col("u").as("a"), col("v").as("b"))
       .join(o.select(col("u").as("b"), col("v").as("c")), "b")
     val tri = wedges.join(

@@ -69,6 +69,13 @@ object DedupQueries {
     // not-null filters (pushdown substitutes aliases), while an aggregate
     // is a pushdown barrier. Zero-shingle docs drop out of the count, but
     // they have no pairs to join anyway. count(distinct shingles) == size.
+    // NOT persisted (r18 A/B): the two sizes consumers (na and nb joins)
+    // are textually identical Exchange subtrees that AQE already
+    // deduplicates via runtime stage reuse, so a bounded-registry persist
+    // here only added cache-materialization overhead on the single-action
+    // queries (measured: d4 1.52→1.71 s, d24 2.59→3.86 s with the
+    // persist; reverted). Multi-consumer reuse belongs one level up, on
+    // the output-proportional PAIR graph (see Triangles / the CC gates).
     val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("n", "na"), col("id_a") === col("ida"))
