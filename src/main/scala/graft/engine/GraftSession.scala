@@ -48,6 +48,21 @@ object GraftSession {
       // path instead.
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
+      // Shuffle/spill scratch dir. Guide §2.1: local storage latency is
+      // part of every shuffle's cost, and the iterative operators run
+      // dozens of tiny per-round shuffles whose cost is FILE-CREATION
+      // latency, not bandwidth — A/B on the iterative bench subset:
+      // tmpfs scratch took d51 3.09→1.76 s, d56 1.85→1.40, h2 2.68→2.33
+      // (d21 flat). Default = memory-backed /dev/shm when present (the
+      // local-harness analog of the fast local NVMe scratch a production
+      // cluster mounts for spark.local.dir); SPARK_GRAFT_LOCAL_DIR
+      // overrides for deployments whose shuffle volume exceeds RAM.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+          val shm = new java.io.File("/dev/shm")
+          if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
+          else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+        }))
   }
 
   /** Local session for tests / CLI mains. */
