@@ -57,10 +57,21 @@ object GraftSession {
       // local-harness analog of the fast local NVMe scratch a production
       // cluster mounts for spark.local.dir); SPARK_GRAFT_LOCAL_DIR
       // overrides for deployments whose shuffle volume exceeds RAM.
+      // r19 GUARD (r18 advice): a RAM-backed scratch dir fills MEMORY when
+      // shuffle volume exceeds it — Docker's default /dev/shm is 64 MB and
+      // tmpfs is typically capped at 50% RAM, so the tmpfs default only
+      // applies when the mount has real headroom
+      // (SPARK_GRAFT_SHM_MIN_FREE_GB, default 16 GiB usable). Under the
+      // bound — or on any deployment whose cluster manager sets
+      // spark.local.dir itself (YARN/K8s override this config) — the
+      // scratch stays on disk-backed java.io.tmpdir.
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
           val shm = new java.io.File("/dev/shm")
-          if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_scratch"
+          val minFree = sys.env.getOrElse(
+            "SPARK_GRAFT_SHM_MIN_FREE_GB", "16").toLong * (1L << 30)
+          if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+            "/dev/shm/graft_scratch"
           else sys.props.getOrElse("java.io.tmpdir", "/tmp")
         }))
   }

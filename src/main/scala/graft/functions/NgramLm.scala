@@ -40,6 +40,29 @@ object NgramLm {
     df.select(cols :+
       graft.functions.expr.WordNgramStructs(col(textCol), 2).as("bg"): _*)
 
+  /** r19: explode a COMPUTED n-gram array through an OUTER generate plus a
+    * null filter instead of a bare `explode`. A non-outer explode makes
+    * InferFiltersFromGenerate add `size(e) > 0 AND isnotnull(e)` on the
+    * generator input, and PushDownPredicates then substitutes the alias
+    * through the projection into the scan Filter — re-evaluating the
+    * tokenize+window expression up to 3× per reference row (the r18
+    * verdict's top item; guide §4.4's filter-duplication, native-
+    * expression flavor). An outer generate gets NO inferred filter; the
+    * single null row it emits for a short/empty document is dropped right
+    * above the Generate, so the downstream aggregate input is identical
+    * row for row. The struct elements themselves are non-nullable
+    * (containsNull = false), so `isNotNull` drops exactly the synthetic
+    * empty-array row and nothing else. */
+  private def explodedRef(df: DataFrame, arr: String): DataFrame =
+    df.select(explode_outer(col(arr)).as("p")).filter(col("p").isNotNull)
+
+  /** r19: the vocab token stream, same outer-generate doctrine — the
+    * existing `w != ''` filter already drops the synthetic null row an
+    * outer explode emits for a null/absent text. */
+  private def vocabTokens(reference: DataFrame, refTextCol: String): DataFrame =
+    reference.select(explode_outer(TextTokens.tokens(col(refTextCol))).as("w"))
+      .filter(col("w") =!= "")
+
   /** Shared scaffold of the Kneser-Ney FAMILY ([[scoreKneserNey]],
     * [[scoreModifiedKneserNey]]): persisted bigram type counts, a
     * caller-shaped per-context rollup, continuation counts N1+(·,w2),
@@ -56,16 +79,14 @@ object NgramLm {
       target: DataFrame, idCol: String, textCol: String,
       cnAggs: Seq[org.apache.spark.sql.Column],
       pFor: DataFrame => org.apache.spark.sql.Column): DataFrame = {
-    val refBg = bigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("bg")).as("p"))
+    val refBg = explodedRef(bigrams(reference, Seq.empty, refTextCol), "bg")
     val c2 = graft.engine.BoundedCaches.persist(
       refBg.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("c2")))
     val cn = c2.groupBy(col("w1").as("ctx")).agg(cnAggs.head, cnAggs.tail: _*)
     val nr = c2.groupBy(col("w2").as("nw2")).agg(count(lit(1)).as("n1r"))
     val tot = c2.agg(count(lit(1)).as("b")).crossJoin(
-      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-        .filter(col("w") =!= "")
+      vocabTokens(reference, refTextCol)
         .agg(count_distinct(col("w")).as("v")))
     val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
       .select(col("id"), explode_outer(col("bg")).as("p"))
@@ -110,8 +131,7 @@ object NgramLm {
   def scoreBigram(reference: DataFrame, refTextCol: String,
       target: DataFrame, idCol: String, textCol: String): DataFrame = {
 
-    val refBg = bigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("bg")).as("p"))
+    val refBg = explodedRef(bigrams(reference, Seq.empty, refTextCol), "bg")
     // c2 feeds BOTH the scoring join and the context-count rollup —
     // persist so the bigram explode+agg runs once (q9 trap; bounded
     // registry per the cache contract)
@@ -121,9 +141,7 @@ object NgramLm {
     // context counts and vocab are rollups of frames already built — the
     // reference stream is tokenized once for bigrams, once for vocab
     val c1 = c2.groupBy(col("w1").as("ctx")).agg(sum(col("c2")).as("c1"))
-    val vocab = reference
-      .select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-      .filter(col("w") =!= "")
+    val vocab = vocabTokens(reference, refTextCol)
       .agg(count_distinct(col("w")).as("v"))
 
     val tgt = bigrams(target, Seq(col(idCol).as("id")), textCol)
@@ -445,8 +463,7 @@ object NgramLm {
       df.select(cols :+
         graft.functions.expr.WordNgramStructs(col(tc), 3).as("tg"): _*)
 
-    val refT = trigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("tg")).as("p"))
+    val refT = explodedRef(trigrams(reference, Seq.empty, refTextCol), "tg")
     val c3 = graft.engine.BoundedCaches.persist(
       refT.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
         .agg(count(lit(1)).as("c3")))
@@ -462,8 +479,7 @@ object NgramLm {
       .agg(ctx2Aggs.head, ctx2Aggs.tail: _*)
     val nrc = cp.groupBy(col("bw3").as("rw3")).agg(count(lit(1)).as("n1rc"))
     val tot = cp.agg(count(lit(1)).as("b2")).crossJoin(
-      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-        .filter(col("w") =!= "")
+      vocabTokens(reference, refTextCol)
         .agg(count_distinct(col("w")).as("v")))
 
     val tgt = trigrams(target, Seq(col(idCol).as("id")), textCol)
@@ -641,8 +657,7 @@ object NgramLm {
       df.select(cols :+
         graft.functions.expr.WordNgramStructs(col(tc), N).as("ng"): _*)
 
-    val refNg = ngrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("ng")).as("p"))
+    val refNg = explodedRef(ngrams(reference, Seq.empty, refTextCol), "ng")
     // level N: raw type counts, key (w1..wN); levels N−1..2: adjusted
     // counts, each a count(1) rollup of the level above (every row of the
     // upper frame IS a distinct extension)
@@ -670,8 +685,7 @@ object NgramLm {
     val nrc = frames(2).groupBy(col(s"w$N").as("rwN"))
       .agg(count(lit(1)).as("n1rc"))
     val tot = frames(2).agg(count(lit(1)).as("b2")).crossJoin(
-      reference.select(explode(TextTokens.tokens(col(refTextCol))).as("w"))
-        .filter(col("w") =!= "")
+      vocabTokens(reference, refTextCol)
         .agg(count_distinct(col("w")).as("v")))
 
     // one count-of-count fold PER LEVEL, each over its own persisted
@@ -825,8 +839,7 @@ object NgramLm {
     * (clamped to [1, 999]: D must stay inside (0, 1) for the discounted
     * mass to remain a probability). */
   def estimateDiscount(reference: DataFrame, refTextCol: String): (Long, Long) = {
-    val refBg = bigrams(reference, Seq.empty, refTextCol)
-      .select(explode(col("bg")).as("p"))
+    val refBg = explodedRef(bigrams(reference, Seq.empty, refTextCol), "bg")
     val row = refBg.groupBy(col("p.w1"), col("p.w2"))
       .agg(count(lit(1)).as("c2"))
       .agg(sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n1"),

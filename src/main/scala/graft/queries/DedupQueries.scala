@@ -1387,6 +1387,13 @@ object DedupQueries {
       // the union once, and ReuseExchange already dedupes the shingle
       // self-join exchange across the two branches — inserting an
       // InMemoryRelation boundary here measured 7 s → 23 s at sf0.1.
+      // r19 negative A/B (kept honest): symmetrizing with ONE pass
+      // (explode(array(struct(a,b), struct(b,a)))) instead of this union
+      // measured 4.74 s vs 4.43 s back-to-back idle — the union's
+      // duplicated work above the last shared exchange (final pair
+      // aggregate + sizes joins + Jaccard filter) is already absorbed by
+      // AQE stage reuse, so the explode only added a Generate pass.
+      // Reverted; the union stands.
       val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -35,7 +35,13 @@ object GraftBridge {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val session = ds.sparkSession
     session.sharedState.cacheManager.lookupCachedData(ds) match {
-      case Some(cd) => classic.Dataset.ofRows(session, cd.cachedRepresentation)
+      // newInstance(), matching Spark's own substitution
+      // (CacheManager.useCachedData): every handed-out frame gets FRESH
+      // ExprIds, so two plan-identical persist calls can be self-joined
+      // without relying on DeduplicateRelations to rescue duplicate
+      // attribute ids (r18 advice item 3).
+      case Some(cd) =>
+        classic.Dataset.ofRows(session, cd.cachedRepresentation.newInstance())
       case None => df
     }
   }
